@@ -1,0 +1,35 @@
+"""Relational + pipeline operators."""
+
+from rdsa_utils_spark.operators.reshape import (  # noqa: F401
+    flatten_struct_columns,
+    melt,
+    pack_struct_column,
+    unpack_list_col,
+)
+from rdsa_utils_spark.operators.filters import (  # noqa: F401
+    filter_out_values,
+    map_column_names,
+    map_column_values,
+    set_nulls,
+)
+from rdsa_utils_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    join_multi_dfs,
+    range_join,
+)
+from rdsa_utils_spark.operators.sets import (  # noqa: F401
+    union_mismatched_dfs,
+    union_multi_dfs,
+)
+from rdsa_utils_spark.operators.windows import (  # noqa: F401
+    drop_duplicates_reproducible,
+    get_window_spec,
+    rank_numeric,
+    select_first_obs_appearing_in_group,
+)
+from rdsa_utils_spark.operators.aggregations import (  # noqa: F401
+    aggregate_col,
+    count_nulls,
+    distinct_values,
+    get_unique,
+)

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+No reference equivalent (extension surface). Designed for 100 TB:
+- ``exact_dedup`` — fingerprint (md5 of normalized text) + one
+  hash-partitioned window; keeps the smallest id per fingerprint.
+- ``minhash_signatures`` — per-doc MinHash signature computed entirely
+  with native expressions: shingle → per-permutation ``xxhash64`` →
+  ``array_min``. No UDF, no shuffle.
+- ``lsh_candidate_pairs`` — banding: signature sliced into ``b`` bands,
+  each band hashed, exploded, and self-joined on (band_id, band_hash).
+  The join is an equi-join on a well-distributed hash — shuffles scale
+  linearly; no O(n²) pair enumeration ever materializes outside a
+  bucket.
+- ``minhash_near_dedup`` — candidate pairs verified with exact shingle
+  Jaccard, then connected docs removed (keep-min-id per duplicate
+  cluster, one iteration — trades transitive-closure completeness for
+  a bounded number of jobs; iterate if full closure is required).
+- ``simhash_signatures`` — 64-bit SimHash via a vectorized pandas UDF
+  (bit-vote majority; numpy over Arrow batches).
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard for a candidate-pair
+  frame (verification primitive).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.text import shingles, tokens, with_fingerprint
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Remove exact duplicates (normalized-text fingerprint), keeping
+    the row with the min/max ``id_col`` per fingerprint group."""
+    if keep not in {"min", "max"}:
+        raise ValueError("exact_dedup: keep must be 'min' or 'max'")
+    fp = with_fingerprint(df, text_col, "__fp__")
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp__").orderBy(order)
+    return (
+        fp.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Attach a MinHash signature (array<bigint>, length ``num_perm``).
+
+    Each permutation ``j`` is simulated by salting the shingle with
+    ``j`` before ``xxhash64`` and taking the array minimum — standard
+    "one hash function + k salts" MinHash. Entirely JVM expressions.
+    """
+    sh = shingles(text_col, n=shingle_n)
+    df = df.withColumn("__shingles__", sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__shingles__"),
+                    lambda s, j=j: F.xxhash64(F.concat(F.lit(f"{j}|"), s)),
+                ),
+            )
+            for j in range(num_perm)
+        ],
+    )
+    return df.withColumn(out_col, sig).drop("__shingles__")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "minhash",
+    num_bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. Signature length
+    must divide evenly into ``num_bands``. The only shuffle is the
+    equi-join on (band, band_hash) — a uniform key, so no skew at
+    scale unless a band value is degenerate (e.g. empty docs; filter
+    them upstream).
+    """
+    sig_len_row = df.select(F.size(signature_col).alias("n")).first()
+    if sig_len_row is None:
+        return df.sparkSession.createDataFrame([], f"id_a long, id_b long")
+    rows_per_band = sig_len_row["n"] // num_bands
+
+    banded = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(signature_col, b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ],
+            ),
+        ).alias("bb"),
+    ).select("__id__", "bb.band", "bb.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.__id__") < F.col("r.__id__"),
+            ],
+        )
+        .select(F.col("l.__id__").alias("id_a"), F.col("r.__id__").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for each (id_a, id_b) candidate pair.
+
+    Two broadcast-friendly joins attach shingle arrays, then pure
+    array expressions compute |∩| / |∪|.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__jid__"), shingles(text_col, shingle_n).alias("__sh__"),
+    ).withColumn("__sh__", F.array_distinct("__sh__"))
+    out = (
+        pairs.join(sh.withColumnRenamed("__jid__", "id_a").withColumnRenamed("__sh__", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__jid__", "id_b").withColumnRenamed("__sh__", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.withColumn(
+        "jaccard",
+        F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union),
+    ).drop("sh_a", "sh_b")
+
+
+def minhash_near_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup removal: MinHash → LSH candidates → exact Jaccard
+    verify → drop the larger id of each confirmed pair.
+
+    One-iteration policy: every doc that is the greater id in any
+    confirmed duplicate pair is dropped (anti-join). For a full
+    transitive closure run this to a fixed point — each iteration is a
+    bounded set of shuffles, preferable at scale to an unbounded
+    connected-components job when duplicate clusters are shallow.
+    """
+    with_sig = minhash_signatures(df, text_col, num_perm, shingle_n)
+    candidates = lsh_candidate_pairs(with_sig, id_col, "minhash", num_bands)
+    verified = ngram_jaccard_pairs(df, candidates, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= jaccard_threshold,
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash per document (vectorized pandas UDF).
+
+    Token hashes vote per bit; majority sets the bit. Arrow-batched —
+    the Python cost is one numpy pass per batch, not per row.
+    """
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        bit_idx = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            # Deterministic 64-bit token hashes (NOT Python hash(),
+            # which is salted per process).
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))

@@ -1,0 +1,187 @@
+"""Join operators.
+
+Capability parity:
+- ``join_multi_dfs`` — reference ``rdsa_utils/helpers/pyspark.py:1511-1550``
+  (left-fold equi-join over a list of DataFrames). Ours adds optional
+  broadcast of the non-first sides and supports Spark's full join-type
+  vocabulary (semi/anti included — absent from the reference but free).
+
+Extensions (no reference equivalent — SURVEY.md §2.4 flags these as
+new work for the ``events`` table):
+- ``asof_join`` — merge-asof semantics (each left row matched to the
+  closest earlier/later right row per key) expressed as a union +
+  window ``last_value(ignorenulls)`` sweep: ONE shuffle on
+  (key, ts), no cross join, no per-group pandas — survives 100 TB.
+- ``range_join`` — point-in-interval join via bucketization: ranges
+  are exploded onto a bucket grid (``F.sequence``) and equi-joined on
+  bucket id, turning an O(n·m) theta join into a co-partitioned hash
+  join + residual filter.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_VALID_HOW = {
+    "inner", "cross", "outer", "full", "fullouter", "full_outer",
+    "left", "leftouter", "left_outer", "right", "rightouter", "right_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+}
+
+
+def join_multi_dfs(
+    df_list: Sequence[DataFrame],
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    broadcast_tail: bool = False,
+) -> DataFrame:
+    """Left-fold equi-join over ``df_list``.
+
+    ``broadcast_tail=True`` hints every frame after the first as the
+    broadcast side — the right call when folding a large fact with
+    several dimension tables (region/nation/supplier-sized): each join
+    becomes a BroadcastHashJoin, zero shuffles of the fact.
+    """
+    if not df_list:
+        raise ValueError("join_multi_dfs: empty df_list")
+    if how not in _VALID_HOW:
+        raise ValueError(f"join_multi_dfs: invalid how={how!r}")
+    head, *tail = df_list
+    if broadcast_tail:
+        tail = [F.broadcast(t) for t in tail]
+    return reduce(lambda left, right: left.join(right, on=on, how=how), tail, head)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Optional[Union[str, Sequence[str]]] = None,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, attach the nearest right row with
+    ``right.on <= left.on`` (backward) or ``>=`` (forward), optionally
+    within the same ``by`` keys and within ``tolerance`` (seconds for
+    timestamps, plain units for numerics).
+
+    Plan shape: union the two sides tagged by origin, shuffle ONCE on
+    (by, on), then a running ``last_value(…, ignorenulls)`` window
+    carries the most recent right-side values onto each left row.
+    Equivalent to ``pd.merge_asof`` but distributed; no range/cross
+    join appears in the physical plan.
+    """
+    if direction not in {"backward", "forward"}:
+        raise ValueError("asof_join: direction must be 'backward' or 'forward'")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    right_value_cols = [c for c in right.columns if c != on and c not in by_cols]
+    # Column names carried from the right side get the suffix if they clash.
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in right_value_cols
+    }
+
+    left_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
+          for c in right_value_cols],
+        F.col(on).alias("__asof_ts__"),
+    )
+    right_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by_cols and c != on],
+        *[F.col(c) for c in by_cols],
+        F.col(on),
+        F.lit(0).alias("__is_left__"),
+        *[F.col(c).alias(out_names[c]) for c in right_value_cols],
+        F.col(on).alias("__asof_ts__"),
+    ).select(*left_tagged.columns)  # align column order for union
+
+    unioned = left_tagged.unionByName(right_tagged)
+
+    if direction == "backward":
+        # Right rows sort before left rows at identical ts so a tie matches.
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), F.col("__is_left__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).desc(), F.col("__is_left__").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in out_names.values() and c != "__asof_ts__"],
+        *[F.last(F.when(F.col("__is_left__") == 0, F.col(v)), ignorenulls=True)
+            .over(w).alias(v) for v in out_names.values()],
+        F.last(F.when(F.col("__is_left__") == 0, F.col("__asof_ts__")), ignorenulls=True)
+        .over(w).alias("__matched_ts__"),
+    )
+
+    out = filled.filter(F.col("__is_left__") == 1).drop("__is_left__")
+    if tolerance is not None:
+        gap = F.abs(
+            F.col(on).cast("double") - F.col("__matched_ts__").cast("double"),
+        )
+        out = out.select(
+            *[c for c in out.columns if c != "__matched_ts__" and c not in out_names.values()],
+            *[F.when(gap <= F.lit(tolerance), F.col(v)).alias(v) for v in out_names.values()],
+        )
+    else:
+        out = out.drop("__matched_ts__")
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    by: Optional[Union[str, Sequence[str]]] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left points into right [lo, hi) intervals.
+
+    Each right interval is exploded onto the bucket grid it covers
+    (``F.sequence`` — cheap when ``bucket_width`` is chosen near the
+    typical interval length); left points compute one bucket id. The
+    equi-join on (by, bucket) is then an ordinary shuffled/broadcast
+    hash join, with the exact containment predicate applied as a
+    residual filter. Pick ``bucket_width`` ≈ median interval length so
+    explosion factor stays O(1).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    lpt, rlo, rhi = F.col(left_point), F.col(right_lo), F.col(right_hi)
+
+    left_b = left.withColumn(
+        "__bucket__", F.floor(lpt.cast("double") / F.lit(bucket_width)).cast("long"),
+    )
+    right_b = right.withColumn(
+        "__bucket__",
+        F.explode(
+            F.sequence(
+                F.floor(rlo.cast("double") / F.lit(bucket_width)).cast("long"),
+                F.floor(rhi.cast("double") / F.lit(bucket_width)).cast("long"),
+            ),
+        ),
+    )
+    cond = [left_b["__bucket__"] == right_b["__bucket__"]]
+    for c in by_cols:
+        cond.append(left_b[c] == right_b[c])
+    joined = left_b.join(right_b.drop(*by_cols) if by_cols else right_b, cond, how)
+    joined = joined.filter(
+        (F.col(left_point).cast("double") >= F.col(right_lo).cast("double"))
+        & (F.col(left_point).cast("double") < F.col(right_hi).cast("double")),
+    )
+    return joined.drop("__bucket__")

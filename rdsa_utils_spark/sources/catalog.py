@@ -1,0 +1,42 @@
+"""Catalog introspection.
+
+Capability parity: reference ``rdsa_utils/cdp/io/input.py:14-118``
+(current database, table listing, db-name extraction) and
+``gcp/helpers/gcp_utils.py:42-69`` (table existence). All pure
+``spark.catalog`` calls — metadata only, no jobs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import SparkSession
+
+
+def get_current_database(spark: SparkSession) -> str:
+    """Current catalog database name."""
+    return spark.catalog.currentDatabase()
+
+
+def get_tables_in_database(spark: SparkSession, database: Optional[str] = None) -> List[str]:
+    """Table names in ``database`` (default: current database)."""
+    db = database or spark.catalog.currentDatabase()
+    return [t.name for t in spark.catalog.listTables(db)]
+
+
+def extract_database_name(table_path: str) -> tuple[Optional[str], str]:
+    """Split ``[catalog.]db.table`` / ``db.table`` / ``table`` into
+    (database, table). Reference: ``cdp/io/input.py:61-118``."""
+    parts = table_path.split(".")
+    if len(parts) == 1:
+        return None, parts[0]
+    if len(parts) == 2:
+        return parts[0], parts[1]
+    if len(parts) == 3:
+        return parts[1], parts[2]
+    raise ValueError(f"Invalid table path {table_path!r} (expect ≤3 dotted parts)")
+
+
+def table_exists(spark: SparkSession, table_name: str) -> bool:
+    """Whether a table/view is resolvable in the catalog."""
+    return spark.catalog.tableExists(table_name)

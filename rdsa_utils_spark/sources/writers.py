@@ -1,0 +1,199 @@
+"""Writers: catalog tables, partitioned parquet, single-file CSV export.
+
+Capability parity (re-designed, not translated):
+- ``insert_df_to_table`` — reference ``rdsa_utils/cdp/io/output.py:33-228``
+  (schema alignment: NULL-fill missing columns cast to target type,
+  column reorder, optional repartition, overwrite/append/create).
+- ``write_and_read_table`` — reference ``cdp/io/output.py:231-331``.
+- ``save_single_file_csv`` — reference ``cdp/io/output.py:334-569``
+  (coalesce(1) temp-dir write + part-file rename).
+- ``write_table`` — reference ``gcp/io/outputs.py:17-169`` (BigQuery
+  time-partitioned + clustered write → parquet ``partitionBy`` +
+  ``sortWithinPartitions``, the open equivalent of clustering).
+- ``truncate_table`` — reference ``helpers/pyspark.py:932-1028``.
+
+Scale notes: ``coalesce(1)`` is confined to the explicit export
+function and guarded by a size estimate; partitioned writes sort
+within partitions so parquet row-group stats give readers
+cluster-pruning, mirroring BigQuery clustering.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PARTITION_TRUNC = {"hour", "day", "month", "year"}
+
+
+def _align_to_schema(df: DataFrame, target: DataFrame, fill_missing_cols: bool) -> DataFrame:
+    """Project ``df`` onto ``target``'s columns, NULL-filling (with the
+    target column type) any missing ones. Reference: output.py:174-200."""
+    target_fields = {f.name: f.dataType for f in target.schema.fields}
+    missing = [c for c in target_fields if c not in df.columns]
+    if missing:
+        if not fill_missing_cols:
+            raise ValueError(f"DataFrame missing table columns: {missing}")
+        for col in missing:
+            df = df.withColumn(col, F.lit(None).cast(target_fields[col]))
+    return df.select(*target_fields.keys())
+
+
+def insert_df_to_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    overwrite: bool = False,
+    fill_missing_cols: bool = False,
+    repartition_data_by: Optional[Union[int, str]] = None,
+) -> None:
+    """Write ``df`` into catalog table ``table_name``.
+
+    If the table exists, the frame is schema-aligned first (column
+    order + NULL-filled missing columns cast to the table's types).
+    ``repartition_data_by``: int → ``repartition(n)`` (output file
+    count), str → ``repartition(col)`` (co-locate by key).
+    """
+    if spark.catalog.tableExists(table_name):
+        df = _align_to_schema(df, spark.read.table(table_name), fill_missing_cols)
+        if repartition_data_by is not None:
+            df = (
+                df.repartition(repartition_data_by)
+                if isinstance(repartition_data_by, int)
+                else df.repartition(F.col(repartition_data_by))
+            )
+        mode = "overwrite" if overwrite else "append"
+        df.write.mode(mode).insertInto(table_name, overwrite=overwrite)
+    else:
+        if repartition_data_by is not None:
+            df = (
+                df.repartition(repartition_data_by)
+                if isinstance(repartition_data_by, int)
+                else df.repartition(F.col(repartition_data_by))
+            )
+        df.write.mode("overwrite" if overwrite else "errorifexists").saveAsTable(table_name)
+
+
+def write_and_read_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    filter_id: Optional[object] = None,
+    filter_col: str = "run_id",
+    fill_missing_cols: bool = False,
+) -> DataFrame:
+    """Append to a table, read back (optionally filtered by run id).
+
+    Predicate pushdown makes the read-back scan only matching files —
+    the property the reference documents at output.py:282-285.
+    """
+    insert_df_to_table(spark, df, table_name, fill_missing_cols=fill_missing_cols)
+    out = spark.read.table(table_name)
+    if filter_id is not None:
+        out = out.filter(F.col(filter_col) == F.lit(filter_id))
+    return out
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_col: Optional[str] = None,
+    partition_type: Optional[str] = None,
+    clustered_fields: Optional[Sequence[str]] = None,
+) -> None:
+    """Partitioned + clustered parquet write.
+
+    ``partition_type`` (hour/day/month/year) truncates ``partition_col``
+    into a derived ``<col>_<type>`` partition column; ``clustered_fields``
+    (≤4, matching BigQuery's limit) become a within-partition sort so
+    parquet min/max stats allow readers to prune — the open-format
+    analogue of BigQuery clustering (reference gcp/io/outputs.py:131-157).
+    """
+    writer_df = df
+    partition_by: Optional[str] = None
+    if partition_col:
+        if partition_type:
+            if partition_type not in _PARTITION_TRUNC:
+                raise ValueError(
+                    f"partition_type must be one of {sorted(_PARTITION_TRUNC)}",
+                )
+            partition_by = f"{partition_col}_{partition_type}"
+            writer_df = writer_df.withColumn(
+                partition_by, F.date_trunc(partition_type, F.col(partition_col)),
+            )
+        else:
+            partition_by = partition_col
+    if clustered_fields:
+        if len(clustered_fields) > 4:
+            raise ValueError("clustered_fields supports at most 4 columns")
+        writer_df = writer_df.sortWithinPartitions(*clustered_fields)
+    writer = writer_df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+
+def save_single_file_csv(
+    df: DataFrame,
+    path: str,
+    overwrite: bool = False,
+    max_rows_guard: Optional[int] = 10_000_000,
+) -> None:
+    """Export ``df`` as ONE ordered csv file at ``path``.
+
+    ``coalesce(1)`` funnels the final stage through a single task —
+    correct for an export, catastrophic inside a query path — so this
+    is the only place the engine emits it, and ``max_rows_guard``
+    refuses exports that clearly don't fit the pattern.
+    """
+    if os.path.exists(path):
+        if not overwrite:
+            raise FileExistsError(path)
+        os.remove(path)
+    if max_rows_guard is not None:
+        # Catalyst row-count estimate would need stats; a cheap count
+        # on the (already computed upstream) frame is acceptable here
+        # because exports are terminal.
+        n = df.count()
+        if n > max_rows_guard:
+            raise ValueError(
+                f"Refusing single-file export of {n} rows (> {max_rows_guard}). "
+                "Use write_table for partitioned output.",
+            )
+    tmp_dir = path + "__tmp__"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    df.coalesce(1).write.option("header", "true").csv(tmp_dir)
+    part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))
+    if not part:
+        raise RuntimeError(f"No part file produced under {tmp_dir}")
+    shutil.move(part[0], path)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def truncate_table(spark: SparkSession, table_identifier: str) -> None:
+    """Remove all rows from a table, keeping its schema.
+
+    Partitioned table → drop every partition; unpartitioned → overwrite
+    with an empty frame of the same schema (reference
+    helpers/pyspark.py:932-1028 semantics, via public API).
+    """
+    try:
+        partitions = [r[0] for r in spark.sql(f"SHOW PARTITIONS {table_identifier}").collect()]
+    except Exception:
+        partitions = []
+    if partitions:
+        for p in partitions:
+            spec = ", ".join(
+                f"{kv.split('=')[0]}='{kv.split('=')[1]}'" for kv in p.split("/")
+            )
+            spark.sql(f"ALTER TABLE {table_identifier} DROP IF EXISTS PARTITION ({spec})")
+    else:
+        schema = spark.read.table(table_identifier).schema
+        empty = spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").insertInto(table_identifier, overwrite=True)

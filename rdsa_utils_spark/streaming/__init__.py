@@ -1,0 +1,8 @@
+"""Time-window / streaming operators (batch-first; see windows_time.py)."""
+
+from rdsa_utils_spark.streaming.windows_time import (  # noqa: F401
+    session_window_agg,
+    sessionize_by_gap,
+    sliding_window_agg,
+    tumbling_window_agg,
+)

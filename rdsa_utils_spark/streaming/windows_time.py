@@ -1,0 +1,120 @@
+"""Event-time windowed aggregations — batch-first, streaming-ready.
+
+The reference has NO streaming surface (verified in SURVEY.md §2.10);
+these are the engine's extension for the ``events`` table. Every
+function is expressed with ``F.window`` / ``F.session_window`` /
+plain window functions that behave identically on a batch DataFrame
+and on a ``readStream`` DataFrame — attach ``withWatermark`` upstream
+and the same code runs incrementally with bounded state.
+
+Scale notes: tumbling/sliding aggs shuffle once on (window, keys) and
+partial-aggregate map-side. ``sessionize_by_gap`` is the batch
+sessionization idiom (lag + cumulative-sum of gap breaks) — one
+shuffle on the user key.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _agg_list(aggs: Mapping[str, Column]) -> list[Column]:
+    return [expr.alias(name) for name, expr in aggs.items()]
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: Mapping[str, Column],
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Fixed, non-overlapping event-time windows.
+
+    Output carries ``window_start``/``window_end`` timestamp columns
+    (flattened from the struct so results are plain-SQL comparable).
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(F.window(F.col(ts_col), duration).alias("__w__"), *keys).agg(
+        *_agg_list(aggs),
+    )
+    return out.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *[c for c in out.columns if c != "__w__"],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: Mapping[str, Column],
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Overlapping windows of ``duration`` advancing every ``slide``."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(
+        F.window(F.col(ts_col), duration, slide).alias("__w__"), *keys,
+    ).agg(*_agg_list(aggs))
+    return out.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        *[c for c in out.columns if c != "__w__"],
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Mapping[str, Column],
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Session windows closed after ``gap`` of inactivity
+    (``F.session_window`` — works in batch and streaming)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    out = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("__w__"), *keys,
+    ).agg(*_agg_list(aggs))
+    return out.select(
+        F.col("__w__.start").alias("session_start"),
+        F.col("__w__.end").alias("session_end"),
+        *[c for c in out.columns if c != "__w__"],
+    )
+
+
+def sessionize_by_gap(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Union[str, Sequence[str]],
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-key session id: a new session starts when the gap
+    from the previous event exceeds ``gap_seconds``.
+
+    Batch idiom: lag(ts) over (key order by ts) → gap>threshold flag →
+    running sum of flags = session ordinal. One shuffle on the key.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > F.lit(gap_seconds))
+    ).cast("long")
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
