@@ -590,6 +590,455 @@ ORDER BY p.event_id
 
 
 # --------------------------------------------------------------------------
+# Batch 2: scalar transforms, reshape round-trips, set ops, grouping sets
+# --------------------------------------------------------------------------
+
+def q_sum_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    from rdsa_utils_spark.operators.aggregations import sum_columns
+
+    return sum_columns(li, ["l_discount", "l_tax"], "charge_rate").select(
+        "l_orderkey", "l_linenumber", "charge_rate",
+    )
+
+
+_ORACLE_SUM_COLUMNS = """
+SELECT l_orderkey, l_linenumber, l_discount + l_tax AS charge_rate
+FROM lineitem
+"""
+
+
+def q_set_nulls_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from rdsa_utils_spark.operators.aggregations import count_nulls_df
+    from rdsa_utils_spark.operators.filters import set_nulls
+
+    nulled = set_nulls(orders, "o_orderpriority", ["5-LOW", "4-NOT SPECIFIED"])
+    return count_nulls_df(nulled)
+
+
+_ORACLE_SET_NULLS_COUNT = """
+SELECT CAST(0 AS BIGINT) AS o_orderkey,
+       CAST(0 AS BIGINT) AS o_custkey,
+       CAST(0 AS BIGINT) AS o_orderstatus,
+       CAST(0 AS BIGINT) AS o_totalprice,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('5-LOW', '4-NOT SPECIFIED')) AS o_orderpriority,
+       CAST(0 AS BIGINT) AS o_orderdate
+FROM orders
+"""
+
+
+def q_cumulative_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    from rdsa_utils_spark.functions.columns import cumulative_array
+
+    per_order = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_quantity"))),
+            ),
+            lambda s: s["l_quantity"],
+        ).alias("qtys"),
+    )
+    return per_order.select(
+        "l_orderkey", cumulative_array(F.col("qtys")).alias("cum_qty"),
+    )
+
+
+_ORACLE_CUMULATIVE_QTY = """
+WITH running AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         SUM(l_quantity) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
+  FROM lineitem
+)
+SELECT l_orderkey, list(rq ORDER BY l_linenumber, l_quantity) AS cum_qty
+FROM running
+GROUP BY l_orderkey
+"""
+
+
+def q_unpack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.reshape import unpack_list_col
+    from rdsa_utils_spark.operators.text import tokens
+
+    with_tokens = docs.select("doc_id", tokens("text").alias("toks"))
+    return unpack_list_col(with_tokens, "toks", "token")
+
+
+_ORACLE_UNPACK_TOKENS = r"""
+SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+FROM documents
+WHERE length(trim(text)) > 0
+"""
+
+
+def q_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.reshape import (
+        flatten_struct_columns,
+        pack_struct_column,
+    )
+
+    packed = pack_struct_column(
+        customer.select("c_custkey", "c_name", "c_acctbal"),
+        "payload",
+        ["c_name", "c_acctbal"],
+    )
+    return flatten_struct_columns(packed)
+
+
+_ORACLE_STRUCT_ROUNDTRIP = """
+SELECT c_custkey, c_name AS payload_c_name, c_acctbal AS payload_c_acctbal
+FROM customer
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+_ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_nations_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+_ORACLE_NATIONS_IN_BOTH = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_ROLLUP_REVENUE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_PIVOT_STATUS = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_distinct_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from rdsa_utils_spark.operators.aggregations import distinct_values
+
+    return distinct_values(orders, "o_orderstatus").orderBy("o_orderstatus")
+
+
+_ORACLE_DISTINCT_ORDERSTATUS = """
+SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+"""
+
+
+def q_supplier_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.groupBy("s_nationkey")
+        .agg(
+            F.countDistinct("s_name").alias("n_names"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.min("s_acctbal"), 6).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 6).alias("max_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_ORACLE_SUPPLIER_STATS_PER_NATION = """
+SELECT s_nationkey,
+       COUNT(DISTINCT s_name) AS n_names,
+       COUNT(*) AS n_suppliers,
+       ROUND(MIN(s_acctbal), 6) AS min_bal,
+       ROUND(MAX(s_acctbal), 6) AS max_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_total"),
+    )
+
+
+_ORACLE_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+FROM orders
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    from rdsa_utils_spark.operators.joins import range_join
+
+    intervals = nation.select(
+        F.col("n_nationkey").alias("bucket_id"),
+        (F.col("n_nationkey").cast("double") * 20.0).alias("lo"),
+        (F.col("n_nationkey").cast("double") * 20.0 + 20.0).alias("hi"),
+    )
+    joined = range_join(
+        events.select("event_id", "value"),
+        intervals,
+        left_point="value",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=20.0,
+    )
+    return joined.select("event_id", "bucket_id").orderBy("event_id")
+
+
+_ORACLE_RANGE_JOIN_EVENTS = """
+SELECT event_id, n_nationkey AS bucket_id
+FROM events
+JOIN nation ON value >= n_nationkey * 20.0 AND value < n_nationkey * 20.0 + 20.0
+ORDER BY event_id
+"""
+
+
+def q_random_uniform_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    from rdsa_utils_spark.functions.columns import random_uniform
+
+    with_rand = part.withColumn("u", random_uniform(5.0, 10.0, seed=42))
+    return with_rand.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when((F.col("u") >= 5.0) & (F.col("u") < 10.0), 1)).alias("n_in_bounds"),
+    )
+
+
+_ORACLE_RANDOM_UNIFORM_BOUNDS = """
+SELECT COUNT(*) AS n_rows, COUNT(*) AS n_in_bounds FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Batch 2: text analysis, language id, quality, multimodal plumbing
+# --------------------------------------------------------------------------
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import bpe_ish_token_count
+
+    return docs.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+_ORACLE_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import with_quality_score
+
+    return with_quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+_ORACLE_QUALITY_SCORE = r"""
+WITH stats AS (
+  SELECT doc_id,
+         length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS tok,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents
+), ratios AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         CAST(n_punct AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS punct_ratio,
+         CAST(n_digit AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS digit_ratio,
+         CASE WHEN len(tok) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok)
+         END AS mean_token_len
+  FROM stats
+)
+SELECT doc_id,
+       ((CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 15.0 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality_score
+FROM ratios
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import with_language_id
+
+    return with_language_id(docs, "text").select("doc_id", "lang", "lang_pred")
+
+
+_ORACLE_LANGUAGE_ID = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         list_transform(
+           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(text), '\s+') END,
+           t -> lower(t)) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, lang,
+         len(list_filter(['the','and','of','to','in','is','that','for','with','a'],
+                         s -> list_contains(tok, s))) AS en,
+         len(list_filter(['le','la','les','des','est','et','un','une','dans','pour'],
+                         s -> list_contains(tok, s))) AS fr,
+         len(list_filter(['der','die','das','und','ist','nicht','ein','mit','für','von'],
+                         s -> list_contains(tok, s))) AS de,
+         len(list_filter(['el','la','los','las','es','un','una','por','para','con'],
+                         s -> list_contains(tok, s))) AS es
+  FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(en, fr, de, es) <= 0 THEN 'und'
+            WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+            WHEN fr >= de AND fr >= es THEN 'fr'
+            WHEN de >= es THEN 'de'
+            ELSE 'es' END AS lang_pred
+FROM counts
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_image_metadata,
+    )
+
+    payloads = attach_binary_payload(docs, "text")
+    return extract_image_metadata(payloads).select(
+        "doc_id", "n_bytes", "format", "width", "height", "n_channels",
+    )
+
+
+_ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'fake/raw' AS format,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+       CAST((octet_length(encode(text)) // 640) % 480 AS INT) AS height,
+       3 AS n_channels
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Batch 2: non-SQL-expressible ops (rows-only driver check)
+# --------------------------------------------------------------------------
+
+def q_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.dedup import minhash_near_dedup
+
+    survivors = minhash_near_dedup(
+        docs, "text", "doc_id", num_perm=64, num_bands=16, jaccard_threshold=0.8,
+    )
+    return survivors.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(docs, "text").select("doc_id", "simhash").orderBy("doc_id")
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import lsh_bucketed_topk
+
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(
+        queries_df, emb, dim=64, k=5, bits=6, num_tables=8,
+    ).select(
+        "query_id", "candidate_id", F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", F.col("cosine").desc(), "candidate_id")
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs
+
+    # Testdata embeddings are random (max pairwise cosine ≈0.51), so a
+    # production-style 0.9 threshold finds nothing; 0.35 exercises the
+    # bucketing + rescoring path on real candidate volume.
+    return cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.35, bits=4, num_tables=8,
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -618,6 +1067,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "cosine_topk": q_cosine_topk,
         "asof_purchase_signup": q_asof_purchase_signup,
+        "sum_columns": q_sum_columns,
+        "set_nulls_count": q_set_nulls_count,
+        "cumulative_qty": q_cumulative_qty,
+        "unpack_tokens": q_unpack_tokens,
+        "struct_roundtrip": q_struct_roundtrip,
+        "customers_without_orders": q_customers_without_orders,
+        "nations_in_both": q_nations_in_both,
+        "rollup_revenue": q_rollup_revenue,
+        "pivot_status": q_pivot_status,
+        "distinct_orderstatus": q_distinct_orderstatus,
+        "supplier_stats_per_nation": q_supplier_stats_per_nation,
+        "running_revenue": q_running_revenue,
+        "range_join_events": q_range_join_events,
+        "random_uniform_bounds": q_random_uniform_bounds,
+        "bpe_token_count": q_bpe_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "multimodal_meta": q_multimodal_meta,
+        "minhash_near_dedup": q_minhash_near_dedup,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -641,4 +1112,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": _ORACLE_DOC_DEDUP_EXACT,
         "cosine_topk": _ORACLE_COSINE_TOPK,
         "asof_purchase_signup": _ORACLE_ASOF_PURCHASE_SIGNUP,
+        "sum_columns": _ORACLE_SUM_COLUMNS,
+        "set_nulls_count": _ORACLE_SET_NULLS_COUNT,
+        "cumulative_qty": _ORACLE_CUMULATIVE_QTY,
+        "unpack_tokens": _ORACLE_UNPACK_TOKENS,
+        "struct_roundtrip": _ORACLE_STRUCT_ROUNDTRIP,
+        "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "nations_in_both": _ORACLE_NATIONS_IN_BOTH,
+        "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
+        "pivot_status": _ORACLE_PIVOT_STATUS,
+        "distinct_orderstatus": _ORACLE_DISTINCT_ORDERSTATUS,
+        "supplier_stats_per_nation": _ORACLE_SUPPLIER_STATS_PER_NATION,
+        "running_revenue": _ORACLE_RUNNING_REVENUE,
+        "range_join_events": _ORACLE_RANGE_JOIN_EVENTS,
+        "random_uniform_bounds": _ORACLE_RANDOM_UNIFORM_BOUNDS,
+        "bpe_token_count": _ORACLE_BPE_TOKEN_COUNT,
+        "quality_score": _ORACLE_QUALITY_SCORE,
+        "language_id": _ORACLE_LANGUAGE_ID,
+        "multimodal_meta": _ORACLE_MULTIMODAL_META,
+        # minhash_near_dedup / simhash_fingerprints / lsh_cosine_topk /
+        # embedding_near_dups: LSH bucketing & salted-hash signatures are
+        # not ANSI-SQL-expressible — driver's rows-only check applies.
     }

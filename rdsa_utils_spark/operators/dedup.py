@@ -67,20 +67,34 @@ def minhash_signatures(
     ``j`` before ``xxhash64`` and taking the array minimum — standard
     "one hash function + k salts" MinHash. Entirely JVM expressions.
     """
+    import numpy as np
+
     sh = shingles(text_col, n=shingle_n)
-    df = df.withColumn("__shingles__", sh)
+    # One string hash per shingle, then universal-hash permutations
+    # h_j = (a_j·h + b_j) mod p with p = 2³¹−1 (Mersenne prime) and
+    # a_j, b_j < p: products stay < 2⁶³ so this is ANSI-overflow-safe
+    # long arithmetic. O(shingles) string hashing + O(num_perm·shingles)
+    # integer ops, instead of num_perm string hashes per shingle.
+    p = 2_147_483_647
+    gen = np.random.default_rng(1_234_567)
+    coeffs = [
+        (int(gen.integers(1, p)), int(gen.integers(0, p))) for _ in range(num_perm)
+    ]
+    df = df.withColumn(
+        "__sh_hashes__", F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p))),
+    )
+    def _perm(a: int, b: int):
+        # Single-arg lambda — a two-arg lambda would make Spark pass
+        # (element, index) to F.transform.
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__shingles__"),
-                    lambda s, j=j: F.xxhash64(F.concat(F.lit(f"{j}|"), s)),
-                ),
-            )
-            for j in range(num_perm)
+            F.array_min(F.transform(F.col("__sh_hashes__"), _perm(a, b)))
+            for a, b in coeffs
         ],
     )
-    return df.withColumn(out_col, sig).drop("__shingles__")
+    return df.withColumn(out_col, sig).drop("__sh_hashes__")
 
 
 def lsh_candidate_pairs(
@@ -88,6 +102,8 @@ def lsh_candidate_pairs(
     id_col: str,
     signature_col: str = "minhash",
     num_bands: int = 16,
+    signature_length: Optional[int] = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding.
 
@@ -96,11 +112,19 @@ def lsh_candidate_pairs(
     equi-join on (band, band_hash) — a uniform key, so no skew at
     scale unless a band value is degenerate (e.g. empty docs; filter
     them upstream).
+
+    Pass ``signature_length`` (you know it: it's ``num_perm``) to keep
+    the plan fully lazy; otherwise one probe action reads it from the
+    first row. ``cache=True`` persists the (small: id, band, hash)
+    banded frame so the self-join's two sides don't recompute the
+    signature pipeline.
     """
-    sig_len_row = df.select(F.size(signature_col).alias("n")).first()
-    if sig_len_row is None:
-        return df.sparkSession.createDataFrame([], f"id_a long, id_b long")
-    rows_per_band = sig_len_row["n"] // num_bands
+    if signature_length is None:
+        sig_len_row = df.select(F.size(signature_col).alias("n")).first()
+        if sig_len_row is None:
+            return df.sparkSession.createDataFrame([], "id_a long, id_b long")
+        signature_length = sig_len_row["n"]
+    rows_per_band = signature_length // num_bands
 
     banded = df.select(
         F.col(id_col).alias("__id__"),
@@ -124,6 +148,8 @@ def lsh_candidate_pairs(
             ),
         ).alias("bb"),
     ).select("__id__", "bb.band", "bb.band_hash")
+    if cache:
+        banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -188,7 +214,9 @@ def minhash_near_dedup(
     connected-components job when duplicate clusters are shallow.
     """
     with_sig = minhash_signatures(df, text_col, num_perm, shingle_n)
-    candidates = lsh_candidate_pairs(with_sig, id_col, "minhash", num_bands)
+    candidates = lsh_candidate_pairs(
+        with_sig, id_col, "minhash", num_bands, signature_length=num_perm,
+    )
     verified = ngram_jaccard_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold,
     )

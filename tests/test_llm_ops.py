@@ -1,0 +1,196 @@
+"""Tests for training-data pipeline operators: text, dedup, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from rdsa_utils_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_image_metadata,
+    sample_frames,
+)
+from rdsa_utils_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_bucketed_topk,
+)
+from rdsa_utils_spark.operators.text import (
+    bpe_ish_token_count,
+    token_count,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "   "), (4, "one")], "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", token_count("text").alias("n")).collect()}
+    assert out == {1: 2, 2: 0, 3: 0, 4: 1}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world 42")], "id long, text string")
+    # hello , world 4 2 -> 5 pieces
+    assert df.select(bpe_ish_token_count("text").alias("n")).first()["n"] == 5
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "Ab cd.")], "id long, text string")
+    row = with_text_stats(df, "text").first()
+    assert row["n_tokens"] == 2
+    assert row["punct_ratio"] == pytest.approx(1 / 6)
+    assert row["upper_ratio"] == pytest.approx(1 / 6)
+    assert row["mean_token_len"] == pytest.approx(2.5)  # "Ab", "cd."
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a solid sentence with plenty of ordinary words here"),
+         (2, "!!! ??? ...")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["quality_score"] for r in with_quality_score(df, "text").collect()}
+    assert rows[1] == 1.0
+    assert rows[2] < 0.75
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),
+            (2, "le chat est dans la maison pour un moment"),
+            (3, "zzz qqq www"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["lang_pred"] for r in with_language_id(df, "text").collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "fr"
+    assert rows[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO WORLD  ")],
+        "id long, text string",
+    )
+    fps = [r["fingerprint"] for r in with_fingerprint(df, "text").collect()]
+    assert len(set(fps)) == 1
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT "), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_pipeline_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated content about spark partitions and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, "text", num_perm=32, shingle_n=3)
+    assert len(sigs.first()["minhash"]) == 32
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_bands=16)
+    pair_set = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in pair_set
+    verified = ngram_jaccard_pairs(df, pairs, "doc_id", "text")
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert jac[(1, 2)] > 0.5
+    survivors = minhash_near_dedup(
+        df, "text", "doc_id", num_perm=32, num_bands=16, jaccard_threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3]
+
+
+def test_simhash_close_for_similar_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta epsilon"),
+         (3, "totally different words entirely")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "text").collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+    # Determinism across runs (hash seeds must not vary per process)
+    rows2 = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "text").collect()}
+    assert rows == rows2
+
+
+def test_cosine_and_brute_force_topk(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(df.filter("vec_id = 0"), df, k=2)
+    rows = [(r["candidate_id"], r["cosine"]) for r in out.orderBy(F.desc("cosine")).collect()]
+    assert rows[0][0] == 1 and rows[0][1] == pytest.approx(0.9938, abs=1e-3)
+    assert rows[1][0] == 2
+
+
+def test_lsh_topk_subset_of_brute_force_scores(spark, sf_dir):
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(queries, emb, k=5)
+    approx = lsh_bucketed_topk(queries, emb, dim=64, k=5, bits=4, num_tables=6)
+    exact_rows = {(r["query_id"], r["candidate_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert len(approx_rows) > 0
+    # approx results carry correct cosine values (spot-check against exact set)
+    overlap = {(r["query_id"], r["candidate_id"]) for r in approx_rows} & exact_rows
+    assert len(overlap) > 0  # some recall at these settings
+
+
+def test_multimodal_metadata_and_frames(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 2000), (2, "short")], "doc_id long, text string",
+    )
+    payloads = attach_binary_payload(df, "text")
+    meta = {r["doc_id"]: r for r in extract_image_metadata(payloads).collect()}
+    assert meta[1]["n_bytes"] == 2000
+    assert meta[1]["width"] == 2000 % 640
+    assert meta[2]["n_bytes"] == 5
+    frames = sample_frames(payloads, frame_stride=1024, max_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1  # 2000 // 1024 = 1 frame
+    assert len(by_doc[2]) == 1  # min 1 frame
+    assert len(by_doc[1][0]["frame_bytes"]) == 1024
+
+
+def test_multimodal_raise_stub(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    payloads = attach_binary_payload(df, "text")
+    out = extract_image_metadata(payloads, decode_stub="raise")
+    with pytest.raises(Exception, match="NotImplementedError|No image codec"):
+        out.collect()
