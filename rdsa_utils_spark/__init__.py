@@ -21,3 +21,12 @@ Design rules (see SURVEY.md §7):
 __version__ = "0.1.0"
 
 from rdsa_utils_spark.session import create_spark_session  # noqa: F401
+from rdsa_utils_spark.config import LoadConfig, load_config  # noqa: F401
+from rdsa_utils_spark.exceptions import (  # noqa: F401
+    ColumnNotInDataframeError,
+    ConfigError,
+    DataframeEmptyError,
+    PipelineError,
+    RdsaSparkError,
+    TableNotFoundError,
+)

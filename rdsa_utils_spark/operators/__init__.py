@@ -32,4 +32,32 @@ from rdsa_utils_spark.operators.aggregations import (  # noqa: F401
     count_nulls,
     distinct_values,
     get_unique,
+    sum_columns,
 )
+from rdsa_utils_spark.operators.text import (  # noqa: F401
+    bpe_ish_token_count,
+    token_count,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_text_stats,
+)
+from rdsa_utils_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_near_dedup,
+    minhash_signatures,
+    simhash_signatures,
+)
+from rdsa_utils_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine,
+    cosine_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from rdsa_utils_spark.operators.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    extract_image_metadata,
+    sample_frames,
+)
+from rdsa_utils_spark.operators.windows import top_k_per_group  # noqa: F401

@@ -1,0 +1,300 @@
+"""Tests for pipeline infrastructure: config, logging, runlog, helpers,
+object-store client, event-log parser."""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import pytest
+
+from rdsa_utils_spark.config import LoadConfig, load_config
+from rdsa_utils_spark.eventlog import (
+    calculate_pipeline_cost,
+    convert_value,
+    filter_and_sort_logs_by_app_name,
+    iter_events,
+    logs_to_dataframe,
+    parse_pyspark_logs,
+    process_pyspark_logs,
+)
+from rdsa_utils_spark.exceptions import (
+    ConfigError,
+    InvalidBucketNameError,
+    InvalidS3FilePathError,
+)
+from rdsa_utils_spark.helpers import (
+    calc_product_of_dict_values,
+    convert_date_strings_to_datetimes,
+    file_size,
+    flatten_iterable,
+    interleave_iterables,
+    list_convert,
+    md5_sum,
+    overwrite_dictionary,
+    pairwise_iterable,
+    setdiff,
+    tuple_convert,
+)
+from rdsa_utils_spark.logging_ import (
+    init_logger_basic,
+    log_rows_in_spark_df,
+    log_spark_df_schema,
+    print_full_table_and_raise_error,
+    time_it,
+)
+from rdsa_utils_spark.sources.objectstore import (
+    LocalFileSystemClient,
+    validate_bucket_name,
+    validate_file_path,
+)
+
+
+# ------------------------------------------------------------------ config
+
+CONFIG_BODY = {"pipeline": {"name": "demo", "runs": 3}, "flags": {"dry": True}}
+
+
+def test_load_config_json_toml_yaml(tmp_path):
+    j = tmp_path / "c.json"
+    j.write_text(json.dumps(CONFIG_BODY))
+    t = tmp_path / "c.toml"
+    t.write_text('[pipeline]\nname = "demo"\nruns = 3\n[flags]\ndry = true\n')
+    y = tmp_path / "c.yaml"
+    y.write_text("pipeline:\n  name: demo\n  runs: 3\nflags:\n  dry: true\n")
+    parsed = [load_config(p) for p in (j, t, y)]
+    assert parsed[0] == parsed[1] == parsed[2] == CONFIG_BODY
+
+
+def test_load_config_overrides_and_errors(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(CONFIG_BODY))
+    cfg = load_config(p, config_overrides={"pipeline.runs": 9})
+    assert cfg["pipeline"]["runs"] == 9
+    with pytest.raises(ConfigError, match="not in config"):
+        load_config(p, config_overrides={"pipeline.nope": 1})
+    with pytest.raises(ConfigError, match="Unsupported config type"):
+        load_config(tmp_path / "c.ini", config_type="ini")
+    obj = LoadConfig(p)
+    assert obj.pipeline["name"] == "demo"
+
+
+def test_load_config_pydantic_validation(tmp_path):
+    pydantic = pytest.importorskip("pydantic")
+
+    class Pipeline(pydantic.BaseModel):
+        name: str
+        runs: int
+
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps(CONFIG_BODY))
+    cfg = load_config(p, config_validators={"pipeline": Pipeline})
+    assert cfg["pipeline"] == {"name": "demo", "runs": 3}
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"pipeline": {"name": "x", "runs": "lots"}}))
+    with pytest.raises(Exception):
+        load_config(bad, config_validators={"pipeline": Pipeline})
+
+
+# ----------------------------------------------------------------- logging
+
+def test_logging_decorators(spark, caplog):
+    logger = init_logger_basic(logging.getLogger("t_log"), level=logging.INFO)
+
+    @log_spark_df_schema(logger=logger)
+    @log_rows_in_spark_df(logger=logger)
+    @time_it(logger=logger)
+    def double(df):
+        return df.union(df)
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    with caplog.at_level(logging.INFO, logger="t_log"):
+        out = double(df)
+        assert out.count() == 4
+    text = caplog.text
+    assert "input schema" in text and "output schema" in text
+    assert "input rows: 2" in text and "output rows: 4" in text
+    assert "took" in text
+
+
+def test_print_full_table_and_raise_error(spark, caplog):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    logger = logging.getLogger("t_log2")
+    with caplog.at_level(logging.ERROR, logger="t_log2"):
+        print_full_table_and_raise_error(df, "bad rows", logger=logger)
+    assert "bad rows" in caplog.text and "x" in caplog.text
+    with pytest.raises(ValueError, match="stop now"):
+        print_full_table_and_raise_error(df, "stop now", stop_pipeline=True, logger=logger)
+
+
+# ------------------------------------------------------------------ runlog
+
+def test_runlog_roundtrip(spark, tmp_path):
+    from rdsa_utils_spark.runlog import (
+        add_runlog_entry,
+        create_runlog_table,
+        get_last_run_id,
+        get_penultimate_run_id,
+        reserve_id,
+        write_runlog_file,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS runlog_test")
+    try:
+        create_runlog_table(spark, "runlog_test")
+        table = "runlog_test.pipeline_runlog"
+        rid1 = add_runlog_entry(
+            spark, table, "first run", "demo_pipeline", "1.0", {"k": 1},
+        )
+        rid2 = add_runlog_entry(spark, table, "second run", "demo_pipeline")
+        assert rid2 == rid1 + 1
+        assert get_last_run_id(spark, table) == rid2
+        assert get_penultimate_run_id(spark, table) == rid1
+        assert get_last_run_id(spark, table, pipeline="nope") is None
+        nxt = reserve_id(spark, table)
+        assert nxt == rid2 + 1
+        out = tmp_path / "runlog.txt"
+        write_runlog_file(spark, table, rid1, str(out))
+        body = out.read_text()
+        assert "first run" in body and "demo_pipeline" in body
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS runlog_test CASCADE")
+
+
+# ----------------------------------------------------------------- helpers
+
+def test_iterable_helpers():
+    assert list_convert("abc") == ["abc"]
+    assert list_convert([1, 2]) == [1, 2]
+    assert list_convert(None) == []
+    assert tuple_convert(5) == (5,)
+    assert flatten_iterable([[1, 2], 3, "xy"]) == [1, 2, 3, "xy"]
+    assert interleave_iterables([1, 3], [2, 4]) == [1, 2, 3, 4]
+    assert list(pairwise_iterable([1, 2, 3])) == [(1, 2), (2, 3)]
+    assert setdiff([3, 1, 2, 3], [2]) == [3, 1]
+
+
+def test_overwrite_dictionary_and_product():
+    base = {"a": {"b": 1}, "c": 2}
+    assert overwrite_dictionary(base, {"a": {"b": 5}}) == {"a": {"b": 5}, "c": 2}
+    with pytest.raises(ValueError, match="unknown key"):
+        overwrite_dictionary(base, {"zz": 0})
+    combos = list(calc_product_of_dict_values(x=[1, 2], y="s"))
+    assert combos == [{"x": 1, "y": "s"}, {"x": 2, "y": "s"}]
+
+
+def test_date_conversion():
+    start, end = convert_date_strings_to_datetimes("2024-01-01", "2024-02")
+    assert start.day == 1
+    assert end.month == 2 and end.day == 29 and end.hour == 23  # leap year month end
+    _, day_end = convert_date_strings_to_datetimes("2024-01-01", "2024-01-15")
+    assert day_end.hour == 23 and day_end.minute == 59
+
+
+def test_file_helpers(tmp_path):
+    p = tmp_path / "f.txt"
+    p.write_text("hello")
+    assert file_size(p) == 5
+    assert md5_sum(p) == "5d41402abc4b2a76b9719d911017c592"
+
+
+# ------------------------------------------------------------- objectstore
+
+def test_bucket_and_path_validation():
+    assert validate_bucket_name("my-bucket.data") == "my-bucket.data"
+    for bad in ["AB", "a..b", "-x-", "1.2.3.4", "x" * 80]:
+        with pytest.raises(InvalidBucketNameError):
+            validate_bucket_name(bad)
+    assert validate_file_path("a/b/c.txt") == "a/b/c.txt"
+    for bad in ["", "a\\b", "a/../b"]:
+        with pytest.raises(InvalidS3FilePathError):
+            validate_file_path(bad)
+
+
+def test_local_fs_client(tmp_path):
+    fs = LocalFileSystemClient()
+    src_dir = tmp_path / "d"
+    fs.create_folder(str(src_dir))
+    fs.write_text(str(src_dir / "a.txt"), "one")
+    fs.write_text(str(src_dir / "b.log"), "two")
+    assert fs.file_exists(str(src_dir / "a.txt"))
+    assert fs.list_files(str(src_dir), "*.txt") == [str(src_dir / "a.txt")]
+    fs.copy_file(str(src_dir / "a.txt"), str(tmp_path / "a2.txt"))
+    assert fs.read_text(str(tmp_path / "a2.txt")) == "one"
+    with pytest.raises(FileExistsError):
+        fs.copy_file(str(src_dir / "a.txt"), str(tmp_path / "a2.txt"))
+    fs.move_file(str(tmp_path / "a2.txt"), str(tmp_path / "a3.txt"))
+    assert not fs.file_exists(str(tmp_path / "a2.txt"))
+    assert fs.zip_folder(str(src_dir), str(tmp_path / "d.zip"))
+    assert fs.file_size(str(tmp_path / "d.zip")) > 0
+    assert len(fs.walk(str(src_dir))) == 2
+    fs.delete_file(str(src_dir / "b.log"))
+    fs.delete_folder(str(src_dir))
+    assert not fs.folder_exists(str(src_dir))
+
+
+def test_hadoop_fs_client(spark, tmp_path):
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+    fs = HadoopFileSystemClient(spark)
+    base = f"file://{tmp_path}"
+    fs.create_folder(f"{base}/hd")
+    local = tmp_path / "hd" / "x.txt"
+    local.write_text("payload")
+    assert fs.file_exists(f"{base}/hd/x.txt")
+    assert fs.file_size(f"{base}/hd/x.txt") == 7
+    fs.copy_file(f"{base}/hd/x.txt", f"{base}/hd/y.txt")
+    assert sorted(p.rsplit("/", 1)[-1] for p in fs.list_files(f"{base}/hd")) == ["x.txt", "y.txt"]
+    fs.move_file(f"{base}/hd/y.txt", f"{base}/hd/z.txt")
+    assert fs.file_exists(f"{base}/hd/z.txt") and not fs.file_exists(f"{base}/hd/y.txt")
+    fs.delete_folder(f"{base}/hd")
+    assert not fs.file_exists(f"{base}/hd/x.txt")
+
+
+# ---------------------------------------------------------------- eventlog
+
+EVENTS = [
+    {"Event": "SparkListenerApplicationStart", "App Name": "demo", "App ID": "app-1",
+     "Timestamp": 1_700_000_000_000},
+    {"Event": "SparkListenerEnvironmentUpdate",
+     "Spark Properties": {"spark.executor.memory": "10g", "spark.driver.memory": "4g"}},
+    {"Event": "SparkListenerExecutorAdded", "Executor Info": {"Total Cores": 4}},
+    {"Event": "SparkListenerExecutorAdded", "Executor Info": {"Total Cores": 4}},
+    {"Event": "SparkListenerTaskEnd", "Task End Reason": {"Reason": "Success"},
+     "Task Metrics": {"Input Metrics": {"Bytes Read": 1000},
+                      "Shuffle Read Metrics": {"Remote Bytes Read": 10, "Local Bytes Read": 5},
+                      "Shuffle Write Metrics": {"Shuffle Bytes Written": 7}}},
+    {"Event": "SparkListenerTaskEnd", "Task End Reason": {"Reason": "TaskKilled"}},
+    {"Event": "SparkListenerApplicationEnd", "Timestamp": 1_700_000_360_000},
+]
+
+
+def test_eventlog_parser(tmp_path):
+    log = tmp_path / "app-1"
+    log.write_text("\n".join(json.dumps(e) for e in EVENTS))
+    summary = parse_pyspark_logs(iter_events(str(log)))
+    assert summary["app_name"] == "demo"
+    assert summary["runtime_seconds"] == 360.0
+    assert summary["peak_executors"] == 2
+    assert summary["total_cores"] == 8
+    assert summary["executor_memory_gb"] == 10.0
+    assert summary["n_tasks"] == 2 and summary["failed_tasks"] == 1
+    assert summary["input_bytes"] == 1000
+    assert summary["shuffle_read_bytes"] == 15
+
+    summaries = process_pyspark_logs(str(tmp_path))
+    assert len(summaries) == 1
+    assert filter_and_sort_logs_by_app_name(summaries, "demo")[0]["app_id"] == "app-1"
+    assert filter_and_sort_logs_by_app_name(summaries, "other") == []
+    df = logs_to_dataframe(summaries)
+    assert df.loc[0, "app_name"] == "demo"
+
+    cost = calculate_pipeline_cost(summary, rate_per_core_hour=1.0, rate_per_gb_hour=0.0)
+    assert cost["core_hours"] == pytest.approx(0.8)
+    assert cost["estimated_cost"] == pytest.approx(0.8)
+
+
+def test_convert_value():
+    assert convert_value("10g") == 10.0
+    assert convert_value("512m") == 0.5
+    assert convert_value("1t") == 1024.0

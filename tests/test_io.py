@@ -1,0 +1,219 @@
+"""Tests for sources/sinks, catalog ops, session factory, plan tuning."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.exceptions import DataframeEmptyError
+from rdsa_utils_spark.plans.tuning import (
+    cache_time_df,
+    cut_lineage,
+    plan_size_in_bytes,
+    set_df_columns_nullable,
+    smart_coalesce,
+)
+from rdsa_utils_spark.session import SESSION_PRESETS, create_spark_session
+from rdsa_utils_spark.sources.catalog import (
+    extract_database_name,
+    get_current_database,
+    get_tables_in_database,
+    table_exists,
+)
+from rdsa_utils_spark.sources.readers import (
+    build_sql_query,
+    load_and_validate_table,
+    load_csv,
+    load_json,
+    read_parquet,
+    read_table,
+    register_tables,
+)
+from rdsa_utils_spark.sources.writers import (
+    insert_df_to_table,
+    save_single_file_csv,
+    truncate_table,
+    write_and_read_table,
+    write_table,
+)
+
+
+def test_session_presets_shape():
+    assert set(SESSION_PRESETS) == {"small", "medium", "large", "extra-large"}
+    with pytest.raises(ValueError, match="size must be one of"):
+        create_spark_session(size="gigantic")
+
+
+def test_read_parquet_post_processing(spark, sf_dir):
+    df = read_parquet(
+        spark,
+        f"{sf_dir}/region.parquet",
+        keep_columns=["r_regionkey", "r_name"],
+        rename_columns={"r_name": "region_name"},
+    )
+    assert df.columns == ["r_regionkey", "region_name"]
+    with pytest.raises(ValueError, match="keep_columns"):
+        read_parquet(spark, f"{sf_dir}/region.parquet", keep_columns=["nope"])
+    with pytest.raises(ValueError, match="rename_columns"):
+        read_parquet(spark, f"{sf_dir}/region.parquet", rename_columns={"x": "y"})
+    with pytest.raises(ValueError, match="drop_columns"):
+        read_parquet(spark, f"{sf_dir}/region.parquet", drop_columns=["x"])
+
+
+def test_read_parquet_nanos(spark, sf_dir):
+    df = read_parquet(spark, f"{sf_dir}/events.parquet")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() > 0
+
+
+def test_load_csv_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, v double",
+    )
+    path = str(tmp_path / "csvdir")
+    src.write.option("header", "true").csv(path)
+    df = load_csv(
+        spark, path, keep_columns=["id", "v"], rename_columns={"v": "value"},
+        inferSchema="true",
+    )
+    assert df.columns == ["id", "value"]
+    assert df.count() == 2
+
+
+def test_load_json(spark, tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = load_json(spark, str(p))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_register_tables_and_catalog(spark, sf_dir):
+    tables = register_tables(spark, sf_dir)
+    assert "lineitem" in tables and "region" in tables
+    assert table_exists(spark, "region")
+    assert get_current_database(spark) == "default"
+    assert extract_database_name("db.tbl") == ("db", "tbl")
+    assert extract_database_name("cat.db.tbl") == ("db", "tbl")
+    assert extract_database_name("tbl") == (None, "tbl")
+    with pytest.raises(ValueError):
+        extract_database_name("a.b.c.d")
+
+
+def test_load_and_validate_table(spark, sf_dir):
+    register_tables(spark, sf_dir, ["region"])
+    df = load_and_validate_table(spark, "region", filter_cond="r_regionkey >= 2")
+    assert df.count() == 3
+    with pytest.raises(DataframeEmptyError, match="empty"):
+        load_and_validate_table(spark, "region", filter_cond="r_regionkey > 99")
+    # skip_validation returns the empty frame without raising
+    df2 = load_and_validate_table(
+        spark, "region", skip_validation=True, filter_cond="r_regionkey > 99",
+    )
+    assert df2.count() == 0
+
+
+def test_build_sql_query_and_read_table(spark, sf_dir):
+    register_tables(spark, sf_dir, ["orders"])
+    sql = build_sql_query(
+        "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        date_column="o_orderdate",
+        date_range=["1996-01-01", "1996-12-31"],
+        column_filter_dict={"o_orderstatus": ["F", "P"]},
+    )
+    assert "BETWEEN" in sql and "o_orderstatus = 'F' OR o_orderstatus = 'P'" in sql
+    df = read_table(
+        spark,
+        "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        date_column="o_orderdate",
+        date_range=["1996-01-01", "1996-12-31"],
+        column_filter_dict={"o_orderstatus": ["F", "P"]},
+    )
+    stats = df.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"),
+    ).first()
+    assert str(stats["lo"]).startswith("1996")
+    assert str(stats["hi"]).startswith("1996")
+    assert set(r["o_orderstatus"] for r in df.select("o_orderstatus").distinct().collect()) <= {"F", "P"}
+    with pytest.raises(ValueError, match="partition_type"):
+        build_sql_query("t", partition_column="ts", partition_type="minute", partition_value="x")
+
+
+def test_insert_write_read_truncate_table(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS io_test")
+    try:
+        df = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0)], "id long, name string, v double",
+        )
+        insert_df_to_table(spark, df, "io_test.t1")
+        assert spark.read.table("io_test.t1").count() == 2
+        # append with missing column -> NULL-filled with table type
+        df2 = spark.createDataFrame([(3, "z")], "id long, name string")
+        insert_df_to_table(spark, df2, "io_test.t1", fill_missing_cols=True)
+        rows = {r["id"]: r["v"] for r in spark.read.table("io_test.t1").collect()}
+        assert rows[3] is None and len(rows) == 3
+        with pytest.raises(ValueError, match="missing table columns"):
+            insert_df_to_table(spark, df2, "io_test.t1", fill_missing_cols=False)
+        # write_and_read with run-id filter
+        df3 = spark.createDataFrame(
+            [(10, "r", 9.0)], "id long, name string, v double",
+        )
+        out = write_and_read_table(spark, df3, "io_test.t1", filter_id=10, filter_col="id")
+        assert out.count() == 1
+        # overwrite
+        insert_df_to_table(spark, df, "io_test.t1", overwrite=True)
+        assert spark.read.table("io_test.t1").count() == 2
+        truncate_table(spark, "io_test.t1")
+        assert spark.read.table("io_test.t1").count() == 0
+        assert spark.read.table("io_test.t1").columns == ["id", "name", "v"]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS io_test CASCADE")
+
+
+def test_save_single_file_csv(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(10)], "id long, name string")
+    out = str(tmp_path / "out.csv")
+    save_single_file_csv(df.orderBy("id"), out)
+    body = open(out).read().splitlines()
+    assert body[0] == "id,name" and len(body) == 11
+    with pytest.raises(FileExistsError):
+        save_single_file_csv(df, out)
+    save_single_file_csv(df, out, overwrite=True)
+    with pytest.raises(ValueError, match="Refusing single-file export"):
+        save_single_file_csv(df, str(tmp_path / "big.csv"), max_rows_guard=5)
+
+
+def test_write_table_partitioned_clustered(spark, sf_dir, tmp_path):
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "ev_parts")
+    write_table(
+        ev, out, partition_col="ts", partition_type="day",
+        clustered_fields=["user_id"],
+    )
+    parts = [d for d in os.listdir(out) if d.startswith("ts_day=")]
+    assert len(parts) > 1  # one dir per day
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    with pytest.raises(ValueError, match="at most 4"):
+        write_table(ev, out, clustered_fields=["a", "b", "c", "d", "e"])
+
+
+def test_plan_tuning(spark, sf_dir):
+    df = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    assert plan_size_in_bytes(df) > 0
+    small = smart_coalesce(df, target_file_size=1 << 40)
+    assert small.rdd.getNumPartitions() == 1
+    cut = cut_lineage(df.filter(F.col("l_quantity") > 0))
+    assert cut.count() == df.filter(F.col("l_quantity") > 0).count()
+    cached, secs, n = cache_time_df(df)
+    assert n == df.count() and secs >= 0
+    cached.unpersist()
+    relaxed = set_df_columns_nullable(spark, df, ["l_orderkey"], nullable=True)
+    assert relaxed.schema["l_orderkey"].nullable is True
+    forced = set_df_columns_nullable(
+        spark, df.limit(10), ["l_orderkey"], nullable=False, use_rdd_rebuild=True,
+    )
+    assert forced.schema["l_orderkey"].nullable is False
