@@ -31,6 +31,13 @@ def main() -> None:
         extra_configs={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # Warm-up: trigger JVM init, codegen compiler, Arrow, and the
+    # Python-worker pool once so the first timed query isn't billed
+    # for session startup.
+    warm = spark.range(1000).selectExpr("sum(id) as s")
+    warm.write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     total = 0.0

@@ -1,0 +1,117 @@
+"""Scale-posture tests: assert the physical plans we designed.
+
+These lock in the 100 TB properties — broadcasts, pushdown, column
+pruning, shuffle counts — so a refactor that silently degrades a plan
+fails CI, not production."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from rdsa_utils_spark.plans.explain import (
+    count_broadcast_joins,
+    count_exchanges,
+    has_cartesian_product,
+    plan_string,
+    pushed_filters,
+    scan_read_schemas,
+    whole_stage_codegen_ids,
+)
+
+
+def test_revenue_by_nation_plan(spark, sf_dir):
+    df = entrymod.q_revenue_by_nation(spark, sf_dir)
+    # Every dimension join broadcasts; the fact table never shuffles
+    # until the final aggregation.
+    assert count_broadcast_joins(df) >= 3
+    assert not has_cartesian_product(df)
+    # agg + orderBy = 2 shuffles, nothing else
+    assert count_exchanges(df) <= 2
+    # The o_orderdate range predicate reaches the orders parquet scan.
+    filters = " | ".join(pushed_filters(df))
+    assert "o_orderdate" in filters and "GreaterThanOrEqual" in filters
+    # Column pruning: lineitem scan reads only the 4 needed columns.
+    li_schema = next(s for s in scan_read_schemas(df) if "l_extendedprice" in s)
+    assert "l_quantity" not in li_schema and "l_shipdate" not in li_schema
+
+
+def test_pricing_summary_plan(spark, sf_dir):
+    df = entrymod.q_pricing_summary(spark, sf_dir)
+    filters = " | ".join(pushed_filters(df))
+    assert "l_shipdate" in filters and "LessThanOrEqual" in filters
+    # Map-side partial aggregation before the single shuffle.
+    plan = plan_string(df, "formatted")
+    assert "partial_sum" in plan
+    assert count_exchanges(df) <= 2  # agg + sort
+    # Codegen spans appear once AQE finalizes the plan (post-action).
+    df.collect()
+    assert len(whole_stage_codegen_ids(df)) >= 1
+
+
+def test_top_orders_uses_take_ordered(spark, sf_dir):
+    df = entrymod.q_top_orders(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df, "formatted")
+
+
+def test_melt_is_narrow(spark, sf_dir):
+    df = entrymod.q_melt_lineitem(spark, sf_dir)
+    assert count_exchanges(df) == 0  # Expand is shuffle-free
+    assert "Expand" in plan_string(df, "formatted")
+
+
+def test_doc_stats_is_narrow(spark, sf_dir):
+    df = entrymod.q_doc_stats(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    df = entrymod.q_asof_purchase_signup(spark, sf_dir)
+    # union + window sweep = ONE hash shuffle on (user_id); the final
+    # orderBy adds a range exchange. No join shuffle, no cross join.
+    assert count_exchanges(df) <= 2
+    assert not has_cartesian_product(df)
+    plan = plan_string(df, "formatted")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    df = entrymod.q_cosine_topk(spark, sf_dir)
+    plan = plan_string(df, "formatted")
+    # The query side broadcasts; corpus streams through a nested-loop.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # top-k window only
+
+
+def test_filter_pushdown_events(spark, sf_dir):
+    df = entrymod.q_filter_events(spark, sf_dir)
+    assert count_exchanges(df) == 0
+    filters = " | ".join(pushed_filters(df))
+    assert "event_type" in filters
+
+
+def test_unpartitioned_window_guard(spark):
+    from rdsa_utils_spark.plans.explain import assert_no_unpartitioned_window
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    from pyspark.sql import Window
+
+    global_window = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v")),
+    )
+    with pytest.raises(AssertionError, match="Unpartitioned window"):
+        assert_no_unpartitioned_window(global_window)
+    ok = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("v")),
+    )
+    assert_no_unpartitioned_window(ok)
+
+
+def test_range_join_no_cartesian(spark, sf_dir):
+    df = entrymod.q_range_join_events(spark, sf_dir)
+    # The bucketized range join must plan as an equi-join, never a
+    # cartesian/theta product.
+    assert not has_cartesian_product(df)
+    plan = plan_string(df, "formatted")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
