@@ -994,6 +994,224 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Batch 3: session windows, forward as-of, TPC-H-style classics, quantiles
+# --------------------------------------------------------------------------
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.streaming.windows_time import session_window_agg
+
+    out = session_window_agg(
+        ev,
+        ts_col="ts",
+        gap="30 minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+        },
+        keys=["user_id"],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+
+# F.session_window's [start, last_event+gap) semantics reproduced with
+# the lag/cumsum sessionization idiom.
+_ORACLE_SESSION_WINDOWS = """
+WITH tagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM tagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("error_value"),
+    )
+    joined = asof_join(
+        purchases, errors, on="ts", by="user_id",
+        direction="forward", tolerance=3600.0,
+    )
+    return joined.select("event_id", "user_id", "error_value").orderBy("event_id")
+
+
+# DuckDB ASOF JOIN only supports the backward (>=) form, so the
+# forward+tolerance oracle is spelled with a correlated aggregate.
+_ORACLE_ASOF_FORWARD_TOLERANCE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error'),
+     nxt AS (
+       SELECT p.event_id, p.user_id,
+              (SELECT min(e.ts) FROM e
+               WHERE e.user_id = p.user_id AND e.ts >= p.ts) AS match_ts
+       FROM p
+     )
+SELECT n.event_id, n.user_id,
+       CASE WHEN n.match_ts IS NOT NULL
+                 AND epoch(n.match_ts) - epoch(p2.ts) <= 3600
+            THEN (SELECT e.value FROM e
+                  WHERE e.user_id = n.user_id AND e.ts = n.match_ts
+                  ORDER BY e.value LIMIT 1)
+            ELSE NULL END AS error_value
+FROM nxt n JOIN p p2 USING (event_id)
+ORDER BY n.event_id
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top 10 unshipped-revenue orders for a segment."""
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING",
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"),
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by returned-item revenue."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_ORACLE_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (by priority) having at least one late
+    line item — a left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"),
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1998-06-01')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_QUANTILES_EXACT = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HLL distinct + quantile sketch) — the
+    documented 100 TB fast path. Algorithms differ from DuckDB's, so
+    this is a rows-only check; exactness is covered by
+    supplier_stats_per_nation / quantiles_exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # Batch 2: non-SQL-expressible ops (rows-only driver check)
 # --------------------------------------------------------------------------
 
@@ -1085,6 +1303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "multimodal_meta": q_multimodal_meta,
+        "session_windows": q_session_windows,
+        "asof_forward_tolerance": q_asof_forward_tolerance,
+        "shipping_priority": q_shipping_priority,
+        "returned_customers": q_returned_customers,
+        "order_priority_check": q_order_priority_check,
+        "quantiles_exact": q_quantiles_exact,
+        "approx_sketches": q_approx_sketches,
         "minhash_near_dedup": q_minhash_near_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1130,6 +1355,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ORACLE_QUALITY_SCORE,
         "language_id": _ORACLE_LANGUAGE_ID,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
+        "session_windows": _ORACLE_SESSION_WINDOWS,
+        "asof_forward_tolerance": _ORACLE_ASOF_FORWARD_TOLERANCE,
+        "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
+        "returned_customers": _ORACLE_RETURNED_CUSTOMERS,
+        "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,
+        "quantiles_exact": _ORACLE_QUANTILES_EXACT,
+        # approx_sketches: HLL/KLL sketch algorithms are engine-specific
+        # (Spark HLL++ vs DuckDB HLL) — rows-only check; the exact
+        # counterparts are oracle-verified above.
         # minhash_near_dedup / simhash_fingerprints / lsh_cosine_topk /
         # embedding_near_dups: LSH bucketing & salted-hash signatures are
         # not ANSI-SQL-expressible — driver's rows-only check applies.
