@@ -25,13 +25,13 @@ from rdsa_utils_spark.functions.averages import (
     unweighted_geometric_average,
 )
 from rdsa_utils_spark.functions.columns import exact_median
-from rdsa_utils_spark.operators.dedup import exact_dedup
+from rdsa_utils_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
 from rdsa_utils_spark.operators.filters import filter_out_values, map_column_values
 from rdsa_utils_spark.operators.joins import asof_join, join_multi_dfs
 from rdsa_utils_spark.operators.reshape import melt
 from rdsa_utils_spark.operators.sets import union_mismatched_dfs
-from rdsa_utils_spark.operators.similarity import brute_force_topk
-from rdsa_utils_spark.operators.text import with_text_stats
+from rdsa_utils_spark.operators.similarity import brute_force_topk, ivf_topk
+from rdsa_utils_spark.operators.text import tokens, with_fingerprint, with_text_stats
 from rdsa_utils_spark.operators.windows import (
     drop_duplicates_reproducible,
     get_window_spec,
@@ -1212,6 +1212,372 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 4: TPC-H decision-support shapes + text fingerprints + n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count,
+    including zero-order customers (left outer join)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_ORACLE_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share (conditional aggregation)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")),
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(38,6)"))).cast("double")
+            / F.sum(disc).cast("double"),
+            6,
+        ).alias("promo_revenue"),
+    )
+
+
+_ORACLE_PROMO_REVENUE = """
+SELECT ROUND(
+         100.0
+         * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+         6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp table in testdata): distinct
+    suppliers per brand for large parts, excluding suppliers with
+    negative balances (NOT IN → broadcast anti join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    excl = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc())
+    )
+
+
+_ORACLE_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 40
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand
+ORDER BY supplier_cnt DESC, p_brand ASC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity line items, where
+    'small' is a per-part correlated threshold (0.2 × avg quantity).
+    The correlated subquery becomes a per-part aggregate + broadcast
+    join — no recomputation per row."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+    thr = sel.groupBy("p_partkey").agg(
+        (F.lit(0.2) * F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("qty_thr"),
+    )
+    return (
+        sel.join(F.broadcast(thr), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0, 6,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+_ORACLE_SMALL_QTY_REVENUE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300
+    (HAVING over a pre-aggregate), joined back to customer, top 100."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+_ORACLE_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across two tables —
+    Catalyst pushes the common join key and evaluates the disjunction
+    post-join with codegen."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30)) & (F.col("l_quantity").between(10, 35)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50)) & (F.col("l_quantity").between(20, 50)))
+    )
+    return joined.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ORACLE_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    orders — scalar subquery (broadcast) + anti join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal"),
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_RICH_INACTIVE_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (returnflag, linestatus) — all four
+    grouping combinations in one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_ORACLE_CUBE_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for bounded candidate
+    pairs (same language, id distance ≤ 20) — the verify stage of the
+    n-gram dedup path, oracle-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), "lang")
+    b = docs.select(F.col("doc_id").alias("id_b"), "lang")
+    pairs = (
+        a.join(b, "lang")
+        .filter((F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 20))
+        .select("id_a", "id_b")
+    )
+    out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=3)
+    return (
+        out.filter(F.col("jaccard") >= 0.1)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 1) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS sh
+  FROM t
+), scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+)
+SELECT id_a, id_b, jaccard FROM scored
+WHERE jaccard >= 0.1
+ORDER BY id_a, id_b
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup fingerprint (md5 of whitespace-normalized lower-cased
+    text) — hex digests hash-match DuckDB's md5 byte for byte."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+_ORACLE_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over token hashes (h = (31·h + tok) mod
+    2³¹) — a content-defined fingerprint whose arithmetic is exactly
+    reproducible in ANSI SQL, so the whole fold is oracle-checked.
+    Token hash = first 8 hex digits of md5, parsed base-16."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + tok_h(t)) % F.lit(2147483648).cast("long"),
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash")).orderBy("doc_id")
+
+
+_ORACLE_ROLLING_HASH_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, tok ->
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9), i ->
+                   CAST((strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+                        * CAST(power(16, 8 - i) AS BIGINT) AS BIGINT))),
+               (a, b) -> a + b))),
+         (acc, hh) -> (acc * 31 + hh) % 2147483648) AS rolling_hash
+FROM t
+ORDER BY doc_id
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: spherical-k-means cells +
+    nprobe search, exact cosine rescoring. Approximate by design
+    (recall < 1) — rows-only driver check; the exact counterpart is
+    cosine_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb, dim=64, k=5, n_cells=8, nprobe=3, iters=3)
+    return out.select(
+        "query_id", "candidate_id", F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", F.col("cosine").desc(), "candidate_id")
+
+
+# --------------------------------------------------------------------------
 # Batch 2: non-SQL-expressible ops (rows-only driver check)
 # --------------------------------------------------------------------------
 
@@ -1310,6 +1676,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "quantiles_exact": q_quantiles_exact,
         "approx_sketches": q_approx_sketches,
+        "custdist": q_custdist,
+        "promo_revenue": q_promo_revenue,
+        "supplier_part_counts": q_supplier_part_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "rich_inactive_customers": q_rich_inactive_customers,
+        "cube_revenue": q_cube_revenue,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint": q_doc_fingerprint,
+        "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
+        "ivf_topk": q_ivf_topk,
         "minhash_near_dedup": q_minhash_near_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -1361,6 +1739,19 @@ def oracle_sql() -> dict[str, str]:
         "returned_customers": _ORACLE_RETURNED_CUSTOMERS,
         "order_priority_check": _ORACLE_ORDER_PRIORITY_CHECK,
         "quantiles_exact": _ORACLE_QUANTILES_EXACT,
+        "custdist": _ORACLE_CUSTDIST,
+        "promo_revenue": _ORACLE_PROMO_REVENUE,
+        "supplier_part_counts": _ORACLE_SUPPLIER_PART_COUNTS,
+        "small_qty_revenue": _ORACLE_SMALL_QTY_REVENUE,
+        "large_orders": _ORACLE_LARGE_ORDERS,
+        "disjunctive_revenue": _ORACLE_DISJUNCTIVE_REVENUE,
+        "rich_inactive_customers": _ORACLE_RICH_INACTIVE_CUSTOMERS,
+        "cube_revenue": _ORACLE_CUBE_REVENUE,
+        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
+        "rolling_hash_fingerprint": _ORACLE_ROLLING_HASH_FINGERPRINT,
+        # ivf_topk: k-means cell assignment is not SQL-expressible —
+        # rows-only check; exact counterpart cosine_topk is verified.
         # approx_sketches: HLL/KLL sketch algorithms are engine-specific
         # (Spark HLL++ vs DuckDB HLL) — rows-only check; the exact
         # counterparts are oracle-verified above.

@@ -210,6 +210,180 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train spherical-k-means centroids for an IVF index, distributed.
+
+    Initialization is deterministic (the ``n_cells`` rows with the
+    smallest ids). Each Lloyd iteration is ONE ``mapInPandas`` pass:
+    every partition emits per-cell partial (count, sum-vector) rows —
+    at most ``n_cells`` rows per partition — which the driver combines
+    into new unit-norm centroids. Driver traffic is O(partitions ×
+    n_cells × dim) floats per iteration, independent of corpus size,
+    so the same code runs unchanged on a 100 TB corpus.
+
+    Empty cells keep their previous centroid. Returns a unit-norm
+    (n_cells, dim) float64 array.
+    """
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cents = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    partial_schema = "cell int, cnt long, vsum array<double>"
+    vecs_only = corpus.select(vec_col)
+
+    for _ in range(iters):
+        c = cents  # close over this iteration's centroids
+
+        def partials(batches, _c=c):
+            for pdf in batches:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                cells = np.argmax((mat / norms) @ _c.T, axis=1)
+                out_cells, out_cnt, out_sum = [], [], []
+                for cell in np.unique(cells):
+                    mask = cells == cell
+                    out_cells.append(int(cell))
+                    out_cnt.append(int(mask.sum()))
+                    out_sum.append(mat[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(
+                    {"cell": out_cells, "cnt": out_cnt, "vsum": out_sum},
+                )
+
+        rows = vecs_only.mapInPandas(partials, partial_schema).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cell"]] += r["cnt"]
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def _cell_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Pandas UDF: embedding → array of the ``nprobe`` nearest cell ids
+    (by cosine). One matmul per Arrow batch."""
+    c = centroids
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ c.T  # (n, n_cells)
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return assign
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (int). At scale, write the
+    corpus partitioned/bucketed by this column so probes prune files."""
+    assign = _cell_assign_udf(centroids, nprobe=1)
+    return df.withColumn(out_col, F.element_at(assign(F.col(vec_col)), 1))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: corpus vectors live in k-means
+    cells; each query scores only the ``nprobe`` cells nearest its own
+    vector, then exact cosine rescoring + per-query top-k.
+
+    Shuffle profile: corpus is hash-partitioned by cell once; queries
+    explode ×nprobe and equi-join on cell — no broadcast of the corpus,
+    no cross join. Candidate fraction ≈ nprobe/n_cells, so cost drops
+    ~linearly as n_cells grows. Pass pre-trained ``centroids`` to skip
+    training (the 100 TB pattern: train once on a sample, persist).
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, dim, corpus_vec, corpus_id, n_cells, iters, seed,
+        )
+    ca = ivf_assign(
+        corpus.select(
+            F.col(corpus_id).alias("candidate_id"), F.col(corpus_vec).alias("__cv__"),
+        ),
+        centroids,
+        "__cv__",
+        "cell",
+    )
+    probe = _cell_assign_udf(centroids, nprobe=nprobe)
+    qa = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__"),
+    ).withColumn("cell", F.explode(probe(F.col("__qv__"))))
+
+    qid_t = dict(qa.dtypes)["query_id"]
+    cid_t = dict(ca.dtypes)["candidate_id"]
+    out_schema = f"query_id {qid_t}, candidate_id {cid_t}, cosine double"
+    drop_self = exclude_self
+
+    # Per-cell scoring: ONE BLAS matmul per (cell, queries-in-cell ×
+    # candidates-in-cell) block and only the per-cell top-k survives —
+    # k·nprobe rows per query reach the final window instead of every
+    # candidate pair. This is what makes IVF beat brute force: candidate
+    # work ≈ nprobe/n_cells of the corpus, all of it vectorized.
+    def score_cell(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame):
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "candidate_id": [], "cosine": []})
+        qm = np.stack(qpdf["__qv__"].to_numpy()).astype(np.float64)
+        cm = np.stack(cpdf["__cv__"].to_numpy()).astype(np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        sims = qm @ cm.T  # (nq, nc)
+        qids = qpdf["query_id"].to_numpy()
+        cids = cpdf["candidate_id"].to_numpy()
+        if drop_self:
+            sims = np.where(qids[:, None] == cids[None, :], -np.inf, sims)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_c, rows_s = [], [], []
+        for i in range(sims.shape[0]):
+            for j in top[i]:
+                if np.isfinite(sims[i, j]):
+                    rows_q.append(qids[i])
+                    rows_c.append(cids[j])
+                    rows_s.append(float(sims[i, j]))
+        return pd.DataFrame({"query_id": rows_q, "candidate_id": rows_c, "cosine": rows_s})
+
+    partials = (
+        qa.groupBy("cell")
+        .cogroup(ca.groupBy("cell"))
+        .applyInPandas(score_cell, out_schema)
+    )
+    return _topk_per_query(partials, k)
+
+
 def hyperplane_bucket(
     vec: Column,
     planes: Sequence[Sequence[float]],

@@ -194,3 +194,26 @@ def test_multimodal_raise_stub(spark):
     out = extract_image_metadata(payloads, decode_stub="raise")
     with pytest.raises(Exception, match="NotImplementedError|No image codec"):
         out.collect()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from rdsa_utils_spark.sources.readers import read_parquet
+    from rdsa_utils_spark.operators.similarity import ivf_topk, ivf_train_centroids
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, emb, k=3)
+    approx = ivf_topk(queries, emb, dim=64, k=3, n_cells=4, nprobe=2, iters=2)
+    exact_rows = {(r["query_id"], r["candidate_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert len(approx_rows) == 15  # every query fills k at nprobe=2/4 cells
+    overlap = {(r["query_id"], r["candidate_id"]) for r in approx_rows} & exact_rows
+    assert len(overlap) >= len(exact_rows) // 2  # decent recall
+
+    # training is deterministic: same inputs → identical centroids
+    import numpy as np
+
+    c1 = ivf_train_centroids(emb, dim=64, n_cells=4, iters=2)
+    c2 = ivf_train_centroids(emb, dim=64, n_cells=4, iters=2)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
