@@ -1173,12 +1173,19 @@ ORDER BY o_orderpriority
 
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # One percentile buffer per group (array form), not three.
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75))",
+            ).alias("__ps__"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__ps__", 1), 6).alias("p25"),
+            F.round(F.element_at("__ps__", 2), 6).alias("p50"),
+            F.round(F.element_at("__ps__", 3), 6).alias("p75"),
         )
         .orderBy("l_returnflag")
     )

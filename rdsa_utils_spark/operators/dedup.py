@@ -63,38 +63,56 @@ def minhash_signatures(
 ) -> DataFrame:
     """Attach a MinHash signature (array<bigint>, length ``num_perm``).
 
-    Each permutation ``j`` is simulated by salting the shingle with
-    ``j`` before ``xxhash64`` and taking the array minimum — standard
-    "one hash function + k salts" MinHash. Entirely JVM expressions.
+    Universal-hash permutations h_j = (a_j·h + b_j) mod p over md5-based
+    64-bit shingle hashes, p = 2³¹−1 (products stay < 2⁶³: overflow-safe
+    int64). Computed in ONE Arrow-vectorized pandas UDF per batch: all
+    shingle hashes of the batch concatenate into one array and each
+    permutation is a single vectorized ``(a·h+b) % p`` +
+    ``np.minimum.reduceat`` over per-doc segments — num_perm passes over
+    the batch, not per-doc Python work. (A pure-expression variant was
+    ~10× slower: Spark's higher-order array functions are interpreted,
+    not codegen'd.) Seeded coefficients → deterministic across runs and
+    executors. Docs with no shingles get all-``p`` sentinel signatures.
     """
     import numpy as np
 
-    sh = shingles(text_col, n=shingle_n)
-    # One string hash per shingle, then universal-hash permutations
-    # h_j = (a_j·h + b_j) mod p with p = 2³¹−1 (Mersenne prime) and
-    # a_j, b_j < p: products stay < 2⁶³ so this is ANSI-overflow-safe
-    # long arithmetic. O(shingles) string hashing + O(num_perm·shingles)
-    # integer ops, instead of num_perm string hashes per shingle.
     p = 2_147_483_647
     gen = np.random.default_rng(1_234_567)
-    coeffs = [
-        (int(gen.integers(1, p)), int(gen.integers(0, p))) for _ in range(num_perm)
-    ]
-    df = df.withColumn(
-        "__sh_hashes__", F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(p))),
-    )
-    def _perm(a: int, b: int):
-        # Single-arg lambda — a two-arg lambda would make Spark pass
-        # (element, index) to F.transform.
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
+    a_co = gen.integers(1, p, size=num_perm).astype(np.int64)
+    b_co = gen.integers(0, p, size=num_perm).astype(np.int64)
+    n = shingle_n
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__sh_hashes__"), _perm(a, b)))
-            for a, b in coeffs
-        ],
-    )
-    return df.withColumn(out_col, sig).drop("__sh_hashes__")
+    @F.pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        all_h: list[int] = []
+        offsets = [0]
+        for t in texts:
+            toks = (t or "").split()
+            if toks:
+                shs = {
+                    " ".join(toks[i : i + n])
+                    for i in range(max(len(toks) - n + 1, 1))
+                }
+                all_h.extend(
+                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little") % p
+                    for s in shs
+                )
+            offsets.append(len(all_h))
+        H = np.asarray(all_h, dtype=np.int64)
+        starts = np.asarray(offsets[:-1])
+        ends = np.asarray(offsets[1:])
+        nonempty = ends > starts
+        sigs = np.full((len(texts), num_perm), p, dtype=np.int64)
+        if H.size:
+            ne_starts = starts[nonempty]
+            for j in range(num_perm):
+                ph = (a_co[j] * H + b_co[j]) % p
+                sigs[nonempty, j] = np.minimum.reduceat(ph, ne_starts)
+        return pd.Series(list(sigs))
+
+    return df.withColumn(out_col, _sig(F.col(text_col)))
 
 
 def lsh_candidate_pairs(
@@ -180,9 +198,24 @@ def ngram_jaccard_pairs(
     Two broadcast-friendly joins attach shingle arrays, then pure
     array expressions compute |∩| / |∪|.
     """
-    sh = df.select(
-        F.col(id_col).alias("__jid__"), shingles(text_col, shingle_n).alias("__sh__"),
-    ).withColumn("__sh__", F.array_distinct("__sh__"))
+    # Only docs that appear in a candidate pair need shingle arrays —
+    # at scale candidates are a tiny fraction of the corpus, and the
+    # (interpreted) higher-order shingle expressions are the cost.
+    needed = (
+        pairs.select(F.col("id_a").alias("__jid__"))
+        .union(pairs.select(F.col("id_b").alias("__jid__")))
+        .distinct()
+    )
+    from rdsa_utils_spark.plans.tuning import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df.join(needed, F.col(id_col) == F.col("__jid__"), "left_semi"))
+        .select(
+            F.col(id_col).alias("__jid__"),
+            shingles(text_col, shingle_n).alias("__sh__"),
+        )
+        .withColumn("__sh__", F.array_distinct("__sh__"))
+    )
     out = (
         pairs.join(sh.withColumnRenamed("__jid__", "id_a").withColumnRenamed("__sh__", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__jid__", "id_b").withColumnRenamed("__sh__", "sh_b"), "id_b")
@@ -213,6 +246,9 @@ def minhash_near_dedup(
     bounded set of shuffles, preferable at scale to an unbounded
     connected-components job when duplicate clusters are shallow.
     """
+    from rdsa_utils_spark.plans.tuning import ensure_parallelism
+
+    df = ensure_parallelism(df)
     with_sig = minhash_signatures(df, text_col, num_perm, shingle_n)
     candidates = lsh_candidate_pairs(
         with_sig, id_col, "minhash", num_bands, signature_length=num_perm,

@@ -49,6 +49,25 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_vec(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine — one numpy pass per batch. Used on the
+    approximate (rows-only) paths; the oracle-checked exact path keeps
+    the deterministic left-fold expression so float association order
+    matches ANSI-SQL engines. (UDF built lazily: ``pandas_udf`` needs
+    an active session to parse its return type.)"""
+
+    @F.pandas_udf("double")
+    def _udf(aa: pd.Series, bb: pd.Series) -> pd.Series:
+        am = np.stack(aa.to_numpy()).astype(np.float64)
+        bm = np.stack(bb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", am, bm)
+        na = np.maximum(np.linalg.norm(am, axis=1), 1e-12)
+        nb = np.maximum(np.linalg.norm(bm, axis=1), 1e-12)
+        return pd.Series(dots / (na * nb))
+
+    return _udf(a, b)
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("candidate_id").asc(),
@@ -161,17 +180,27 @@ def lsh_bucketed_topk(
     it scales past ``brute_force_topk`` when the query set is large
     too. P[bit match] = 1 − θ/π per hyperplane.
     """
-    qb = _with_buckets(queries, query_id, query_vec, "query_id", dim, bits, num_tables, seed)
-    cb = _with_buckets(corpus, corpus_id, corpus_vec, "candidate_id", dim, bits, num_tables, seed)
+    # Bare-id bucket join (narrow rows), dedup multi-table hits, THEN
+    # attach vector payloads to the surviving pairs and score once.
+    qb = _with_buckets(
+        queries, query_id, query_vec, "query_id", dim, bits, num_tables, seed,
+        keep_vec=False,
+    )
+    cb = _with_buckets(
+        corpus, corpus_id, corpus_vec, "candidate_id", dim, bits, num_tables, seed,
+        keep_vec=False,
+    )
     joined = qb.join(cb, ["table", "bucket"]).drop("table", "bucket")
     if exclude_self:
         joined = joined.filter(F.col("candidate_id") != F.col("query_id"))
-    # Dedup multi-table hits BEFORE scoring so each pair costs one dot.
     pairs = joined.dropDuplicates(["query_id", "candidate_id"])
-    scored = pairs.select(
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__"))
+    cv = corpus.select(F.col(corpus_id).alias("candidate_id"), F.col(corpus_vec).alias("__cv__"))
+    attached = pairs.join(qv, "query_id").join(cv, "candidate_id")
+    scored = attached.select(
         "query_id",
         "candidate_id",
-        cosine(F.col("__query_id_v__"), F.col("__candidate_id_v__")).alias("cosine"),
+        _cosine_vec(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
     )
     return _topk_per_query(scored, k)
 
@@ -189,22 +218,27 @@ def cosine_near_dup_pairs(
     """Embedding near-duplicate pairs (cosine ≥ threshold), found via
     multi-table hyperplane bucketing + exact rescoring. Returns
     (id_a, id_b, cosine) with id_a < id_b."""
-    b = _with_buckets(df, id_col, vec_col, "nid", dim, bits, num_tables, seed)
-    left = b.select(
-        F.col("table"), F.col("bucket"),
-        F.col("nid").alias("id_a"), F.col("__nid_v__").alias("__va__"),
-    )
-    right = b.select(
-        F.col("table"), F.col("bucket"),
-        F.col("nid").alias("id_b"), F.col("__nid_v__").alias("__vb__"),
-    )
+    # Bucket-join and dedup on BARE ids — (table, bucket, id) is three
+    # longs per row, so the candidate-pair explosion and the
+    # dropDuplicates shuffle stay narrow. Vector payloads are attached
+    # only to the surviving distinct pairs. Persist: the self-join
+    # would otherwise run the bucketize UDF once per side.
+    b = _with_buckets(
+        df, id_col, vec_col, "nid", dim, bits, num_tables, seed, keep_vec=False,
+    ).persist()
     pairs = (
-        left.join(right, ["table", "bucket"])
+        b.select("table", "bucket", F.col("nid").alias("id_a"))
+        .join(b.select("table", "bucket", F.col("nid").alias("id_b")), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__"))
+    attached = (
+        pairs.join(vecs.select(F.col("__vid__").alias("id_a"), F.col("__v__").alias("__va__")), "id_a")
+        .join(vecs.select(F.col("__vid__").alias("id_b"), F.col("__v__").alias("__vb__")), "id_b")
+    )
     return (
-        pairs.withColumn("cosine", cosine(F.col("__va__"), F.col("__vb__")))
+        attached.withColumn("cosine", _cosine_vec(F.col("__va__"), F.col("__vb__")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

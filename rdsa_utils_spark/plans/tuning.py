@@ -89,3 +89,16 @@ def set_df_columns_nullable(
     # onto the target schema without leaving Catalyst. It can relax
     # nullability (False→True) but refuses to fabricate non-nullability.
     return df.to(new_schema)
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+    """Repartition up ONLY when the plan has fewer partitions than the
+    cluster has cores — the small-file/local-file case where a
+    downstream Arrow UDF or wide expression would otherwise run on one
+    task. A no-op (no shuffle inserted) when the input is already
+    parallel enough, so it is safe to leave in 100 TB paths where scans
+    arrive with thousands of partitions."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
