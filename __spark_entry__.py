@@ -1584,6 +1584,100 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", F.col("cosine").desc(), "candidate_id")
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column path: extract a field from the ``props`` JSON string
+    and aggregate — ``get_json_object`` stays JVM-side (Jackson), no
+    UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("k").cast("decimal(38,6)")).cast("double") / F.count("k"), 6,
+            ).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JSON_PROPS = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean inter-arrival gap (lag window) for the busiest
+    users — lead/lag surface, oracle-checked."""
+    ev = _t(spark, sf_dir, "events")
+    w = get_window_spec(partition_cols=["user_id"], order_cols=["ts", "event_id"])
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    return (
+        ev.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("gap_s").cast("decimal(38,6)")).cast("double")
+                / F.count("gap_s"), 6,
+            ).alias("avg_gap_s"),
+        )
+        .filter(F.col("n_events") >= 50)
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_INTERARRIVAL = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(38,6))) AS DOUBLE) / COUNT(gap_s), 6) AS avg_gap_s
+FROM g
+GROUP BY user_id
+HAVING COUNT(*) >= 50
+ORDER BY user_id
+"""
+
+
+def q_month_end_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end date snapping (reference: pandas MonthEnd helper,
+    ``helpers/python.py:251-313``) done distributed with ``F.last_day``
+    + order counts per month-end."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("month_end", F.last_day(F.col("o_orderdate").cast("date")))
+        .groupBy("month_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .orderBy("month_end")
+    )
+
+
+_ORACLE_MONTH_END_ORDERS = """
+SELECT last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY month_end
+ORDER BY month_end
+"""
+
+
 # --------------------------------------------------------------------------
 # Batch 2: non-SQL-expressible ops (rows-only driver check)
 # --------------------------------------------------------------------------
@@ -1692,6 +1786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_inactive_customers": q_rich_inactive_customers,
         "cube_revenue": q_cube_revenue,
         "ngram_jaccard": q_ngram_jaccard,
+        "json_props": q_json_props,
+        "interarrival": q_interarrival,
+        "month_end_orders": q_month_end_orders,
         "doc_fingerprint": q_doc_fingerprint,
         "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
         "ivf_topk": q_ivf_topk,
@@ -1755,6 +1852,9 @@ def oracle_sql() -> dict[str, str]:
         "rich_inactive_customers": _ORACLE_RICH_INACTIVE_CUSTOMERS,
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "json_props": _ORACLE_JSON_PROPS,
+        "interarrival": _ORACLE_INTERARRIVAL,
+        "month_end_orders": _ORACLE_MONTH_END_ORDERS,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "rolling_hash_fingerprint": _ORACLE_ROLLING_HASH_FINGERPRINT,
         # ivf_topk: k-means cell assignment is not SQL-expressible —

@@ -197,3 +197,30 @@ def truncate_table(spark: SparkSession, table_identifier: str) -> None:
         schema = spark.read.table(table_identifier).schema
         empty = spark.createDataFrame([], schema)
         empty.write.mode("overwrite").insertInto(table_identifier, overwrite=True)
+
+
+def write_stream_foreach_batch(
+    stream_df: DataFrame,
+    process,
+    checkpoint_dir: str,
+    query_name: str = "foreach_batch_sink",
+    trigger_available_now: bool = True,
+):
+    """Route a streaming DataFrame through a batch-side callable
+    ``process(batch_df, batch_id)`` — the idiomatic escape hatch for
+    sinks Structured Streaming lacks natively (upserts, multi-table
+    fan-out, external stores). Each micro-batch arrives as a plain
+    DataFrame, so every batch writer in this module works unchanged
+    inside ``process``; exactly-once comes from the checkpoint +
+    idempotent-by-batch_id writes.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops).
+    """
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -91,3 +91,62 @@ def test_session_window_agg_streaming(spark, events_stream):
     assert {"session_start", "session_end", "user_id", "n_events"} <= set(
         spark.sql("SELECT * FROM session_out").columns,
     )
+
+
+def test_stateful_running_totals(spark, events_stream):
+    from rdsa_utils_spark.streaming.stateful import stateful_running_totals
+
+    stream_df, batch_df = events_stream
+    out = stateful_running_totals(stream_df, "user_id", "value")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # After one availableNow pass the latest state per key must equal
+    # the batch groupBy — the state store accumulated correctly.
+    got = {
+        r["key"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            "SELECT key, n_events, total_value FROM stateful_out",
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert len(got) == len(expected)
+    for k, (n, tot) in expected.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - tot) < 1e-6
+
+
+def test_foreach_batch_sink_writes_parquet(spark, events_stream, tmp_path):
+    from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
+
+    stream_df, batch_df = events_stream
+    out_dir = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def process(batch, batch_id):
+        (
+            batch.filter(F.col("event_type") == "purchase")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = write_stream_foreach_batch(stream_df, process, ckpt)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    written = spark.read.parquet(out_dir)
+    assert written.count() == batch_df.filter(F.col("event_type") == "purchase").count()
