@@ -194,3 +194,34 @@ def merge_multi_dfs(df_list, on, how: str = "inner", fillna_val: Optional[Any] =
     if fillna_val is not None:
         out = out.fillna(fillna_val)
     return out
+
+
+def dump_environment_requirements(output_path: str, pin: bool = True) -> str:
+    """Write the current environment's installed distributions to a
+    requirements-style file; returns the text (reference
+    helpers/python.py ``dump_environment_requirements``)."""
+    from importlib import metadata
+
+    lines = sorted(
+        f"{d.metadata['Name']}=={d.version}" if pin else d.metadata["Name"]
+        for d in metadata.distributions()
+        if d.metadata and d.metadata.get("Name")
+    )
+    text = "\n".join(lines) + "\n"
+    Path(output_path).write_text(text)
+    return text
+
+
+def parse_pyproject_metadata(pyproject_path: str) -> dict:
+    """Project name/version/dependencies from a pyproject.toml
+    (reference helpers/python.py ``parse_pyproject_metadata``)."""
+    import tomllib
+
+    data = tomllib.loads(Path(pyproject_path).read_text())
+    project = data.get("project", {})
+    return {
+        "name": project.get("name"),
+        "version": project.get("version"),
+        "dependencies": project.get("dependencies", []),
+        "optional_dependencies": project.get("optional-dependencies", {}),
+    }

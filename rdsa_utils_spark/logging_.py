@@ -156,3 +156,25 @@ def print_full_table_and_raise_error(
         log.error(message)
     if stop_pipeline:
         raise ValueError(message)
+
+
+def init_logger_advanced(
+    logger: Optional[logging.Logger] = None,
+    level: int = logging.INFO,
+    log_file: Optional[str] = None,
+    fmt: str = "%(asctime)s %(levelname)s %(name)s: %(message)s",
+    extra_handlers: Optional[list] = None,
+) -> logging.Logger:
+    """Logger with console + optional file + caller-supplied handlers
+    (reference ``init_logger_advanced``, logging.py:99-176)."""
+    logger = init_logger_basic(logger, level)
+    formatter = logging.Formatter(fmt)
+    if log_file:
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(formatter)
+        logger.addHandler(fh)
+    for h in extra_handlers or []:
+        if h.formatter is None:
+            h.setFormatter(formatter)
+        logger.addHandler(h)
+    return logger

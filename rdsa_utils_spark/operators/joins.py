@@ -185,3 +185,39 @@ def range_join(
         & (F.col(left_point).cast("double") < F.col(right_hi).cast("double")),
     )
     return joined.drop("__bucket__")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    salt_col: str = "__salt__",
+) -> DataFrame:
+    """Skew-resistant equi-join: the LEFT (large, skewed) side gets a
+    random salt in [0, salt_buckets); the RIGHT side is replicated
+    once per salt value (``explode(sequence(...))``), and the join key
+    becomes (keys..., salt). A hot key's rows now spread over
+    ``salt_buckets`` reducers instead of one straggler task.
+
+    Use when AQE's skew-join split isn't available or the skew is in a
+    non-shuffle-joinable spot; cost = right side ×salt_buckets, so keep
+    the right side the smaller one. Extension surface (SURVEY.md §7.5);
+    no reference equivalent.
+    """
+    if how not in {"inner", "left", "leftouter", "left_outer"}:
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r} "
+            "(replicating the right side breaks right/outer semantics)",
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(
+        salt_col, (F.rand(seed=42) * salt_buckets).cast("int"),
+    )
+    salted_right = right.withColumn(
+        salt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    out = salted_left.join(salted_right, [*keys, salt_col], how)
+    return out.drop(salt_col)

@@ -173,3 +173,58 @@ class HadoopFileSystemClient:
 
             names = [n for n in names if fnmatch.fnmatch(n.rsplit("/", 1)[-1], pattern)]
         return sorted(names)
+
+
+# ------------------------------------------------------------- pandas file IO
+# Reference parity: the small-data pandas paths of s3_utils
+# (load_csv :1215, load_json :1368, write_csv :1450, write_excel :1526)
+# — driver-side conveniences for files that never warrant a Spark job.
+# They route through a FileSystemClient so the same code covers local,
+# S3, GCS and HDFS deployments.
+
+
+def load_pandas_csv(client, path: str, **read_csv_kwargs):
+    """Small CSV → pandas via the client (driver-side; use
+    ``readers.load_csv`` for anything that should scale)."""
+    import io
+
+    import pandas as pd
+
+    return pd.read_csv(io.StringIO(client.read_text(path)), **read_csv_kwargs)
+
+
+def load_pandas_json(client, path: str, multi_line: bool = False):
+    """JSON document (or NDJSON when ``multi_line``) → dict / pandas."""
+    import io
+    import json
+
+    import pandas as pd
+
+    text = client.read_text(path)
+    if multi_line:
+        return pd.read_json(io.StringIO(text), lines=True)
+    return json.loads(text)
+
+
+def write_pandas_csv(client, df, path: str, overwrite: bool = True, **to_csv_kwargs):
+    """pandas → CSV text via the client."""
+    to_csv_kwargs.setdefault("index", False)
+    client.write_text(path, df.to_csv(**to_csv_kwargs), overwrite=overwrite)
+
+
+def write_pandas_excel(client, df, path: str, overwrite: bool = True, **to_excel_kwargs):
+    """pandas → Excel. Requires an Excel engine (openpyxl/xlsxwriter);
+    raises ImportError with guidance when absent (not bundled here)."""
+    import io
+
+    try:
+        buf = io.BytesIO()
+        to_excel_kwargs.setdefault("index", False)
+        df.to_excel(buf, **to_excel_kwargs)
+    except ImportError as exc:  # no engine in this environment
+        raise ImportError(
+            "write_pandas_excel needs openpyxl or xlsxwriter installed",
+        ) from exc
+    if not overwrite and client.file_exists(path):
+        raise FileExistsError(path)
+    Path(path).write_bytes(buf.getvalue())

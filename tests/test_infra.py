@@ -298,3 +298,50 @@ def test_convert_value():
     assert convert_value("10g") == 10.0
     assert convert_value("512m") == 0.5
     assert convert_value("1t") == 1024.0
+
+
+def test_pandas_file_io_roundtrip(tmp_path):
+    import pandas as pd
+
+    from rdsa_utils_spark.sources.objectstore import (
+        LocalFileSystemClient,
+        load_pandas_csv,
+        load_pandas_json,
+        write_pandas_csv,
+    )
+
+    client = LocalFileSystemClient()
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    p = str(tmp_path / "t.csv")
+    write_pandas_csv(client, df, p)
+    back = load_pandas_csv(client, p)
+    assert back.equals(df)
+
+    j = str(tmp_path / "t.json")
+    client.write_text(j, '{"k": 1}')
+    assert load_pandas_json(client, j) == {"k": 1}
+    nd = str(tmp_path / "t.ndjson")
+    client.write_text(nd, '{"a": 1}\n{"a": 2}\n')
+    assert list(load_pandas_json(client, nd, multi_line=True)["a"]) == [1, 2]
+
+
+def test_logger_advanced_and_env_helpers(tmp_path):
+    from rdsa_utils_spark.helpers import (
+        dump_environment_requirements,
+        parse_pyproject_metadata,
+    )
+    from rdsa_utils_spark.logging_ import init_logger_advanced
+
+    log_file = str(tmp_path / "run.log")
+    logger = init_logger_advanced(level=20, log_file=log_file)
+    logger.info("hello-advanced")
+    assert "hello-advanced" in open(log_file).read()
+
+    req = str(tmp_path / "req.txt")
+    text = dump_environment_requirements(req)
+    assert "pyspark" in text and "==" in text
+
+    py = tmp_path / "pyproject.toml"
+    py.write_text('[project]\nname = "x"\nversion = "1.0"\ndependencies = ["pandas"]\n')
+    meta = parse_pyproject_metadata(str(py))
+    assert meta["name"] == "x" and meta["dependencies"] == ["pandas"]

@@ -114,3 +114,38 @@ def test_session_window_and_gap_sessionize(spark):
     assert got[(1, "2024-01-01 00:10:00")] == 1
     assert got[(1, "2024-01-01 02:00:00")] == 2
     assert got[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from rdsa_utils_spark.operators.joins import salted_join
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity",
+    )
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority",
+    )
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey", salt_buckets=8,
+    ).count()
+    assert salted == plain
+
+    # left join keeps unmatched left rows exactly once
+    import pyspark.sql.functions as F
+
+    li_extra = li.union(
+        spark.createDataFrame([(-1, 1.0)], "l_orderkey long, l_quantity double"),
+    )
+    out = salted_join(
+        li_extra, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey", how="left", salt_buckets=8,
+    )
+    assert out.filter(F.col("l_orderkey") == -1).count() == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(li, orders, on="l_orderkey", how="right")

@@ -115,3 +115,51 @@ def test_range_join_no_cartesian(spark, sf_dir):
     assert not has_cartesian_product(df)
     plan = plan_string(df, "formatted")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_shapes_broadcast_dimensions(spark, sf_dir):
+    # Q3/Q10 shapes: dimension sides broadcast, no cartesian products.
+    for q in ("q_shipping_priority", "q_returned_customers"):
+        df = getattr(entrymod, q)(spark, sf_dir)
+        assert count_broadcast_joins(df) >= 1, q
+        assert not has_cartesian_product(df), q
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    # Q4 left-semi and Q16 anti: planned as (Broadcast)HashJoin with
+    # Semi/Anti build, never a filter-after-join.
+    plan = plan_string(entrymod.q_order_priority_check(spark, sf_dir))
+    assert "LeftSemi" in plan
+    plan = plan_string(entrymod.q_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_disjunctive_filter_pushes_join_key(spark, sf_dir):
+    # Q19 shape: the p_partkey equi-key is still a hash join (the OR
+    # predicate must not force a nested-loop join).
+    df = entrymod.q_disjunctive_revenue(spark, sf_dir)
+    assert not has_cartesian_product(df)
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_scalar_subquery_broadcasts(spark, sf_dir):
+    # Q22 shape: the avg-balance scalar comes in via broadcast, and
+    # the orders anti join is a real anti join.
+    df = entrymod.q_rich_inactive_customers(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan
+    assert count_broadcast_joins(df) >= 1
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    from rdsa_utils_spark.operators.joins import salted_join
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+    )
+    df = salted_join(li, o, on="l_orderkey", salt_buckets=8)
+    # the physical join key includes the salt column
+    plan = plan_string(df)
+    assert "__salt__" in plan
