@@ -163,3 +163,30 @@ def test_salted_join_spreads_key(spark, sf_dir):
     # the physical join key includes the salt column
     plan = plan_string(df)
     assert "__salt__" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    from rdsa_utils_spark.sources.readers import read_parquet
+    from rdsa_utils_spark.sources.writers import write_bucketed_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity",
+    )
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice",
+    )
+    write_bucketed_table(li, "bck_li", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed_table(o, "bck_o", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    try:
+        a = spark.table("bck_li")
+        b = spark.table("bck_o")
+        # broadcast would mask the bucketing — force a sort-merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        assert count_exchanges(joined) == 0, plan_string(joined)
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bck_li")
+        spark.sql("DROP TABLE IF EXISTS bck_o")
