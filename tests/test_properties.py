@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): invariants that golden-frame
+unit tests can't sweep. Kept to few examples per property — every
+example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # id
+        st.integers(min_value=-100, max_value=100),  # a
+        st.integers(min_value=-100, max_value=100),  # b
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_melt_shape_and_values(spark, rows):
+    from rdsa_utils_spark.operators.reshape import melt
+
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = melt(df, id_vars=["id"], value_vars=["a", "b"]).collect()
+    assert len(out) == 2 * len(rows)
+    # every (id, variable, value) triple traces back to a source cell
+    source = {}
+    for i, a, b in rows:
+        source.setdefault(("a", i), []).append(a)
+        source.setdefault(("b", i), []).append(b)
+    got = {}
+    for r in out:
+        got.setdefault((r["variable"], r["id"]), []).append(r["value"])
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in source.items()
+    }
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_cumulative_array_is_prefix_sum(spark, rows):
+    from rdsa_utils_spark.functions.columns import cumulative_array
+
+    arrays = [[a, b, i] for i, a, b in rows]
+    df = spark.createDataFrame(
+        [(j, arr) for j, arr in enumerate(arrays)], "id long, xs array<long>",
+    )
+    out = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", cumulative_array("xs")).collect()
+    }
+    for j, arr in enumerate(arrays):
+        assert out[j] == [float(v) for v in np.cumsum(arr)]
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(spark, rows):
+    from rdsa_utils_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(j, f"doc {a} {b}") for j, (i, a, b) in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    once = exact_dedup(df, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    got_once = sorted(r["doc_id"] for r in once.collect())
+    got_twice = sorted(r["doc_id"] for r in twice.collect())
+    assert got_once == got_twice
+    # keeps exactly one row per normalized text, the smallest id
+    texts = {}
+    for j, (i, a, b) in enumerate(rows):
+        texts.setdefault(f"doc {a} {b}", []).append(j)
+    assert got_once == sorted(min(v) for v in texts.values())
+
+
+asof_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=10),
+)
+
+
+@given(data=asof_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    from rdsa_utils_spark.operators.joins import asof_join
+
+    left_ts, right_ts = data
+    left = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(sorted(left_ts))], "lid long, ts double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(t), float(t) * 2) for i, t in enumerate(sorted(set(right_ts)))],
+        "rid long, ts double, payload double",
+    )
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(left, right.drop("rid"), on="ts", direction="backward").collect()
+    }
+    expected_df = pd.merge_asof(
+        pd.DataFrame({"lid": range(len(left_ts)), "ts": sorted(map(float, left_ts))}),
+        pd.DataFrame(
+            {"ts": sorted(set(map(float, right_ts)))},
+        ).assign(payload=lambda d: d.ts * 2),
+        on="ts",
+        direction="backward",
+    )
+    for _, row in expected_df.iterrows():
+        want = None if pd.isna(row["payload"]) else row["payload"]
+        assert got[row["lid"]] == want
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_union_mismatched_pads_missing_columns(spark, rows):
+    from rdsa_utils_spark.operators.sets import union_mismatched_dfs
+
+    df1 = spark.createDataFrame(rows, "id long, a long, b long")
+    df2 = spark.createDataFrame([(i, a) for i, a, _ in rows], "id long, c long")
+    out = union_mismatched_dfs([df1, df2])
+    assert out.count() == 2 * len(rows)
+    assert set(out.columns) == {"id", "a", "b", "c"}
+    assert out.filter(F.col("c").isNull()).count() == len(rows)
+    assert out.filter(F.col("a").isNull() & F.col("b").isNull()).count() == len(rows)
