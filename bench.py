@@ -37,6 +37,16 @@ def main() -> None:
     warm = spark.range(1000).selectExpr("sum(id) as s")
     warm.write.format("noop").mode("overwrite").save()
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+    # Spawn the Arrow python-worker pool (first pandas UDF otherwise
+    # bills ~3s of fork+import to whichever query hits it first).
+    from pyspark.sql import functions as F
+
+    # lambda form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's hint inference can't resolve here
+    _warm_udf = F.pandas_udf(lambda x: x, "long")
+    spark.range(0, 64, 1, int(cpus)).select(_warm_udf(F.col("id"))).write.format(
+        "noop",
+    ).mode("overwrite").save()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -190,3 +190,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bck_li")
         spark.sql("DROP TABLE IF EXISTS bck_o")
+
+
+def test_no_unexpected_cartesian_in_any_query(spark, sf_dir):
+    # Global plan hygiene: no query may plan a cartesian/BNL join
+    # except those that broadcast a deliberately tiny side.
+    allowed = {
+        "cosine_topk",        # broadcast-nested-loop of the query set
+        "top_supplier",       # broadcast scalar max crossJoin
+        "rich_inactive_customers",  # broadcast scalar avg crossJoin
+    }
+    failures = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - surface plan bugs
+            failures.append(f"{name}: build failed {exc}")
+            continue
+        if name not in allowed and has_cartesian_product(df):
+            failures.append(name)
+    assert not failures, f"cartesian products in: {failures}"
