@@ -1909,6 +1909,39 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (mapInPandas,
+    Arrow binary buffers): one row per sampled chunk. Byte-chunking
+    stands in for a demuxer; the testdata text is pure ASCII so the
+    DuckDB oracle can slice VARCHAR and cast to BLOB byte-identically.
+    """
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(docs, "text"),
+        frame_stride=64,
+        max_frames=4,
+    )
+    return frames.orderBy("doc_id", "frame_idx")
+
+
+_ORACLE_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(least(4, greatest(octet_length(encode(text)) // 64, 1)) AS INT))) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS BLOB) AS frame_bytes
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1956,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "session_windows": q_session_windows,
         "asof_forward_tolerance": q_asof_forward_tolerance,
         "shipping_priority": q_shipping_priority,
@@ -2027,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _ORACLE_QUALITY_SCORE,
         "language_id": _ORACLE_LANGUAGE_ID,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
+        "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
         "session_windows": _ORACLE_SESSION_WINDOWS,
         "asof_forward_tolerance": _ORACLE_ASOF_FORWARD_TOLERANCE,
         "shipping_priority": _ORACLE_SHIPPING_PRIORITY,
