@@ -1476,13 +1476,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (same language, id distance ≤ 20) — the verify stage of the
     n-gram dedup path, oracle-checked end to end."""
     docs = _t(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("id_a"), "lang")
-    b = docs.select(F.col("doc_id").alias("id_b"), "lang")
+    # Banded candidate generation: with |id_b − id_a| ≤ 20, id_b's
+    # bucket (width 20) is id_a's bucket or the one before, so joining
+    # on (lang, bucket) with the right side emitting both buckets
+    # yields the same pairs as a full lang self-join at a fraction of
+    # the join output (O(n·window) instead of O(n²/|langs|)).
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), "lang",
+        F.floor(F.col("doc_id") / 20).alias("bucket"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), "lang",
+        F.explode(
+            F.array(F.floor(F.col("doc_id") / 20), F.floor(F.col("doc_id") / 20) - 1),
+        ).alias("bucket"),
+    )
     pairs = (
-        a.join(b, "lang")
+        a.join(b, ["lang", "bucket"])
         .filter((F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 20))
         .select("id_a", "id_b")
-    )
+    )  # no dedup needed: the two emitted buckets are distinct, so a
+    # pair can match on at most one of them
     out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=3)
     return (
         out.filter(F.col("jaccard") >= 0.1)
@@ -1942,6 +1956,37 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL entry point
+    (``register_tables`` + ``spark.sql``) — asymmetric set list that
+    neither cube nor rollup expresses."""
+    from rdsa_utils_spark.sources.readers import register_tables
+
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        ORDER BY orderstatus, orderpriority
+        """,
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+ORDER BY orderstatus, orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2005,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "rich_inactive_customers": q_rich_inactive_customers,
         "cube_revenue": q_cube_revenue,
+        "grouping_sets": q_grouping_sets,
         "ngram_jaccard": q_ngram_jaccard,
         "json_props": q_json_props,
         "interarrival": q_interarrival,
@@ -2076,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _ORACLE_DISJUNCTIVE_REVENUE,
         "rich_inactive_customers": _ORACLE_RICH_INACTIVE_CUSTOMERS,
         "cube_revenue": _ORACLE_CUBE_REVENUE,
+        "grouping_sets": _ORACLE_GROUPING_SETS,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "json_props": _ORACLE_JSON_PROPS,
         "interarrival": _ORACLE_INTERARRIVAL,
