@@ -1923,6 +1923,73 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup baseline (broadcast-GEMM
+    mapInPandas, no joins) — DuckDB-oracle-checked, unlike the LSH
+    variant whose recall is < 1 by design."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs_exact
+
+    pairs = cosine_near_dup_pairs_exact(emb, dim=64, threshold=0.35)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"),
+    ).orderBy("id_a", "id_b")
+
+
+_ORACLE_EMBEDDING_NEAR_DUPS_EXACT = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+FROM scored
+WHERE cos >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+def q_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (1 h window, 15 min slide) —
+    each event lands in duration/slide = 4 windows; same batch-first
+    ``F.window`` path works under readStream."""
+    from rdsa_utils_spark.streaming.windows_time import sliding_window_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_agg(
+        ev,
+        ts_col="ts",
+        duration="1 hour",
+        slide="15 minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+        },
+        keys=["event_type"],
+    ).orderBy("window_start", "event_type")
+
+
+_ORACLE_SLIDING_EVENTS = """
+WITH exploded AS (
+  SELECT event_type, value,
+         date_trunc('minute', ts)
+           - (CAST(extract(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE
+           - t.k * INTERVAL 15 MINUTE AS window_start
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) t
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM exploded
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing over binary payloads (mapInPandas,
     Arrow binary buffers): one row per sampled chunk. Byte-chunking
@@ -2051,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_inactive_customers": q_rich_inactive_customers,
         "cube_revenue": q_cube_revenue,
         "grouping_sets": q_grouping_sets,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "sliding_events": q_sliding_events,
         "ngram_jaccard": q_ngram_jaccard,
         "json_props": q_json_props,
         "interarrival": q_interarrival,
@@ -2123,6 +2192,8 @@ def oracle_sql() -> dict[str, str]:
         "rich_inactive_customers": _ORACLE_RICH_INACTIVE_CUSTOMERS,
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "grouping_sets": _ORACLE_GROUPING_SETS,
+        "embedding_near_dups_exact": _ORACLE_EMBEDDING_NEAR_DUPS_EXACT,
+        "sliding_events": _ORACLE_SLIDING_EVENTS,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
         "json_props": _ORACLE_JSON_PROPS,
         "interarrival": _ORACLE_INTERARRIVAL,

@@ -244,6 +244,68 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_exact(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_corpus_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates (cosine ≥ threshold,
+    ``id_a < id_b``) — the verification baseline for
+    ``cosine_near_dup_pairs``.
+
+    Plan: the (id, unit-vector) corpus is collected once and broadcast
+    to executors; a single ``mapInPandas`` pass over the same frame
+    scores each Arrow batch against the whole corpus with one float64
+    GEMM and emits only the surviving pairs. The plan has zero joins
+    and zero shuffles — the O(n²) work lives inside BLAS, and the
+    output is already the (sparse) survivor set. This is deliberately
+    the exact small-corpus path, guarded by ``max_corpus_rows``
+    (2M rows × 64 dims ≈ 1 GiB broadcast); beyond that the
+    LSH-bucketed ``cosine_near_dup_pairs`` delivers the same contract
+    with sub-quadratic candidate generation.
+    """
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"),
+    )
+    n_rows = src.count()
+    if n_rows > max_corpus_rows:
+        raise ValueError(
+            f"corpus has {n_rows} rows > max_corpus_rows={max_corpus_rows}; "
+            "use cosine_near_dup_pairs (LSH) for corpora beyond broadcast size",
+        )
+    pdf = src.toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    def score(batches):
+        c_ids, c_unit = bc.value
+        for batch in batches:
+            bmat = np.stack(batch["vec"].to_numpy()).astype(np.float64)
+            bn = np.linalg.norm(bmat, axis=1)
+            bn[bn == 0.0] = 1.0
+            sims = (bmat / bn[:, None]) @ c_unit.T  # (batch, corpus)
+            b_ids = batch["id"].to_numpy(dtype=np.int64)
+            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[rows],
+                    "id_b": c_ids[cols],
+                    "cosine": sims[rows, cols],
+                },
+            )
+
+    return src.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     dim: int,

@@ -217,3 +217,42 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     c2 = ivf_train_centroids(emb, dim=64, n_cells=4, iters=2)
     assert np.allclose(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_exact_near_dup_pairs_match_naive(spark):
+    import itertools
+
+    import numpy as np
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs_exact
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    vecs[11] = vecs[3] + 0.01 * rng.standard_normal(8).astype(np.float32)  # planted dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_near_dup_pairs_exact(df, dim=8, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+
+    m = vecs.astype(np.float64)
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = {
+        (a, b): float(unit[a] @ unit[b])
+        for a, b in itertools.combinations(range(40), 2)
+        if unit[a] @ unit[b] >= 0.5
+    }
+    assert set(got) == set(want)
+    assert (3, 11) in got
+    for pair, cos in want.items():
+        assert got[pair] == pytest.approx(cos, abs=1e-9)
+
+
+def test_exact_near_dup_pairs_corpus_guard(spark):
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs_exact
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_corpus_rows"):
+        cosine_near_dup_pairs_exact(df, dim=2, threshold=0.9, max_corpus_rows=3)
