@@ -1899,6 +1899,32 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs, "text").select("doc_id", "simhash").orderBy("doc_id")
 
 
+_ORACLE_SIMHASH_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (md5_number_upper(tok) >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM toks, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN
+               CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                    ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END
+             ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     from rdsa_utils_spark.operators.similarity import lsh_bucketed_topk
@@ -2023,6 +2049,76 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame: per-customer trailing-90-day spend via
+    ``rangeBetween`` on day numbers (peer rows included by value, not
+    position — the frame type the row-based queries can't express).
+    Day granularity is exact here: the testdata order dates are
+    midnight-only timestamps, so this matches the oracle's
+    ``RANGE … INTERVAL 90 DAY PRECEDING`` frame."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day_num).rangeBetween(-90, 0)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_90d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_ORACLE_TRAILING_REVENUE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_90d
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank and
+    cume_dist of customer balances within nation (unique c_custkey
+    tie-break keeps every rank deterministic)."""
+    from pyspark.sql import Window
+
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc(),
+    )
+    return (
+        customer.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_ACCTBAL_QUARTILES = """
+SELECT c_custkey, c_nationkey,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_custkey
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the engine's SQL entry point
     (``register_tables`` + ``spark.sql``) — asymmetric set list that
@@ -2118,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_inactive_customers": q_rich_inactive_customers,
         "cube_revenue": q_cube_revenue,
         "grouping_sets": q_grouping_sets,
+        "trailing_revenue": q_trailing_revenue,
+        "acctbal_quartiles": q_acctbal_quartiles,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "sliding_events": q_sliding_events,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2192,6 +2290,9 @@ def oracle_sql() -> dict[str, str]:
         "rich_inactive_customers": _ORACLE_RICH_INACTIVE_CUSTOMERS,
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "grouping_sets": _ORACLE_GROUPING_SETS,
+        "trailing_revenue": _ORACLE_TRAILING_REVENUE,
+        "acctbal_quartiles": _ORACLE_ACCTBAL_QUARTILES,
+        "simhash_fingerprints": _ORACLE_SIMHASH_FINGERPRINTS,
         "embedding_near_dups_exact": _ORACLE_EMBEDDING_NEAR_DUPS_EXACT,
         "sliding_events": _ORACLE_SLIDING_EVENTS,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
