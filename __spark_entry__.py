@@ -2049,6 +2049,70 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure filter-and-sum over the fact table — the
+    predicate set (date range + discount band + quantity cap) pushes
+    entirely into the parquet scan, no join or shuffle beyond the final
+    single-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24),
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+_ORACLE_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+_WAITING_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3, orders o2
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND o2.o_orderkey = l3.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue (late = shipped > 60 days after order date,
+    since the testdata carries no receipt/commit dates): suppliers who
+    were the sole late shipper on multi-supplier 'F' orders. Correlated
+    EXISTS / NOT EXISTS run through ``spark.sql`` — Catalyst
+    decorrelates them into semi-/anti-joins; the same text runs on the
+    DuckDB side verbatim."""
+    from rdsa_utils_spark.sources.readers import register_tables
+
+    register_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_WAITING_SUPPLIERS_SQL)
+
+
 def q_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based window frame: per-customer trailing-90-day spend via
     ``rangeBetween`` on day numbers (peer rows included by value, not
@@ -2214,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_inactive_customers": q_rich_inactive_customers,
         "cube_revenue": q_cube_revenue,
         "grouping_sets": q_grouping_sets,
+        "forecast_revenue": q_forecast_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
         "trailing_revenue": q_trailing_revenue,
         "acctbal_quartiles": q_acctbal_quartiles,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -2290,6 +2356,8 @@ def oracle_sql() -> dict[str, str]:
         "rich_inactive_customers": _ORACLE_RICH_INACTIVE_CUSTOMERS,
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "grouping_sets": _ORACLE_GROUPING_SETS,
+        "forecast_revenue": _ORACLE_FORECAST_REVENUE,
+        "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "trailing_revenue": _ORACLE_TRAILING_REVENUE,
         "acctbal_quartiles": _ORACLE_ACCTBAL_QUARTILES,
         "simhash_fingerprints": _ORACLE_SIMHASH_FINGERPRINTS,
