@@ -40,3 +40,17 @@ def extract_database_name(table_path: str) -> tuple[Optional[str], str]:
 def table_exists(spark: SparkSession, table_name: str) -> bool:
     """Whether a table/view is resolvable in the catalog."""
     return spark.catalog.tableExists(table_name)
+
+
+def refresh_table_metadata(spark: SparkSession, table_name: str) -> None:
+    """Invalidate and reload cached metadata/file listings for a table.
+
+    Capability parity: reference ``cdp/helpers/impala.py:10-80``
+    (``invalidate_impala_metadata`` — shells out to impala-shell to run
+    ``INVALIDATE METADATA`` after writing an intermediate Hive table).
+    Spark-native equivalent: ``spark.catalog.refreshTable`` drops the
+    table's cached metadata and file index so the next query re-lists
+    files — same staleness problem, no subprocess, works for any
+    catalog table or path-backed view.
+    """
+    spark.catalog.refreshTable(table_name)

@@ -345,3 +345,72 @@ def test_logger_advanced_and_env_helpers(tmp_path):
     py.write_text('[project]\nname = "x"\nversion = "1.0"\ndependencies = ["pandas"]\n')
     meta = parse_pyproject_metadata(str(py))
     assert meta["name"] == "x" and meta["dependencies"] == ["pandas"]
+
+
+def test_testing_utils_roundtrip(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from rdsa_utils_spark.testing import (
+        assert_approx_df_equality,
+        assert_df_equality,
+        create_dataframe,
+        create_spark_df,
+        to_date,
+        to_datetime,
+        to_spark,
+    )
+
+    # tuple-header builder, DDL-schema builder, pandas bridge
+    pdf = create_dataframe([("a", "b"), ("x", 1), ("y", 2)])
+    assert list(pdf.columns) == ["a", "b"] and len(pdf) == 2
+    df1 = create_spark_df(spark, [("a", "b"), ("x", 1), ("y", 2)])
+    df2 = create_spark_df(spark, ["a STRING, b BIGINT", ("x", 1), ("y", 2)])
+    df3 = to_spark(spark, pdf, schema="a string, b long")
+    assert_df_equality(df1, df2, sort_cols="a")
+    assert_df_equality(df2, df3, sort_cols="a")
+
+    assert to_date("2001-02-03") == datetime.date(2001, 2, 3)
+    assert to_datetime("2001-02-03 04:05") == datetime.datetime(2001, 2, 3, 4, 5)
+
+    close = create_spark_df(spark, ["a STRING, v DOUBLE", ("x", 1.0), ("y", 2.0)])
+    nudged = create_spark_df(
+        spark, ["a STRING, v DOUBLE", ("x", 1.0 + 1e-9), ("y", 2.0)],
+    )
+    assert_approx_df_equality(close, nudged, precision=1e-7, sort_cols="a")
+    with _pytest.raises(AssertionError, match="col v"):
+        assert_df_equality(close, nudged, sort_cols="a")
+    with _pytest.raises(AssertionError, match="schemas differ"):
+        assert_df_equality(df1, close)
+
+
+def test_parametrize_cases_builds_params():
+    from rdsa_utils_spark.testing import Case, parametrize_cases
+
+    mark = parametrize_cases(
+        Case(label="one", foo=1, bar="a"),
+        Case(label="two", foo=2),  # bar filled with None
+    )
+    assert mark.args[0] == "bar,foo"
+    params = mark.args[1]
+    assert [p.id for p in params] == ["one", "two"]
+    assert params[0].values == ("a", 1)
+    assert params[1].values == (None, 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="not an instance of Case"):
+        parametrize_cases(("not", "a", "case"))
+
+
+def test_refresh_table_metadata(spark, tmp_path):
+    from rdsa_utils_spark.sources.catalog import refresh_table_metadata
+
+    df = spark.range(5)
+    df.write.mode("overwrite").saveAsTable("refresh_probe")
+    try:
+        refresh_table_metadata(spark, "refresh_probe")  # no-op correctness probe
+        assert spark.table("refresh_probe").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS refresh_probe")
