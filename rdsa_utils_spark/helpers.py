@@ -52,6 +52,15 @@ def convert_types_iterable(iterable: Iterable, as_type: type) -> list:
     return [as_type(x) for x in iterable]
 
 
+def extend_lists(sections: Sequence[list], elements_to_add: Sequence) -> None:
+    """Append to each section, in place, the elements it doesn't
+    already contain (reference: helpers/python.py:44-111 — used to
+    extend column lists loaded from config files; mutates, returns
+    ``None``)."""
+    for section in sections:
+        section.extend([e for e in elements_to_add if e not in section])
+
+
 def interleave_iterables(first: Sequence, second: Sequence) -> list:
     if len(first) != len(second):
         raise ValueError("interleave_iterables: lengths must match")

@@ -136,6 +136,29 @@ def time_it(
     return decorate(_func) if callable(_func) else decorate
 
 
+def add_warning_message_to_function(
+    _func: Optional[Callable] = None,
+    *,
+    message: Optional[str] = None,
+    logger: Optional[logging.Logger] = None,
+) -> Callable:
+    """Decorator: log ``"<func_name>: <message>"`` at WARNING level on
+    every call (reference: logging.py:525-583 — used to flag
+    deprecated or sharp-edged helpers)."""
+
+    def decorate(func: Callable) -> Callable:
+        log = logger or logging.getLogger("rdsa_utils_spark")
+
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            log.warning("%s: %s", func.__name__, message or "")
+            return func(*args, **kwargs)
+
+        return wrapper
+
+    return decorate(_func) if callable(_func) else decorate
+
+
 def print_full_table_and_raise_error(
     df,
     message: str,

@@ -54,3 +54,20 @@ def refresh_table_metadata(spark: SparkSession, table_name: str) -> None:
     catalog table or path-backed view.
     """
     spark.catalog.refreshTable(table_name)
+
+
+def run_query(spark: SparkSession, query: str):
+    """Run a SQL query and return the (lazy) result DataFrame.
+
+    Capability parity: reference ``gcp/helpers/gcp_utils.py:29-31``
+    (``run_bq_query`` — submits SQL to the BigQuery client). Here the
+    engine IS the SQL executor: ``spark.sql`` parses/plans through
+    Catalyst against registered tables and views.
+    """
+    return spark.sql(query)
+
+
+def get_table_columns(spark: SparkSession, table_name: str) -> List[str]:
+    """Column names of a catalog table (reference:
+    ``gcp/helpers/gcp_utils.py:34-39`` — BigQuery schema fetch)."""
+    return spark.table(table_name).columns

@@ -47,6 +47,23 @@ def validate_file_path(path: str) -> str:
     return path
 
 
+def create_uri(bucket: str, key: str, scheme: str = "s3") -> str:
+    """Bucket + key → object-store URI (reference:
+    cdp/helpers/s3_utils.py:1984 ``create_s3_uri``; any scheme —
+    s3/s3a/gs/hdfs)."""
+    return f"{scheme}://{validate_bucket_name(bucket)}/{remove_leading_slash(key)}"
+
+
+def split_uri(uri: str) -> tuple:
+    """Object-store URI → (bucket, key) (reference:
+    cdp/helpers/s3_utils.py:2012 ``split_s3_uri``)."""
+    rest = uri.split("://", 1)
+    if len(rest) != 2 or not rest[1]:
+        raise InvalidS3FilePathError(f"Not an object-store URI: {uri!r}")
+    bucket, _, key = rest[1].partition("/")
+    return bucket, key
+
+
 class LocalFileSystemClient:
     """Local-FS implementation of the object-store verb set."""
 
@@ -111,6 +128,39 @@ class LocalFileSystemClient:
                     zf.write(f, f.relative_to(src))
         return True
 
+    def get_date_modified(self, path: str):
+        """Last-modified time as ``datetime`` (reference:
+        cdp/helpers/hdfs_utils.py:304 — `hadoop fs -stat %y`)."""
+        from datetime import datetime
+
+        return datetime.fromtimestamp(Path(path).stat().st_mtime)
+
+    def change_permissions(self, path: str, permission: str, recursive: bool = False) -> bool:
+        """Octal-string chmod, optionally recursive (reference:
+        cdp/helpers/hdfs_utils.py:48 — symbolic modes like 'go+rwx'
+        are not supported; pass octal, e.g. '755')."""
+        mode = int(permission, 8)
+        targets = [Path(path)]
+        if recursive:
+            targets += list(Path(path).rglob("*"))
+        for t in targets:
+            t.chmod(mode)
+        return True
+
+    def delete_old_files(self, path: str, older_than_days: float, dry_run: bool = False) -> List[str]:
+        """Delete files under ``path`` older than N days; returns the
+        affected paths (reference: cdp/helpers/s3_utils.py:1601
+        ``delete_old_objects_and_folders`` — age strings become a
+        day count here; ``dry_run`` lists without deleting)."""
+        import time
+
+        cutoff = time.time() - older_than_days * 86400.0
+        victims = [p for p in Path(path).rglob("*") if p.is_file() and p.stat().st_mtime < cutoff]
+        if not dry_run:
+            for p in victims:
+                p.unlink()
+        return sorted(str(p) for p in victims)
+
 
 class HadoopFileSystemClient:
     """Same verbs over Hadoop's ``FileSystem`` (s3a/gs/hdfs/file URIs).
@@ -173,6 +223,48 @@ class HadoopFileSystemClient:
 
             names = [n for n in names if fnmatch.fnmatch(n.rsplit("/", 1)[-1], pattern)]
         return sorted(names)
+
+    def get_date_modified(self, path: str):
+        """Last-modified time as ``datetime`` (reference:
+        cdp/helpers/hdfs_utils.py:304)."""
+        from datetime import datetime
+
+        millis = self._fs(path).getFileStatus(self._path(path)).getModificationTime()
+        return datetime.fromtimestamp(millis / 1000.0)
+
+    def change_permissions(self, path: str, permission: str, recursive: bool = False) -> bool:
+        """Octal-string chmod via ``FsPermission`` (reference:
+        cdp/helpers/hdfs_utils.py:48)."""
+        perm = self._jvm.org.apache.hadoop.fs.permission.FsPermission(
+            int(permission, 8),
+        )
+        fs = self._fs(path)
+        targets = [self._path(path)]
+        if recursive:
+            it = fs.listFiles(self._path(path), True)
+            while it.hasNext():
+                targets.append(it.next().getPath())
+        for t in targets:
+            fs.setPermission(t, perm)
+        return True
+
+    def delete_old_files(self, path: str, older_than_days: float, dry_run: bool = False) -> List[str]:
+        """Age-based cleanup (reference: cdp/helpers/s3_utils.py:1601)."""
+        import time
+
+        cutoff_ms = (time.time() - older_than_days * 86400.0) * 1000.0
+        fs = self._fs(path)
+        victims = []
+        it = fs.listFiles(self._path(path), True)
+        while it.hasNext():
+            status = it.next()
+            if status.getModificationTime() < cutoff_ms:
+                victims.append(status.getPath())
+        names = sorted(p.toString() for p in victims)
+        if not dry_run:
+            for p in victims:
+                fs.delete(p, False)
+        return names
 
 
 # ------------------------------------------------------------- pandas file IO

@@ -414,3 +414,95 @@ def test_refresh_table_metadata(spark, tmp_path):
         assert spark.table("refresh_probe").count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS refresh_probe")
+
+
+def test_extend_lists_and_warning_decorator(caplog):
+    import logging as _logging
+
+    from rdsa_utils_spark.helpers import extend_lists
+    from rdsa_utils_spark.logging_ import add_warning_message_to_function
+
+    a, b = ["col_a", "col_b"], ["col_b"]
+    extend_lists([a, b], ["col_c"])
+    assert a == ["col_a", "col_b", "col_c"]
+    assert b == ["col_b", "col_c"]
+    extend_lists([a], ["col_c"])  # idempotent: no duplicate append
+    assert a == ["col_a", "col_b", "col_c"]
+
+    @add_warning_message_to_function(message="here be dragons")
+    def risky(x):
+        return x + 1
+
+    with caplog.at_level(_logging.WARNING, logger="rdsa_utils_spark"):
+        assert risky(1) == 2
+    assert "risky: here be dragons" in caplog.text
+
+
+def test_object_uri_helpers():
+    import pytest as _pytest
+
+    from rdsa_utils_spark.exceptions import InvalidS3FilePathError
+    from rdsa_utils_spark.sources.objectstore import create_uri, split_uri
+
+    uri = create_uri("my-bucket", "/path/to/obj.txt", scheme="s3a")
+    assert uri == "s3a://my-bucket/path/to/obj.txt"
+    assert split_uri(uri) == ("my-bucket", "path/to/obj.txt")
+    assert split_uri("s3://b/k") == ("b", "k")
+    with _pytest.raises(InvalidS3FilePathError):
+        split_uri("not-a-uri")
+
+
+def test_local_client_mtime_perms_and_cleanup(tmp_path):
+    import os
+    import time
+
+    from rdsa_utils_spark.sources.objectstore import LocalFileSystemClient
+
+    client = LocalFileSystemClient()
+    old = tmp_path / "old.txt"
+    new = tmp_path / "sub" / "new.txt"
+    new.parent.mkdir()
+    old.write_text("old")
+    new.write_text("new")
+    stale = time.time() - 10 * 86400
+    os.utime(old, (stale, stale))
+
+    assert client.get_date_modified(str(new)).year >= 2026
+    assert client.change_permissions(str(tmp_path), "755", recursive=True)
+
+    victims = client.delete_old_files(str(tmp_path), older_than_days=7, dry_run=True)
+    assert victims == [str(old)] and old.exists()
+    victims = client.delete_old_files(str(tmp_path), older_than_days=7)
+    assert victims == [str(old)] and not old.exists() and new.exists()
+
+
+def test_hadoop_client_mtime_and_cleanup(spark, tmp_path):
+    import os
+    import time
+
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+    client = HadoopFileSystemClient(spark)
+    old = tmp_path / "old.txt"
+    keep = tmp_path / "keep.txt"
+    old.write_text("old")
+    keep.write_text("keep")
+    stale = time.time() - 10 * 86400
+    os.utime(old, (stale, stale))
+
+    assert client.get_date_modified(f"file:{keep}").year >= 2026
+    victims = client.delete_old_files(f"file:{tmp_path}", older_than_days=7, dry_run=True)
+    assert len(victims) == 1 and victims[0].endswith("old.txt") and old.exists()
+    victims = client.delete_old_files(f"file:{tmp_path}", older_than_days=7)
+    assert len(victims) == 1 and not old.exists() and keep.exists()
+
+
+def test_catalog_run_query_and_columns(spark):
+    from rdsa_utils_spark.sources.catalog import get_table_columns, run_query
+
+    spark.range(3).selectExpr("id", "id * 2 AS dbl").createOrReplaceTempView("rq_probe")
+    try:
+        assert run_query(spark, "SELECT SUM(dbl) AS s FROM rq_probe").collect()[0]["s"] == 6
+        assert get_table_columns(spark, "rq_probe") == ["id", "dbl"]
+    finally:
+        spark.catalog.dropTempView("rq_probe")
