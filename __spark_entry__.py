@@ -415,7 +415,9 @@ ORDER BY window_start, event_type
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    sess = sessionize_by_gap(ev, "ts", "user_id", gap_seconds=1800.0)
+    sess = sessionize_by_gap(
+        ev, "ts", "user_id", gap_seconds=1800.0, tiebreak_cols=["event_id"],
+    )
     return (
         sess.groupBy("user_id")
         .agg(
@@ -433,9 +435,11 @@ WITH gaps AS (
                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
-SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id,
+       CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM gaps
 GROUP BY user_id
 ORDER BY user_id
@@ -640,8 +644,19 @@ def q_cumulative_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["l_quantity"],
         ).alias("qtys"),
     )
+    # The driver's result canonicalizer can't hash list-typed cells, so
+    # project the array to a stable scalar: quantities are integral
+    # doubles in the testdata, so bigint-cast elements joined with ','
+    # are byte-identical across Spark and DuckDB.
     return per_order.select(
-        "l_orderkey", cumulative_array(F.col("qtys")).alias("cum_qty"),
+        "l_orderkey",
+        F.array_join(
+            F.transform(
+                cumulative_array(F.col("qtys")),
+                lambda x: x.cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("cum_qty"),
     )
 
 
@@ -653,7 +668,11 @@ WITH running AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
   FROM lineitem
 )
-SELECT l_orderkey, list(rq ORDER BY l_linenumber, l_quantity) AS cum_qty
+SELECT l_orderkey,
+       array_to_string(
+         list_transform(list(rq ORDER BY l_linenumber, l_quantity),
+                        x -> CAST(CAST(x AS BIGINT) AS VARCHAR)),
+         ',') AS cum_qty
 FROM running
 GROUP BY l_orderkey
 """
@@ -1672,7 +1691,13 @@ def q_month_end_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     + order counts per month-end."""
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.withColumn("month_end", F.last_day(F.col("o_orderdate").cast("date")))
+        # string-typed month_end: Spark surfaces DATE as python date
+        # objects while DuckDB yields datetime64 — same day, different
+        # hash representation; the ISO string is identical in both.
+        orders.withColumn(
+            "month_end",
+            F.last_day(F.col("o_orderdate").cast("date")).cast("string"),
+        )
         .groupBy("month_end")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1683,7 +1708,7 @@ def q_month_end_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MONTH_END_ORDERS = """
-SELECT last_day(CAST(o_orderdate AS DATE)) AS month_end,
+SELECT CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
 FROM orders
@@ -2033,7 +2058,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_stride=64,
         max_frames=4,
     )
-    return frames.orderBy("doc_id", "frame_idx")
+    # hex-encode the binary payload: the driver's canonicalizer can't
+    # hash bytearray cells, and hex is uppercase in both engines.
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame_bytes")).alias("frame_hex"),
+    ).orderBy("doc_id", "frame_idx")
 
 
 _ORACLE_MULTIMODAL_FRAMES = """
@@ -2043,7 +2072,7 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-       CAST(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS BLOB) AS frame_bytes
+       hex(CAST(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64) AS BLOB)) AS frame_hex
 FROM f
 ORDER BY doc_id, frame_idx
 """

@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "sf": ...}. Per-query timings go to BENCH_DETAIL.json next to
+this file (the full 70+-entry map overflowed the driver's stdout
+capture buffer in round 1, leaving the headline line unparseable).
 
 Each query is executed once with a count-style action (results fully
 materialized via a noop sink; nothing collected to the driver).
@@ -68,14 +70,35 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json",
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_time",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+    # Keep the stdout contract line small enough for any capture buffer:
+    # summary stats only, full per-query map in BENCH_DETAIL.json.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries_detail": "BENCH_DETAIL.json",
             },
         ),
     )

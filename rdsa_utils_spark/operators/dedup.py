@@ -133,9 +133,12 @@ def lsh_candidate_pairs(
 
     Pass ``signature_length`` (you know it: it's ``num_perm``) to keep
     the plan fully lazy; otherwise one probe action reads it from the
-    first row. ``cache=True`` persists the (small: id, band, hash)
-    banded frame so the self-join's two sides don't recompute the
-    signature pipeline.
+    first row. ``cache=True`` materializes the (small: id, band, hash)
+    banded frame via ``localCheckpoint`` so the self-join's two sides
+    don't recompute the signature pipeline; unlike ``persist()``, the
+    checkpoint blocks are reclaimed by Spark's ContextCleaner once the
+    frame is unreferenced, so repeated pipeline runs don't accumulate
+    executor storage (round-1 leak).
     """
     if signature_length is None:
         sig_len_row = df.select(F.size(signature_col).alias("n")).first()
@@ -167,7 +170,7 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("__id__", "bb.band", "bb.band_hash")
     if cache:
-        banded = banded.persist()
+        banded = banded.localCheckpoint(eager=True)
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -157,10 +157,23 @@ def range_join(
     (``F.sequence`` — cheap when ``bucket_width`` is chosen near the
     typical interval length); left points compute one bucket id. The
     equi-join on (by, bucket) is then an ordinary shuffled/broadcast
-    hash join, with the exact containment predicate applied as a
-    residual filter. Pick ``bucket_width`` ≈ median interval length so
-    explosion factor stays O(1).
+    hash join, with the exact containment predicate folded into the
+    join condition (NOT a post-join filter — that would silently turn
+    a left join back into an inner join by discarding NULL-extended
+    rows). Pick ``bucket_width`` ≈ median interval length so explosion
+    factor stays O(1).
+
+    ``how`` is limited to inner/left: the bucket grid explodes the
+    RIGHT side, so right/full-outer would surface one NULL-extended
+    row per *bucket* of an unmatched interval rather than one per
+    interval.
     """
+    if how not in {"inner", "left", "leftouter", "left_outer"}:
+        raise ValueError(
+            f"range_join supports inner/left joins, got {how!r} "
+            "(the right side is bucket-exploded; right/outer semantics "
+            "would duplicate unmatched intervals per bucket)",
+        )
     by_cols = [by] if isinstance(by, str) else list(by or [])
     lpt, rlo, rhi = F.col(left_point), F.col(right_lo), F.col(right_hi)
 
@@ -168,7 +181,7 @@ def range_join(
         "__bucket__", F.floor(lpt.cast("double") / F.lit(bucket_width)).cast("long"),
     )
     right_b = right.withColumn(
-        "__bucket__",
+        "__rbucket__",
         F.explode(
             F.sequence(
                 F.floor(rlo.cast("double") / F.lit(bucket_width)).cast("long"),
@@ -176,15 +189,21 @@ def range_join(
             ),
         ),
     )
-    cond = [left_b["__bucket__"] == right_b["__bucket__"]]
-    for c in by_cols:
-        cond.append(left_b[c] == right_b[c])
-    joined = left_b.join(right_b.drop(*by_cols) if by_cols else right_b, cond, how)
-    joined = joined.filter(
-        (F.col(left_point).cast("double") >= F.col(right_lo).cast("double"))
-        & (F.col(left_point).cast("double") < F.col(right_hi).cast("double")),
+    # Temp-rename right by-columns instead of dropping them pre-join
+    # (referencing a dropped column raised MISSING_ATTRIBUTES).
+    by_tmp = {c: f"__rj_by_{c}__" for c in by_cols}
+    for c, tmp in by_tmp.items():
+        right_b = right_b.withColumnRenamed(c, tmp)
+
+    cond = (
+        (left_b["__bucket__"] == right_b["__rbucket__"])
+        & (left_b[left_point].cast("double") >= right_b[right_lo].cast("double"))
+        & (left_b[left_point].cast("double") < right_b[right_hi].cast("double"))
     )
-    return joined.drop("__bucket__")
+    for c, tmp in by_tmp.items():
+        cond = cond & (left_b[c] == right_b[tmp])
+    joined = left_b.join(right_b, cond, how)
+    return joined.drop("__bucket__", "__rbucket__", *by_tmp.values())
 
 
 def salted_join(

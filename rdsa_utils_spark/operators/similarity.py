@@ -221,11 +221,14 @@ def cosine_near_dup_pairs(
     # Bucket-join and dedup on BARE ids — (table, bucket, id) is three
     # longs per row, so the candidate-pair explosion and the
     # dropDuplicates shuffle stay narrow. Vector payloads are attached
-    # only to the surviving distinct pairs. Persist: the self-join
-    # would otherwise run the bucketize UDF once per side.
+    # only to the surviving distinct pairs. localCheckpoint: the
+    # self-join would otherwise run the bucketize UDF once per side,
+    # and (unlike persist) its blocks are auto-reclaimed by the
+    # ContextCleaner when the frame goes out of scope — no storage
+    # leak across repeated pipeline runs.
     b = _with_buckets(
         df, id_col, vec_col, "nid", dim, bits, num_tables, seed, keep_vec=False,
-    ).persist()
+    ).localCheckpoint(eager=True)
     pairs = (
         b.select("table", "bucket", F.col("nid").alias("id_a"))
         .join(b.select("table", "bucket", F.col("nid").alias("id_b")), ["table", "bucket"])

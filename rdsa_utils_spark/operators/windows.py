@@ -114,6 +114,7 @@ def drop_duplicates_reproducible(
     across cluster sizes (the reference has the same hidden caveat).
     """
     keys = [col] if isinstance(col, str) else list(col)
+    made_tiebreaker = False
     if id_col is None:
         warnings.warn(
             "drop_duplicates_reproducible: no id_col given; falling back to "
@@ -124,13 +125,17 @@ def drop_duplicates_reproducible(
         )
         df = df.withColumn("__dedup_id__", F.monotonically_increasing_id())
         id_col = "__dedup_id__"
+        made_tiebreaker = True
     w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
     out = (
         df.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
-    return out.drop("__dedup_id__") if "__dedup_id__" in out.columns else out
+    # Only drop the helper column this function itself created — a
+    # user column that happens to be named __dedup_id__ (passed as an
+    # explicit id_col or just present) must survive.
+    return out.drop("__dedup_id__") if made_tiebreaker else out
 
 
 def top_k_per_group(

@@ -228,7 +228,11 @@ def build_sql_query(
     if column_filter_dict:
         for col, values in column_filter_dict.items():
             formatted = [
-                f"'{v}'" if isinstance(v, str) else str(v) for v in values
+                # ANSI quoting: double any embedded single quote so a
+                # value like "O'Brien" yields 'O''Brien' instead of
+                # malformed (and injectable) SQL.
+                "'" + v.replace("'", "''") + "'" if isinstance(v, str) else str(v)
+                for v in values
             ]
             ors = " OR ".join(f"{col} = {v}" for v in formatted)
             where_clauses.append(f"({ors})")

@@ -100,15 +100,23 @@ def sessionize_by_gap(
     key_cols: Union[str, Sequence[str]],
     gap_seconds: float,
     session_col: str = "session_id",
+    tiebreak_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Assign a per-key session id: a new session starts when the gap
     from the previous event exceeds ``gap_seconds``.
 
     Batch idiom: lag(ts) over (key order by ts) → gap>threshold flag →
     running sum of flags = session ordinal. One shuffle on the key.
+
+    ``tiebreak_cols`` (e.g. a unique event id) makes the window ordering
+    total when timestamps can collide — the session *count* per key is
+    tie-invariant (equal timestamps always have gap 0), but per-row
+    session ids are only reproducible run-to-run with a total order.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()]
+    order += [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = (
         prev_ts.isNull()

