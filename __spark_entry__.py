@@ -1917,6 +1917,117 @@ def q_minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "source").orderBy("doc_id")
 
 
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding candidate pairs, oracle-checked END TO END:
+    shingle md5 hashes → 64 seeded universal-hash permutation minima →
+    16 bands of 4 → md5-prefix band hash → bucket self-join. Every
+    stage is ANSI-SQL-reproducible (the DuckDB oracle inlines the same
+    seeded coefficients), so the driver hash-checks the exact pair set
+    the banding emits — not just a row count."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(docs, "text", num_perm=64, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", "minhash", num_bands=16, signature_length=64,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _oracle_lsh_candidates() -> str:
+    """Build the DuckDB oracle for q_lsh_candidates with the SAME
+    seeded permutation coefficients the engine uses (single source of
+    truth: dedup.minhash_coefficients). md5_number_upper(x) equals the
+    engine's int.from_bytes(md5(x).digest()[:8], 'little') — proven by
+    the simhash oracle in round 1."""
+    from rdsa_utils_spark.operators.dedup import MINHASH_P, minhash_coefficients
+
+    a_co, b_co = minhash_coefficients(64)
+    sig_elems = ",\n           ".join(
+        "list_aggregate(list_prepend(CAST(2147483647 AS BIGINT), "
+        f"list_transform(hs, v -> ({int(a_co[j])} * v + {int(b_co[j])}) % {MINHASH_P})), 'min')"
+        for j in range(64)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 1) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS sh
+  FROM t
+), h AS (
+  SELECT doc_id,
+         list_transform(sh, x -> CAST(md5_number_upper(x) % {MINHASH_P} AS BIGINT)) AS hs
+  FROM s
+), sig AS (
+  SELECT doc_id,
+         [{sig_elems}] AS sig
+  FROM h
+), bands AS (
+  SELECT doc_id, CAST(bb.b AS INT) AS band,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 13), i ->
+               CAST((strpos('0123456789abcdef',
+                            substr(md5(array_to_string(
+                                     list_slice(sig, CAST(bb.b AS INT) * 4 + 1,
+                                                     CAST(bb.b AS INT) * 4 + 4), ',')),
+                                   i, 1)) - 1)
+                    * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+           (x, y) -> x + y) AS band_hash
+  FROM sig, (SELECT unnest(range(16)) AS b) bb
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _oracle_minhash_near_dedup() -> str:
+    """Extend the lsh_candidates oracle with the exact-Jaccard verify
+    and keep-min-id anti-join, reproducing minhash_near_dedup end to
+    end in SQL. The verify uses string shingle sets (list_intersect)
+    — the engine intersects 64-bit md5 hash sets, identical unless an
+    md5 collision occurs inside one document pair (~2⁻⁶⁴)."""
+    base = _oracle_lsh_candidates()
+    # strip the trailing SELECT ... ORDER BY of the candidates oracle,
+    # keeping the WITH-chain open for the extra CTEs
+    head = base[: base.index("SELECT DISTINCT")].rstrip().rstrip(")")
+    return (
+        head
+        + """),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN s sa ON sa.doc_id = p.id_a
+  JOIN s sb ON sb.doc_id = p.id_b
+  WHERE CASE WHEN len(sa.sh) = 0 AND len(sb.sh) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))) END >= 0.8
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_b FROM verified)
+ORDER BY d.doc_id
+"""
+    )
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from rdsa_utils_spark.operators.dedup import simhash_signatures
@@ -2323,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "doc_fingerprint": q_doc_fingerprint,
         "rolling_hash_fingerprint": q_rolling_hash_fingerprint,
+        "lsh_candidates": q_lsh_candidates,
         "ivf_topk": q_ivf_topk,
         "minhash_near_dedup": q_minhash_near_dedup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2402,12 +2514,17 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _ORACLE_TOP_SUPPLIER,
         "doc_fingerprint": _ORACLE_DOC_FINGERPRINT,
         "rolling_hash_fingerprint": _ORACLE_ROLLING_HASH_FINGERPRINT,
+        "lsh_candidates": _oracle_lsh_candidates(),
+        "minhash_near_dedup": _oracle_minhash_near_dedup(),
         # ivf_topk: k-means cell assignment is not SQL-expressible —
         # rows-only check; exact counterpart cosine_topk is verified.
         # approx_sketches: HLL/KLL sketch algorithms are engine-specific
         # (Spark HLL++ vs DuckDB HLL) — rows-only check; the exact
         # counterparts are oracle-verified above.
-        # minhash_near_dedup / simhash_fingerprints / lsh_cosine_topk /
-        # embedding_near_dups: LSH bucketing & salted-hash signatures are
-        # not ANSI-SQL-expressible — driver's rows-only check applies.
+        # lsh_cosine_topk / embedding_near_dups: random-hyperplane
+        # bucketing needs float matrix products per doc — not
+        # ANSI-SQL-expressible; driver's rows-only check applies. Their
+        # exact counterparts (cosine_topk, embedding_near_dups_exact)
+        # and the MinHash-LSH text path (lsh_candidates,
+        # minhash_near_dedup) are fully oracle-verified.
     }

@@ -3,9 +3,9 @@
 No reference equivalent (extension surface). Designed for 100 TB:
 - ``exact_dedup`` — fingerprint (md5 of normalized text) + one
   hash-partitioned window; keeps the smallest id per fingerprint.
-- ``minhash_signatures`` — per-doc MinHash signature computed entirely
-  with native expressions: shingle → per-permutation ``xxhash64`` →
-  ``array_min``. No UDF, no shuffle.
+- ``minhash_signatures`` — per-doc MinHash signature in one Arrow
+  pass: md5-based shingle hashes → seeded universal-hash permutations
+  → vectorized segment minima. No shuffle; SQL-reproducible.
 - ``lsh_candidate_pairs`` — banding: signature sliced into ``b`` bands,
   each band hashed, exploded, and self-joined on (band_id, band_hash).
   The join is an equi-join on a well-distributed hash — shuffles scale
@@ -54,6 +54,27 @@ def exact_dedup(
     )
 
 
+#: Modulus for MinHash universal hashing (2³¹−1, prime). Products
+#: a·h with a,h < P stay below 2⁶², overflow-safe in int64/BIGINT.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coefficients(num_perm: int):
+    """The (a_j, b_j) universal-hash coefficients used by
+    :func:`minhash_signatures`, as two int64 numpy arrays.
+
+    Exposed so an external checker (e.g. an ANSI-SQL oracle) can
+    reproduce signatures bit-for-bit: seeded, so deterministic across
+    processes and executors.
+    """
+    import numpy as np
+
+    gen = np.random.default_rng(1_234_567)
+    a_co = gen.integers(1, MINHASH_P, size=num_perm).astype(np.int64)
+    b_co = gen.integers(0, MINHASH_P, size=num_perm).astype(np.int64)
+    return a_co, b_co
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -76,10 +97,8 @@ def minhash_signatures(
     """
     import numpy as np
 
-    p = 2_147_483_647
-    gen = np.random.default_rng(1_234_567)
-    a_co = gen.integers(1, p, size=num_perm).astype(np.int64)
-    b_co = gen.integers(0, p, size=num_perm).astype(np.int64)
+    p = MINHASH_P
+    a_co, b_co = minhash_coefficients(num_perm)
     n = shingle_n
 
     @F.pandas_udf("array<long>")
@@ -131,6 +150,11 @@ def lsh_candidate_pairs(
     scale unless a band value is degenerate (e.g. empty docs; filter
     them upstream).
 
+    The band hash is the first 12 hex digits of md5 over the band's
+    comma-joined signature values, parsed base-16 (48 bits — narrow
+    join key, uniform, and — unlike ``xxhash64`` — reproducible in
+    ANSI SQL, so the whole banding pipeline is oracle-checkable).
+
     Pass ``signature_length`` (you know it: it's ``num_perm``) to keep
     the plan fully lazy; otherwise one probe action reads it from the
     first row. ``cache=True`` materializes the (small: id, band, hash)
@@ -154,15 +178,25 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(signature_col, b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.element_at(signature_col, b * rows_per_band + r + 1)
+                                            for r in range(rows_per_band)
+                                        ],
+                                    ),
+                                ),
+                                1,
+                                12,
                             ),
-                        ).alias("band_hash"),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("band_hash"),
                     )
                     for b in range(num_bands)
                 ],
@@ -189,64 +223,137 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def shingle_hash_sets(
+    df: DataFrame,
+    text_col: str,
+    shingle_n: int = 3,
+    out_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Attach each doc's distinct word-``shingle_n``-gram set as a
+    SORTED array of 64-bit md5 hashes (``array<long>``).
+
+    One Arrow-vectorized pass; ~8 bytes per shingle instead of the
+    shingle string itself, so downstream joins carry a narrow payload.
+    Hashing is md5 first-8-bytes little-endian (the same primitive the
+    SimHash oracle proved equal to DuckDB's ``md5_number_upper``), so
+    set algebra over these arrays is ANSI-SQL-reproducible. Collisions
+    are ~2⁻⁶⁴ per shingle pair — set sizes are exact in practice.
+    """
+    n = shingle_n
+
+    @F.pandas_udf("array<long>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if not toks:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            m = max(len(toks) - n + 1, 1)
+            s = {" ".join(toks[i : i + n]) for i in range(m)}
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(x.encode("utf-8")).digest()[:8], "little")
+                    for x in s
+                ),
+                dtype=np.uint64,
+                count=len(s),
+            ).view(np.int64)
+            h.sort()
+            out.append(h)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _sh(F.col(text_col)))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
+    sets_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for each (id_a, id_b) candidate pair.
 
-    Two broadcast-friendly joins attach shingle arrays, then pure
-    array expressions compute |∩| / |∪|.
+    Each document is shingled ONCE per plan consumer
+    (``shingle_hash_sets`` — a doc can appear in many candidate pairs,
+    and round-1 profiling showed per-pair re-shingling was the single
+    slowest bench line). The narrow (id, sorted-hash-array) frame
+    joins to the pairs twice; |∩| is then a vectorized sorted-array
+    intersection per pair — numpy ``intersect1d`` on pre-sorted unique
+    arrays, no Python string work on the hot path. |A∪B| =
+    |A|+|B|−|∩|, so jaccard is a ratio of exact integers,
+    bit-identical to the ANSI-SQL oracle.
+
+    The sets frame is deliberately NOT checkpointed here: when the
+    corpus is small enough Catalyst plans both attach joins as
+    broadcast hash joins over ONE shared broadcast exchange
+    (ReusedExchange), so the shingle UDF runs once and the pairs never
+    shuffle. (A ``localCheckpoint`` was measurably worse: a
+    checkpointed frame has no size statistics, which forces two
+    shuffled sort-merge joins.) At 100 TB the optimizer falls back to
+    sort-merge and the UDF would run once per join side — callers at
+    that scale pass ``sets_df`` (precomputed via
+    :func:`shingle_hash_sets`, persisted at the call site where its
+    lifetime is known, and unpersisted after the action).
     """
-    from rdsa_utils_spark.plans.tuning import ensure_parallelism
 
-    n = shingle_n
-
-    # ONE Arrow-vectorized UDF computes shingle-set Jaccard straight
-    # from the two texts. The expression-tree equivalents
-    # (sequence/transform/slice + array_intersect) are interpreted, not
-    # codegen'd, and were ~10× slower; an intermediate shingle-array
-    # frame costs an extra UDF stage + fat join payloads. Re-shingling
-    # per pair is O(candidate pairs) Python string work — candidates
-    # are a tiny fraction of the corpus by construction. A per-batch
-    # memo dedups repeated docs inside a batch. Set sizes are exact
-    # integers, so jaccard = |∩|/|∪| is bit-identical to the ANSI-SQL
-    # oracle.
     @F.pandas_udf("double")
-    def _jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        memo: dict[str, frozenset] = {}
+    def _jaccard_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        import numpy as np
 
-        def sh(t: str) -> frozenset:
-            s = memo.get(t)
-            if s is None:
-                toks = (t or "").split()
-                if not toks:
-                    s = frozenset()
-                else:
-                    m = max(len(toks) - n + 1, 1)
-                    s = frozenset(" ".join(toks[i : i + n]) for i in range(m))
-                memo[t] = s
-            return s
-
-        vals = []
-        for a, b in zip(ta, tb):
-            xa, xb = sh(a), sh(b)
-            union = len(xa | xb)
-            vals.append(len(xa & xb) / union if union else 0.0)
+        vals = np.zeros(len(sa), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(sa, sb)):
+            na, nb = len(a), len(b)
+            if na == 0 and nb == 0:
+                continue
+            inter = np.intersect1d(
+                np.asarray(a, dtype=np.int64),
+                np.asarray(b, dtype=np.int64),
+                assume_unique=True,
+            ).size
+            vals[i] = inter / (na + nb - inter)
         return pd.Series(vals)
 
-    texts = df.select(F.col(id_col).alias("__tid__"), F.col(text_col).alias("__txt__"))
+    if sets_df is None:
+        from rdsa_utils_spark.plans.tuning import ensure_parallelism
+
+        sets_df = shingle_hash_sets(
+            ensure_parallelism(df.select(F.col(id_col), F.col(text_col))),
+            text_col,
+            shingle_n,
+            "__sh__",
+        ).select(F.col(id_col).alias("__tid__"), "__sh__")
+    else:
+        id_c, sh_c = sets_df.columns[0], sets_df.columns[1]
+        sets_df = sets_df.select(
+            F.col(id_c).alias("__tid__"), F.col(sh_c).alias("__sh__"),
+        )
+    # Join on explicit conditions and project AFTER each join so both
+    # join sides reference the same sets_df subtree (best case the
+    # planner shares one broadcast exchange; worst case the shingle
+    # pass runs once per side — it is a narrow 0.7s-per-5k-docs
+    # vectorized stage, and large-corpus callers inject a persisted
+    # ``sets_df`` anyway).
+    sa = sets_df.alias("__sa_side__")
+    sb = sets_df.alias("__sb_side__")
     out = (
-        ensure_parallelism(pairs)
-        .join(texts.select(F.col("__tid__").alias("id_a"), F.col("__txt__").alias("__ta__")), "id_a")
-        .join(texts.select(F.col("__tid__").alias("id_b"), F.col("__txt__").alias("__tb__")), "id_b")
+        pairs
+        .join(sa, F.col("id_a") == F.col("__sa_side__.__tid__"))
+        .withColumnRenamed("__sh__", "__sa__")
+        .drop("__tid__")
+        .join(sb, F.col("id_b") == F.col("__sb_side__.__tid__"))
+        .withColumnRenamed("__sh__", "__sb__")
+        .drop("__tid__")
     )
     return out.withColumn(
-        "jaccard", _jaccard_udf(F.col("__ta__"), F.col("__tb__")),
-    ).drop("__ta__", "__tb__")
+        "jaccard", _jaccard_udf(F.col("__sa__"), F.col("__sb__")),
+    ).drop("__sa__", "__sb__")
 
 
 def minhash_near_dedup(
