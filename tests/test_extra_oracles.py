@@ -1,0 +1,86 @@
+"""Every retired query (``__spark_entry__.extra_queries()``) stays
+oracle-checked here, at sf0.001, with the same comparison the driver
+applies to the declared registry: row count, column names, and an
+order-insensitive exact value comparison against the DuckDB oracle.
+
+The declared registry itself is verified by the driver (and by
+``tools/check_oracle.py`` locally); this module guards the retired
+set so consolidating the driver window never silently un-verifies an
+operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _rows_key(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')",
+        )
+    yield con
+    con.close()
+
+
+def test_registry_contract():
+    """Driver window invariants: ≤50 declared queries (the driver
+    verdicts exactly 50), oracle-backed ones strictly before the
+    rows-only tail, extras disjoint and fully oracle-backed."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    extras = entrymod.extra_queries()
+    extra_oracles = entrymod.extra_oracle_sql()
+    assert len(qs) <= 50
+    assert set(oracles) <= set(qs)
+    flags = [name in oracles for name in qs]
+    assert flags == sorted(flags, reverse=True), (
+        "oracle-backed queries must precede rows-only ones in registry order"
+    )
+    assert not (set(qs) & set(extras))
+    assert set(extras) == set(extra_oracles)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.extra_queries()))
+def test_extra_query_matches_oracle(spark, duck, name):
+    fn = entrymod.extra_queries()[name]
+    sql = entrymod.extra_oracle_sql()[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck_res = duck.execute(sql)
+    duck_cols = [d[0] for d in duck_res.description]
+    duck_rows = duck_res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _rows_key(spark_rows, spark_cols) == _rows_key(duck_rows, duck_cols)

@@ -1,12 +1,13 @@
 """Local stand-in for the driver's correctness gate.
 
-Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
-against ``oracle_sql()`` via DuckDB: row count, column names, and an
-order-insensitive value comparison (sorted rows, columns sorted by
-name). Floats compared exactly after string normalization — same
-strictness as a value hash.
+Runs every ``__spark_entry__.queries()`` AND ``extra_queries()`` entry
+at sf0.01 and compares against ``oracle_sql()`` / ``extra_oracle_sql()``
+via DuckDB: row count, column names, and an order-insensitive value
+comparison (sorted rows, columns sorted by name). Floats compared
+exactly after string normalization — same strictness as a value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --main-only
 """
 
 from __future__ import annotations
@@ -55,8 +56,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')",
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if "--main-only" in only:
+        only.discard("--main-only")
+    else:
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
