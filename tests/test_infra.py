@@ -506,3 +506,104 @@ def test_catalog_run_query_and_columns(spark):
         assert get_table_columns(spark, "rq_probe") == ["id", "dbl"]
     finally:
         spark.catalog.dropTempView("rq_probe")
+
+
+# ----------------------------------------------------- EC2 cost model + report
+
+
+def test_extract_instance_specs():
+    from rdsa_utils_spark.eventlog import extract_instance_specs
+
+    specs = extract_instance_specs("m5.2xlarge")
+    assert specs == {"vcpu": 8, "memory_gb": 32.0, "family": "General Purpose"}
+    assert extract_instance_specs("r5.xlarge")["memory_gb"] == 32.0
+    assert extract_instance_specs("c5.large")["family"] == "Compute optimised"
+    assert extract_instance_specs("zz9.mega") is None
+    assert extract_instance_specs("not-an-instance") is None
+
+
+def test_get_matching_instance_cheapest_fit():
+    from rdsa_utils_spark.eventlog import InstanceType, get_matching_instance
+
+    # cheapest instance covering 12 GB / 8 cores: c6a.8xlarge has the
+    # lowest per-vCPU rate but 8xlarge jumps to 32 vCPU; among 8-vCPU
+    # shapes c6a.2xlarge (16 GB) fits and is cheapest.
+    inst = get_matching_instance(memory_gb=12, cores=8)
+    assert inst.vcpu >= 8 and inst.memory_gb >= 12
+    assert inst.name == "c6a.2xlarge"
+
+    # explicit catalog override wins
+    tiny = [InstanceType("x.test", 96, 1024.0, 1.0, "General Purpose")]
+    assert get_matching_instance(500, 64, tiny).name == "x.test"
+
+    with pytest.raises(ValueError):
+        get_matching_instance(10_000_000, 4)
+    with pytest.raises(ValueError):
+        get_matching_instance(1, 1, instances=[])
+
+
+def test_calculate_emr_pipeline_cost():
+    from rdsa_utils_spark.eventlog import calculate_emr_pipeline_cost
+
+    summary = {
+        "executor_memory_gb": 6.0,
+        "peak_executors": 2,
+        "total_cores": 8,
+        "start_time_ms": 1_700_000_000_000,
+        "end_time_ms": 1_700_003_600_000,  # exactly 1 hour
+    }
+    cost = calculate_emr_pipeline_cost(summary)
+    rec = cost["instance_recommendation"]
+    assert rec["vcpu"] >= 8 and rec["memory_gb"] >= 12.0
+    assert cost["runtime"]["hours"] == pytest.approx(1.0)
+    assert rec["emr_price"] == pytest.approx(rec["ec2_price"] * 1.25, abs=1e-4)
+    assert cost["costs"]["pipeline_cost"] == pytest.approx(rec["emr_price"], abs=1e-3)
+    assert cost["costs"]["emr_surcharge"] > 0
+
+    flat = calculate_emr_pipeline_cost(summary, apply_emr_surcharge=False)
+    assert flat["costs"]["pipeline_cost"] == pytest.approx(rec["ec2_price"], abs=1e-3)
+    assert flat["costs"]["emr_surcharge"] == 0
+
+
+def test_generate_report(tmp_path):
+    from rdsa_utils_spark.report import generate_report
+
+    engine_summary = {
+        "app_name": "demo",
+        "start_time_ms": 1_700_000_000_000,
+        "end_time_ms": 1_700_000_360_000,
+        "runtime_seconds": 360.0,
+        "total_cores": 8,
+        "executor_memory_gb": 10.0,
+        "peak_executors": 2,
+        "log_file": "/logs/app-1",
+    }
+    reference_shape = {
+        "file_path": "user/test/eventlog_v2_spark-1234/events_1_spark-1234",
+        "log_metrics": {"Pipeline Name": "TestApp", "Timestamp": 1_739_793_526_775},
+        "cost_metrics": {
+            "runtime": {"milliseconds": 10_000},
+            "costs": {"pipeline_cost": 0.0001},
+        },
+    }
+    out = tmp_path / "report.html"
+    text = generate_report([engine_summary, reference_shape], str(out))
+    assert out.exists() and out.read_text() == text
+    assert "demo" in text and "TestApp" in text and "<table>" in text
+    assert "app-1" in text  # log file column
+
+    md = generate_report([engine_summary], str(tmp_path / "report.md"), fmt="md")
+    assert md.startswith("# PySpark pipeline report")
+    assert "| demo |" in md
+
+    with pytest.raises(ValueError):
+        generate_report([], str(tmp_path / "x.txt"), fmt="pdf")
+
+
+def test_hadoop_client_change_permissions(spark, tmp_path):
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+    client = HadoopFileSystemClient(spark)
+    f = tmp_path / "perm.txt"
+    f.write_text("x")
+    assert client.change_permissions(f"file:{tmp_path}", "755", recursive=True)
