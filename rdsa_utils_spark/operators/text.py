@@ -13,6 +13,9 @@ hot path.
 - ``with_language_id`` — n-gram/stopword-overlap language heuristic.
 - ``with_fingerprint`` — document fingerprints: exact (md5 of
   normalized text) and shingle fingerprint arrays for near-dup work.
+- ``repetition_stats`` — Gopher-style n-gram repetition diagnostics.
+- ``redact_pii`` — email / IPv4 / phone regex scrubbing + counts.
+- ``chunk_documents`` — fixed-size token windows with overlap.
 """
 
 from __future__ import annotations
@@ -167,3 +170,188 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.when(k == 0, F.array().cast("array<string>")).otherwise(ngrams)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition diagnostics per document, on token
+    n-grams (line-based variants degenerate on single-line corpora):
+
+    - ``n_tokens`` — token occurrences,
+    - ``ttr`` — type-token ratio (distinct / total unigrams),
+    - ``top_bigram_frac`` — share of bigram occurrences taken by the
+      single most frequent bigram (0 when < 2 tokens),
+    - ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats of an earlier trigram, i.e. (total − distinct) / total
+      (0 when < 3 tokens).
+
+    Ratios rounded to 6 decimals for cross-engine hash stability.
+    Highly repetitive machine-generated text scores low ttr / high
+    top_bigram_frac / high dup_trigram_frac — the standard cheap
+    repetition filter from public LLM data-quality reports.
+
+    100 TB posture: one posexplode + one lead() window build all three
+    gram streams (every expression codegen'd — no interpreted
+    higher-order array lambdas, measured ~10× slower for this shape);
+    gram counting is a hash aggregation whose map-side partial combine
+    collapses within-document repeats before the (id, n, gram) shuffle;
+    the final per-document rollup re-uses the id hash partitioning.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__p__")
+    k = F.count("*").over(Window.partitionBy(id_col))
+    # Window expressions must be materialized in their own projection
+    # before they can appear inside explode/filter lambdas.
+    led = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__p__", "__t__"),
+    ).select(
+        id_col,
+        "__p__",
+        "__t__",
+        F.lead("__t__", 1).over(w).alias("__t2__"),
+        F.lead("__t__", 2).over(w).alias("__t3__"),
+        k.alias("__k__"),
+    )
+    t1, t2, t3 = F.col("__t__"), F.col("__t2__"), F.col("__t3__")
+    grams = F.filter(
+        F.array(
+            F.struct(F.lit(1).alias("n"), t1.alias("g")),
+            F.struct(
+                F.lit(2).alias("n"),
+                F.when(
+                    F.col("__p__") + 2 <= F.col("__k__"), F.concat_ws(" ", t1, t2),
+                ).alias("g"),
+            ),
+            F.struct(
+                F.lit(3).alias("n"),
+                F.when(
+                    F.col("__p__") + 3 <= F.col("__k__"), F.concat_ws(" ", t1, t2, t3),
+                ).alias("g"),
+            ),
+        ),
+        lambda s: s["g"].isNotNull(),
+    )
+    exploded = led.select(id_col, F.explode(grams).alias("__gram__")).select(
+        id_col, F.col("__gram__.n").alias("__n__"), F.col("__gram__.g").alias("__g__"),
+    )
+    counts = exploded.groupBy(id_col, "__n__", "__g__").agg(F.count("*").alias("__c__"))
+    per_n = counts.groupBy(id_col, "__n__").agg(
+        F.sum("__c__").alias("__total__"),
+        F.count("*").alias("__distinct__"),
+        F.max("__c__").alias("__top__"),
+    )
+
+    def _stat(n: int, col: str):
+        return F.max(F.when(F.col("__n__") == n, F.col(col)))
+
+    return per_n.groupBy(id_col).agg(
+        _stat(1, "__total__").alias("n_tokens"),
+        F.round(_stat(1, "__distinct__") / _stat(1, "__total__"), 6).alias("ttr"),
+        F.round(
+            F.coalesce(_stat(2, "__top__") / _stat(2, "__total__"), F.lit(0.0)), 6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(
+                (_stat(3, "__total__") - _stat(3, "__distinct__")) / _stat(3, "__total__"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB/oracle): no backreferences, no
+# lookaround, explicit character classes.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_PATTERN = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    count_matches: bool = True,
+) -> DataFrame:
+    """Regex PII scrubbing — the standard pre-training redaction pass:
+    emails → ``<EMAIL>``, IPv4 addresses → ``<IP>``, phone-shaped
+    number runs → ``<PHONE>``, applied in that order (the phone
+    pattern can only fire after dotted IPs are already replaced, and
+    email local parts are gone before digit runs are considered).
+
+    With ``count_matches`` also emits ``n_emails`` / ``n_ips`` /
+    ``n_phones``, counted on the ORIGINAL text per pattern.
+
+    Pure ``regexp_replace`` / ``regexp_count`` expressions (JVM,
+    codegen'd) — a narrow projection with zero shuffles; patterns are
+    deliberately RE2-compatible so the oracle runs the same regexes.
+    """
+    col = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>"),
+            PII_IPV4_PATTERN,
+            "<IP>",
+        ),
+        PII_PHONE_PATTERN,
+        "<PHONE>",
+    )
+    out = df.withColumn(out_col or text_col, redacted)
+    if count_matches:
+        out = (
+            out.withColumn("n_emails", F.regexp_count(col, F.lit(PII_EMAIL_PATTERN)))
+            .withColumn("n_ips", F.regexp_count(col, F.lit(PII_IPV4_PATTERN)))
+            .withColumn("n_phones", F.regexp_count(col, F.lit(PII_PHONE_PATTERN)))
+        )
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    out_index: str = "chunk_index",
+    out_text: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the standard pre-training / RAG chunking step (no reference
+    counterpart; extension surface like the rest of this module).
+
+    One row per (document, chunk): ``id_col``, 0-based ``out_index``,
+    ``out_text``. Chunk starts advance by ``chunk_tokens −
+    overlap_tokens``; a window whose tokens are entirely contained in
+    the previous chunk's overlap is not emitted, so the last chunk
+    always adds new tokens. Empty documents produce no rows.
+
+    100 TB posture: pure JVM expressions (tokenize → ``F.sequence`` of
+    starts → ``slice`` + rejoin → ``posexplode``) — a narrow
+    projection with zero shuffles and no Python in the path; output
+    row count is input tokens / stride, so partition sizing follows
+    the input.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens ({chunk_tokens})",
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    k = F.size(toks)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(k - F.lit(overlap_tokens), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.when(k == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias(out_index, out_text),
+    )

@@ -256,3 +256,101 @@ def test_exact_near_dup_pairs_corpus_guard(spark):
     )
     with pytest.raises(ValueError, match="max_corpus_rows"):
         cosine_near_dup_pairs_exact(df, dim=2, threshold=0.9, max_corpus_rows=3)
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from rdsa_utils_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "short doc"),                            # < chunk size
+            (3, ""),                                     # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", chunk_tokens=4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_index, r.chunk_text))
+    # stride 3, bound greatest(10-1,1)=9 -> starts 1,4,7
+    assert [c for _, c in sorted(by_doc[1])] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert by_doc[2] == [(0, "short doc")]
+    assert 3 not in by_doc
+    # consecutive chunks overlap by exactly overlap_tokens
+    a, b = by_doc[1][0][1].split(), by_doc[1][1][1].split()
+    assert a[-1:] == b[:1]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "text", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_ngram_contamination_bounds(spark):
+    from rdsa_utils_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # identical to ref doc -> 1.0
+            (2, "x y z w q r"),       # disjoint -> 0.0
+            (3, "a b c d zz qq rr"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(100, "a b c d e f")], "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_contamination(corpus, ref, n=3).collect()}
+    assert out[1].contamination == 1.0
+    assert out[2].contamination == 0.0
+    assert 0.0 < out[3].contamination < 1.0
+    # n_shingles counts distinct shingles: 6 tokens, n=3 -> 4 shingles
+    assert out[1].n_shingles == 4 and out[1].n_contaminated == 4
+
+
+def test_repetition_stats_values(spark):
+    from rdsa_utils_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 6 tokens: 2 distinct; bigrams all "a b"/"b a"
+            (2, "u v w x y z"),      # all distinct
+            (3, "solo"),             # 1 token: no bigrams/trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, "text").collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 6
+    assert r1.ttr == round(2 / 6, 6)
+    # bigrams: "a b" x3, "b a" x2 -> top 3/5
+    assert r1.top_bigram_frac == 0.6
+    # trigrams: "a b a" x2, "b a b" x2 -> (4 - 2) / 4
+    assert r1.dup_trigram_frac == 0.5
+    r2 = out[2]
+    assert r2.ttr == 1.0
+    assert r2.top_bigram_frac == 0.2  # every bigram unique: 1/5
+    assert r2.dup_trigram_frac == 0.0
+    r3 = out[3]
+    assert (r3.n_tokens, r3.top_bigram_frac, r3.dup_trigram_frac) == (1, 0.0, 0.0)
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from rdsa_utils_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.1.254 port 80"),
+            (3, "call +44 (0)20-7946 0958 today"),
+            (4, "clean text with numbers 42 and 3.14"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in redact_pii(df, "text", out_col="red").collect()}
+    assert out[1].red == "mail <EMAIL> now"
+    assert out[1].n_emails == 1 and out[1].n_phones == 0
+    assert out[2].red == "server at <IP> port 80"
+    assert out[2].n_ips == 1
+    assert "<PHONE>" in out[3].red and out[3].n_phones == 1
+    assert out[4].red == out[4].text
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)

@@ -210,3 +210,28 @@ def test_no_unexpected_cartesian_in_any_query(spark, sf_dir):
         if name not in allowed and has_cartesian_product(df):
             failures.append(name)
     assert not failures, f"cartesian products in: {failures}"
+
+
+def test_lsh_near_dup_rescoring_broadcasts_under_guard(spark, sf_dir):
+    """Under the 2M-row guard the LSH near-dup rescoring must be a
+    MapInPandas pass over bare-id pairs — the only join in the plan is
+    the bucket self-join; no join ever attaches vector payloads. Past
+    the guard the plan switches to the two payload joins."""
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs
+
+    def _n_joins(frame):
+        plan = plan_string(frame, "simple")  # tree once, no details section
+        return sum(
+            plan.count(j)
+            for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = cosine_near_dup_pairs(emb, dim=64, threshold=0.3, bits=4, num_tables=2)
+    assert "MapInPandas" in plan_string(scored, "simple")
+    assert _n_joins(scored) == 1, "expected only the bucket self-join"
+
+    fallback = cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.3, bits=4, num_tables=2, max_broadcast_rows=1,
+    )
+    assert _n_joins(fallback) == 3, "expected bucket join + 2 payload joins"
