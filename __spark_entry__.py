@@ -1490,16 +1490,16 @@ ORDER BY returnflag, linestatus
 """
 
 
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard similarity for bounded candidate
-    pairs (same language, id distance ≤ 20) — the verify stage of the
-    n-gram dedup path, oracle-checked end to end."""
-    docs = _t(spark, sf_dir, "documents")
-    # Banded candidate generation: with |id_b − id_a| ≤ 20, id_b's
-    # bucket (width 20) is id_a's bucket or the one before, so joining
-    # on (lang, bucket) with the right side emitting both buckets
-    # yields the same pairs as a full lang self-join at a fraction of
-    # the join output (O(n·window) instead of O(n²/|langs|)).
+def _banded_doc_pairs(docs: DataFrame) -> DataFrame:
+    """Bounded candidate pairs (same language, id distance ≤ 20).
+
+    Banded generation: with |id_b − id_a| ≤ 20, id_b's bucket
+    (width 20) is id_a's bucket or the one before, so joining on
+    (lang, bucket) with the right side emitting both buckets yields
+    the same pairs as a full lang self-join at a fraction of the join
+    output (O(n·window) instead of O(n²/|langs|)). No dedup needed:
+    the two emitted buckets are distinct, so a pair can match on at
+    most one of them."""
     a = docs.select(
         F.col("doc_id").alias("id_a"), "lang",
         F.floor(F.col("doc_id") / 20).alias("bucket"),
@@ -1510,12 +1510,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.floor(F.col("doc_id") / 20), F.floor(F.col("doc_id") / 20) - 1),
         ).alias("bucket"),
     )
-    pairs = (
+    return (
         a.join(b, ["lang", "bucket"])
         .filter((F.col("id_b") > F.col("id_a")) & (F.col("id_b") - F.col("id_a") <= 20))
         .select("id_a", "id_b")
-    )  # no dedup needed: the two emitted buckets are distinct, so a
-    # pair can match on at most one of them
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for bounded candidate
+    pairs (same language, id distance ≤ 20) — the verify stage of the
+    n-gram dedup path, oracle-checked end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _banded_doc_pairs(docs)
     out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=3)
     return (
         out.filter(F.col("jaccard") >= 0.1)
@@ -1548,6 +1555,54 @@ WITH t AS (
 SELECT id_a, id_b, jaccard FROM scored
 WHERE jaccard >= 0.1
 ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the banded Jaccard pairs
+    (≥ 0.1) as edges, resolved to connected components by iterative
+    min-label propagation — A~B and B~C cluster together even when
+    A~C was never a candidate pair. The oracle replays the same edge
+    set through a recursive CTE, so the iterative Spark algorithm is
+    hash-checked, not just rows-counted."""
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = ngram_jaccard_pairs(docs, _banded_doc_pairs(docs), "doc_id", "text", shingle_n=3)
+    edges = scored.filter(F.col("jaccard") >= 0.1).select("id_a", "id_b")
+    return dedup_clusters(edges).orderBy("id")
+
+
+_ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 1) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS sh
+  FROM t
+), scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b AS a, id_a AS b FROM scored WHERE jaccard >= 0.1
+), reach AS (
+  SELECT DISTINCT a AS id, a AS r FROM sym
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM reach JOIN sym e ON e.a = reach.id
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
@@ -2824,6 +2879,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
+        "dedup_clusters": q_dedup_clusters,
         "bm25_search": q_bm25_search,
         "tfidf_terms": q_tfidf_terms,
     }
@@ -2926,6 +2982,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "contamination_check": _ORACLE_CONTAMINATION_CHECK,
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "pii_redaction": _ORACLE_PII_REDACTION,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "bm25_search": _ORACLE_BM25_SEARCH,
         "tfidf_terms": _ORACLE_TFIDF_TERMS,
     }

@@ -517,3 +517,69 @@ def ngram_contamination(
             ),
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: returns
+    (``id``, ``cluster_id``) for every node appearing in ``pairs``,
+    where ``cluster_id`` is the smallest node id in the component.
+
+    This closes the transitive gap of the one-iteration anti-join
+    policy in :func:`minhash_near_dedup`: A~B and B~C land in one
+    cluster even when A~C was never emitted as a pair. Downstream
+    dedup keeps ``id == cluster_id`` (the canonical representative)
+    and drops the rest.
+
+    Algorithm: min-label propagation. Labels start as each node's own
+    id; each round every node takes the min of its own and its
+    neighbours' labels; stop when the global label sum is unchanged
+    (labels only ever decrease, so an equal sum is exact convergence,
+    checked with one scalar action per round).
+
+    100 TB posture: per round, one shuffle join of the edge list with
+    the label frame on the source id plus one min-aggregation — both
+    hash-partitioned on the same key, so AQE coalesces them into the
+    same exchange layout. ``localCheckpoint`` after every round cuts
+    the growing lineage (the driver loop is the legitimate iterative
+    pattern; per-round driver traffic is one scalar). Rounds needed =
+    component diameter — near-dup clusters are shallow (a handful of
+    hops); for adversarially deep graphs the O(log n) large-star /
+    small-star variant is the documented scale path.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        neighbour = edges.join(
+            labels.withColumnRenamed("id", "src"), "src",
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.select("id", "label")
+            .union(neighbour)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iterations} iterations; "
+        "raise max_iterations (component diameter exceeds the cap)",
+    )

@@ -354,3 +354,37 @@ def test_redact_pii_patterns_and_counts(spark):
     assert "<PHONE>" in out[3].red and out[3].n_phones == 1
     assert out[4].red == out[4].text
     assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),          # chain -> cluster 1
+            (10, 11), (11, 10),      # duplicate symmetric edge
+            (20, 21), (21, 22), (20, 22),  # triangle -> cluster 20
+            (30, 31),                # isolated pair
+        ],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_dedup_clusters_deep_chain_converges(spark):
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    # chain of 12 nodes: diameter 11, converges within default cap
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long",
+    )
+    out = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert set(out.values()) == {0}
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(pairs, max_iterations=1)
