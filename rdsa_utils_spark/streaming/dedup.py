@@ -1,0 +1,73 @@
+"""Streaming deduplication — the ingest-time half of the dedup story.
+
+The batch operators in ``operators/dedup.py`` clean a corpus at rest;
+these clean it on the way in (Kafka/file-drop ingestion of documents
+or events), with bounded state via watermarks. Batch-first like the
+rest of ``streaming/``: every function accepts a batch DataFrame too
+and degrades to the equivalent batch dedup, so one code path serves
+backfill and live ingest.
+
+Scale notes: ``dropDuplicatesWithinWatermark`` keeps one state row per
+key seen within the watermark horizon — state is bounded by (arrival
+rate × watermark), not by stream lifetime, and is hash-partitioned on
+the dedup key across executors. Fingerprint dedup hashes the document
+JVM-side (md5 of normalized text, same fingerprint as the batch path)
+BEFORE the stateful operator, so state rows carry a 32-char digest
+instead of the document body.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.text import with_fingerprint
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop rows whose ``key_cols`` were already seen within the
+    watermark horizon.
+
+    Streaming input: applies ``withWatermark(ts_col, watermark)`` and
+    ``dropDuplicatesWithinWatermark`` — exactly-once per key within
+    the horizon, state bounded by the horizon, late duplicates beyond
+    it are (by contract) re-admitted. Batch input: plain
+    ``dropDuplicates`` on the same keys, the degenerate
+    infinite-watermark semantics.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    if ts_col is None:
+        raise ValueError("ts_col is required for streaming input")
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def fingerprint_dedup_stream(
+    df: DataFrame,
+    text_col: str,
+    ts_col: Optional[str] = None,
+    watermark: str = "1 hour",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Content-level streaming dedup for document ingest: fingerprint
+    the text (md5 of whitespace-normalized, lower-cased content — the
+    same digest as the batch ``exact_dedup`` path, so backfill and
+    live ingest agree on what counts as a duplicate), then keep the
+    first arrival per fingerprint within the watermark horizon.
+
+    The fingerprint column stays in the output for lineage/audit.
+    """
+    fp = with_fingerprint(df, text_col, out_col=fingerprint_col)
+    return dedup_within_watermark(
+        fp, [fingerprint_col], ts_col=ts_col, watermark=watermark,
+    )

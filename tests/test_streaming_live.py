@@ -150,3 +150,71 @@ def test_foreach_batch_sink_writes_parquet(spark, events_stream, tmp_path):
         q.stop()
     written = spark.read.parquet(out_dir)
     assert written.count() == batch_df.filter(F.col("event_type") == "purchase").count()
+
+
+def test_fingerprint_dedup_stream_live(spark, tmp_path):
+    """Streaming content dedup: duplicates within AND across
+    microbatches collapse to one row per fingerprint; batch input
+    degrades to plain dropDuplicates on the fingerprint."""
+    import datetime as dt
+
+    from rdsa_utils_spark.streaming.dedup import (
+        dedup_within_watermark,
+        fingerprint_dedup_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "hello world", t0),
+            (2, "  hello   WORLD ", t0 + dt.timedelta(minutes=1)),  # same fp as 1
+            (3, "something else", t0 + dt.timedelta(minutes=2)),
+        ],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (4, "hello world", t0 + dt.timedelta(minutes=3)),  # cross-batch dup
+            (5, "brand new doc", t0 + dt.timedelta(minutes=4)),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "docs_src")
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = fingerprint_dedup_stream(stream, "text", ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT doc_id, fingerprint FROM dedup_out").collect()
+    fps = [r.fingerprint for r in got]
+    assert len(fps) == len(set(fps)) == 3  # hello-world, something-else, brand-new
+    assert 3 in {r.doc_id for r in got} and 5 in {r.doc_id for r in got}
+
+    # batch degradation: same helper on a batch frame -> dropDuplicates
+    batch_out = dedup_within_watermark(batch1.unionByName(batch2), ["text"])
+    assert batch_out.count() == 4  # raw texts: docs 1/4 collide, 2 differs raw
+
+
+def test_dedup_within_watermark_validation(spark):
+    from rdsa_utils_spark.streaming.dedup import dedup_within_watermark
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup_within_watermark(df, [])
+    assert dedup_within_watermark(df.union(df), ["id"]).count() == 1
