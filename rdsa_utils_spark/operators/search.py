@@ -67,9 +67,18 @@ def bm25_topk(
     terms = [t.lower() for t in query_terms]
 
     matches = _doc_terms(df, id_col, text_col).filter(F.col("__term__").isin(terms))
-    tf = matches.groupBy(id_col, "__term__").agg(
-        F.count("*").alias("__tf__"),
-        F.first("__dl__").alias("__dl__"),
+    # localCheckpoint: the document-frequency aggregate below derives
+    # from tf — without materialization Catalyst re-runs the whole
+    # explode+aggregate subtree (a second full corpus scan). The
+    # checkpointed frame is small (matching docs × query terms) and
+    # its blocks are auto-reclaimed by the ContextCleaner.
+    tf = (
+        matches.groupBy(id_col, "__term__")
+        .agg(
+            F.count("*").alias("__tf__"),
+            F.first("__dl__").alias("__dl__"),
+        )
+        .localCheckpoint(eager=True)
     )
     # Corpus scalars as a broadcast single row; term document
     # frequencies bounded by |query_terms| -> broadcast join.
@@ -116,7 +125,14 @@ def tf_idf_top_terms(
     partitioning.
     """
     terms = _doc_terms(df, id_col, text_col)
-    tf = terms.groupBy(id_col, "__term__").agg(F.count("*").alias("__tf__"))
+    # Materialized for the same reason as in bm25_topk: dfreq reuses
+    # tf, and without a checkpoint the tokenize-explode-aggregate
+    # subtree (a full corpus scan) runs twice.
+    tf = (
+        terms.groupBy(id_col, "__term__")
+        .agg(F.count("*").alias("__tf__"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("__term__").agg(F.count("*").alias("__df__"))
     n_docs = df.select(F.count("*").alias("__n_docs__"))
 

@@ -235,3 +235,33 @@ def test_lsh_near_dup_rescoring_broadcasts_under_guard(spark, sf_dir):
         emb, dim=64, threshold=0.3, bits=4, num_tables=2, max_broadcast_rows=1,
     )
     assert _n_joins(fallback) == 3, "expected bucket join + 2 payload joins"
+
+
+def test_bm25_plan_broadcasts_and_filters_early(spark, sf_dir):
+    """BM25: the term filter must sit inside the token-explode
+    projection (shuffle volume = matching tokens), the df table and
+    corpus scalars must broadcast, and the only plain shuffles are the
+    (doc, term) aggregation, the final per-doc aggregation, and the
+    top-k sort."""
+    from rdsa_utils_spark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_topk(docs, ["spark", "join"], k=5)
+    assert count_broadcast_joins(df) >= 1  # document-frequency table
+    plan = plan_string(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # single-row scalar attach
+    assert count_exchanges(df) <= 4
+
+
+def test_repetition_stats_single_gram_shuffle(spark, sf_dir):
+    """repetition_stats: one window shuffle on the doc id, one
+    (id, n, gram) aggregation shuffle, one per-doc rollup — no joins,
+    no Python."""
+    from rdsa_utils_spark.operators.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = repetition_stats(docs, "text")
+    plan = plan_string(df, "simple")
+    assert "Join" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    assert count_exchanges(df) <= 3

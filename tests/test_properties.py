@@ -135,3 +135,45 @@ def test_union_mismatched_pads_missing_columns(spark, rows):
     assert set(out.columns) == {"id", "a", "b", "c"}
     assert out.filter(F.col("c").isNull()).count() == len(rows)
     assert out.filter(F.col("a").isNull() & F.col("b").isNull()).count() == len(rows)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """dedup_clusters (iterative min-label propagation) must agree with
+    a driver-side union-find on arbitrary small graphs."""
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # canonical representative = min node id per component
+    comp: dict[int, list[int]] = {}
+    for n, r in expected.items():
+        comp.setdefault(find(r), []).append(n)
+    want = {n: min(m) for r, m in comp.items() for n in m}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dedup_clusters(df).collect()}
+    assert got == want
