@@ -2761,6 +2761,293 @@ ORDER BY orderstatus, orderpriority
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the slim schema (no partsupp): for
+    each STANDARD-type part sold out of EUROPE, the supplier offering
+    the minimum average unit price. The correlated MIN subquery of Q2
+    becomes a per-part aggregate joined back on (partkey, min_price) —
+    the decorrelated plan Catalyst produces for Q2 itself.
+
+    Scale posture: the offers aggregate shuffles lineitem once on
+    (l_partkey, l_suppkey); the per-part MIN reuses the l_partkey
+    grouping (no extra exchange on the widest input); supplier/nation/
+    region/part dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    eur_suppliers = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    std_parts = part.filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey", "p_brand", "p_size",
+    )
+    offers = (
+        li.join(F.broadcast(std_parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur_suppliers), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "p_size", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                / F.sum(F.col("l_quantity").cast("decimal(38,6)")),
+                6,
+            ).cast("double").alias("unit_price"),
+        )
+        # offers feeds both the per-part MIN and the final join; without
+        # materialization the 5-way join + aggregate subtree runs twice.
+        .localCheckpoint(eager=False)
+    )
+    min_price = offers.groupBy("p_partkey").agg(F.min("unit_price").alias("unit_price"))
+    return (
+        offers.join(min_price, ["p_partkey", "unit_price"])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+_ORACLE_MIN_COST_SUPPLIER = """
+WITH offers AS (
+  SELECT p_partkey, p_brand, p_size, s_suppkey, s_name, s_acctbal, n_name,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                    / SUM(CAST(l_quantity AS DECIMAL(38,6))), 6) AS DOUBLE)
+           AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+  GROUP BY p_partkey, p_brand, p_size, s_suppkey, s_name, s_acctbal, n_name
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_price
+FROM offers
+JOIN (SELECT p_partkey, MIN(unit_price) AS unit_price
+      FROM offers GROUP BY p_partkey) USING (p_partkey, unit_price)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where customer and supplier
+    share a nation, for one region and one order-date year — the
+    classic 6-way join with an equality predicate BETWEEN two
+    fact-side foreign keys (c_nationkey = s_nationkey).
+
+    Scale posture: lineitem joins orders on the orderkey shuffle;
+    customer is the only other shuffled side; supplier, nation, region
+    broadcast, and the local-supplier predicate is applied as a join
+    condition (not post-filter) so rows drop at the earliest join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia_nations = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    yr = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders.filter(yr), li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(asia_nations), supplier.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_ORACLE_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp): per-part shipped value
+    from one nation's suppliers, keeping parts above 0.1% of that
+    nation's total — a grouped aggregate HAVING-filtered against a
+    global scalar subquery.
+
+    Scale posture: one lineitem shuffle on l_partkey; the global total
+    is a second aggregation over the SAME grouped frame (localCheckpoint
+    so the shuffle isn't recomputed), attached as a broadcast single
+    row — never a driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat_sup = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    value = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_quantity"), "part_value"))
+        .localCheckpoint(eager=False)
+    )
+    total = value.agg(
+        F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double").alias("__total__"),
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__total__") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_ORACLE_IMPORTANT_PARTS = """
+WITH value AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+  )
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM value
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM value)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (no l_shipmode / commitdate): for slow
+    shipments (shipped > 60 days after order date) grouped by
+    linestatus, count high-priority vs low-priority orders — the
+    join + dual conditional-count aggregate of Q12.
+
+    Scale posture: one orderkey shuffle join; the CASE counts fold into
+    a single map-side-combinable aggregation; orders projects only the
+    two needed columns (pushdown-pruned scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_ORACLE_LATE_SHIPMENTS = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp/availqty): suppliers in one
+    nation who shipped an above-median total quantity of 'red'-named
+    parts in 1997 — the nested semi-join chain of Q20 (parts by name →
+    per-(supplier, part) quantity → threshold filter → semi-join into
+    supplier).
+
+    Scale posture: the filtered part list broadcasts into lineitem's
+    single (l_suppkey, l_partkey) shuffle; the median threshold is a
+    broadcast single row; supplier receives a LEFT SEMI join (no row
+    multiplication)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    yr = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    qty = (
+        li.filter(yr)
+        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("qty"))
+        .localCheckpoint(eager=False)
+    )
+    threshold = qty.agg(
+        F.round(F.expr("percentile(qty, 0.5)"), 6).alias("__median__"),
+    )
+    heavy = (
+        qty.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("__median__"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_ORACLE_PART_PROMOTION_SUPPLIERS = """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT DISTINCT l_suppkey FROM qty
+    WHERE qty > (SELECT ROUND(MEDIAN(qty), 6) FROM qty)
+  )
+ORDER BY s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -2882,6 +3169,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "bm25_search": q_bm25_search,
         "tfidf_terms": q_tfidf_terms,
+        "min_cost_supplier": q_min_cost_supplier,
+        "local_supplier_volume": q_local_supplier_volume,
+        "important_parts": q_important_parts,
+        "late_shipments": q_late_shipments,
+        "part_promotion_suppliers": q_part_promotion_suppliers,
     }
 
 
@@ -2985,4 +3277,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "bm25_search": _ORACLE_BM25_SEARCH,
         "tfidf_terms": _ORACLE_TFIDF_TERMS,
+        "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
+        "local_supplier_volume": _ORACLE_LOCAL_SUPPLIER_VOLUME,
+        "important_parts": _ORACLE_IMPORTANT_PARTS,
+        "late_shipments": _ORACLE_LATE_SHIPMENTS,
+        "part_promotion_suppliers": _ORACLE_PART_PROMOTION_SUPPLIERS,
     }
