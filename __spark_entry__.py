@@ -3048,6 +3048,144 @@ ORDER BY s_name
 """
 
 
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of the corpus by hashed
+    doc_id (operators/sampling.py::deterministic_split) — per-split,
+    per-source document counts and character volume. Dyadic weights
+    (0.75/0.125/0.125) make the cumulative boundaries exact in both
+    engines' doubles."""
+    from rdsa_utils_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(
+            docs, "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125}, seed="split",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+_ORACLE_SPLIT_COUNTS = """
+WITH u AS (
+  SELECT source, n_chars,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':split'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM u
+GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+def q_capped_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators/sampling.py::cap_per_group): keep the
+    first 15 documents per source by doc_id, then summarize — the
+    web-corpus 'no domain may dominate' curation step."""
+    from rdsa_utils_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cap_per_group(docs, "source", 15, tiebreak_col="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_CAPPED_SOURCES = """
+SELECT source, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 15
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (operators/sampling.py::vocabulary): top-50
+    lowercased whitespace terms with counts, min_count 5."""
+    from rdsa_utils_spark.operators.sampling import vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary(docs, "text", min_count=5, k=50)
+
+
+_ORACLE_VOCAB_TOPK = r"""
+SELECT term, COUNT(*) AS term_count
+FROM (
+  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+WHERE term <> ''
+GROUP BY term
+HAVING COUNT(*) >= 5
+ORDER BY term_count DESC, term
+LIMIT 50
+"""
+
+
+def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified down-sample by language
+    (operators/sampling.py::stratified_sample): keep 25% of English
+    and 50% of Chinese documents, drop other strata; summarize per
+    language. Dyadic rates keep the hash-threshold exact cross-engine."""
+    from rdsa_utils_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", {"en": 0.25, "zh": 0.5}, id_col="doc_id", seed="sample")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_STRATIFIED_DOCS = """
+WITH u AS (
+  SELECT lang, n_chars,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM u
+WHERE u < CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 ELSE 0.0 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -3174,6 +3312,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "late_shipments": q_late_shipments,
         "part_promotion_suppliers": q_part_promotion_suppliers,
+        "split_counts": q_split_counts,
+        "capped_sources": q_capped_sources,
+        "vocab_topk": q_vocab_topk,
+        "stratified_docs": q_stratified_docs,
     }
 
 
@@ -3282,4 +3424,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "important_parts": _ORACLE_IMPORTANT_PARTS,
         "late_shipments": _ORACLE_LATE_SHIPMENTS,
         "part_promotion_suppliers": _ORACLE_PART_PROMOTION_SUPPLIERS,
+        "split_counts": _ORACLE_SPLIT_COUNTS,
+        "capped_sources": _ORACLE_CAPPED_SOURCES,
+        "vocab_topk": _ORACLE_VOCAB_TOPK,
+        "stratified_docs": _ORACLE_STRATIFIED_DOCS,
     }

@@ -1,0 +1,187 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines.
+
+No reference equivalent (extension surface, SURVEY.md §0/§7): the
+selection primitives a 100 TB corpus pipeline needs ahead of training —
+reproducible train/val/test splits, per-domain caps, stratified
+down-sampling and corpus vocabularies. All pure JVM expressions
+(codegen'd, no Python in the hot path) and all DETERMINISTIC: rerunning
+the pipeline on the same inputs yields byte-identical splits, which is
+what makes ablations and incremental re-trains comparable.
+
+The uniform variate is the first 12 hex digits of ``md5(id || seed)``
+parsed base-16 and divided by 16^12 — 48 bits of hash, exact in a
+double, reproducible across engines (the same md5-prefix primitive the
+SimHash/LSH oracles proved bit-equal to DuckDB's recipe).
+
+100 TB posture: hash-split and stratified-sample are narrow
+(filter/withColumn only — no shuffle, no state); ``cap_per_group`` is
+one hash-partitioned window on the group key — the same shape as
+``drop_duplicates_reproducible``; ``vocabulary`` is an explode +
+map-side-combinable count whose (term) shuffle carries only distinct
+terms per partition.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform",
+    "deterministic_split",
+    "stratified_sample",
+    "cap_per_group",
+    "vocabulary",
+]
+
+_HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
+
+
+def hash_uniform(col: Column | str, seed: str = "") -> Column:
+    """Deterministic uniform variate in [0, 1) from a column value.
+
+    ``md5(concat(col, ':', seed))`` first 12 hex digits, parsed base-16,
+    divided by 16^12. Stable across runs, partitionings and engines —
+    unlike ``F.rand(seed)``, whose output depends on partition layout.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + seed))), 1, _HEX_DIGITS)
+    return (F.conv(digits, 16, 10).cast("double") / F.lit(float(16 ** _HEX_DIGITS)))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashed
+    id — reproducible, partition-independent, and stable under corpus
+    growth (adding documents never moves an existing document between
+    splits, unlike ``randomSplit``).
+
+    ``weights`` values must be positive; they are normalized to 1. The
+    row's variate is compared against cumulative weight boundaries in
+    the mapping's iteration order.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {dict(weights)}")
+    u = hash_uniform(id_col, seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float] | float,
+    id_col: str,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum down-sampling: keep a row iff its
+    hashed-id variate falls below the stratum's fraction.
+
+    Unlike ``df.sampleBy`` this is exactly reproducible (no RNG state,
+    no partition sensitivity) and composable: sampling at 0.5 then 0.5
+    again with the same seed keeps the SAME rows, while two different
+    seeds compose to ~0.25. A float ``fractions`` applies one rate to
+    every stratum.
+    """
+    u = hash_uniform(id_col, seed)
+    if isinstance(fractions, Mapping):
+        for k, v in fractions.items():
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+        rate = F.coalesce(
+            *[
+                F.when(F.col(strata_col) == F.lit(k), F.lit(float(v)))
+                for k, v in fractions.items()
+            ],
+            F.lit(0.0),
+        ) if fractions else F.lit(0.0)
+    else:
+        if not 0.0 <= float(fractions) <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {fractions}")
+        rate = F.lit(float(fractions))
+    return df.filter(u < rate)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str | Sequence[str],
+    max_rows: int,
+    order_col: str | Column | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the per-domain cap of
+    web-corpus curation (no single domain may dominate the corpus).
+
+    Ordering is ``order_col`` (default: the tiebreak column) with
+    ``tiebreak_col`` appended so selection is deterministic under ties;
+    pass the dataset's unique id as the tiebreaker.
+
+    One hash-partitioned window on the group key; with AQE skew
+    handling the heavy domains split across tasks during the shuffle
+    and only the rank filter differs from a plain aggregation.
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    if tiebreak_col is None and order_col is None:
+        raise ValueError("pass order_col and/or tiebreak_col (unique id) for determinism")
+    ordering: list[Column] = []
+    if order_col is not None:
+        ordering.append(F.col(order_col) if isinstance(order_col, str) else order_col)
+    if tiebreak_col is not None:
+        ordering.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*groups).orderBy(*ordering)
+    rank = "__cap_rank__"
+    return (
+        df.withColumn(rank, F.row_number().over(w))
+        .filter(F.col(rank) <= max_rows)
+        .drop(rank)
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: whitespace-lowercased terms with global
+    occurrence counts, most frequent first (term as tiebreak), filtered
+    to ``min_count`` and optionally truncated to the top ``k``.
+
+    Explode + count: the map-side partial combine collapses each term
+    to one row per input partition before the single (term) shuffle, so
+    shuffle volume is bounded by distinct-terms × partitions, not token
+    occurrences. Top-k goes through ``TakeOrderedAndProject`` (no
+    global sort materialization).
+    """
+    from rdsa_utils_spark.operators.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+        .filter(F.col("term_count") >= min_count)
+        .orderBy(F.desc("term_count"), "term")
+    )
+    return counts.limit(k) if k is not None else counts

@@ -1,0 +1,123 @@
+"""Unit tests for operators/sampling.py — deterministic splits,
+stratified sampling, per-group caps and vocabularies.
+
+The determinism claims are the contract: same input + seed → identical
+selection, independent of partitioning and of what OTHER rows exist
+(subset invariance — the property ``randomSplit``/``sampleBy`` lack).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.sampling import (
+    cap_per_group,
+    deterministic_split,
+    hash_uniform,
+    stratified_sample,
+    vocabulary,
+)
+
+
+def _ids(spark, n, partitions=4):
+    return spark.range(0, n, 1, partitions).withColumnRenamed("id", "doc_id")
+
+
+def test_hash_uniform_in_unit_interval_and_deterministic(spark):
+    df = _ids(spark, 500).select(
+        "doc_id", hash_uniform("doc_id", "s1").alias("u"),
+    )
+    stats = df.agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mean"),
+    ).first()
+    assert 0.0 <= stats.lo and stats.hi < 1.0
+    assert 0.4 < stats.mean < 0.6  # 500 draws, crude uniformity
+    again = _ids(spark, 500, partitions=13).select(
+        "doc_id", hash_uniform("doc_id", "s1").alias("u"),
+    )
+    assert df.exceptAll(again).isEmpty()  # partitioning-independent
+
+
+def test_deterministic_split_weights_and_subset_invariance(spark):
+    full = deterministic_split(
+        _ids(spark, 2000), "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125},
+    )
+    counts = {r.split: r.n for r in full.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] - 1500) < 150  # ~0.75 of 2000
+
+    # growing the corpus must not move existing rows between splits
+    subset = deterministic_split(
+        _ids(spark, 400), "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125},
+    )
+    joined = subset.alias("s").join(full.alias("f"), "doc_id").filter(
+        F.col("s.split") != F.col("f.split"),
+    )
+    assert joined.isEmpty()
+
+
+def test_deterministic_split_rejects_bad_weights(spark):
+    df = _ids(spark, 10)
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        deterministic_split(df, "doc_id", {"a": 1.0, "b": -0.5})
+
+
+def test_stratified_sample_composable_and_seed_sensitive(spark):
+    df = _ids(spark, 1000).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("zh"),
+    )
+    once = stratified_sample(df, "lang", 0.5, "doc_id", seed="a")
+    twice = stratified_sample(once, "lang", 0.5, "doc_id", seed="a")
+    # same seed: idempotent selection (P(keep twice) == P(keep once))
+    assert once.exceptAll(twice).isEmpty() and twice.exceptAll(once).isEmpty()
+    other = stratified_sample(once, "lang", 0.5, "doc_id", seed="b")
+    # independent seeds compose to ~0.25
+    assert 150 < other.count() < 350
+
+    mapped = stratified_sample(df, "lang", {"en": 1.0}, "doc_id")
+    langs = {r.lang for r in mapped.select("lang").distinct().collect()}
+    assert langs == {"en"}  # absent strata default to rate 0
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", 1.5, "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": -0.1}, "doc_id")
+
+
+def test_cap_per_group_keeps_first_n_deterministically(spark):
+    df = _ids(spark, 100).withColumn("grp", (F.col("doc_id") % 4).cast("string"))
+    capped = cap_per_group(df, "grp", 5, tiebreak_col="doc_id")
+    per = capped.groupBy("grp").agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("hi"),
+    ).collect()
+    assert all(r.n == 5 for r in per)
+    # ordered by doc_id: group k keeps k, k+4, ..., k+16
+    assert {r.grp: r.hi for r in per} == {"0": 16, "1": 17, "2": 18, "3": 19}
+    assert "__cap_rank__" not in capped.columns
+
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", 0, tiebreak_col="doc_id")
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", 5)  # no ordering -> nondeterministic
+
+
+def test_cap_per_group_order_col_overrides(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 1.0), ("a", 3, 5.0), ("b", 4, 2.0)],
+        "grp string, id long, score double",
+    )
+    best = cap_per_group(df, "grp", 1, order_col=F.desc("score"), tiebreak_col="id")
+    assert {r.grp: r.id for r in best.collect()} == {"a": 1, "b": 4}
+
+
+def test_vocabulary_counts_min_count_and_k(spark):
+    df = spark.createDataFrame(
+        [("The the the cat",), ("cat sat",), ("",), ("   ",)],
+        "text string",
+    )
+    vocab = {r.term: r.term_count for r in vocabulary(df, "text").collect()}
+    assert vocab == {"the": 3, "cat": 2, "sat": 1}
+    top = vocabulary(df, "text", min_count=2, k=1).collect()
+    assert [(r.term, r.term_count) for r in top] == [("the", 3)]
