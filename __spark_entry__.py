@@ -3186,6 +3186,57 @@ ORDER BY lang
 """
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding corpus
+    (operators/similarity.py::quantize_int8) summarized per label:
+    vector count, checksum of all quantized components (exact integer),
+    and total per-vector scale (rounded, decimal-summed). The explicit
+    floor(x/scale + 0.5) half-up rounding is what makes the checksum
+    bit-identical to the DuckDB recipe."""
+    from rdsa_utils_spark.operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding")
+    return (
+        q.select(
+            "label",
+            F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("__qsum__"),
+            F.round("q_scale", 6).alias("__scale__"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("__qsum__").alias("sum_q"),
+            _dsum(F.col("__scale__"), "total_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_EMBEDDING_QUANTIZATION = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT label, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT label, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+         END AS q
+  FROM s
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(list_reduce(q, (a, b) -> a + b)) AS BIGINT) AS sum_q,
+       CAST(SUM(CAST(ROUND(scale, 6) AS DECIMAL(38,6))) AS DOUBLE) AS total_scale
+FROM q
+GROUP BY label
+ORDER BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -3316,6 +3367,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sources": q_capped_sources,
         "vocab_topk": q_vocab_topk,
         "stratified_docs": q_stratified_docs,
+        "embedding_quantization": q_embedding_quantization,
     }
 
 
@@ -3428,4 +3480,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "capped_sources": _ORACLE_CAPPED_SOURCES,
         "vocab_topk": _ORACLE_VOCAB_TOPK,
         "stratified_docs": _ORACLE_STRATIFIED_DOCS,
+        "embedding_quantization": _ORACLE_EMBEDDING_QUANTIZATION,
     }

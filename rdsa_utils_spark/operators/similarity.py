@@ -49,6 +49,52 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def normalize_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """L2-normalize an embedding column to unit vectors (double
+    elements); zero vectors pass through unchanged rather than NaN.
+
+    Pre-normalizing turns every downstream cosine into a plain dot
+    product — at 100 TB that halves the arithmetic of brute-force
+    rescoring and lets quantized/int8 pipelines skip per-pair norms.
+    Narrow projection: no shuffle, no Python.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(F.col(vec_col))
+    unit = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+    return df.withColumn(out_col or vec_col, unit)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q_i = floor(x_i/scale + 0.5)`` (explicit half-up — identical
+    across engines, unlike bankers'-rounding variance in ``round``).
+    Zero vectors quantize to zeros with scale 0.
+
+    4× (vs float32) / 8× (vs float64) smaller shuffle and storage
+    footprint for ANN candidate generation; dequantize as ``q·scale``.
+    |q_i| ≤ 127 by construction (the max-magnitude element maps to
+    exactly ±127), so the values fit int8 storage without clipping.
+    Narrow projection: no shuffle, no Python.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.when(
+        scale == 0, F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    )
+    return df.withColumn(q_col, q).withColumn(scale_col, scale)
+
+
 def _cosine_vec(a: Column, b: Column) -> Column:
     """Arrow-vectorized cosine — one numpy pass per batch. Used on the
     approximate (rows-only) paths; the oracle-checked exact path keeps

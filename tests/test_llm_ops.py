@@ -388,3 +388,37 @@ def test_dedup_clusters_deep_chain_converges(spark):
     assert set(out.values()) == {0}
     with pytest.raises(RuntimeError, match="converge"):
         dedup_clusters(pairs, max_iterations=1)
+
+
+def test_normalize_vectors_unit_norm_and_zero_passthrough(spark):
+    from rdsa_utils_spark.operators.similarity import _norm, normalize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-2.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    out = normalize_vectors(df, "embedding")
+    norms = {r.id: r.n for r in out.select("id", _norm(F.col("embedding")).alias("n")).collect()}
+    assert abs(norms[1] - 1.0) < 1e-12 and abs(norms[3] - 1.0) < 1e-12
+    assert norms[2] == 0.0  # zero vector untouched, not NaN
+    vals = {r.id: r.embedding for r in out.collect()}
+    assert vals[1] == [0.6, 0.8] and vals[3] == [-1.0, 0.0]
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from rdsa_utils_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, -1.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [0.003, 127.0])],
+        "id long, embedding array<double>",
+    )
+    out = {r.id: (r.q, r.q_scale) for r in quantize_int8(df).collect()}
+    q1, s1 = out[1]
+    assert max(abs(v) for v in q1) == 127  # max-magnitude element saturates exactly
+    assert all(-127 <= v <= 127 for v in q1)
+    # dequantization error bounded by half a quantization step
+    orig = [1.0, -0.5, 0.25, -1.0]
+    assert all(abs(orig[i] - q1[i] * s1) <= s1 / 2 + 1e-12 for i in range(4))
+    assert out[2] == ([0, 0, 0, 0], 0.0)  # zero vector -> zeros, scale 0
+    q3, s3 = out[3]
+    assert q3[1] == 127 and s3 == 1.0
