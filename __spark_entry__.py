@@ -3237,6 +3237,31 @@ ORDER BY label
 """
 
 
+def q_event_type_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (plans/diagnostics.py::
+    key_skew_report) over the event stream's type column: top keys by
+    row count with share-of-total and skew ratio vs the mean key."""
+    from rdsa_utils_spark.plans.diagnostics import key_skew_report
+
+    events = _t(spark, sf_dir, "events")
+    return key_skew_report(events, "event_type", top_n=5)
+
+
+_ORACLE_EVENT_TYPE_SKEW = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS key_count FROM events GROUP BY event_type
+), stats AS (
+  SELECT SUM(key_count) AS total, COUNT(*) AS n_keys FROM counts
+)
+SELECT event_type, key_count,
+       ROUND(key_count / total, 6) AS share,
+       ROUND(key_count / (total / n_keys), 6) AS skew_ratio
+FROM counts, stats
+ORDER BY key_count DESC, event_type
+LIMIT 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -3368,6 +3393,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "stratified_docs": q_stratified_docs,
         "embedding_quantization": q_embedding_quantization,
+        "event_type_skew": q_event_type_skew,
     }
 
 
@@ -3481,4 +3507,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "vocab_topk": _ORACLE_VOCAB_TOPK,
         "stratified_docs": _ORACLE_STRATIFIED_DOCS,
         "embedding_quantization": _ORACLE_EMBEDDING_QUANTIZATION,
+        "event_type_skew": _ORACLE_EVENT_TYPE_SKEW,
     }
