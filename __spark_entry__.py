@@ -3262,6 +3262,64 @@ LIMIT 5
 """
 
 
+def q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order behavioral funnel (operators/events.py::
+    funnel_counts): users reaching signup → view (after signup) →
+    purchase (after that view)."""
+    from rdsa_utils_spark.operators.events import funnel_counts
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_counts(events, ["signup", "view", "purchase"])
+
+
+_ORACLE_SIGNUP_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+ORDER BY step
+"""
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.py::cohort_retention):
+    users cohorted by first-event day, activity bucketed into 7-day
+    periods, distinct active users per (cohort, period)."""
+    from rdsa_utils_spark.operators.events import cohort_retention
+
+    events = _t(spark, sf_dir, "events")
+    out = cohort_retention(events, period_days=7, max_periods=8)
+    # ISO-string dates: Spark DATE surfaces as python objects, DuckDB
+    # as datetime64 — same day, different hash (month_end_orders recipe)
+    return out.withColumn("cohort_date", F.col("cohort_date").cast("string"))
+
+
+_ORACLE_WEEKLY_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_date
+  FROM events GROUP BY user_id
+)
+SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+       CAST(floor(date_diff('day', cohort_date, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS period,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firsts USING (user_id)
+WHERE floor(date_diff('day', cohort_date, CAST(e.ts AS DATE)) / 7.0) < 8
+GROUP BY cohort_date, period
+ORDER BY cohort_date, period
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -3394,6 +3452,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_docs": q_stratified_docs,
         "embedding_quantization": q_embedding_quantization,
         "event_type_skew": q_event_type_skew,
+        "signup_funnel": q_signup_funnel,
+        "weekly_retention": q_weekly_retention,
     }
 
 
@@ -3508,4 +3568,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "stratified_docs": _ORACLE_STRATIFIED_DOCS,
         "embedding_quantization": _ORACLE_EMBEDDING_QUANTIZATION,
         "event_type_skew": _ORACLE_EVENT_TYPE_SKEW,
+        "signup_funnel": _ORACLE_SIGNUP_FUNNEL,
+        "weekly_retention": _ORACLE_WEEKLY_RETENTION,
     }

@@ -1,0 +1,87 @@
+"""Tests for operators/events.py — funnel and cohort retention
+semantics on hand-built event streams."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.events import cohort_retention, funnel_counts
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_order_and_ties(spark):
+    t = lambda s: datetime.fromisoformat(s)
+    df = _events(spark, [
+        # user 1 completes a->b->c in order
+        (1, t("2024-01-01T00:00:00"), "a"),
+        (1, t("2024-01-02T00:00:00"), "b"),
+        (1, t("2024-01-03T00:00:00"), "c"),
+        # user 2 does b BEFORE a: step 2 not reached
+        (2, t("2024-01-02T00:00:00"), "b"),
+        (2, t("2024-01-03T00:00:00"), "a"),
+        # user 3: b at the SAME instant as a -> tie does not advance
+        (3, t("2024-01-01T00:00:00"), "a"),
+        (3, t("2024-01-01T00:00:00"), "b"),
+        # user 4 stops after b
+        (4, t("2024-01-01T00:00:00"), "a"),
+        (4, t("2024-01-05T00:00:00"), "b"),
+    ])
+    out = {r.step: (r.step_name, r.n_users) for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out == {1: ("a", 4), 2: ("b", 2), 3: ("c", 1)}
+
+
+def test_funnel_uses_earliest_qualifying_event(spark):
+    t = lambda s: datetime.fromisoformat(s)
+    # user does a, then b, then an EARLIER-than-b c after a but before b?
+    # c at 01-02 is after a (01-01) but before b (01-03): must not count,
+    # because step 3 requires ts > the step-2 time.
+    df = _events(spark, [
+        (1, t("2024-01-01T00:00:00"), "a"),
+        (1, t("2024-01-02T00:00:00"), "c"),
+        (1, t("2024-01-03T00:00:00"), "b"),
+    ])
+    out = {r.step: r.n_users for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 0}
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
+
+
+def test_cohort_retention_buckets_and_cap(spark):
+    t = lambda s: datetime.fromisoformat(s)
+    df = _events(spark, [
+        # user 1: first on Jan 1; active day 0, day 8 (period 1), day 30 (period 4)
+        (1, t("2024-01-01T05:00:00"), "x"),
+        (1, t("2024-01-09T00:00:00"), "x"),
+        (1, t("2024-01-31T00:00:00"), "x"),
+        # user 2: same cohort day, only period 0
+        (2, t("2024-01-01T23:59:59"), "x"),
+        # user 3: later cohort (Jan 10), active period 0 and 1
+        (3, t("2024-01-10T00:00:00"), "x"),
+        (3, t("2024-01-18T12:00:00"), "x"),
+    ])
+    rows = cohort_retention(df, period_days=7).collect()
+    got = {(str(r.cohort_date), r.period): r.n_active for r in rows}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 4): 1,
+        ("2024-01-10", 0): 1,
+        ("2024-01-10", 1): 1,
+    }
+    capped = cohort_retention(df, period_days=7, max_periods=2).collect()
+    assert max(r.period for r in capped) == 1
+    with pytest.raises(ValueError):
+        cohort_retention(df, period_days=0)
+
+
+def test_funnel_plan_has_no_cartesian(spark, sf_dir):
+    from rdsa_utils_spark.plans.explain import has_cartesian_product
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    df = funnel_counts(events, ["signup", "view", "purchase"])
+    assert not has_cartesian_product(df)
