@@ -61,3 +61,22 @@ from rdsa_utils_spark.operators.multimodal import (  # noqa: F401
     sample_frames,
 )
 from rdsa_utils_spark.operators.windows import top_k_per_group  # noqa: F401
+from rdsa_utils_spark.operators.sampling import (  # noqa: F401
+    cap_per_group,
+    deterministic_split,
+    hash_uniform,
+    stratified_sample,
+    vocabulary,
+)
+from rdsa_utils_spark.operators.events import (  # noqa: F401
+    cohort_retention,
+    funnel_counts,
+)
+from rdsa_utils_spark.operators.search import (  # noqa: F401
+    bm25_topk,
+    tf_idf_top_terms,
+)
+from rdsa_utils_spark.operators.similarity import (  # noqa: F401
+    normalize_vectors,
+    quantize_int8,
+)
