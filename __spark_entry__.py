@@ -3320,6 +3320,190 @@ ORDER BY cohort_date, period
 """
 
 
+def q_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality.py::
+    run_checks + unique_violations + referential_violations) over
+    lineitem: five row-level expectations compiled into ONE scan, a
+    key-uniqueness count, and a foreign-key orphan count vs orders —
+    all emitted in the shared (check, violations, rows_checked) shape.
+    Two checks are deliberately violated by the data (quantity>25,
+    returnflag='R') so nonzero counts are exercised."""
+    from rdsa_utils_spark.operators.quality import (
+        in_range,
+        in_set,
+        matches_regex,
+        not_null,
+        referential_violations,
+        run_checks,
+        satisfies,
+        unique_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        not_null("l_orderkey"),
+        in_range("l_quantity", 1, 25),
+        in_set("l_returnflag", ["A", "N"]),
+        matches_regex("l_linestatus", "^[OF]$"),
+        satisfies("positive_price", F.col("l_extendedprice") > 0),
+    ]
+    out = run_checks(li, checks)
+    out = out.unionByName(unique_violations(li, ["l_orderkey", "l_linenumber"]))
+    out = out.unionByName(
+        referential_violations(li, "l_orderkey", orders, "o_orderkey"),
+    )
+    return out.orderBy("check")
+
+
+_ORACLE_EXPECTATION_CHECKS = """
+SELECT * FROM (
+  SELECT 'not_null(l_orderkey)' AS "check",
+         CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 END), 0) AS BIGINT) AS violations,
+         COUNT(*) AS rows_checked
+  FROM lineitem
+  UNION ALL
+  SELECT 'in_range(l_quantity,1,25)',
+         CAST(COALESCE(SUM(CASE WHEN l_quantity IS NOT NULL
+                                 AND (l_quantity < 1 OR l_quantity > 25)
+                            THEN 1 END), 0) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'in_set(l_returnflag)',
+         CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A', 'N')
+                            THEN 1 END), 0) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'matches_regex(l_linestatus)',
+         CAST(COALESCE(SUM(CASE WHEN l_linestatus IS NOT NULL
+                                 AND NOT regexp_matches(l_linestatus, '^[OF]$')
+                            THEN 1 END), 0) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'positive_price',
+         CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, TRUE)
+                            THEN 1 END), 0) AS BIGINT),
+         COUNT(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique(l_orderkey,l_linenumber)',
+         CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT),
+         CAST(COALESCE(SUM(n), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS n FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'references(l_orderkey)',
+         CAST((SELECT COUNT(*) FROM lineitem li
+               WHERE li.l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = li.l_orderkey)) AS BIGINT),
+         (SELECT COUNT(*) FROM lineitem)
+)
+ORDER BY "check"
+"""
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profiler (operators/quality.py::
+    profile_columns) on customer in exact-distinct mode. Profiled
+    columns are restricted to integer/string types so the min/max
+    string rendering is engine-portable (doubles render differently
+    across engines; that's a display concern, not an operator one)."""
+    from rdsa_utils_spark.operators.quality import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    return profile_columns(
+        cust,
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        exact_distinct=True,
+    ).orderBy("column")
+
+
+_ORACLE_COLUMN_PROFILE = """
+SELECT * FROM (
+  SELECT 'c_custkey' AS "column", COUNT(*) AS row_count,
+         CAST(COALESCE(SUM(CASE WHEN c_custkey IS NULL THEN 1 END), 0) AS BIGINT) AS null_count,
+         COUNT(DISTINCT c_custkey) AS distinct_count,
+         CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+         CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+  FROM customer
+  UNION ALL
+  SELECT 'c_name', COUNT(*),
+         CAST(COALESCE(SUM(CASE WHEN c_name IS NULL THEN 1 END), 0) AS BIGINT),
+         COUNT(DISTINCT c_name),
+         CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', COUNT(*),
+         CAST(COALESCE(SUM(CASE WHEN c_nationkey IS NULL THEN 1 END), 0) AS BIGINT),
+         COUNT(DISTINCT c_nationkey),
+         CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', COUNT(*),
+         CAST(COALESCE(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 END), 0) AS BIGINT),
+         COUNT(DISTINCT c_mktsegment),
+         CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+  FROM customer
+)
+ORDER BY "column"
+"""
+
+
+def q_orders_frame_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/quality.py::frame_diff): orders
+    before 1996 vs orders from 1995 on with urgent-priority prices
+    uplifted 10%, so the overlap year exercises 'changed' and
+    'unchanged' while the disjoint years exercise 'removed'/'added'.
+    The uplift is a single deterministic IEEE-754 multiply, identical
+    across engines (no accumulation-order drift)."""
+    from rdsa_utils_spark.operators.quality import frame_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderdate") < "1996-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+    )
+    right = orders.filter(F.col("o_orderdate") >= "1995-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice") * F.lit(1.1),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return frame_diff(left, right, "o_orderkey").orderBy("o_orderkey")
+
+
+_ORACLE_ORDERS_FRAME_DIFF = """
+WITH l AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+), r AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       l.o_orderstatus AS left_o_orderstatus,
+       l.o_totalprice AS left_o_totalprice,
+       r.o_orderstatus AS right_o_orderstatus,
+       r.o_totalprice AS right_o_totalprice,
+       CASE WHEN l.o_orderkey IS NULL THEN 'added'
+            WHEN r.o_orderkey IS NULL THEN 'removed'
+            WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+              OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+            THEN 'changed'
+            ELSE 'unchanged' END AS diff_status
+FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -3454,6 +3638,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_skew": q_event_type_skew,
         "signup_funnel": q_signup_funnel,
         "weekly_retention": q_weekly_retention,
+        "expectation_checks": q_expectation_checks,
+        "column_profile": q_column_profile,
+        "orders_frame_diff": q_orders_frame_diff,
     }
 
 
@@ -3570,4 +3757,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "event_type_skew": _ORACLE_EVENT_TYPE_SKEW,
         "signup_funnel": _ORACLE_SIGNUP_FUNNEL,
         "weekly_retention": _ORACLE_WEEKLY_RETENTION,
+        "expectation_checks": _ORACLE_EXPECTATION_CHECKS,
+        "column_profile": _ORACLE_COLUMN_PROFILE,
+        "orders_frame_diff": _ORACLE_ORDERS_FRAME_DIFF,
     }

@@ -80,3 +80,11 @@ from rdsa_utils_spark.operators.similarity import (  # noqa: F401
     normalize_vectors,
     quantize_int8,
 )
+from rdsa_utils_spark.operators.quality import (  # noqa: F401
+    Check,
+    frame_diff,
+    profile_columns,
+    referential_violations,
+    run_checks,
+    unique_violations,
+)

@@ -1,0 +1,295 @@
+"""Data-quality operators: column profiling, declarative expectation
+checks, and keyed frame diff.
+
+No reference equivalent (extension surface, SURVEY.md §0/§7): the
+validation layer a 100 TB training-data pipeline runs before a corpus
+snapshot is blessed — the reference stops at ``validate_dataframe``
+(pydantic row glue, mirrored in ``rdsa_utils_spark.validation``), which
+collects rows to the driver and cannot run at scale. These operators
+keep every check distributed and JVM-side.
+
+100 TB posture:
+
+- ``profile_columns`` is ONE scan: every per-column metric is an
+  aggregate expression in a single ``agg`` (map-side partial combine,
+  one exchange of a single row). Distinct counts default to HLL
+  (``approx_count_distinct``) so the pass stays single-phase; exact
+  mode is opt-in and documented as adding Spark's expand-based
+  multi-distinct plan.
+- ``run_checks`` compiles every row-level expectation into the same
+  single-scan aggregation — N checks cost one pass, not N. Dataset
+  level checks (uniqueness, referential integrity) are each one
+  hash-aggregation / one join: uniqueness shuffles only the key
+  columns, referential integrity is a broadcast-able left-anti join.
+- ``frame_diff`` is one full-outer co-shuffle on the key columns;
+  comparison is null-safe (``IS DISTINCT FROM`` semantics) and emits a
+  per-row status so the caller can filter to 'changed' without a
+  second join.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Check",
+    "profile_columns",
+    "not_null",
+    "in_range",
+    "in_set",
+    "matches_regex",
+    "satisfies",
+    "run_checks",
+    "unique_violations",
+    "referential_violations",
+    "frame_diff",
+]
+
+
+class Check(NamedTuple):
+    """A named row-level expectation. ``violated`` is TRUE on rows that
+    FAIL the expectation (so checks aggregate as ``sum(violated)``)."""
+
+    name: str
+    violated: Column
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def not_null(col: str) -> Check:
+    """Expect ``col`` to be non-null on every row."""
+    return Check(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Check:
+    """Expect ``lo <= col <= hi`` (either bound optional; NULL passes —
+    pair with :func:`not_null` to forbid NULLs)."""
+    if lo is None and hi is None:
+        raise ValueError("in_range needs at least one bound")
+    c = F.col(col)
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (c < F.lit(lo))
+    if hi is not None:
+        cond = cond | (c > F.lit(hi))
+    bounds = f"{lo!r},{hi!r}"
+    return Check(f"in_range({col},{bounds})", c.isNotNull() & cond)
+
+
+def in_set(col: str, values: Sequence) -> Check:
+    """Expect ``col`` to be one of ``values`` (NULL passes)."""
+    c = F.col(col)
+    return Check(
+        f"in_set({col})",
+        c.isNotNull() & ~c.isin(list(values)),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> Check:
+    """Expect ``col`` to contain a match for ``pattern`` (unanchored,
+    like ``rlike`` — anchor with ``^...$`` for a full match; NULL
+    passes)."""
+    c = F.col(col)
+    return Check(
+        f"matches_regex({col})",
+        c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Check:
+    """Expect ``predicate`` to hold on every row (NULL predicate
+    passes). Use for cross-column invariants, e.g.
+    ``satisfies("ship_before_receipt", F.col("l_shipdate") <= F.col("l_receiptdate"))``."""
+    return Check(name, ~F.coalesce(predicate, F.lit(True)))
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate every row-level expectation in ONE aggregation pass.
+
+    Returns one row per check: ``(check, violations, rows_checked)``.
+    All checks share a single scan — the aggregation computes
+    ``sum(int(violated))`` per check plus one total count, then the
+    single result row is unpivoted to long form (a driver-free melt of
+    a 1-row frame).
+    """
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    names = [ch.name for ch in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+    aggs = [
+        F.sum(ch.violated.cast("long")).alias(f"__v{i}__")
+        for i, ch in enumerate(checks)
+    ] + [F.count(F.lit(1)).alias("__n__")]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(ch.name).alias("check"),
+                F.coalesce(F.col(f"__v{i}__"), F.lit(0)).alias("violations"),
+            )
+            for i, ch in enumerate(checks)
+        ],
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"), F.col("__n__").alias("rows_checked"))
+        .select("p.check", "p.violations", "rows_checked")
+    )
+
+
+def unique_violations(df: DataFrame, keys: str | Sequence[str]) -> DataFrame:
+    """Count surplus rows under a uniqueness expectation on ``keys``:
+    for every duplicated key group of size n, n-1 rows are violations.
+
+    One hash aggregation shuffling only the key columns (map-side
+    combine collapses each key to one row per partition first).
+    Returns ``(check, violations, rows_checked)`` — same shape as
+    :func:`run_checks` so suites union cleanly.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    label = f"unique({','.join(key_list)})"
+    return (
+        df.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__n__") > 1, F.col("__n__") - 1)), F.lit(0),
+            ).cast("long").alias("violations"),
+            F.sum("__n__").alias("rows_checked"),
+        )
+        .select(F.lit(label).alias("check"), "violations", "rows_checked")
+    )
+
+
+def referential_violations(
+    df: DataFrame,
+    col: str,
+    dim: DataFrame,
+    dim_col: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Count rows whose non-null ``col`` has no match in
+    ``dim[dim_col]`` (foreign-key expectation). NULLs pass — pair with
+    :func:`not_null` to forbid them.
+
+    Left-anti join against the distinct key column only; the dim side
+    is broadcast by default (dimension key sets are small even at
+    100 TB fact scale — a billion distinct int64 keys is ~8 GB, so the
+    flag exists for the rare fat-dim case, which falls back to a
+    shuffle join).
+    """
+    keys = dim.select(F.col(dim_col).alias("__fk__")).distinct()
+    if broadcast_dim:
+        keys = F.broadcast(keys)
+    label = f"references({col})"
+    total = df.agg(F.count(F.lit(1)).alias("rows_checked"))
+    orphans = (
+        df.filter(F.col(col).isNotNull())
+        .join(keys, F.col(col) == F.col("__fk__"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return (
+        orphans.crossJoin(total)  # two 1-row aggregates — trivially safe
+        .select(F.lit(label).alias("check"), "violations", "rows_checked")
+    )
+
+
+def frame_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two frames: one row per key present in either
+    side, with ``diff_status`` in {'added', 'removed', 'changed',
+    'unchanged'} ('added' = key only in ``right``).
+
+    Comparison is null-safe per column (NULL == NULL is unchanged,
+    NULL vs value is changed) — ``IS DISTINCT FROM`` semantics via
+    ``eqNullSafe``. One full-outer co-shuffle on the keys; project
+    ``compare_cols`` down before the join so the shuffle carries only
+    the compared payload.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in left.columns if c in set(right.columns) and c not in key_list]
+    lsel = left.select(*key_list, *[F.col(c).alias(f"__l_{c}__") for c in compare_cols])
+    rsel = right.select(*key_list, *[F.col(c).alias(f"__r_{c}__") for c in compare_cols])
+    # Presence flags: a non-null marker per side, so presence is
+    # decided by the outer join itself, not by payload nullability
+    # (a side whose compared columns are all NULL is still present).
+    lmark = lsel.withColumn("__lpresent__", F.lit(True))
+    rmark = rsel.withColumn("__rpresent__", F.lit(True))
+    joined = lmark.join(rmark, on=key_list, how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__l_{c}__").eqNullSafe(F.col(f"__r_{c}__"))
+    status = (
+        F.when(F.col("__lpresent__").isNull(), F.lit("added"))
+        .when(F.col("__rpresent__").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = (
+        [F.col(k) for k in key_list]
+        + [F.col(f"__l_{c}__").alias(f"left_{c}") for c in compare_cols]
+        + [F.col(f"__r_{c}__").alias(f"right_{c}") for c in compare_cols]
+        + [status.alias("diff_status")]
+    )
+    return joined.select(*out_cols)
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Per-column profile in ONE scan: row count, null count, distinct
+    count, min and max (rendered as strings so heterogeneous column
+    types share one output schema).
+
+    Every metric is an aggregate expression in a single ``agg`` — the
+    scan is shared, partials combine map-side, and one single-row
+    result is unpivoted to long form. ``exact_distinct=False``
+    (default) uses HLL ``approx_count_distinct`` and keeps the plan a
+    plain two-phase hash aggregate; ``True`` switches to
+    ``count(DISTINCT col)``, which Spark plans with one expand ×
+    n_cols — exact, still one scan, but the expand multiplies rows
+    fed to the aggregation, so profile few columns in exact mode.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    if not names:
+        raise ValueError("no columns to profile")
+    missing = [c for c in names if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n__")]
+    for i, c in enumerate(names):
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__null{i}__"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(col).alias(f"__dist{i}__"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"__dist{i}__"))
+        aggs.append(F.min(col).cast("string").alias(f"__min{i}__"))
+        aggs.append(F.max(col).cast("string").alias(f"__max{i}__"))
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("row_count"),
+                F.col(f"__null{i}__").alias("null_count"),
+                F.col(f"__dist{i}__").alias("distinct_count"),
+                F.col(f"__min{i}__").alias("min_value"),
+                F.col(f"__max{i}__").alias("max_value"),
+            )
+            for i, c in enumerate(names)
+        ],
+    )
+    return row.select(F.explode(entries).alias("p")).select("p.*")

@@ -1,0 +1,208 @@
+"""Data-quality operators (operators/quality.py): single-scan
+expectation suites, uniqueness/referential counts, keyed frame diff,
+and the one-scan column profiler.
+
+No reference equivalent — extension surface; the reference's
+``validate_dataframe`` (pydantic row glue) is mirrored separately in
+``rdsa_utils_spark.validation`` and tested in test_frame_validation.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.quality import (
+    frame_diff,
+    in_range,
+    in_set,
+    matches_regex,
+    not_null,
+    profile_columns,
+    referential_violations,
+    run_checks,
+    satisfies,
+    unique_violations,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 30, "US"),
+            (2, "bob", -5, "GB"),
+            (3, None, 45, "FR"),
+            (4, "dora", 200, "XX"),
+            (5, "eve", None, "US"),
+        ],
+        "id long, name string, age int, country string",
+    )
+
+
+class TestRunChecks:
+    def test_counts_per_check(self, people):
+        out = run_checks(
+            people,
+            [
+                not_null("name"),
+                in_range("age", 0, 150),
+                in_set("country", ["US", "GB", "FR"]),
+                matches_regex("name", "^[a-z]+$"),
+                satisfies("adult", F.col("age") >= 18),
+            ],
+        )
+        got = {r["check"]: r["violations"] for r in out.collect()}
+        assert got == {
+            "not_null(name)": 1,      # id 3
+            "in_range(age,0,150)": 2,  # ids 2, 4 (NULL passes)
+            "in_set(country)": 1,      # id 4
+            "matches_regex(name)": 0,  # NULL passes
+            "adult": 1,                # id 2; NULL predicate passes
+        }
+        assert all(r["rows_checked"] == 5 for r in out.collect())
+
+    def test_single_bound_range(self, people):
+        out = run_checks(people, [in_range("age", lo=0)]).collect()
+        assert out[0]["violations"] == 1
+
+    def test_empty_frame_zero_violations(self, spark, people):
+        out = run_checks(people.limit(0), [not_null("name")]).collect()
+        assert out[0]["violations"] == 0
+        assert out[0]["rows_checked"] == 0
+
+    def test_duplicate_names_rejected(self, people):
+        with pytest.raises(ValueError, match="duplicate"):
+            run_checks(people, [not_null("name"), not_null("name")])
+
+    def test_no_checks_rejected(self, people):
+        with pytest.raises(ValueError, match="non-empty"):
+            run_checks(people, [])
+
+    def test_in_range_requires_bound(self):
+        with pytest.raises(ValueError, match="bound"):
+            in_range("age")
+
+    def test_one_aggregation_pass(self, people):
+        plan = run_checks(
+            people, [not_null("name"), in_range("age", 0, 150)],
+        )._jdf.queryExecution().executedPlan().toString()
+        # N checks share one scan: exactly one pair of hash aggregates
+        # (partial + final), no join or union of per-check subplans.
+        assert plan.count("HashAggregate") == 2
+        assert "Join" not in plan
+
+
+class TestDatasetChecks:
+    def test_unique_violations(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "a"), (2, "b"), (3, "c")],
+            "k long, v string",
+        )
+        row = unique_violations(df, "k").collect()[0]
+        assert row["check"] == "unique(k)"
+        assert row["violations"] == 2  # group of 3 → 2 surplus rows
+        assert row["rows_checked"] == 5
+
+    def test_unique_clean(self, people):
+        assert unique_violations(people, ["id"]).collect()[0]["violations"] == 0
+
+    def test_referential_violations(self, spark, people):
+        dim = spark.createDataFrame([("US",), ("GB",)], "code string")
+        row = referential_violations(people, "country", dim, "code").collect()[0]
+        assert row["check"] == "references(country)"
+        assert row["violations"] == 2  # FR, XX
+        assert row["rows_checked"] == 5
+
+    def test_referential_null_passes(self, spark):
+        df = spark.createDataFrame([(None,), ("US",)], "country string")
+        dim = spark.createDataFrame([("US",)], "code string")
+        assert referential_violations(df, "country", dim, "code").collect()[0][
+            "violations"
+        ] == 0
+
+    def test_suite_unions_cleanly(self, spark, people):
+        dim = spark.createDataFrame([("US",), ("GB",), ("FR",)], "code string")
+        suite = (
+            run_checks(people, [not_null("name")])
+            .unionByName(unique_violations(people, "id"))
+            .unionByName(referential_violations(people, "country", dim, "code"))
+        )
+        assert suite.count() == 3
+
+
+class TestFrameDiff:
+    def test_statuses(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+            "k long, v string, x double",
+        )
+        right = spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", None), (4, "D", 40.0), (5, "e", 50.0)],
+            "k long, v string, x double",
+        )
+        got = {
+            r["k"]: r["diff_status"]
+            for r in frame_diff(left, right, "k").collect()
+        }
+        assert got == {
+            1: "removed",
+            2: "unchanged",
+            3: "unchanged",  # NULL == NULL is unchanged (null-safe)
+            4: "changed",
+            5: "added",
+        }
+
+    def test_null_vs_value_is_changed(self, spark):
+        left = spark.createDataFrame([(1, None)], "k long, v string")
+        right = spark.createDataFrame([(1, "x")], "k long, v string")
+        assert frame_diff(left, right, "k").collect()[0]["diff_status"] == "changed"
+
+    def test_explicit_compare_cols(self, spark):
+        left = spark.createDataFrame([(1, "a", 1)], "k long, v string, noise int")
+        right = spark.createDataFrame([(1, "a", 2)], "k long, v string, noise int")
+        out = frame_diff(left, right, "k", compare_cols=["v"])
+        assert out.collect()[0]["diff_status"] == "unchanged"
+        assert out.columns == ["k", "left_v", "right_v", "diff_status"]
+
+    def test_single_shuffle_plan(self, spark):
+        left = spark.range(100).withColumn("v", F.col("id") % 7)
+        right = spark.range(50, 150).withColumn("v", F.col("id") % 5)
+        plan = frame_diff(
+            left, right, "id",
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+class TestProfileColumns:
+    def test_metrics(self, people):
+        prof = {r["column"]: r for r in profile_columns(people, exact_distinct=True).collect()}
+        assert set(prof) == {"id", "name", "age", "country"}
+        assert prof["name"]["row_count"] == 5
+        assert prof["name"]["null_count"] == 1
+        assert prof["name"]["distinct_count"] == 4
+        assert prof["age"]["min_value"] == "-5"
+        assert prof["age"]["max_value"] == "200"
+        assert prof["country"]["distinct_count"] == 4
+        assert prof["country"]["min_value"] == "FR"
+
+    def test_approx_mode_close(self, people):
+        prof = {r["column"]: r for r in profile_columns(people).collect()}
+        # HLL on 5 values is exact in practice
+        assert prof["country"]["distinct_count"] == 4
+
+    def test_subset_and_missing(self, people):
+        assert profile_columns(people, ["id"]).count() == 1
+        with pytest.raises(ValueError, match="not in frame"):
+            profile_columns(people, ["nope"])
+        with pytest.raises(ValueError, match="no columns"):
+            profile_columns(people, [])
+
+    def test_one_scan_plan(self, people):
+        plan = profile_columns(
+            people, exact_distinct=False,
+        )._jdf.queryExecution().executedPlan().toString()
+        # one partial + one final aggregate (HLL buffers may compile to
+        # SortAggregate), sharing a single scan — no join, no union
+        assert plan.count("HashAggregate") + plan.count("SortAggregate") == 2
+        assert "Join" not in plan
