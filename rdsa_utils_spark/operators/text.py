@@ -196,25 +196,32 @@ def repetition_stats(
     100 TB posture: one posexplode + one lead() window build all three
     gram streams (every expression codegen'd — no interpreted
     higher-order array lambdas, measured ~10× slower for this shape);
-    gram counting is a hash aggregation whose map-side partial combine
-    collapses within-document repeats before the (id, n, gram) shuffle;
-    the final per-document rollup re-uses the id hash partitioning.
+    the token count rides along as ``size(tokens)`` computed BEFORE the
+    explode, so the window runs only the two bounded lead() frames (no
+    unbounded count frame); gram counting is a hash aggregation whose
+    map-side partial combine collapses within-document repeats before
+    the (id, n, gram) shuffle; the per-document rollup is a single
+    conditional aggregation straight off the gram counts (no
+    intermediate per-(id, n) level — one exchange fewer).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__p__")
-    k = F.count("*").over(Window.partitionBy(id_col))
     # Window expressions must be materialized in their own projection
     # before they can appear inside explode/filter lambdas.
     led = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("__p__", "__t__"),
+        F.col(id_col), tokens(text_col).alias("__arr__"),
+    ).select(
+        F.col(id_col),
+        F.size("__arr__").alias("__k__"),
+        F.posexplode("__arr__").alias("__p__", "__t__"),
     ).select(
         id_col,
         "__p__",
         "__t__",
+        "__k__",
         F.lead("__t__", 1).over(w).alias("__t2__"),
         F.lead("__t__", 2).over(w).alias("__t3__"),
-        k.alias("__k__"),
     )
     t1, t2, t3 = F.col("__t__"), F.col("__t2__"), F.col("__t3__")
     grams = F.filter(
@@ -239,27 +246,26 @@ def repetition_stats(
         id_col, F.col("__gram__.n").alias("__n__"), F.col("__gram__.g").alias("__g__"),
     )
     counts = exploded.groupBy(id_col, "__n__", "__g__").agg(F.count("*").alias("__c__"))
-    per_n = counts.groupBy(id_col, "__n__").agg(
-        F.sum("__c__").alias("__total__"),
-        F.count("*").alias("__distinct__"),
-        F.max("__c__").alias("__top__"),
-    )
 
-    def _stat(n: int, col: str):
-        return F.max(F.when(F.col("__n__") == n, F.col(col)))
+    def _total(n: int):
+        return F.sum(F.when(F.col("__n__") == n, F.col("__c__")))
 
-    return per_n.groupBy(id_col).agg(
-        _stat(1, "__total__").alias("n_tokens"),
-        F.round(_stat(1, "__distinct__") / _stat(1, "__total__"), 6).alias("ttr"),
-        F.round(
-            F.coalesce(_stat(2, "__top__") / _stat(2, "__total__"), F.lit(0.0)), 6,
-        ).alias("top_bigram_frac"),
+    def _distinct(n: int):
+        return F.sum(F.when(F.col("__n__") == n, F.lit(1)).cast("long"))
+
+    total1, total2, total3 = _total(1), _total(2), _total(3)
+    return counts.groupBy(id_col).agg(
+        total1.alias("n_tokens"),
+        F.round(_distinct(1) / total1, 6).alias("ttr"),
         F.round(
             F.coalesce(
-                (_stat(3, "__total__") - _stat(3, "__distinct__")) / _stat(3, "__total__"),
+                F.max(F.when(F.col("__n__") == 2, F.col("__c__"))) / total2,
                 F.lit(0.0),
             ),
             6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce((total3 - _distinct(3)) / total3, F.lit(0.0)), 6,
         ).alias("dup_trigram_frac"),
     )
 
