@@ -3504,6 +3504,105 @@ ORDER BY o_orderkey
 """
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/sampling.py::pack_sequences):
+    documents laid end-to-end in 8 deterministic hash shards and cut
+    into 512-token training packs by start offset; per-pack document
+    count and token total. One window shuffle, all codegen'd."""
+    from rdsa_utils_spark.operators.sampling import pack_sequences
+    from rdsa_utils_spark.operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        docs, "n_tok", "doc_id", target_tokens=512, n_shards=8, seed="pack",
+    )
+    return (
+        packed.groupBy("pack_shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("pack_shard", "pack_id")
+    )
+
+
+_ORACLE_PACKED_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+         CAST(floor(
+           list_reduce(
+             list_transform(range(1, 13), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), i, 1)) - 1)
+               * power(16.0, 12 - i)),
+             (a, b) -> a + b) / power(16.0, 12) * 8) AS INT) AS pack_shard
+  FROM documents
+), c AS (
+  SELECT pack_shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY pack_shard ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT pack_shard,
+       CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM c
+GROUP BY pack_shard, pack_id
+ORDER BY pack_shard, pack_id
+"""
+
+
+def q_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event series (operators/events.py::
+    fill_time_gaps): hourly counts per event type completed to every
+    hour between each type's first and last activity, zero-filling the
+    count and forward-filling a carried last-observed value."""
+    from rdsa_utils_spark.operators.events import fill_time_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("carried", F.col("n_events"))
+    )
+    filled = fill_time_gaps(
+        hourly, "h", "1 hour", ["event_type"],
+        fill={"n_events": "zero", "carried": "forward"},
+    )
+    return filled.select(
+        "event_type",
+        F.col("h").cast("string").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "carried",
+    ).orderBy("event_type", "hour")
+
+
+_ORACLE_GAP_FILLED_HOURLY = """
+WITH b AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, h
+), r AS (
+  SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY event_type
+), g AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM r
+)
+SELECT g.event_type,
+       CAST(g.h AS VARCHAR) AS hour,
+       CAST(COALESCE(b.cnt, 0) AS BIGINT) AS n_events,
+       CAST(last_value(b.cnt IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS carried
+FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.h = b.h
+ORDER BY g.event_type, hour
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -3641,6 +3740,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectation_checks": q_expectation_checks,
         "column_profile": q_column_profile,
         "orders_frame_diff": q_orders_frame_diff,
+        "packed_sequences": q_packed_sequences,
+        "gap_filled_hourly": q_gap_filled_hourly,
     }
 
 
@@ -3760,4 +3861,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "expectation_checks": _ORACLE_EXPECTATION_CHECKS,
         "column_profile": _ORACLE_COLUMN_PROFILE,
         "orders_frame_diff": _ORACLE_ORDERS_FRAME_DIFF,
+        "packed_sequences": _ORACLE_PACKED_SEQUENCES,
+        "gap_filled_hourly": _ORACLE_GAP_FILLED_HOURLY,
     }

@@ -65,11 +65,13 @@ from rdsa_utils_spark.operators.sampling import (  # noqa: F401
     cap_per_group,
     deterministic_split,
     hash_uniform,
+    pack_sequences,
     stratified_sample,
     vocabulary,
 )
 from rdsa_utils_spark.operators.events import (  # noqa: F401
     cohort_retention,
+    fill_time_gaps,
     funnel_counts,
 )
 from rdsa_utils_spark.operators.search import (  # noqa: F401

@@ -112,3 +112,65 @@ def cohort_retention(
         .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
         .orderBy("cohort_date", "period")
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    group_cols: Sequence[str] = (),
+    fill: dict[str, str] | None = None,
+) -> DataFrame:
+    """Complete a bucketed time series: emit one row for EVERY
+    ``interval`` step between each group's first and last bucket, not
+    just the buckets that had data — then fill the value columns of the
+    gap rows per the ``fill`` spec: ``'zero'`` (missing → 0),
+    ``'forward'`` (carry the last observed value), or ``'null'``
+    (leave NULL). Columns not named in ``fill`` are left NULL on gap
+    rows.
+
+    ``df`` must hold at most one row per (group, bucket) with
+    ``ts_col`` already truncated to the bucket start (e.g. via
+    ``date_trunc``); ``interval`` is a SQL interval string such as
+    ``'1 hour'`` or ``'7 days'``.
+
+    100 TB posture: the grid is built from a per-group (min, max)
+    aggregate — one map-side-combinable pass — and exploded with
+    ``sequence()`` (codegen'd, no Python, no driver loop); grid ←
+    data is a left join on (group, bucket) immediately after the
+    grid's groupBy, so both sides share the group-hash exchange.
+    Forward fill is one bounded ``last(ignorenulls)`` window per the
+    same partitioning. Output size is the SEMANTIC size of the dense
+    series (groups × buckets) — cap the time range upstream if a
+    sparse group spans years at second granularity.
+    """
+    groups = list(group_cols)
+    fill = dict(fill or {})
+    bad = {c: m for c, m in fill.items() if m not in ("zero", "forward", "null")}
+    if bad:
+        raise ValueError(f"fill modes must be zero|forward|null, got {bad}")
+    missing = [c for c in fill if c not in df.columns]
+    if missing:
+        raise ValueError(f"fill columns not in frame: {missing}")
+    step = F.expr(f"INTERVAL {interval}")
+    bounds = df.groupBy(*[F.col(g) for g in groups]).agg(
+        F.min(ts_col).alias("__lo__"), F.max(ts_col).alias("__hi__"),
+    )
+    grid = bounds.select(
+        *groups,
+        F.explode(F.sequence("__lo__", "__hi__", step)).alias(ts_col),
+    )
+    out = grid.join(df, on=groups + [ts_col], how="left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c, mode in fill.items():
+        if mode == "zero":
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+        elif mode == "forward":
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

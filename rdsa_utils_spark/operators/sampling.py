@@ -35,6 +35,7 @@ __all__ = [
     "stratified_sample",
     "cap_per_group",
     "vocabulary",
+    "pack_sequences",
 ]
 
 _HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
@@ -185,3 +186,57 @@ def vocabulary(
         .orderBy(F.desc("term_count"), "term")
     )
     return counts.limit(k) if k is not None else counts
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column | str,
+    id_col: str,
+    target_tokens: int,
+    n_shards: int = 64,
+    seed: str = "",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs (sequence
+    packing): adds ``pack_shard`` and ``pack_id`` columns; a pack is
+    the set of rows sharing ``(pack_shard, pack_id)``, built by laying
+    documents end-to-end in deterministic ``id_col`` order and cutting
+    every ``target_tokens``.
+
+    A document is assigned by its START offset in the shard's token
+    stream — ``floor(prefix_sum_exclusive / target_tokens)`` — so packs
+    average ``target_tokens`` and may overhang by at most the last
+    document's length (pre-split long documents with
+    ``text.chunk_documents`` to bound the overhang; a document longer
+    than the target leaves gap pack ids after it, which downstream
+    writers should treat as absorbed by its pack).
+
+    Deterministic: sharding uses :func:`hash_uniform` (md5-based, no
+    partition-layout dependence) and ordering uses the unique
+    ``id_col``, so reruns produce byte-identical packs — ablations on
+    repacked corpora stay comparable.
+
+    100 TB posture: pack construction is inherently sequential in the
+    document stream, so the corpus is hash-split into ``n_shards``
+    independent streams packed in parallel — one hash-partitioned
+    window (single shuffle of (id, token_count) pairs), prefix-sum and
+    floor-division all codegen'd, no Python. Cost of sharding is at
+    most one underfull pack per shard tail, negligible while
+    ``n_shards × target_tokens`` is small against total corpus tokens
+    (at 100 TB set n_shards ≈ cluster cores; the per-shard stream is
+    still billions of tokens).
+    """
+    if target_tokens <= 0:
+        raise ValueError(f"target_tokens must be positive, got {target_tokens}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    tok = (F.col(token_col) if isinstance(token_col, str) else token_col).cast("long")
+    shard = F.floor(hash_uniform(id_col, seed) * F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    return df.withColumn("pack_shard", shard).withColumn(
+        "pack_id", F.floor((cum - tok) / F.lit(target_tokens)).cast("long"),
+    )

@@ -85,3 +85,64 @@ def test_funnel_plan_has_no_cartesian(spark, sf_dir):
     events = read_parquet(spark, f"{sf_dir}/events.parquet")
     df = funnel_counts(events, ["signup", "view", "purchase"])
     assert not has_cartesian_product(df)
+
+
+class TestFillTimeGaps:
+    def _series(self, spark):
+        return spark.createDataFrame(
+            [
+                ("a", "2024-01-01 00:00:00", 5.0),
+                ("a", "2024-01-01 03:00:00", 7.0),
+                ("b", "2024-01-01 01:00:00", 1.0),
+            ],
+            "g string, h string, v double",
+        ).select("g", F.col("h").cast("timestamp").alias("h"), "v")
+
+    def test_grid_completion_and_modes(self, spark):
+        from rdsa_utils_spark.operators.events import fill_time_gaps
+
+        out = fill_time_gaps(
+            self._series(spark), "h", "1 hour", ["g"], fill={"v": "zero"},
+        ).orderBy("g", "h")
+        rows = [(r.g, r.h.hour, r.v) for r in out.collect()]
+        # group a: hours 0..3 dense (two gaps zero-filled); b: single point
+        assert rows == [
+            ("a", 0, 5.0), ("a", 1, 0.0), ("a", 2, 0.0), ("a", 3, 7.0),
+            ("b", 1, 1.0),
+        ]
+
+    def test_forward_fill(self, spark):
+        from rdsa_utils_spark.operators.events import fill_time_gaps
+
+        out = fill_time_gaps(
+            self._series(spark), "h", "1 hour", ["g"], fill={"v": "forward"},
+        ).orderBy("g", "h")
+        assert [r.v for r in out.filter(F.col("g") == "a").collect()] == [
+            5.0, 5.0, 5.0, 7.0,
+        ]
+
+    def test_null_mode_and_unlisted_cols(self, spark):
+        from rdsa_utils_spark.operators.events import fill_time_gaps
+
+        df = self._series(spark).withColumn("w", F.col("v") * 2)
+        out = fill_time_gaps(df, "h", "1 hour", ["g"], fill={"v": "null"})
+        gap = out.filter(F.col("g") == "a").orderBy("h").collect()[1]
+        assert gap.v is None and gap.w is None
+
+    def test_rejects_bad_spec(self, spark):
+        from rdsa_utils_spark.operators.events import fill_time_gaps
+
+        df = self._series(spark)
+        with pytest.raises(ValueError, match="zero\\|forward\\|null"):
+            fill_time_gaps(df, "h", "1 hour", ["g"], fill={"v": "bogus"})
+        with pytest.raises(ValueError, match="not in frame"):
+            fill_time_gaps(df, "h", "1 hour", ["g"], fill={"nope": "zero"})
+
+    def test_no_extra_exchange_for_join(self, spark):
+        from rdsa_utils_spark.operators.events import fill_time_gaps
+
+        out = fill_time_gaps(
+            self._series(spark), "h", "1 hour", ["g"], fill={"v": "forward"},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "BatchEvalPython" not in plan

@@ -121,3 +121,70 @@ def test_vocabulary_counts_min_count_and_k(spark):
     assert vocab == {"the": 3, "cat": 2, "sat": 1}
     top = vocabulary(df, "text", min_count=2, k=1).collect()
     assert [(r.term, r.term_count) for r in top] == [("the", 3)]
+
+
+class TestPackSequences:
+    def test_offset_packing_single_shard(self, spark):
+        from rdsa_utils_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 3), (2, 3), (3, 3), (4, 3)], "id long, n_tok long",
+        )
+        out = pack_sequences(df, "n_tok", "id", target_tokens=6, n_shards=1)
+        got = {r.id: (r.pack_shard, r.pack_id) for r in out.collect()}
+        # stream: starts 0,3,6,9 → packs 0,0,1,1
+        assert got == {1: (0, 0), 2: (0, 0), 3: (0, 1), 4: (0, 1)}
+
+    def test_long_doc_leaves_gap_ids(self, spark):
+        from rdsa_utils_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 2000), (2, 10)], "id long, n_tok long",
+        )
+        out = pack_sequences(df, "n_tok", "id", target_tokens=512, n_shards=1)
+        got = {r.id: r.pack_id for r in out.collect()}
+        assert got[1] == 0        # starts at offset 0
+        assert got[2] == 3        # starts at offset 2000 → pack 3
+
+    def test_deterministic_and_bounded_overhang(self, spark, sf_dir):
+        from rdsa_utils_spark.operators.sampling import pack_sequences
+        from rdsa_utils_spark.operators.text import token_count
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", token_count("text").alias("n_tok"),
+        )
+        a = pack_sequences(docs, "n_tok", "doc_id", 512, n_shards=4, seed="s")
+        b = pack_sequences(docs, "n_tok", "doc_id", 512, n_shards=4, seed="s")
+        pa = a.orderBy("doc_id").toPandas()
+        assert pa.equals(b.orderBy("doc_id").toPandas())
+        # every pack's total ≤ target + (max doc in pack) - 1: docs are
+        # laid contiguously and each STARTS inside the pack's window
+        stats = (
+            a.groupBy("pack_shard", "pack_id")
+            .agg(F.sum("n_tok").alias("total"), F.max("n_tok").alias("mx"))
+            .collect()
+        )
+        assert stats and all(r.total <= 512 + r.mx - 1 for r in stats)
+        # sharding is a partition of the corpus
+        assert a.count() == docs.count()
+
+    def test_rejects_bad_params(self, spark):
+        from rdsa_utils_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame([(1, 1)], "id long, n_tok long")
+        with pytest.raises(ValueError, match="target_tokens"):
+            pack_sequences(df, "n_tok", "id", 0)
+        with pytest.raises(ValueError, match="n_shards"):
+            pack_sequences(df, "n_tok", "id", 10, n_shards=0)
+
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        from rdsa_utils_spark.operators.sampling import pack_sequences
+        from rdsa_utils_spark.operators.text import token_count
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", token_count("text").alias("n_tok"),
+        )
+        out = pack_sequences(docs, "n_tok", "doc_id", 512)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan and "InPandas" not in plan
