@@ -24,6 +24,25 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
+def epoch_double(df, col_name: str) -> Column:
+    """The named column as a DOUBLE suitable for ordering/difference
+    arithmetic: numerics cast directly; TIMESTAMP casts to epoch
+    seconds (microsecond precision preserved); TIMESTAMP_NTZ — which
+    Spark forbids casting straight to DOUBLE — routes via an LTZ cast,
+    exact and monotonic when the session time zone is UTC (the engine
+    default; a DST-observing session tz would make differences across
+    a transition off by the DST shift).
+
+    Needs the owning ``df`` for the dtype dispatch — a bare Column
+    carries no schema.
+    """
+    dtype = df.schema[col_name].dataType.typeName()
+    c = F.col(col_name)
+    if dtype == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
 def create_colname_to_value_map(cols: Sequence[str]) -> Column:
     """``map<colname, value>`` column over the named columns."""
     return F.create_map(*chain.from_iterable((F.lit(c), F.col(c)) for c in cols))

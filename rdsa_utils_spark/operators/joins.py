@@ -23,8 +23,10 @@ from __future__ import annotations
 from functools import reduce
 from typing import Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from rdsa_utils_spark.functions.columns import epoch_double
 
 _VALID_HOW = {
     "inner", "cross", "outer", "full", "fullouter", "full_outer",
@@ -129,8 +131,10 @@ def asof_join(
 
     out = filled.filter(F.col("__is_left__") == 1).drop("__is_left__")
     if tolerance is not None:
+        # timestamp_ntz cannot cast straight to double — epoch_double
+        # dispatches on the on-column's dtype (both sides share it).
         gap = F.abs(
-            F.col(on).cast("double") - F.col("__matched_ts__").cast("double"),
+            epoch_double(out, on) - epoch_double(out, "__matched_ts__"),
         )
         out = out.select(
             *[c for c in out.columns if c != "__matched_ts__" and c not in out_names.values()],
@@ -175,17 +179,25 @@ def range_join(
             "would duplicate unmatched intervals per bucket)",
         )
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    lpt, rlo, rhi = F.col(left_point), F.col(right_lo), F.col(right_hi)
+
+    # timestamp_ntz forbids a direct →double cast; dispatch once per
+    # column on the SOURCE frame's dtype and reuse for the qualified
+    # join-condition references below.
+    def _num(col: Column, src: DataFrame, name: str) -> Column:
+        if src.schema[name].dataType.typeName() == "timestamp_ntz":
+            col = col.cast("timestamp")
+        return col.cast("double")
 
     left_b = left.withColumn(
-        "__bucket__", F.floor(lpt.cast("double") / F.lit(bucket_width)).cast("long"),
+        "__bucket__",
+        F.floor(_num(F.col(left_point), left, left_point) / F.lit(bucket_width)).cast("long"),
     )
     right_b = right.withColumn(
         "__rbucket__",
         F.explode(
             F.sequence(
-                F.floor(rlo.cast("double") / F.lit(bucket_width)).cast("long"),
-                F.floor(rhi.cast("double") / F.lit(bucket_width)).cast("long"),
+                F.floor(_num(F.col(right_lo), right, right_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(_num(F.col(right_hi), right, right_hi) / F.lit(bucket_width)).cast("long"),
             ),
         ),
     )
@@ -197,8 +209,8 @@ def range_join(
 
     cond = (
         (left_b["__bucket__"] == right_b["__rbucket__"])
-        & (left_b[left_point].cast("double") >= right_b[right_lo].cast("double"))
-        & (left_b[left_point].cast("double") < right_b[right_hi].cast("double"))
+        & (_num(left_b[left_point], left, left_point) >= _num(right_b[right_lo], right, right_lo))
+        & (_num(left_b[left_point], left, left_point) < _num(right_b[right_hi], right, right_hi))
     )
     for c, tmp in by_tmp.items():
         cond = cond & (left_b[c] == right_b[tmp])

@@ -31,6 +31,52 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Default cap on the bytes a rescoring path may gather to the driver
+#: and broadcast (the float64 id→vector matrix). 512 MiB ≈ 87k rows at
+#: 768 dims — past this the shuffle-safe join-attach plan is used.
+DEFAULT_MAX_BROADCAST_BYTES = 512 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst plan-statistics size estimate for ``df`` — read from the
+    optimized logical plan, so no job runs. For parquet scans this is
+    the (compressed) file footprint of the referenced columns; float
+    vector payloads compress poorly, so it tracks the in-memory matrix
+    size within a small factor. Returns None when stats are
+    unavailable."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return None
+    # Catalyst signals "unknown" with a huge sentinel (conf default
+    # spark.sql.defaultSizeInBytes = Long.MaxValue); treat it as None
+    # so the caller falls back to the scale-safe path.
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def _fits_broadcast(
+    df: DataFrame,
+    max_broadcast_bytes: int,
+    max_broadcast_rows: int | None = None,
+) -> bool:
+    """Decide whether a frame's vector payload may be gathered on the
+    driver and broadcast.
+
+    Mirrors Spark's own broadcast-join decision: a BYTES budget checked
+    against Catalyst plan statistics (no eager scan). The estimate is
+    doubled as a safety factor (compressed-on-disk → float64-in-memory).
+    An explicit ``max_broadcast_rows`` opts into the legacy row-count
+    guard (one metadata-cheap count job). Unknown statistics fail the
+    guard — the shuffle-safe path is always correct, just slower.
+    """
+    if max_broadcast_rows is not None:
+        return df.count() <= max_broadcast_rows
+    est = _plan_size_bytes(df)
+    return est is not None and 2 * est <= max_broadcast_bytes
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (deterministic left fold)."""
     return F.aggregate(
@@ -217,6 +263,8 @@ def lsh_bucketed_topk(
     num_tables: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: score only candidates sharing an LSH
     bucket with the query in at least one of ``num_tables`` tables.
@@ -241,11 +289,17 @@ def lsh_bucketed_topk(
         joined = joined.filter(F.col("candidate_id") != F.col("query_id"))
     pairs = joined.dropDuplicates(["query_id", "candidate_id"])
     # Same rescoring strategy as cosine_near_dup_pairs: when both
-    # vector sets fit the broadcast guard, score the narrow pair list
-    # against broadcast matrices in one mapInPandas pass; otherwise
-    # join-attach payloads (shuffle-safe at any scale).
-    n_vecs = queries.count() if queries is corpus else queries.count() + corpus.count()
-    if n_vecs <= 2_000_000:
+    # vector sets fit the broadcast BYTE budget (Catalyst plan stats —
+    # no eager scan), score the narrow pair list against broadcast
+    # matrices in one mapInPandas pass; otherwise join-attach payloads
+    # (shuffle-safe at any scale).
+    if queries is corpus:
+        fits = _fits_broadcast(corpus, max_broadcast_bytes, max_broadcast_rows)
+    else:
+        fits = _fits_broadcast(
+            queries, max_broadcast_bytes, max_broadcast_rows,
+        ) and _fits_broadcast(corpus, max_broadcast_bytes, max_broadcast_rows)
+    if fits:
         scored = _score_pairs_broadcast_2sided(
             queries, corpus, pairs, query_id, query_vec, corpus_id, corpus_vec,
         )
@@ -363,7 +417,8 @@ def cosine_near_dup_pairs(
     bits: int = 10,
     num_tables: int = 6,
     seed: int = 42,
-    max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    max_broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), found via
     multi-table hyperplane bucketing + exact rescoring. Returns
@@ -387,12 +442,14 @@ def cosine_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Rescoring strategy mirrors Spark's own broadcast-vs-shuffle join
-    # choice: a corpus within ``max_broadcast_rows`` (2M × 64 dims ≈
-    # 1 GiB) is gathered once and broadcast, and the narrow pair list
-    # is scored in a single mapInPandas pass — no join ever widens a
-    # pair row with vector payloads. Past the guard, fall back to the
-    # shuffle-safe join-attach plan that works at any corpus size.
-    if df.count() <= max_broadcast_rows:
+    # choice: a corpus within the ``max_broadcast_bytes`` budget
+    # (checked against Catalyst plan statistics — no eager scan, and
+    # bytes not rows, so a 1536-dim corpus hits the cap ~24× sooner
+    # than a 64-dim one) is gathered once and broadcast, and the narrow
+    # pair list is scored in a single mapInPandas pass — no join ever
+    # widens a pair row with vector payloads. Past the guard, fall back
+    # to the shuffle-safe join-attach plan that works at any corpus size.
+    if _fits_broadcast(df, max_broadcast_bytes, max_broadcast_rows):
         return _score_pairs_broadcast(df, pairs, id_col, vec_col, threshold)
     vecs = df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__"))
     attached = (
@@ -413,6 +470,7 @@ def cosine_near_dup_pairs_exact(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_corpus_rows: int = 2_000_000,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (cosine ≥ threshold,
     ``id_a < id_b``) — the verification baseline for
@@ -437,6 +495,16 @@ def cosine_near_dup_pairs_exact(
     if n_rows > max_corpus_rows:
         raise ValueError(
             f"corpus has {n_rows} rows > max_corpus_rows={max_corpus_rows}; "
+            "use cosine_near_dup_pairs (LSH) for corpora beyond broadcast size",
+        )
+    # Row cap alone under-guards wide embeddings: 2M rows is ~1 GiB at
+    # 64 dims but 24 GiB at 1536 dims. The gathered float64 matrix is
+    # exactly rows × dim × 8 bytes — cap that too.
+    est_bytes = n_rows * dim * 8
+    if est_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"corpus matrix is ~{est_bytes >> 20} MiB ({n_rows} rows × {dim} "
+            f"dims × 8 B) > max_broadcast_bytes={max_broadcast_bytes}; "
             "use cosine_near_dup_pairs (LSH) for corpora beyond broadcast size",
         )
     pdf = src.toPandas()

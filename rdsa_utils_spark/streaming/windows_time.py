@@ -117,10 +117,16 @@ def sessionize_by_gap(
     order = [F.col(ts_col).asc()]
     order += [F.col(c).asc() for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # timestamp_ntz forbids a direct →double cast; route via an LTZ
+    # cast (exact under the engine's UTC session tz). Numerics and
+    # plain timestamps cast straight through.
+    ts_num = F.col(ts_col)
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        ts_num = ts_num.cast("timestamp")
+    ts_num = ts_num.cast("double")
+    prev_num = F.lag(ts_num).over(w)
     is_new = (
-        prev_ts.isNull()
-        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > F.lit(gap_seconds))
+        prev_num.isNull() | ((ts_num - prev_num) > F.lit(gap_seconds))
     ).cast("long")
     return df.withColumn(
         session_col,

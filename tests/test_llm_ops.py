@@ -256,6 +256,13 @@ def test_exact_near_dup_pairs_corpus_guard(spark):
     )
     with pytest.raises(ValueError, match="max_corpus_rows"):
         cosine_near_dup_pairs_exact(df, dim=2, threshold=0.9, max_corpus_rows=3)
+    # Byte guard: 5 rows × 1536 dims × 8 B = 61 KiB must exceed a 1 KiB
+    # budget even though the row cap passes — wide embeddings are
+    # guarded by BYTES, not rows.
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        cosine_near_dup_pairs_exact(
+            df, dim=1536, threshold=0.9, max_broadcast_bytes=1024,
+        )
 
 
 def test_chunk_documents_windows_and_edges(spark):

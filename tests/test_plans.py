@@ -236,6 +236,14 @@ def test_lsh_near_dup_rescoring_broadcasts_under_guard(spark, sf_dir):
     )
     assert _n_joins(fallback) == 3, "expected bucket join + 2 payload joins"
 
+    # The default guard is BYTES (Catalyst plan stats), not rows — a
+    # 1-byte budget must also force the shuffle-safe plan, without
+    # running any eager count job.
+    byte_fallback = cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.3, bits=4, num_tables=2, max_broadcast_bytes=1,
+    )
+    assert _n_joins(byte_fallback) == 3, "byte budget should force payload joins"
+
 
 def test_bm25_plan_broadcasts_and_filters_early(spark, sf_dir):
     """BM25: the term filter must sit inside the token-explode
