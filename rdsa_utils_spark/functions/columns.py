@@ -24,14 +24,34 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 
+_UTC_ZONES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00", "GMT0", "UTC0"}
+
+
+def require_utc_for_ntz(df, col_name: str) -> None:
+    """Reinterpreting TIMESTAMP_NTZ as an instant is only exact when
+    the session time zone is UTC — under a DST-observing zone the
+    mapping shifts near transitions and fall-back makes it
+    non-injective. Raise rather than silently compute shifted epochs.
+    """
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_ZONES:
+        raise ValueError(
+            f"column {col_name!r} is TIMESTAMP_NTZ but the session time zone "
+            f"is {tz!r}; NTZ↔epoch arithmetic is only exact under UTC. Set "
+            "spark.sql.session.timeZone=UTC (the engine default via "
+            "create_spark_session) or read the column as TIMESTAMP "
+            "(spark.sql.parquet.inferTimestampNTZ.enabled=false).",
+        )
+
+
 def epoch_double(df, col_name: str) -> Column:
     """The named column as a DOUBLE suitable for ordering/difference
     arithmetic: numerics cast directly; TIMESTAMP casts to epoch
     seconds (microsecond precision preserved); TIMESTAMP_NTZ — which
     Spark forbids casting straight to DOUBLE — routes via an LTZ cast,
-    exact and monotonic when the session time zone is UTC (the engine
-    default; a DST-observing session tz would make differences across
-    a transition off by the DST shift).
+    exact under a UTC session time zone (enforced:
+    :func:`require_utc_for_ntz` raises on any other zone rather than
+    silently computing DST-shifted epochs).
 
     Needs the owning ``df`` for the dtype dispatch — a bare Column
     carries no schema.
@@ -39,6 +59,7 @@ def epoch_double(df, col_name: str) -> Column:
     dtype = df.schema[col_name].dataType.typeName()
     c = F.col(col_name)
     if dtype == "timestamp_ntz":
+        require_utc_for_ntz(df, col_name)
         c = c.cast("timestamp")
     return c.cast("double")
 

@@ -185,6 +185,9 @@ def range_join(
     # join-condition references below.
     def _num(col: Column, src: DataFrame, name: str) -> Column:
         if src.schema[name].dataType.typeName() == "timestamp_ntz":
+            from rdsa_utils_spark.functions.columns import require_utc_for_ntz
+
+            require_utc_for_ntz(src, name)
             col = col.cast("timestamp")
         return col.cast("double")
 

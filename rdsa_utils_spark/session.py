@@ -59,6 +59,12 @@ _COMMON_CONFIGS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet is the canonical storage format; always prune + push down.
     "spark.sql.parquet.filterPushdown": "true",
+    # Spark 4 infers parquet timestamp[us] (no tz) as TIMESTAMP_NTZ, which
+    # breaks casts to numeric and Structured Streaming watermarks
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The engine contract is
+    # TimestampType (LTZ) with a UTC session zone, so read the legacy way.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
 }
 
 

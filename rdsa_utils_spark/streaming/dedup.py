@@ -49,6 +49,9 @@ def dedup_within_watermark(
         return df.dropDuplicates(keys)
     if ts_col is None:
         raise ValueError("ts_col is required for streaming input")
+    from rdsa_utils_spark.streaming.windows_time import _watermark_safe
+
+    df = _watermark_safe(df, ts_col)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 

@@ -25,6 +25,21 @@ def _agg_list(aggs: Mapping[str, Column]) -> list[Column]:
     return [expr.alias(name) for name, expr in aggs.items()]
 
 
+def _watermark_safe(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` requires TimestampType; a TIMESTAMP_NTZ event
+    column (Spark 4 parquet inference) is rejected with
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``. Reinterpret NTZ as LTZ —
+    exact under the engine's UTC session time zone — so streaming works
+    regardless of the reader session's inference setting.
+    """
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        from rdsa_utils_spark.functions.columns import require_utc_for_ntz
+
+        require_utc_for_ntz(df, ts_col)
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,
@@ -39,7 +54,7 @@ def tumbling_window_agg(
     (flattened from the struct so results are plain-SQL comparable).
     """
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermark_safe(df, ts_col).withWatermark(ts_col, watermark)
     out = df.groupBy(F.window(F.col(ts_col), duration).alias("__w__"), *keys).agg(
         *_agg_list(aggs),
     )
@@ -61,7 +76,7 @@ def sliding_window_agg(
 ) -> DataFrame:
     """Overlapping windows of ``duration`` advancing every ``slide``."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermark_safe(df, ts_col).withWatermark(ts_col, watermark)
     out = df.groupBy(
         F.window(F.col(ts_col), duration, slide).alias("__w__"), *keys,
     ).agg(*_agg_list(aggs))
@@ -83,7 +98,7 @@ def session_window_agg(
     """Session windows closed after ``gap`` of inactivity
     (``F.session_window`` — works in batch and streaming)."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermark_safe(df, ts_col).withWatermark(ts_col, watermark)
     out = df.groupBy(
         F.session_window(F.col(ts_col), gap).alias("__w__"), *keys,
     ).agg(*_agg_list(aggs))
@@ -117,13 +132,12 @@ def sessionize_by_gap(
     order = [F.col(ts_col).asc()]
     order += [F.col(c).asc() for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
-    # timestamp_ntz forbids a direct →double cast; route via an LTZ
-    # cast (exact under the engine's UTC session tz). Numerics and
+    # timestamp_ntz forbids a direct →double cast; epoch_double routes
+    # it via an LTZ cast and enforces a UTC session tz. Numerics and
     # plain timestamps cast straight through.
-    ts_num = F.col(ts_col)
-    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
-        ts_num = ts_num.cast("timestamp")
-    ts_num = ts_num.cast("double")
+    from rdsa_utils_spark.functions.columns import epoch_double
+
+    ts_num = epoch_double(df, ts_col)
     prev_num = F.lag(ts_num).over(w)
     is_new = (
         prev_num.isNull() | ((ts_num - prev_num) > F.lit(gap_seconds))

@@ -201,3 +201,24 @@ def test_assert_same_distinct_values(spark):
     c = spark.createDataFrame([(3,)], "v int")
     with pytest.raises(ValueError, match="only in"):
         assert_same_distinct_values(a, c, "v")
+
+
+def test_epoch_double_ntz_requires_utc_session(spark):
+    """NTZ→epoch dispatch is exact only under UTC; any other session
+    zone raises instead of silently computing DST-shifted epochs."""
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.functions.columns import epoch_double
+
+    df = spark.createDataFrame(
+        [("2024-06-01 12:00:00",)], "s string",
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    # UTC (the engine/test default): exact epoch
+    val = df.select(epoch_double(df, "ts").alias("e")).collect()[0].e
+    assert val == 1717243200.0
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="only exact under UTC"):
+            df.select(epoch_double(df, "ts"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
