@@ -129,6 +129,12 @@ def fill_time_gaps(
     (leave NULL). Columns not named in ``fill`` are left NULL on gap
     rows.
 
+    Filling applies to GAP ROWS ONLY: a NULL that was present in an
+    observed input row survives untouched (a presence marker from the
+    data side of the join scopes the fill), and forward fill carries
+    the most recent *observed row's* value — including an observed
+    NULL — rather than skipping back to an older non-null.
+
     ``df`` must hold at most one row per (group, bucket) with
     ``ts_col`` already truncated to the bucket start (e.g. via
     ``date_trunc``); ``interval`` is a SQL interval string such as
@@ -160,7 +166,8 @@ def fill_time_gaps(
         *groups,
         F.explode(F.sequence("__lo__", "__hi__", step)).alias(ts_col),
     )
-    out = grid.join(df, on=groups + [ts_col], how="left")
+    marker = "__present__"
+    out = grid.join(df.withColumn(marker, F.lit(True)), on=groups + [ts_col], how="left")
     from pyspark.sql import Window
 
     w = (
@@ -168,9 +175,16 @@ def fill_time_gaps(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    present = F.col(marker).isNotNull()
     for c, mode in fill.items():
         if mode == "zero":
-            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+            zero = F.lit(0).cast(df.schema[c].dataType)
+            out = out.withColumn(c, F.when(present, F.col(c)).otherwise(zero))
         elif mode == "forward":
-            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+            # struct-wrap so an observed NULL is itself carried (a bare
+            # last(ignorenulls) would skip past it to an older value).
+            carried = F.last(
+                F.when(present, F.struct(F.col(c).alias("v"))), ignorenulls=True,
+            ).over(w)["v"]
+            out = out.withColumn(c, F.when(present, F.col(c)).otherwise(carried))
+    return out.drop(marker)

@@ -291,28 +291,27 @@ def redact_pii(
     email local parts are gone before digit runs are considered).
 
     With ``count_matches`` also emits ``n_emails`` / ``n_ips`` /
-    ``n_phones``, counted on the ORIGINAL text per pattern.
+    ``n_phones``; each count runs on the PROGRESSIVELY REDACTED text
+    (emails on the original, IPs after emails are replaced, phones
+    after emails+IPs are replaced), so the counts equal the number of
+    ``<EMAIL>``/``<IP>``/``<PHONE>`` substitutions actually made — a
+    dotted IPv4 is ``n_ips=1, n_phones=0`` even though the raw string
+    also matches the phone pattern.
 
     Pure ``regexp_replace`` / ``regexp_count`` expressions (JVM,
     codegen'd) — a narrow projection with zero shuffles; patterns are
     deliberately RE2-compatible so the oracle runs the same regexes.
     """
     col = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>"),
-            PII_IPV4_PATTERN,
-            "<IP>",
-        ),
-        PII_PHONE_PATTERN,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4_PATTERN, "<IP>")
+    redacted = F.regexp_replace(after_ip, PII_PHONE_PATTERN, "<PHONE>")
     out = df.withColumn(out_col or text_col, redacted)
     if count_matches:
         out = (
             out.withColumn("n_emails", F.regexp_count(col, F.lit(PII_EMAIL_PATTERN)))
-            .withColumn("n_ips", F.regexp_count(col, F.lit(PII_IPV4_PATTERN)))
-            .withColumn("n_phones", F.regexp_count(col, F.lit(PII_PHONE_PATTERN)))
+            .withColumn("n_ips", F.regexp_count(after_email, F.lit(PII_IPV4_PATTERN)))
+            .withColumn("n_phones", F.regexp_count(after_ip, F.lit(PII_PHONE_PATTERN)))
         )
     return out
 

@@ -271,13 +271,16 @@ def merge_upsert(
     anti-join-free window dedup (one shuffle on the key columns).
 
     Write protocol: merged output lands in a staging path, then the
-    live path is swapped via the Hadoop FileSystem API (works for
-    file:/, hdfs:/, s3a:/). The swap is delete-then-rename, NOT
-    atomic — single-writer pipelines only; concurrent readers during
-    the swap window see a missing path rather than torn data. For
-    multi-writer atomicity use a table format (Delta/Iceberg) — this
-    operator is the format-free fallback the reference's Hive-append
-    path occupies.
+    swap runs rename-aside-first via the Hadoop FileSystem API (works
+    for file:/, hdfs:/, s3a:/): live → ``<path>__old__``, stage →
+    live, delete ``__old__``. A crash at any point leaves a complete
+    copy on disk (live, ``__old__``, or stage) — never zero copies —
+    and a stale ``__old__`` from a previous crash is cleared on the
+    next run. The swap is still NOT atomic — single-writer pipelines
+    only; concurrent readers during the swap window can see a missing
+    path rather than torn data. For multi-writer atomicity use a
+    table format (Delta/Iceberg) — this operator is the format-free
+    fallback the reference's Hive-append path occupies.
 
     100 TB posture: cost is one co-partitioned shuffle of
     existing ∪ new on the keys plus a full rewrite of the target —
@@ -317,8 +320,13 @@ def merge_upsert(
         .drop(src, rank)
     )
     stage = path.rstrip("/") + stage_suffix
+    old = path.rstrip("/") + "__old__"
     if fs.folder_exists(stage):
         fs.delete_folder(stage)
+    if fs.folder_exists(old):
+        fs.delete_folder(old)
     merged.write.parquet(stage)
-    fs.delete_folder(path)
+    # Crash-safe swap: at every intermediate state a full copy exists.
+    fs.move_file(path, old)
     fs.move_file(stage, path)
+    fs.delete_folder(old)

@@ -129,6 +129,31 @@ class TestFillTimeGaps:
         gap = out.filter(F.col("g") == "a").orderBy("h").collect()[1]
         assert gap.v is None and gap.w is None
 
+    def test_observed_nulls_survive_fill(self, spark):
+        """Fill applies to gap rows only: a NULL present in an observed
+        input row is NOT zero-filled, and forward fill carries the
+        observed NULL instead of skipping back to an older value."""
+        from rdsa_utils_spark.operators.events import fill_time_gaps
+
+        df = spark.createDataFrame(
+            [
+                ("a", "2024-01-01 00:00:00", 5.0),
+                ("a", "2024-01-01 02:00:00", None),  # observed NULL
+                ("a", "2024-01-01 04:00:00", 9.0),
+            ],
+            "g string, h string, v double",
+        ).select("g", F.col("h").cast("timestamp").alias("h"), "v")
+
+        zeroed = fill_time_gaps(df, "h", "1 hour", ["g"], fill={"v": "zero"})
+        vals = {r.h.hour: r.v for r in zeroed.collect()}
+        assert vals == {0: 5.0, 1: 0.0, 2: None, 3: 0.0, 4: 9.0}
+
+        ffilled = fill_time_gaps(df, "h", "1 hour", ["g"], fill={"v": "forward"})
+        fvals = {r.h.hour: r.v for r in ffilled.collect()}
+        # hour 3's gap follows the observed NULL at hour 2 — it carries
+        # that NULL, not hour 0's 5.0; hour 2 itself stays NULL.
+        assert fvals == {0: 5.0, 1: 5.0, 2: None, 3: None, 4: 9.0}
+
     def test_rejects_bad_spec(self, spark):
         from rdsa_utils_spark.operators.events import fill_time_gaps
 

@@ -361,6 +361,23 @@ def test_redact_pii_patterns_and_counts(spark):
     assert "<PHONE>" in out[3].red and out[3].n_phones == 1
     assert out[4].red == out[4].text
     assert (out[4].n_emails, out[4].n_ips, out[4].n_phones) == (0, 0, 0)
+    # Counts reflect substitutions actually made: a dotted IPv4 also
+    # matches the raw phone pattern but is tagged (and counted) as an
+    # IP only; an email whose local part is digit-heavy never leaks
+    # into the phone count.
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 1, 0)
+
+
+def test_redact_pii_counts_on_progressively_redacted_text(spark):
+    from rdsa_utils_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "ip 10.20.30.40 and mail 5551234567@sms.example.com end")],
+        "id long, text string",
+    )
+    r = redact_pii(df, "text", out_col="red").collect()[0]
+    assert r.red == "ip <IP> and mail <EMAIL> end"
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 0)
 
 
 def test_dedup_clusters_transitive_closure(spark):

@@ -55,6 +55,55 @@ def test_merge_upsert_rejects_schema_mismatch_and_empty_keys(spark, tmp_path):
         merge_upsert(spark, base, path, keys=[])
 
 
+def test_merge_upsert_crash_leaves_recoverable_copy(spark, tmp_path, monkeypatch):
+    """Kill the swap at each step; a complete copy of the data must
+    exist somewhere (live, __old__, or stage) after every crash."""
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+    def run_with_crash(crash_at):
+        path = str(tmp_path / f"target_{crash_at}")
+        base = spark.createDataFrame([(1, "a", 10)], "k long, v string, ts long")
+        merge_upsert(spark, base, path, keys=["k"])
+        batch = spark.createDataFrame([(1, "B", 20)], "k long, v string, ts long")
+
+        real_move = HadoopFileSystemClient.move_file
+        real_delete = HadoopFileSystemClient.delete_folder
+        calls = {"move": 0}
+
+        def crashing_move(self, src, dst):
+            calls["move"] += 1
+            if calls["move"] == crash_at:
+                raise RuntimeError("simulated crash mid-swap")
+            return real_move(self, src, dst)
+
+        def crashing_delete(self, p):
+            if crash_at == "delete" and p.endswith("__old__"):
+                raise RuntimeError("simulated crash before cleanup")
+            return real_delete(self, p)
+
+        monkeypatch.setattr(HadoopFileSystemClient, "move_file", crashing_move)
+        monkeypatch.setattr(HadoopFileSystemClient, "delete_folder", crashing_delete)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_upsert(spark, batch, path, keys=["k"])
+        monkeypatch.setattr(HadoopFileSystemClient, "move_file", real_move)
+        monkeypatch.setattr(HadoopFileSystemClient, "delete_folder", real_delete)
+
+        # A full readable copy must exist at one of the three locations.
+        candidates = [path, path + "__old__", path + "__stage__"]
+        copies = []
+        for p in candidates:
+            try:
+                copies.append({r.k: r.v for r in spark.read.parquet(p).collect()})
+            except Exception:
+                pass
+        assert copies, f"no recoverable copy after crash at step {crash_at}"
+        assert any(c in ({1: "a"}, {1: "B"}) for c in copies)
+
+    run_with_crash(1)       # crash moving live -> __old__: live intact
+    run_with_crash(2)       # crash moving stage -> live: __old__ holds data
+    run_with_crash("delete")  # crash deleting __old__: live has new data
+
+
 def test_key_skew_report_values(spark):
     # 6 a's, 3 b's, 1 c -> total 10, n_keys 3, mean 10/3
     rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
