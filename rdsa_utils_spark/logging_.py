@@ -136,6 +136,28 @@ def time_it(
     return decorate(_func) if callable(_func) else decorate
 
 
+def timer_args(
+    name: str,
+    logger: Optional[Callable[[str], None]] = None,
+) -> dict:
+    """Keyword arguments for a ``codetiming.Timer``-style context
+    timer (reference API parity: ``rdsa_utils/logging.py:179-204``,
+    re-expressed without the codetiming/humanfriendly dependencies).
+
+    Returns the same four keys the reference builds — ``name``,
+    ``text`` (secs → formatted message), ``logger``, ``initial_text``
+    — so existing ``Timer(**timer_args("step"))`` call sites port
+    unchanged; the formatted text uses plain seconds.
+    """
+    log = logger or logging.getLogger("rdsa_utils_spark").info
+    return {
+        "name": name,
+        "text": lambda secs: f"{name}: {secs:.3f}s",
+        "logger": log,
+        "initial_text": "Running {name}",
+    }
+
+
 def add_warning_message_to_function(
     _func: Optional[Callable] = None,
     *,

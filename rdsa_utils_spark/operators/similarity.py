@@ -77,6 +77,21 @@ def _fits_broadcast(
     return est is not None and 2 * est <= max_broadcast_bytes
 
 
+def _fits_broadcast_pair(
+    queries: DataFrame,
+    corpus: DataFrame,
+    max_broadcast_bytes: int,
+    max_broadcast_rows: int | None = None,
+) -> bool:
+    """Two-frame broadcast guard: the budget caps the COMBINED gather
+    (both vector sets land on the driver together), so estimates are
+    summed rather than checked per frame."""
+    if max_broadcast_rows is not None:
+        return queries.count() + corpus.count() <= max_broadcast_rows
+    eq, ec = _plan_size_bytes(queries), _plan_size_bytes(corpus)
+    return eq is not None and ec is not None and 2 * (eq + ec) <= max_broadcast_bytes
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision (deterministic left fold)."""
     return F.aggregate(
@@ -263,6 +278,7 @@ def lsh_bucketed_topk(
     num_tables: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    *,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     max_broadcast_rows: int | None = None,
 ) -> DataFrame:
@@ -293,12 +309,20 @@ def lsh_bucketed_topk(
     # no eager scan), score the narrow pair list against broadcast
     # matrices in one mapInPandas pass; otherwise join-attach payloads
     # (shuffle-safe at any scale).
+    # Estimate on the (id, vector) projection actually gathered, so
+    # heavy unrelated columns can't spuriously fail the byte budget;
+    # with two distinct frames the budget caps the summed gather.
     if queries is corpus:
-        fits = _fits_broadcast(corpus, max_broadcast_bytes, max_broadcast_rows)
-    else:
         fits = _fits_broadcast(
-            queries, max_broadcast_bytes, max_broadcast_rows,
-        ) and _fits_broadcast(corpus, max_broadcast_bytes, max_broadcast_rows)
+            corpus.select(corpus_id, corpus_vec), max_broadcast_bytes, max_broadcast_rows,
+        )
+    else:
+        fits = _fits_broadcast_pair(
+            queries.select(query_id, query_vec),
+            corpus.select(corpus_id, corpus_vec),
+            max_broadcast_bytes,
+            max_broadcast_rows,
+        )
     if fits:
         scored = _score_pairs_broadcast_2sided(
             queries, corpus, pairs, query_id, query_vec, corpus_id, corpus_vec,
@@ -417,6 +441,7 @@ def cosine_near_dup_pairs(
     bits: int = 10,
     num_tables: int = 6,
     seed: int = 42,
+    *,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     max_broadcast_rows: int | None = None,
 ) -> DataFrame:
@@ -449,7 +474,9 @@ def cosine_near_dup_pairs(
     # pair list is scored in a single mapInPandas pass — no join ever
     # widens a pair row with vector payloads. Past the guard, fall back
     # to the shuffle-safe join-attach plan that works at any corpus size.
-    if _fits_broadcast(df, max_broadcast_bytes, max_broadcast_rows):
+    if _fits_broadcast(
+        df.select(id_col, vec_col), max_broadcast_bytes, max_broadcast_rows,
+    ):
         return _score_pairs_broadcast(df, pairs, id_col, vec_col, threshold)
     vecs = df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__"))
     attached = (
@@ -469,6 +496,7 @@ def cosine_near_dup_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    *,
     max_corpus_rows: int = 2_000_000,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
 ) -> DataFrame:
@@ -502,8 +530,12 @@ def cosine_near_dup_pairs_exact(
     # exactly rows × dim × 8 bytes — cap that too.
     est_bytes = n_rows * dim * 8
     if est_bytes > max_broadcast_bytes:
+        size_str = (
+            f"~{est_bytes >> 20} MiB" if est_bytes >= (1 << 20)
+            else f"~{max(1, est_bytes >> 10)} KiB"
+        )
         raise ValueError(
-            f"corpus matrix is ~{est_bytes >> 20} MiB ({n_rows} rows × {dim} "
+            f"corpus matrix is {size_str} ({n_rows} rows × {dim} "
             f"dims × 8 B) > max_broadcast_bytes={max_broadcast_bytes}; "
             "use cosine_near_dup_pairs (LSH) for corpora beyond broadcast size",
         )

@@ -117,6 +117,18 @@ def test_logging_decorators(spark, caplog):
     assert "took" in text
 
 
+def test_timer_args_shape():
+    from rdsa_utils_spark.logging_ import timer_args
+
+    seen = []
+    args = timer_args("step", logger=seen.append)
+    assert set(args) == {"name", "text", "logger", "initial_text"}
+    assert args["name"] == "step"
+    assert args["text"](1.5) == "step: 1.500s"
+    args["logger"]("hello")
+    assert seen == ["hello"]
+
+
 def test_print_full_table_and_raise_error(spark, caplog):
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     logger = logging.getLogger("t_log2")
