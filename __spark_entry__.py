@@ -2454,10 +2454,12 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdsa_utils_spark.operators.similarity import lsh_bucketed_topk
 
     queries_df = emb.filter(F.col("vec_id") < 5)
-    # bits=3 × 16 tables: ≥0.95 measured recall@k on the (random,
-    # near-orthogonal) test corpus — see tests/test_recall.py.
+    # bits=4 × 24 tables: ≥0.95 measured recall@k on the (random,
+    # near-orthogonal) test corpus — see tests/test_recall.py — at
+    # candidate volume ∝ num_tables/2^bits = 1.5 of a single full
+    # bucketing, the cheapest probed config clearing the floor.
     return lsh_bucketed_topk(
-        queries_df, emb, dim=64, k=5, bits=3, num_tables=16,
+        queries_df, emb, dim=64, k=5, bits=4, num_tables=24,
     ).select(
         "query_id", "candidate_id", F.round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", F.col("cosine").desc(), "candidate_id")
@@ -2469,10 +2471,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Testdata embeddings are random (max pairwise cosine ≈0.51), so a
     # production-style 0.9 threshold finds nothing; 0.35 exercises the
-    # bucketing + rescoring path on real candidate volume. bits=3 ×
-    # 16 tables: ≥0.95 measured pair recall (tests/test_recall.py).
+    # bucketing + rescoring path on real candidate volume. bits=5 ×
+    # 32 tables: ≥0.95 measured pair recall (tests/test_recall.py) at
+    # candidate volume ∝ num_tables/2^bits = 1.0 — deeper bucketing
+    # beats fewer/coarser tables on shuffle volume at scale.
     return cosine_near_dup_pairs(
-        emb, dim=64, threshold=0.35, bits=3, num_tables=16,
+        emb, dim=64, threshold=0.35, bits=5, num_tables=32,
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 
 
