@@ -3706,6 +3706,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py::dedup_against_corpus):
+    documents with doc_id ≥ 250 arrive as a new batch against the
+    historical corpus (doc_id < 250); survivors are batch docs whose
+    normalized-text fingerprint is unseen, exact-deduped within the
+    batch keeping the min doc_id. Corpus side reduces to DISTINCT
+    digests before the anti-join — fingerprints shuffle, bodies don't."""
+    from rdsa_utils_spark.operators.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    # The synthetic corpus has no exact dups, so the incoming batch is
+    # built to contain them: fresh docs (doc_id ≥ 250) ∪ re-keyed
+    # copies of corpus docs 0-49 (ids shifted +10000, exact duplicate
+    # text — must be anti-joined away) ∪ a re-keyed copy of docs
+    # 250-259 (ids +20000 — within-batch dups; min id wins).
+    new_batch = (
+        docs.filter(F.col("doc_id") >= 250)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50)
+            .withColumn("doc_id", F.col("doc_id") + 10000),
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 260))
+            .withColumn("doc_id", F.col("doc_id") + 20000),
+        )
+    )
+    out = dedup_against_corpus(new_batch, corpus, "text", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+_ORACLE_DEDUP_INCREMENTAL = r"""
+WITH batch AS (
+  SELECT doc_id, lang, source, n_chars, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000, lang, source, n_chars, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 20000, lang, source, n_chars, text FROM documents
+  WHERE doc_id >= 250 AND doc_id < 260
+), fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM batch
+), cfp AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM documents WHERE doc_id < 250
+), fresh AS (
+  SELECT n.doc_id, n.lang, n.source, n.n_chars, n.f
+  FROM fp n
+  WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.f = n.f)
+)
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id ASC) AS rn
+  FROM fresh
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order
+    (operators/sampling.py::deterministic_shuffle): every document with
+    its md5 shuffle key. The oracle re-derives the key in SQL, proving
+    the order is engine- and partitioning-independent; the engine plan
+    is range-partition + local sort (no single-partition window)."""
+    from rdsa_utils_spark.operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, "doc_id", seed="epoch0")
+    return out.select("doc_id", "shuffle_key").orderBy("shuffle_key")
+
+
+_ORACLE_DETERMINISTIC_SHUFFLE = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key
+FROM documents
+ORDER BY shuffle_key
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -3765,6 +3847,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_frame_diff": q_orders_frame_diff,
         "packed_sequences": q_packed_sequences,
         "gap_filled_hourly": q_gap_filled_hourly,
+        "dedup_incremental": q_dedup_incremental,
+        "deterministic_shuffle": q_deterministic_shuffle,
     }
 
 
@@ -3886,4 +3970,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "orders_frame_diff": _ORACLE_ORDERS_FRAME_DIFF,
         "packed_sequences": _ORACLE_PACKED_SEQUENCES,
         "gap_filled_hourly": _ORACLE_GAP_FILLED_HOURLY,
+        "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "deterministic_shuffle": _ORACLE_DETERMINISTIC_SHUFFLE,
     }

@@ -54,6 +54,47 @@ def exact_dedup(
     )
 
 
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Incremental ingest dedup: drop rows of ``new_df`` whose exact
+    fingerprint (md5 of normalized text — same digest as
+    :func:`exact_dedup`) already exists in ``corpus_df``, then
+    exact-dedup the survivors within the batch.
+
+    The standard shape for a training corpus that grows by batches:
+    the historical side reduces to DISTINCT 32-char digests before the
+    join, so the anti-join shuffles fingerprints only — never document
+    bodies — and the whole plan is two linear hash shuffles (corpus
+    distinct + anti-join) plus the within-batch window. At 100 TB the
+    corpus side is typically a persisted fingerprint table; pass it
+    directly as ``corpus_df`` with ``text_col`` pointing at its text
+    (or pre-computed digests re-derived the same way).
+    """
+    new_fp = with_fingerprint(new_df, text_col, "__fp__")
+    corpus_fp = (
+        with_fingerprint(corpus_df, text_col, "__fp__")
+        .select("__fp__")
+        .distinct()
+    )
+    fresh = new_fp.join(corpus_fp, "__fp__", "left_anti")
+    if keep not in {"min", "max"}:
+        raise ValueError("dedup_against_corpus: keep must be 'min' or 'max'")
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp__").orderBy(order)
+    return (
+        fresh.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+
+
 #: Modulus for MinHash universal hashing (2³¹−1, prime). Products
 #: a·h with a,h < P stay below 2⁶², overflow-safe in int64/BIGINT.
 MINHASH_P = 2_147_483_647

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_uniform",
     "deterministic_split",
+    "deterministic_shuffle",
     "stratified_sample",
     "cap_per_group",
     "vocabulary",
@@ -186,6 +187,36 @@ def vocabulary(
         .orderBy(F.desc("term_count"), "term")
     )
     return counts.limit(k) if k is not None else counts
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuffle",
+    key_col: str = "shuffle_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle for training order: attach a
+    ``md5(id || ':' || seed)`` sort key and range-partition + sort the
+    frame by it, so that writing the result yields files in a stable
+    pseudo-random document order — identical across runs, engines and
+    cluster sizes (unlike ``orderBy(rand(seed))``, whose draw depends
+    on partition layout).
+
+    100 TB posture: NO global single-partition window — the total
+    order comes from ``repartitionByRange`` (sampled range boundaries,
+    one exchange) followed by a per-partition sort, the same plan
+    Spark's own ``orderBy`` lowers to. Epoch re-shuffles are just a
+    new ``seed``. The key column stays in the output for audit /
+    resumable readers; drop it after write if undesired.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    out = df.withColumn(key_col, key)
+    parts = num_partitions or out.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(parts, F.col(key_col))
+        .sortWithinPartitions(key_col)
+    )
 
 
 def pack_sequences(

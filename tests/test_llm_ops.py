@@ -446,3 +446,26 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
     assert out[2] == ([0, 0, 0, 0], 0.0)  # zero vector -> zeros, scale 0
     q3, s3 = out[3]
     assert q3[1] == 127 and s3 == 1.0
+
+
+def test_dedup_against_corpus(spark):
+    from rdsa_utils_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lorem ipsum dolor")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick   brown fox"),   # normalized dup of corpus 1
+            (11, "entirely new document"),
+            (12, "another fresh one"),
+            (13, "Entirely NEW document"),    # within-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in dedup_against_corpus(batch, corpus, "text", "doc_id").collect())
+    assert out == [11, 12]  # 10 dies vs corpus; 13 loses to 11 in-batch
+
+    with pytest.raises(ValueError, match="min.*max|max.*min"):
+        dedup_against_corpus(batch, corpus, "text", "doc_id", keep="first")

@@ -188,3 +188,38 @@ class TestPackSequences:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
         assert "Join" not in plan and "InPandas" not in plan
+
+
+class TestDeterministicShuffle:
+    def test_reproducible_and_seed_sensitive(self, spark):
+        from rdsa_utils_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+        a = [r.id for r in deterministic_shuffle(df, "id", seed="e0").collect()]
+        b = [r.id for r in deterministic_shuffle(df, "id", seed="e0").collect()]
+        c = [r.id for r in deterministic_shuffle(df, "id", seed="e1").collect()]
+        assert a == b                      # identical across runs
+        assert a != c                      # a new seed reorders
+        assert sorted(a) == list(range(200))  # a permutation, not a sample
+        assert a != list(range(200))       # actually shuffled
+
+    def test_partition_layout_invariance(self, spark):
+        """The order is a pure function of (id, seed): repartitioning
+        the input must not change it — the property orderBy(rand)
+        lacks."""
+        from rdsa_utils_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+        a = [r.id for r in deterministic_shuffle(df, "id").collect()]
+        b = [r.id for r in deterministic_shuffle(df.repartition(7), "id").collect()]
+        assert a == b
+
+    def test_no_single_partition_bottleneck(self, spark):
+        from rdsa_utils_spark.operators.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+        out = deterministic_shuffle(df, "id", num_partitions=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan
+        assert "SinglePartition" not in plan
+        assert out.rdd.getNumPartitions() == 8
