@@ -3788,6 +3788,78 @@ ORDER BY shuffle_key
 """
 
 
+def q_scd2_customer_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance (operators/scd.py::scd2_apply): a
+    customer spend-band dimension seeded at 1991-01-01 with band NONE,
+    then updated by each customer's daily max order value; no-op
+    updates (same band) extend the previous version instead of
+    creating one. Emits the full version chain for every 50th
+    customer. One window shuffle on the key — set-based, no MERGE
+    loop."""
+    from rdsa_utils_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.lit("NONE").alias("band"),
+    )
+    dim = scd2_init(cust, "1991-01-01 00:00:00")
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("eff_ts"),
+        )
+        .agg(F.max("o_totalprice").alias("mx"))
+        .withColumn(
+            "band",
+            F.when(F.col("mx") < 50000, "LOW")
+            .when(F.col("mx") < 150000, "MID")
+            .otherwise("HIGH"),
+        )
+        .drop("mx")
+    )
+    out = scd2_apply(dim, daily, keys=["c_custkey"], attrs=["band"], effective_col="eff_ts")
+    return (
+        out.filter(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", "band", "valid_from", "valid_to", "is_current")
+        .orderBy("c_custkey", "valid_from")
+    )
+
+
+_ORACLE_SCD2_CUSTOMER_BANDS = """
+WITH init AS (
+  SELECT c_custkey, 'NONE' AS band, TIMESTAMP '1991-01-01' AS valid_from
+  FROM customer
+), upd AS (
+  SELECT o_custkey AS c_custkey,
+         CASE WHEN mx < 50000 THEN 'LOW'
+              WHEN mx < 150000 THEN 'MID'
+              ELSE 'HIGH' END AS band,
+         o_orderdate AS valid_from
+  FROM (SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS mx
+        FROM orders GROUP BY o_custkey, o_orderdate)
+), allv AS (
+  SELECT * FROM init UNION ALL SELECT * FROM upd
+), kept AS (
+  SELECT c_custkey, band, valid_from FROM (
+    SELECT c_custkey, band, valid_from,
+           COALESCE(band = lag(band) OVER (PARTITION BY c_custkey ORDER BY valid_from),
+                    FALSE) AS noop
+    FROM allv
+  ) WHERE NOT noop
+), chained AS (
+  SELECT c_custkey, band, valid_from,
+         COALESCE(lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from),
+                  TIMESTAMP '2261-12-31') AS valid_to
+  FROM kept
+)
+SELECT c_custkey, band, valid_from, valid_to,
+       (valid_to = TIMESTAMP '2261-12-31') AS is_current
+FROM chained
+WHERE c_custkey % 50 = 0
+ORDER BY c_custkey, valid_from
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -3849,6 +3921,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_hourly": q_gap_filled_hourly,
         "dedup_incremental": q_dedup_incremental,
         "deterministic_shuffle": q_deterministic_shuffle,
+        "scd2_customer_bands": q_scd2_customer_bands,
     }
 
 
@@ -3972,4 +4045,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "gap_filled_hourly": _ORACLE_GAP_FILLED_HOURLY,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "deterministic_shuffle": _ORACLE_DETERMINISTIC_SHUFFLE,
+        "scd2_customer_bands": _ORACLE_SCD2_CUSTOMER_BANDS,
     }

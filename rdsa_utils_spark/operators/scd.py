@@ -1,0 +1,155 @@
+"""Slowly-changing-dimension (SCD type 2) maintenance.
+
+Extension surface (no reference equivalent — the reference's Hive
+append/overwrite writers, cdp/io/output.py:33-228, can replace a
+dimension but cannot maintain version history): the standard
+warehouse pattern for dimensions that change over time — every key
+carries a chain of versions with ``[valid_from, valid_to)`` intervals
+and an ``is_current`` flag, and queries join facts to the version
+that was live at the fact's timestamp.
+
+Design (Spark-first, set-based — no MERGE loop):
+- ``scd2_apply`` rebuilds each key's version chain with ONE window
+  over (key, valid_from): union current rows with updates, drop
+  no-op updates (every tracked attribute eqNullSafe-equal to the
+  previous version), then ``lead(valid_from)`` closes each version.
+  Closed history rows pass through untouched.
+- ``snapshot_as_of`` is a pure filter — partition/predicate pushdown
+  applies, no shuffle.
+
+100 TB posture: one hash shuffle on the key columns (the window),
+plus the pass-through union — the same shape as any keyed dedup.
+Attribute comparison happens inside the window projection (JVM,
+codegen), so wide dimensions don't add exchanges. The chain rebuild
+only touches keys present in ``updates`` when ``updates`` is
+pre-filtered; full-table rewrites are the caller's choice, exactly as
+with ``merge_upsert``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_init", "scd2_apply", "snapshot_as_of"]
+
+#: Open-ended ``valid_to`` for current rows. A sentinel (not NULL) so
+#: interval predicates (``ts < valid_to``) need no NULL branch and
+#: stay pushdown-friendly. NOT the conventional 9999-12-31: that
+#: instant overflows Arrow/pandas timestamp[ns] (max 2262-04-11), and
+#: this engine's Arrow interop (pandas UDFs, toPandas) must be able
+#: to carry the dimension frame.
+END_OF_TIME = "2261-12-31 00:00:00"
+
+
+def scd2_init(
+    df: DataFrame,
+    valid_from,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Turn a plain dimension frame into an SCD2 table: every row
+    becomes the sole, current version effective at ``valid_from`` (a
+    Column or a literal timestamp string)."""
+    vf = valid_from if not isinstance(valid_from, str) else F.lit(valid_from).cast("timestamp")
+    return (
+        df.withColumn(valid_from_col, vf)
+        .withColumn(valid_to_col, F.lit(END_OF_TIME).cast("timestamp"))
+        .withColumn(current_col, F.lit(True))
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    effective_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    drop_unchanged: bool = True,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension, returning the new
+    dimension frame.
+
+    ``dim`` carries ``keys + attrs + valid_from/valid_to/is_current``
+    (see :func:`scd2_init`); ``updates`` carries ``keys + attrs +
+    effective_col`` and MAY hold many updates per key — chains are
+    rebuilt in ``effective_col`` order in one pass, so replaying a
+    backlog batch-by-batch or all at once yields the same table.
+
+    With ``drop_unchanged`` (default), an update whose tracked
+    ``attrs`` all match the previous version (null-safe) creates no
+    new version — the previous version's interval simply extends.
+
+    Updates strictly older than a key's current version raise no
+    error; they splice into the chain at their effective time (the
+    window handles ordering), which also makes late-arriving
+    corrections deterministic.
+
+    ``(keys, effective_col)`` should be unique per update row; when a
+    key can receive two updates at the same effective instant, pass
+    ``tiebreak_cols`` to make the chain order total — otherwise the
+    version order among ties is partition-dependent.
+    """
+    keys = list(keys)
+    attrs = list(attrs)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    missing = [c for c in keys + attrs + [effective_col] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates is missing columns: {missing}")
+
+    history = dim.filter(~F.col(current_col)).select(
+        *keys, *attrs, valid_from_col, valid_to_col, current_col,
+    )
+    live = dim.filter(F.col(current_col)).select(*keys, *attrs, valid_from_col)
+    incoming = updates.select(
+        *keys, *attrs, F.col(effective_col).cast("timestamp").alias(valid_from_col),
+    )
+    combined = live.unionByName(incoming)
+
+    ordering = [F.col(valid_from_col).asc()]
+    ordering += [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    if drop_unchanged:
+        same_as_prev = F.lit(True)
+        for a in attrs:
+            same_as_prev = same_as_prev & F.col(a).eqNullSafe(F.lag(a).over(w))
+        combined = (
+            combined.withColumn("__noop__", F.coalesce(same_as_prev, F.lit(False)))
+            .filter(~F.col("__noop__"))
+            .drop("__noop__")
+        )
+        # Re-rank after dropping no-ops so lead() skips them entirely.
+        w = Window.partitionBy(*keys).orderBy(*ordering)
+
+    nxt = F.lead(valid_from_col).over(w)
+    chained = combined.select(
+        *keys,
+        *attrs,
+        F.col(valid_from_col),
+        F.coalesce(nxt, F.lit(END_OF_TIME).cast("timestamp")).alias(valid_to_col),
+        nxt.isNull().alias(current_col),
+    )
+    return history.unionByName(chained)
+
+
+def snapshot_as_of(
+    dim: DataFrame,
+    ts,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """The dimension as it stood at ``ts`` (Column or literal
+    timestamp string): rows whose ``[valid_from, valid_to)`` interval
+    contains ``ts``. Pure filter — pushdown-friendly, no shuffle."""
+    t = ts if not isinstance(ts, str) else F.lit(ts).cast("timestamp")
+    return dim.filter((F.col(valid_from_col) <= t) & (t < F.col(valid_to_col)))
