@@ -3860,6 +3860,64 @@ ORDER BY c_custkey, valid_from
 """
 
 
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection
+    (operators/events.py::rolling_zscore): hourly event counts per
+    event type, each hour scored against the preceding 24 observed
+    hours (self excluded); emits integer counts per type (scored /
+    flagged at |z| ≥ 2) so the cross-engine compare never rides on
+    float ulps — the z value itself is unit-tested exactly."""
+    from rdsa_utils_spark.operators.events import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = rolling_zscore(
+        hourly, "h", "n", window_rows=24, group_cols=["event_type"], threshold=2.0,
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.count("zscore").alias("n_scored"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_HOURLY_ANOMALIES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), scored AS (
+  SELECT event_type, n,
+         AVG(n) OVER w AS mean,
+         STDDEV_SAMP(n) OVER w AS sd,
+         COUNT(n) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type,
+         CASE WHEN cnt >= 2 AND sd > 0 THEN (n - mean) / sd END AS zscore
+  FROM scored
+)
+SELECT event_type,
+       COUNT(*) AS n_buckets,
+       COUNT(zscore) AS n_scored,
+       CAST(SUM(CASE WHEN ABS(zscore) >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -3922,6 +3980,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "deterministic_shuffle": q_deterministic_shuffle,
         "scd2_customer_bands": q_scd2_customer_bands,
+        "hourly_anomalies": q_hourly_anomalies,
     }
 
 
@@ -4046,4 +4105,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "deterministic_shuffle": _ORACLE_DETERMINISTIC_SHUFFLE,
         "scd2_customer_bands": _ORACLE_SCD2_CUSTOMER_BANDS,
+        "hourly_anomalies": _ORACLE_HOURLY_ANOMALIES,
     }

@@ -188,3 +188,50 @@ def fill_time_gaps(
             ).over(w)["v"]
             out = out.withColumn(c, F.when(present, F.col(c)).otherwise(carried))
     return out.drop(marker)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_rows: int,
+    group_cols: Sequence[str] = (),
+    z_col: str = "zscore",
+    flag_col: str = "is_anomaly",
+    threshold: float = 3.0,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling anomaly score for a (grouped) time series: each row's
+    z-score against the mean/stddev of the PRECEDING ``window_rows``
+    observations (the row itself excluded — a spike must not inflate
+    its own baseline), plus a boolean flag at ``|z| >= threshold``.
+
+    Rows whose trailing window has fewer than 2 observations or zero
+    variance get a NULL z-score (never ±inf) and a False flag.
+
+    One hash-partitioned window per group — the same single-shuffle
+    shape as ``sessionize_by_gap``; the aggregates are
+    codegen'd sliding-frame avg/stddev, no Python. Pass
+    ``tiebreak_cols`` (a unique id) when timestamps can collide so the
+    frame boundary is total and results are reproducible.
+    """
+    from pyspark.sql import Window
+
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    groups = list(group_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= 2) & (sd > 0), (F.col(value_col) - mean) / sd,
+    )
+    return df.withColumn(z_col, z).withColumn(
+        flag_col, F.coalesce(F.abs(F.col(z_col)) >= threshold, F.lit(False)),
+    )

@@ -171,3 +171,52 @@ class TestFillTimeGaps:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+class TestRollingZscore:
+    def test_exact_values_and_self_exclusion(self, spark):
+        from rdsa_utils_spark.operators.events import rolling_zscore
+
+        # series 10, 10, 10, 40: the spike's baseline is the three 10s
+        # (itself excluded) -> sd == 0 -> NULL z. With series 8, 12,
+        # 10, 40 the spike scores against mean=10, sd=2 -> z=15.
+        df = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate([8.0, 12.0, 10.0, 40.0])],
+            "g string, t long, v double",
+        )
+        out = {r.t: (r.zscore, r.is_anomaly) for r in rolling_zscore(
+            df, "t", "v", window_rows=10, group_cols=["g"],
+        ).collect()}
+        assert out[0] == (None, False)          # empty window
+        assert out[1] == (None, False)          # n=1 < 2
+        assert out[2][0] == pytest.approx(0.0)  # (10-10)/sd(8,12)
+        assert out[3][0] == pytest.approx((40 - 10) / 2.0)  # vs 8,12,10: sd=2
+        assert out[3][1] is True
+
+    def test_zero_variance_window_yields_null(self, spark):
+        from rdsa_utils_spark.operators.events import rolling_zscore
+
+        df = spark.createDataFrame(
+            [("a", i, 5.0) for i in range(4)] + [("a", 4, 50.0)],
+            "g string, t long, v double",
+        )
+        row = rolling_zscore(df, "t", "v", window_rows=4, group_cols=["g"]).filter(
+            "t = 4").collect()[0]
+        assert row.zscore is None and row.is_anomaly is False
+
+    def test_window_bounds_and_validation(self, spark):
+        from rdsa_utils_spark.operators.events import rolling_zscore
+
+        df = spark.createDataFrame([("a", 0, 1.0)], "g string, t long, v double")
+        with pytest.raises(ValueError, match="window_rows"):
+            rolling_zscore(df, "t", "v", window_rows=1)
+
+    def test_single_shuffle_plan(self, spark):
+        from rdsa_utils_spark.operators.events import rolling_zscore
+
+        df = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(50)], "g string, t long, v double",
+        )
+        out = rolling_zscore(df, "t", "v", window_rows=5, group_cols=["g"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "Join" not in plan
