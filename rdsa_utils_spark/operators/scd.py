@@ -10,20 +10,23 @@ that was live at the fact's timestamp.
 
 Design (Spark-first, set-based — no MERGE loop):
 - ``scd2_apply`` rebuilds each key's version chain with ONE window
-  over (key, valid_from): union current rows with updates, drop
-  no-op updates (every tracked attribute eqNullSafe-equal to the
-  previous version), then ``lead(valid_from)`` closes each version.
-  Closed history rows pass through untouched.
+  over (key, valid_from): union ALL existing versions with updates,
+  drop no-op versions (every tracked attribute eqNullSafe-equal to
+  the previous version), then ``lead(valid_from)`` closes each
+  version. Re-deriving the full chain (not just the live segment) is
+  what makes batch replay and late-arriving corrections exactly
+  deterministic — property-tested in tests/test_properties.py.
 - ``snapshot_as_of`` is a pure filter — partition/predicate pushdown
   applies, no shuffle.
 
-100 TB posture: one hash shuffle on the key columns (the window),
-plus the pass-through union — the same shape as any keyed dedup.
-Attribute comparison happens inside the window projection (JVM,
-codegen), so wide dimensions don't add exchanges. The chain rebuild
-only touches keys present in ``updates`` when ``updates`` is
-pre-filtered; full-table rewrites are the caller's choice, exactly as
-with ``merge_upsert``.
+100 TB posture: one hash shuffle on the key columns (the window) —
+the same shape as any keyed dedup, over versions × keys rows (a
+dimension, not a fact table). Attribute comparison happens inside
+the window projection (JVM, codegen), so wide dimensions don't add
+exchanges. To bound a batch to the touched part of a huge dimension,
+pre-filter ``dim`` to the update batch's keys (semi-join) and union
+the untouched remainder back after — the caller's partitioning
+choice, exactly as with ``merge_upsert``.
 """
 
 from __future__ import annotations
@@ -88,9 +91,14 @@ def scd2_apply(
     new version — the previous version's interval simply extends.
 
     Updates strictly older than a key's current version raise no
-    error; they splice into the chain at their effective time (the
-    window handles ordering), which also makes late-arriving
-    corrections deterministic.
+    error; they splice into the chain at their effective time and the
+    ENTIRE chain (closed history included) is re-derived, so applying
+    an update stream in any batch split yields the identical table —
+    replay determinism holds even for late-arriving corrections that
+    land before versions that are already closed. (The window
+    therefore carries every existing version of the dimension, not
+    just current rows — the right trade for a dimension table, whose
+    size is versions-per-key × keys, dwarfed by any fact table.)
 
     ``(keys, effective_col)`` should be unique per update row; when a
     key can receive two updates at the same effective instant, pass
@@ -107,14 +115,14 @@ def scd2_apply(
     if missing:
         raise ValueError(f"updates is missing columns: {missing}")
 
-    history = dim.filter(~F.col(current_col)).select(
-        *keys, *attrs, valid_from_col, valid_to_col, current_col,
-    )
-    live = dim.filter(F.col(current_col)).select(*keys, *attrs, valid_from_col)
+    # Every existing version (closed history too) re-enters the chain
+    # rebuild: a late update may land before a closed version, which
+    # must then re-close against the new neighbour.
+    versions = dim.select(*keys, *attrs, valid_from_col)
     incoming = updates.select(
         *keys, *attrs, F.col(effective_col).cast("timestamp").alias(valid_from_col),
     )
-    combined = live.unionByName(incoming)
+    combined = versions.unionByName(incoming)
 
     ordering = [F.col(valid_from_col).asc()]
     ordering += [F.col(c).asc() for c in tiebreak_cols]
@@ -132,14 +140,13 @@ def scd2_apply(
         w = Window.partitionBy(*keys).orderBy(*ordering)
 
     nxt = F.lead(valid_from_col).over(w)
-    chained = combined.select(
+    return combined.select(
         *keys,
         *attrs,
         F.col(valid_from_col),
         F.coalesce(nxt, F.lit(END_OF_TIME).cast("timestamp")).alias(valid_to_col),
         nxt.isNull().alias(current_col),
     )
-    return history.unionByName(chained)
 
 
 def snapshot_as_of(

@@ -177,3 +177,80 @@ def test_dedup_clusters_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in dedup_clusters(df).collect()}
     assert got == want
+
+
+# --------------------------------------------------------------- SCD2
+
+scd_updates_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                  # key
+        st.sampled_from(["a", "b", "c"]),                       # attr value
+        st.integers(min_value=1, max_value=28),                 # eff day
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[2]),  # unique (key, effective) per batch
+)
+
+
+@given(upd_rows=scd_updates_strategy)
+@settings(**SETTINGS)
+def test_scd2_chain_invariants(spark, upd_rows):
+    """For ANY update stream: per key the version intervals tile (each
+    valid_to equals the next valid_from), exactly one version is
+    current, no zero-length or overlapping intervals, and consecutive
+    versions always differ in the tracked attribute."""
+    from rdsa_utils_spark.operators.scd import END_OF_TIME, scd2_apply, scd2_init
+
+    base = spark.createDataFrame(
+        [(1, "z"), (2, "z"), (3, "z")], "k long, tier string",
+    )
+    dim = scd2_init(base, "2023-12-01 00:00:00")
+    upd = spark.createDataFrame(
+        [(k, v, f"2024-01-{d:02d} 00:00:00") for k, v, d in upd_rows],
+        "k long, tier string, eff string",
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    out = scd2_apply(dim, upd, ["k"], ["tier"], "eff")
+    chains = {}
+    for r in out.orderBy("k", "valid_from").collect():
+        chains.setdefault(r.k, []).append(r)
+    assert set(chains) == {1, 2, 3}
+    for k, chain in chains.items():
+        assert sum(1 for r in chain if r.is_current) == 1
+        assert chain[-1].is_current and str(chain[-1].valid_to) == END_OF_TIME
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from     # tiling, no gaps/overlap
+            assert a.valid_from < a.valid_to      # no zero-length version
+            assert a.tier != b.tier               # no-op updates dropped
+
+
+@given(upd_rows=scd_updates_strategy)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_batch_split_equivalence(spark, upd_rows):
+    """Applying any prefix/suffix split of an update stream in two
+    batches equals applying it in one (replay determinism)."""
+    from rdsa_utils_spark.operators.scd import scd2_apply, scd2_init
+
+    base = spark.createDataFrame([(1, "z"), (2, "z"), (3, "z")], "k long, tier string")
+    dim = scd2_init(base, "2023-12-01 00:00:00")
+    rows = [(k, v, f"2024-01-{d:02d} 00:00:00") for k, v, d in upd_rows]
+
+    def mk(rs):
+        df = spark.createDataFrame(rs, "k long, tier string, eff string")
+        return df.withColumn("eff", F.col("eff").cast("timestamp"))
+
+    cut = len(rows) // 2
+    stepwise = scd2_apply(
+        scd2_apply(dim, mk(rows[:cut]), ["k"], ["tier"], "eff"),
+        mk(rows[cut:]), ["k"], ["tier"], "eff",
+    ) if rows else dim
+    oneshot = scd2_apply(dim, mk(rows), ["k"], ["tier"], "eff") if rows else dim
+
+    def snap(df):
+        return sorted(
+            (r.k, r.tier, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in df.collect()
+        )
+
+    assert snap(stepwise) == snap(oneshot)
