@@ -254,3 +254,37 @@ def test_scd2_batch_split_equivalence(spark, upd_rows):
         )
 
     assert snap(stepwise) == snap(oneshot)
+
+
+# ------------------------------------------------------- rolling z-score
+
+series_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=3, max_size=25,
+)
+
+
+@given(values=series_strategy, win=st.integers(min_value=2, max_value=6))
+@settings(**SETTINGS)
+def test_rolling_zscore_matches_pandas(spark, values, win):
+    """For ANY series: z-scores equal pandas' shifted rolling
+    mean/std (the independent reference implementation), including
+    the NULL policy for short or zero-variance windows."""
+    from rdsa_utils_spark.operators.events import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(values)],
+        "g string, t long, v double",
+    )
+    got = {
+        r.t: r.zscore
+        for r in rolling_zscore(df, "t", "v", window_rows=win, group_cols=["g"]).collect()
+    }
+    s = pd.Series([float(v) for v in values])
+    trail = s.rolling(window=win, min_periods=1).agg(["mean", "std", "count"]).shift(1)
+    for i in range(len(values)):
+        mean, sd, cnt = trail.iloc[i]
+        if not (cnt >= 2 and sd > 0):
+            assert got[i] is None, f"t={i}: expected NULL, got {got[i]}"
+        else:
+            expect = (values[i] - mean) / sd
+            assert got[i] == pytest.approx(expect, rel=1e-9), f"t={i}"

@@ -95,3 +95,35 @@ def test_cosine_near_dup_pair_recall(spark, emb):
     # …and the banding must recover ≥90% of true pairs.
     r = len(approx & exact) / len(exact)
     assert r >= 0.9, f"near-dup pair recall = {r:.3f} < 0.9"
+
+
+def test_approx_sketches_error_bounds(spark):
+    """The last rows-only declared query (`approx_sketches`) gets a
+    measured accuracy bound: HLL distinct counts within 5% relative
+    error of exact, and the approx median within the band of exact
+    values at quantile 0.5 ± 2% of each group, on sf0.01 lineitem."""
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r for r in m.queries()["approx_sketches"](spark, sf).collect()}
+    li = read_parquet(spark, f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd"),
+            F.expr("percentile(l_extendedprice, array(0.48, 0.52))").alias("band"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        rel = abs(a.approx_parts - e.nd) / e.nd
+        assert rel <= 0.05, f"{flag}: HLL rel err {rel:.3f} > 5%"
+        lo, hi = e.band
+        assert lo <= a.approx_median_price <= hi, (
+            f"{flag}: approx median {a.approx_median_price} outside "
+            f"q48-q52 band [{lo}, {hi}]"
+        )
