@@ -1,0 +1,64 @@
+"""Global plan-hygiene sweep: EVERY registered query (declared +
+extra tier) must compile to a physical plan with
+
+- no ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` with an inner
+  cross semantics surprise (plain cartesians are the 100 TB killer),
+- no row-wise Python UDF (``BatchEvalPython``) — Python is allowed
+  only through Arrow (``ArrowEvalPython`` / ``MapInPandas`` /
+  ``FlatMapGroupsInPandas`` / ``FlatMapCoGroupsInPandas``), per the
+  engine's UDF design rule (SURVEY §2.11),
+- no single-partition global ``Window`` (unpartitioned window over
+  the whole frame).
+
+Individual queries get deeper plan assertions in test_plans.py; this
+sweep guarantees no NEW query can quietly regress the baseline
+hygiene. Plans are compiled only (``executedPlan`` on the analyzed
+frame) — nothing runs, so the whole sweep is cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ALL_QUERIES = {**entrymod.queries(), **entrymod.extra_queries()}
+
+#: Queries allowed to contain a BroadcastNestedLoopJoin: scalar-
+#: subquery shapes (a 1-row broadcast side is not a cartesian blowup).
+_BNLJ_OK = {
+    "small_qty_revenue",      # TPC-H Q17 scalar avg per part (1-row side)
+    "rich_inactive_customers",  # TPC-H Q22 scalar avg acctbal
+    "important_parts",        # TPC-H Q11 scalar threshold
+    "top_supplier",           # TPC-H Q15 scalar max revenue
+    "min_cost_supplier",      # TPC-H Q2 scalar min cost
+    "part_promotion_suppliers",  # TPC-H Q20 scalar 0.2×sum threshold
+    "bm25_search",            # 1-row (n_docs, avgdl) corpus stats attach
+    "tfidf_terms",            # 1-row n_docs scalar attach
+    "event_type_skew",        # key_skew_report 1-row total/mean attach
+    "expectation_checks",     # run_checks 1-row suite summary attach
+    "cosine_topk",            # brute force IS broadcast queries × corpus
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_plan_hygiene(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join in plan (add to _BNLJ_OK only if the "
+            "broadcast side is provably a scalar/1-row frame)"
+        )
+    # Unpartitioned global window: 'Window [' spec without 'partitionBy'
+    # renders as a windowspecdefinition with no partition columns before
+    # the ORDER spec; cheap textual proxy — a SinglePartition exchange
+    # feeding a Window operator.
+    assert "Exchange SinglePartition\n   +- Window" not in plan, (
+        f"{name}: single-partition global window"
+    )
