@@ -3918,6 +3918,31 @@ ORDER BY event_type
 """
 
 
+def q_json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregate as ``json_props`` through Spark 4's VariantType
+    (``parse_json`` → ``variant_get``): the JSON parses ONCE into a
+    binary variant that any number of field extractions then read —
+    the modern engine path for semi-structured columns (one parse vs
+    one Jackson pass per ``get_json_object`` field; variant columns
+    also shred to parquet). Shares the ``json_props`` oracle — both
+    plans must produce identical results."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("k").cast("decimal(38,6)")).cast("double") / F.count("k"), 6,
+            ).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -3981,6 +4006,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_shuffle": q_deterministic_shuffle,
         "scd2_customer_bands": q_scd2_customer_bands,
         "hourly_anomalies": q_hourly_anomalies,
+        "json_props_variant": q_json_props_variant,
     }
 
 
@@ -4106,4 +4132,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "deterministic_shuffle": _ORACLE_DETERMINISTIC_SHUFFLE,
         "scd2_customer_bands": _ORACLE_SCD2_CUSTOMER_BANDS,
         "hourly_anomalies": _ORACLE_HOURLY_ANOMALIES,
+        "json_props_variant": _ORACLE_JSON_PROPS,
     }
