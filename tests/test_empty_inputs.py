@@ -1,0 +1,105 @@
+"""Empty-input sweep: core operators must return a well-formed empty
+(or identity) frame on zero-row input — never raise, never produce a
+degenerate schema. At 100 TB an empty partition/day/source is routine
+(a filter that matches nothing, a fresh ingest hour), and operators
+run inside pipelines where an exception aborts the whole DAG.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture()
+def empty_ts(spark):
+    return spark.createDataFrame([], "g string, ts timestamp, v double")
+
+
+def test_dedup_ops_on_empty(spark, empty_docs):
+    from rdsa_utils_spark.operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+        minhash_near_dedup,
+    )
+
+    assert exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert minhash_near_dedup(
+        empty_docs, "text", "doc_id", num_perm=8, num_bands=4,
+    ).count() == 0
+
+    corpus = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    # empty batch vs real corpus -> empty; real batch vs empty corpus -> batch
+    assert dedup_against_corpus(empty_docs, corpus, "text", "doc_id").count() == 0
+    out = dedup_against_corpus(corpus, empty_docs, "text", "doc_id")
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_time_series_ops_on_empty(spark, empty_ts):
+    from rdsa_utils_spark.operators.events import (
+        cohort_retention,
+        fill_time_gaps,
+        rolling_zscore,
+    )
+    from rdsa_utils_spark.streaming.windows_time import sessionize_by_gap
+
+    assert fill_time_gaps(empty_ts, "ts", "1 hour", ["g"], fill={"v": "zero"}).count() == 0
+    assert rolling_zscore(empty_ts, "ts", "v", window_rows=3, group_cols=["g"]).count() == 0
+    assert sessionize_by_gap(empty_ts, "ts", "g", 60.0).count() == 0
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    assert cohort_retention(ev).count() == 0
+
+
+def test_joins_on_empty(spark):
+    from rdsa_utils_spark.operators.joins import asof_join, range_join
+
+    left = spark.createDataFrame([], "id long, ts timestamp")
+    right = spark.createDataFrame([(1, "2024-01-01 00:00:00", 5.0)],
+                                  "rid long, ts string, val double")
+    right = right.select("rid", F.col("ts").cast("timestamp").alias("ts"), "val")
+    out = asof_join(left, right, on="ts")
+    assert out.count() == 0 and "val" in out.columns
+
+    pts = spark.createDataFrame([], "p double")
+    iv = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    assert range_join(pts, iv, "p", "lo", "hi", bucket_width=5.0).count() == 0
+
+
+def test_sampling_and_scd_on_empty(spark, empty_docs):
+    from rdsa_utils_spark.operators.sampling import (
+        deterministic_shuffle,
+        deterministic_split,
+        stratified_sample,
+    )
+    from rdsa_utils_spark.operators.scd import scd2_apply, scd2_init
+
+    assert deterministic_shuffle(empty_docs, "doc_id").count() == 0
+    assert deterministic_split(empty_docs, "doc_id", {"a": 0.5, "b": 0.5}).count() == 0
+    docs = empty_docs.withColumn("source", F.lit("s"))
+    assert stratified_sample(docs, "source", 0.5, "doc_id").count() == 0
+
+    dim = scd2_init(spark.createDataFrame([(1, "a")], "k long, tier string"),
+                    "2024-01-01 00:00:00")
+    empty_upd = spark.createDataFrame([], "k long, tier string, eff timestamp")
+    out = scd2_apply(dim, empty_upd, ["k"], ["tier"], "eff")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].is_current
+
+
+def test_text_and_similarity_on_empty(spark, empty_docs):
+    from rdsa_utils_spark.operators.similarity import brute_force_topk
+    from rdsa_utils_spark.operators.text import redact_pii, with_text_stats
+
+    assert with_text_stats(empty_docs, "text").count() == 0
+    assert redact_pii(empty_docs, "text").count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    # empty corpus -> no results; empty queries -> no results
+    assert brute_force_topk(q, emb, k=3).count() == 0
+    assert brute_force_topk(emb, q, k=3).count() == 0
