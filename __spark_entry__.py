@@ -3943,6 +3943,52 @@ def q_json_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage
+    (operators/linkage.py::fuzzy_join_blocked): a perturbed copy of
+    every third customer name (last char → 'X') is linked back
+    against the master list — blocking on digit positions 4-8 of the
+    name keeps blocks O(10), then codegen'd ``levenshtein`` verifies
+    candidates at ≤ 1 edit. No cross join at any scale: candidates
+    are an equi-join on the blocking key."""
+    from rdsa_utils_spark.operators.linkage import fuzzy_join_blocked
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("dirty_name"),
+    )
+    out = fuzzy_join_blocked(
+        cust, dirty, "c_custkey", "dirty_id", "c_name", "dirty_name",
+        block=lambda c: F.substring(c, 13, 5),
+        max_distance=1,
+    )
+    return out.select(
+        F.col("left_id").alias("master_id"),
+        F.col("right_id").alias("dirty_id"),
+        "distance",
+        "ratio",
+    ).orderBy("master_id", "dirty_id")
+
+
+_ORACLE_FUZZY_LINKAGE = """
+WITH r AS (
+  SELECT c_custkey AS dirty_id, substr(c_name, 1, 17) || 'X' AS dirty_name
+  FROM customer WHERE c_custkey % 3 = 0
+), pairs AS (
+  SELECT l.c_custkey AS master_id, r.dirty_id,
+         levenshtein(l.c_name, r.dirty_name) AS distance,
+         ROUND(1.0 - levenshtein(l.c_name, r.dirty_name)
+               / GREATEST(LENGTH(l.c_name), LENGTH(r.dirty_name)), 6) AS ratio
+  FROM customer l
+  JOIN r ON substr(l.c_name, 13, 5) = substr(r.dirty_name, 13, 5)
+)
+SELECT master_id, dirty_id, distance, ratio
+FROM pairs WHERE distance <= 1
+ORDER BY master_id, dirty_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4007,6 +4053,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_bands": q_scd2_customer_bands,
         "hourly_anomalies": q_hourly_anomalies,
         "json_props_variant": q_json_props_variant,
+        "fuzzy_linkage": q_fuzzy_linkage,
     }
 
 
@@ -4133,4 +4180,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "scd2_customer_bands": _ORACLE_SCD2_CUSTOMER_BANDS,
         "hourly_anomalies": _ORACLE_HOURLY_ANOMALIES,
         "json_props_variant": _ORACLE_JSON_PROPS,
+        "fuzzy_linkage": _ORACLE_FUZZY_LINKAGE,
     }
