@@ -3989,6 +3989,59 @@ ORDER BY master_id, dirty_id
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write layout (plans/layout.py::zorder_key): Morton key
+    over (l_orderkey, l_partkey) at 10 bits/column with data-derived
+    ranges, summarized per 64-way key-prefix bucket. The bucket
+    histogram IS the layout contract a writer relies on for row-group
+    skipping — min/max zkey per bucket prove each prefix covers a
+    compact, disjoint key range. Pure shift/mask Column arithmetic, so
+    DuckDB replays it bit-for-bit."""
+    from rdsa_utils_spark.plans.layout import column_ranges, zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    ranges = column_ranges(li, ["l_orderkey", "l_partkey"])
+    zkey = zorder_key(ranges, bits=10)
+    return (
+        li.select(zkey.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 14).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_zorder_layout(bits: int = 10) -> str:
+    """Replays zorder_key's clamp → scale → round → interleave in
+    DuckDB bit arithmetic, term for term (same association order, so
+    identical IEEE doubles feed the same HALF_UP round)."""
+    terms = []
+    for j, s in enumerate(("so", "sp")):
+        for b in range(bits):
+            terms.append(f"((({s} >> {b}) & 1) << {b * 2 + j})")
+    interleave = " + ".join(terms)
+    top = (1 << bits) - 1
+    return f"""
+WITH rng AS (
+  SELECT CAST(MIN(l_orderkey) AS DOUBLE) olo, CAST(MAX(l_orderkey) AS DOUBLE) ohi,
+         CAST(MIN(l_partkey) AS DOUBLE) plo, CAST(MAX(l_partkey) AS DOUBLE) phi
+  FROM lineitem
+), scaled AS (
+  SELECT CAST(round((CAST(l_orderkey AS DOUBLE) - olo) / (ohi - olo) * {top}) AS BIGINT) AS so,
+         CAST(round((CAST(l_partkey AS DOUBLE) - plo) / (phi - plo) * {top}) AS BIGINT) AS sp
+  FROM lineitem, rng
+), zk AS (
+  SELECT {interleave} AS zkey FROM scaled
+)
+SELECT zkey >> 14 AS bucket, COUNT(*) AS n_rows,
+       MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+FROM zk GROUP BY bucket ORDER BY bucket
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4054,6 +4107,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomalies": q_hourly_anomalies,
         "json_props_variant": q_json_props_variant,
         "fuzzy_linkage": q_fuzzy_linkage,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -4181,4 +4235,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "hourly_anomalies": _ORACLE_HOURLY_ANOMALIES,
         "json_props_variant": _ORACLE_JSON_PROPS,
         "fuzzy_linkage": _ORACLE_FUZZY_LINKAGE,
+        "zorder_layout": _oracle_zorder_layout(),
     }

@@ -7,6 +7,9 @@ from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.sketches import (
     distinct_sketch,
+    freq_estimate,
+    freq_sketch,
+    merge_freq_sketches,
     merge_sketches,
     sketch_estimate,
 )
@@ -66,3 +69,54 @@ def test_global_merge_and_plan(spark, events):
     assert len(rows) == 1 and rows[0].n_distinct > 0
     plan = total._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "InPandas" not in plan
+
+
+# --- count-min frequency sketch ---
+
+
+def test_cms_merge_is_lossless(spark, events):
+    """Daily sketches summed = one direct sketch: counter addition is
+    the CMS merge, so the sparse rows must be identical."""
+    daily = freq_sketch(
+        events.withColumn("day", F.to_date("ts")),
+        "user_id",
+        ["event_type", "day"],
+    )
+    merged = merge_freq_sketches(daily, group_cols=["event_type"])
+    direct = freq_sketch(events, "user_id", ["event_type"])
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+
+
+def test_cms_estimate_bounds(spark, events):
+    """CMS never underestimates; overshoot is bounded by the collision
+    budget. With width=8192 and N = |events| the additive error bound
+    2N/w holds per probe with prob 1 − 2^-5; assert it for every user
+    (generous: the sf0.01 events table has ~60k rows → 2N/w ≈ 15)."""
+    sketch = freq_sketch(events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_freq"))
+    est = freq_estimate(sketch, exact, "user_id")
+    n = events.count()
+    bad = est.filter(
+        (F.col("est_freq") < F.col("true_freq"))
+        | (F.col("est_freq") > F.col("true_freq") + F.lit(2.0 * n / 8192)),
+    )
+    assert bad.isEmpty(), bad.limit(5).collect()
+
+
+def test_cms_absent_value_estimates_near_zero(spark, events):
+    """A value never inserted can only collide — its estimate is at
+    most the additive error, and usually 0."""
+    sketch = freq_sketch(events, "user_id")
+    probes = spark.range(1).select(F.lit(-999999).alias("user_id"))
+    [row] = freq_estimate(sketch, probes, "user_id").collect()
+    assert 0 <= row.est_freq <= 2.0 * events.count() / 8192
+
+
+def test_cms_plan_is_jvm_only(spark, events):
+    sketch = freq_sketch(events, "user_id", ["event_type"])
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "InPandas" not in plan
+    # Map-side partial aggregation must collapse the ×depth explode
+    # before the shuffle: two HashAggregates around the exchange.
+    assert plan.count("HashAggregate") >= 2
