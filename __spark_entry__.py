@@ -4042,6 +4042,83 @@ FROM zk GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (plans/diagnostics.py::numeric_histogram)
+    of part retail price in 20 pinned bins — the one-scan distribution
+    profile that sizes range partitions / skew thresholds before a big
+    job. Floor-bucket arithmetic replays exactly in any engine."""
+    from rdsa_utils_spark.plans.diagnostics import numeric_histogram
+
+    part = _t(spark, sf_dir, "part")
+    return numeric_histogram(
+        part, "p_retailprice", bins=20, value_range=(900.0, 1000.0),
+    )
+
+
+_ORACLE_PRICE_HISTOGRAM = """
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((CAST(p_retailprice AS DOUBLE) - 900.0)
+                               / 100.0 * 20) AS BIGINT), 0), 19) AS bin
+  FROM part WHERE p_retailprice IS NOT NULL
+)
+SELECT bin,
+       ROUND(900.0 + bin * 100.0 / 20, 6) AS bin_lo,
+       ROUND(900.0 + (bin + 1) * 100.0 / 20, 6) AS bin_hi,
+       COUNT(*) AS n_rows
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly event counts per type
+    (operators/events.py::ewma_smooth, α=0.3, 12-lag truncation):
+    tumbling-hour counts then one window of codegen'd lags — two
+    shuffles total, both on well-distributed keys."""
+    from rdsa_utils_spark.operators.events import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = ewma_smooth(
+        hourly, "hour", "n_events", alpha=0.3,
+        group_cols=["event_type"], max_lag=12, out_col="ewma_events",
+    )
+    return out.select("event_type", "hour", "n_events", "ewma_events").orderBy(
+        "event_type", "hour",
+    )
+
+
+def _oracle_ewma_hourly(alpha: float = 0.3, max_lag: int = 12) -> str:
+    """Replays ewma_smooth's truncated normalized lag-sum with the
+    identical float64 weight literals and summation order."""
+    num_terms, den_terms = [], []
+    for k in range(max_lag + 1):
+        x = "CAST(n_events AS DOUBLE)" if k == 0 else (
+            f"lag(CAST(n_events AS DOUBLE), {k}) OVER w"
+        )
+        w = repr(float((1.0 - alpha) ** k))
+        num_terms.append(f"COALESCE(({x}) * {w}, 0.0)")
+        den_terms.append(f"CASE WHEN ({x}) IS NOT NULL THEN {w} ELSE 0.0 END")
+    num = " + ".join(["0.0", *num_terms])
+    den = " + ".join(["0.0", *den_terms])
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour, n_events,
+       CASE WHEN ({den}) > 0 THEN ROUND(({num}) / ({den}), 6) END AS ewma_events
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+ORDER BY event_type, hour
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4108,6 +4185,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_variant": q_json_props_variant,
         "fuzzy_linkage": q_fuzzy_linkage,
         "zorder_layout": q_zorder_layout,
+        "price_histogram": q_price_histogram,
+        "ewma_hourly": q_ewma_hourly,
     }
 
 
@@ -4236,4 +4315,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "json_props_variant": _ORACLE_JSON_PROPS,
         "fuzzy_linkage": _ORACLE_FUZZY_LINKAGE,
         "zorder_layout": _oracle_zorder_layout(),
+        "price_histogram": _ORACLE_PRICE_HISTOGRAM,
+        "ewma_hourly": _oracle_ewma_hourly(),
     }

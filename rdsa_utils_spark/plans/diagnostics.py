@@ -8,7 +8,7 @@ aggregation instead of guessing from failed stages.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,4 +51,62 @@ def key_skew_report(
         )
         .orderBy(F.desc("key_count"), *keys)
         .limit(top_n)
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    value_range: Optional[Tuple[float, float]] = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-width histogram of ``value_col``: one row per non-empty
+    bin — (group…, bin, bin_lo, bin_hi, n_rows), bin in [0, bins).
+    In-range values bucket by ``floor((x-lo)/(hi-lo)*bins)`` with the
+    top edge closed (x = hi lands in the last bin); out-of-range
+    values clamp into the edge bins, NULLs drop.
+
+    The whole thing is one map-side-combined groupBy on a computed
+    bucket — the cheapest possible full-distribution scan, and the
+    right precursor to choosing AQE skew thresholds, salt factors, or
+    range-partition bounds at 100 TB. ``value_range`` pins the edges
+    for cross-partition / cross-day comparability; when omitted, one
+    tiny min/max stats job derives it.
+
+    Deliberately plain floor arithmetic (not ``width_bucket``) so any
+    engine replays bucket assignment bit-for-bit from the formula.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if value_range is None:
+        [row] = df.agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi"),
+        ).collect()
+        if row.lo is None:
+            # All-NULL or empty input: empty histogram with the right schema.
+            value_range = (0.0, 1.0)
+        else:
+            value_range = (float(row.lo), float(row.hi))
+    lo, hi = (float(value_range[0]), float(value_range[1]))
+    if not hi > lo:
+        hi = lo + 1.0
+    frac = (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+    bucket = F.least(
+        F.greatest(F.floor(frac * bins).cast("long"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    groups = [F.col(g) for g in group_cols]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *groups,
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit((hi - lo)) / F.lit(bins), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit((hi - lo)) / F.lit(bins), 6).alias("bin_hi"),
+            "n_rows",
+        )
+        .orderBy(*group_cols, "bin")
     )

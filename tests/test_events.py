@@ -220,3 +220,111 @@ class TestRollingZscore:
         out = rolling_zscore(df, "t", "v", window_rows=5, group_cols=["g"])
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+class TestEwmaSmooth:
+    def test_matches_pandas_adjusted_ewm(self, spark):
+        """With max_lag >= series length the truncation is inactive —
+        results must equal pandas ewm(adjust=True) exactly (to the
+        6-decimal rounding the operator applies)."""
+        import pandas as pd
+
+        from rdsa_utils_spark.operators.events import ewma_smooth
+
+        vals = [3.0, 7.0, 1.0, 9.0, 4.0, 6.0, 2.0, 8.0]
+        df = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(vals)], "g string, t long, v double",
+        )
+        out = (
+            ewma_smooth(df, "t", "v", alpha=0.3, group_cols=["g"], max_lag=16)
+            .orderBy("t")
+            .collect()
+        )
+        expect = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+        for row, e in zip(out, expect):
+            assert row.ewma == pytest.approx(round(e, 6), abs=1e-6), row.t
+
+    def test_truncation_error_is_bounded(self, spark):
+        """Past max_lag the truncated EWMA drifts from the exact one by
+        at most (1-alpha)^(max_lag+1) relative — generous 10x bound."""
+        import pandas as pd
+
+        from rdsa_utils_spark.operators.events import ewma_smooth
+
+        vals = [float((i * 37) % 11) for i in range(60)]
+        df = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(vals)], "g string, t long, v double",
+        )
+        out = ewma_smooth(df, "t", "v", alpha=0.3, group_cols=["g"], max_lag=12)
+        got = [r.ewma for r in out.orderBy("t").collect()]
+        exact = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+        bound = 10 * (1 - 0.3) ** 13 * max(vals)
+        for g, e in zip(got, exact):
+            assert abs(g - e) <= bound
+
+    def test_null_values_are_skipped_not_zeroed(self, spark):
+        from rdsa_utils_spark.operators.events import ewma_smooth
+
+        df = spark.createDataFrame(
+            [("a", 0, 4.0), ("a", 1, None), ("a", 2, 4.0)],
+            "g string, t long, v double",
+        )
+        out = {r.t: r.ewma for r in ewma_smooth(
+            df, "t", "v", alpha=0.5, group_cols=["g"], max_lag=4,
+        ).collect()}
+        # A NULL contributes neither to numerator nor denominator: at
+        # t=1 the smoothed value falls back to the t=0 observation.
+        assert out[0] == 4.0 and out[1] == 4.0 and out[2] == 4.0
+
+    def test_validation_and_single_shuffle(self, spark):
+        from rdsa_utils_spark.operators.events import ewma_smooth
+
+        df = spark.createDataFrame([("a", 0, 1.0)], "g string, t long, v double")
+        with pytest.raises(ValueError, match="alpha"):
+            ewma_smooth(df, "t", "v", alpha=1.5)
+        with pytest.raises(ValueError, match="max_lag"):
+            ewma_smooth(df, "t", "v", alpha=0.5, max_lag=-1)
+        big = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(50)], "g string, t long, v double",
+        )
+        out = ewma_smooth(big, "t", "v", alpha=0.3, group_cols=["g"], max_lag=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "InPandas" not in plan
+
+
+class TestNumericHistogram:
+    def test_edges_and_clamping(self, spark):
+        from rdsa_utils_spark.plans.diagnostics import numeric_histogram
+
+        df = spark.createDataFrame(
+            [(v,) for v in [-5.0, 0.0, 0.49, 0.5, 0.99, 1.0, 7.0, None]],
+            "x double",
+        )
+        out = {r.bin: r for r in numeric_histogram(
+            df, "x", bins=2, value_range=(0.0, 1.0),
+        ).collect()}
+        # -5 clamps into bin 0; 1.0 and 7.0 clamp into the top bin;
+        # NULL drops; 0.5 is right-exclusive -> bin 1.
+        assert out[0].n_rows == 3 and out[1].n_rows == 4
+        assert out[0].bin_lo == 0.0 and out[0].bin_hi == 0.5
+        assert out[1].bin_lo == 0.5 and out[1].bin_hi == 1.0
+
+    def test_auto_range_and_counts(self, spark):
+        from rdsa_utils_spark.plans.diagnostics import numeric_histogram
+
+        df = spark.range(100).selectExpr("cast(id as double) x")
+        out = numeric_histogram(df, "x", bins=10).collect()
+        assert sum(r.n_rows for r in out) == 100
+        assert out[0].bin_lo == 0.0 and out[-1].bin_hi == 99.0
+
+    def test_grouped_histogram_plan_is_one_aggregate(self, spark):
+        from rdsa_utils_spark.plans.diagnostics import numeric_histogram
+
+        df = spark.createDataFrame(
+            [("a", float(i % 7)) for i in range(100)], "g string, x double",
+        )
+        out = numeric_histogram(df, "x", bins=5, value_range=(0.0, 7.0),
+                                group_cols=["g"])
+        assert sum(r.n_rows for r in out.collect()) == 100
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InPandas" not in plan and "BatchEvalPython" not in plan
