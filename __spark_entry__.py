@@ -4119,6 +4119,46 @@ ORDER BY event_type, hour
 """
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy (operators/text.py::unigram_lm_score):
+    mean token log-probability per document under a corpus-fitted
+    smoothed unigram model — the classic CCNet-style quality filter."""
+    from rdsa_utils_spark.operators.text import unigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_score(docs, "text", "doc_id")
+    return out.select("doc_id", "n_lm_tokens", "lm_logprob").orderBy("doc_id")
+
+
+_ORACLE_LM_QUALITY = r"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS tok
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+  WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM counts
+), lp AS (
+  SELECT tok,
+         ln((CAST(c AS DOUBLE) + 0.5)
+            / (CAST(n AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))) AS lp
+  FROM counts, tot
+), per_doc AS (
+  SELECT tok.doc_id, ROUND(AVG(lp.lp), 6) AS lm_logprob,
+         COUNT(*) AS n_lm_tokens
+  FROM tok JOIN lp USING (tok)
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lm_tokens, 0) AS n_lm_tokens,
+       p.lm_logprob
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4187,6 +4227,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "price_histogram": q_price_histogram,
         "ewma_hourly": q_ewma_hourly,
+        "lm_quality": q_lm_quality,
     }
 
 
@@ -4317,4 +4358,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "zorder_layout": _oracle_zorder_layout(),
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "ewma_hourly": _oracle_ewma_hourly(),
+        "lm_quality": _ORACLE_LM_QUALITY,
     }

@@ -119,6 +119,57 @@ def with_quality_score(
     return df.withColumn(out_col, score)
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "lm_logprob",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM
+    fitted on the corpus itself — the CCNet-style perplexity proxy for
+    quality filtering: prose full of common words scores high,
+    boilerplate/gibberish full of rare tokens scores low. Attaches
+    ``out_col`` (round-6 double; NULL for token-less docs) and
+    ``n_lm_tokens``.
+
+    Model: additive smoothing over lower-cased whitespace tokens —
+    ln((count + s) / (N + s·V)) with N total tokens, V vocab size.
+
+    Shuffle shape at 100 TB: one explode → groupBy(token) for the
+    vocab (map-side combined, linear), one equi-join of the token
+    stream against the vocab (AQE broadcasts it while it fits — vocab
+    grows ~log-linearly, not with corpus size), one groupBy(doc).
+    No UDFs anywhere; fitting and scoring are the same two scans any
+    TF-IDF run already pays.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    stream = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    counts = stream.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v"),
+    )
+    s = float(smoothing)
+    logprob = counts.crossJoin(F.broadcast(totals)).select(
+        "__tok",
+        F.log(
+            (F.col("__c").cast("double") + F.lit(s))
+            / (F.col("__n").cast("double") + F.lit(s) * F.col("__v").cast("double")),
+        ).alias("__lp"),
+    )
+    per_doc = (
+        stream.join(logprob, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("__lp"), 6).alias(out_col),
+            F.count(F.lit(1)).alias("n_lm_tokens"),
+        )
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        "n_lm_tokens", F.coalesce(F.col("n_lm_tokens"), F.lit(0)),
+    )
+
+
 def with_language_id(
     df: DataFrame,
     text_col: str,

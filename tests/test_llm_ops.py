@@ -469,3 +469,47 @@ def test_dedup_against_corpus(spark):
 
     with pytest.raises(ValueError, match="min.*max|max.*min"):
         dedup_against_corpus(batch, corpus, "text", "doc_id", keep="first")
+
+
+class TestUnigramLmScore:
+    def test_common_words_score_higher(self, spark):
+        from rdsa_utils_spark.operators.text import unigram_lm_score
+
+        rows = [(i, "the cat sat on the mat") for i in range(8)]
+        rows.append((8, "zyzzyva qwertion plompf"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.lm_logprob for r in
+               unigram_lm_score(df, "text", "doc_id").collect()}
+        assert out[0] > out[8]
+
+    def test_exact_value_small_corpus(self, spark):
+        """Hand-computed: corpus 'a a b' → N=3, V=2, s=0.5.
+        p(a)=(2+.5)/(3+1)=0.625, p(b)=(1+.5)/4=0.375.
+        doc1 'a a b' mean = (2 ln .625 + ln .375)/3."""
+        import math
+
+        from rdsa_utils_spark.operators.text import unigram_lm_score
+
+        df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+        [row] = unigram_lm_score(df, "text", "doc_id").collect()
+        expect = (2 * math.log(0.625) + math.log(0.375)) / 3
+        assert row.lm_logprob == pytest.approx(round(expect, 6), abs=1e-6)
+        assert row.n_lm_tokens == 3
+
+    def test_empty_doc_gets_null_and_zero_tokens(self, spark):
+        from rdsa_utils_spark.operators.text import unigram_lm_score
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "   ")], "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_lm_score(df, "text", "doc_id").collect()}
+        assert out[2].lm_logprob is None and out[2].n_lm_tokens == 0
+        assert out[1].n_lm_tokens == 2
+
+    def test_plan_is_jvm_only(self, spark):
+        from rdsa_utils_spark.operators.text import unigram_lm_score
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        out = unigram_lm_score(df, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "InPandas" not in plan
