@@ -38,3 +38,7 @@ class TableNotFoundError(RdsaSparkError):
 
 class PipelineError(RdsaSparkError):
     """Generic pipeline-stage failure."""
+
+
+class SchemaDriftError(RdsaSparkError):
+    """An incoming frame's schema diverges from the expected schema."""

@@ -46,6 +46,8 @@ __all__ = [
     "unique_violations",
     "referential_violations",
     "frame_diff",
+    "schema_drift",
+    "require_schema",
 ]
 
 
@@ -293,3 +295,76 @@ def profile_columns(
         ],
     )
     return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def schema_drift(
+    expected,
+    actual,
+) -> list[dict]:
+    """Schema-evolution report between an expected schema and an
+    incoming frame — the gate an incremental 100 TB ingest runs BEFORE
+    touching any data (this is pure metadata: no job, no scan).
+
+    ``expected``/``actual`` each accept a DataFrame or a StructType.
+    Returns a list of dicts (driver-side — schemas are driver
+    metadata) with keys ``column``, ``status`` (``added`` = in actual
+    only, ``removed`` = in expected only, ``type_changed``),
+    ``expected_type``, ``actual_type``; empty list = no drift.
+    Comparison is by simpleString of each field's type, so nested
+    struct/array/map changes surface as a type change on the top
+    field; column order is ignored (parquet/Delta resolve by name).
+    """
+    from pyspark.sql.types import StructType
+
+    def fields(s) -> dict[str, str]:
+        st = s.schema if hasattr(s, "schema") and not isinstance(s, StructType) else s
+        return {f.name: f.dataType.simpleString() for f in st.fields}
+
+    exp, act = fields(expected), fields(actual)
+    report: list[dict] = []
+    for name in sorted(exp.keys() | act.keys()):
+        e, a = exp.get(name), act.get(name)
+        if e is None:
+            report.append(
+                {"column": name, "status": "added", "expected_type": None,
+                 "actual_type": a},
+            )
+        elif a is None:
+            report.append(
+                {"column": name, "status": "removed", "expected_type": e,
+                 "actual_type": None},
+            )
+        elif e != a:
+            report.append(
+                {"column": name, "status": "type_changed", "expected_type": e,
+                 "actual_type": a},
+            )
+    return report
+
+
+def require_schema(
+    df: DataFrame,
+    expected,
+    allow_added: bool = False,
+) -> DataFrame:
+    """Raise ``SchemaDriftError`` unless ``df`` matches ``expected``
+    (a DataFrame or StructType). ``allow_added=True`` tolerates new
+    columns (the common forward-compatible evolution) but never
+    removals or type changes. Returns ``df`` unchanged so it chains
+    inside read pipelines."""
+    from rdsa_utils_spark.exceptions import SchemaDriftError
+
+    drift = schema_drift(expected, df)
+    if allow_added:
+        drift = [d for d in drift if d["status"] != "added"]
+    if drift:
+        lines = ", ".join(
+            f"{d['column']}: {d['status']}"
+            + (
+                f" ({d['expected_type']} -> {d['actual_type']})"
+                if d["status"] == "type_changed" else ""
+            )
+            for d in drift
+        )
+        raise SchemaDriftError(f"schema drift detected — {lines}")
+    return df

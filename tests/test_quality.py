@@ -206,3 +206,58 @@ class TestProfileColumns:
         # SortAggregate), sharing a single scan — no join, no union
         assert plan.count("HashAggregate") + plan.count("SortAggregate") == 2
         assert "Join" not in plan
+
+
+class TestSchemaDrift:
+    def test_no_drift_is_empty_report(self, spark):
+        from rdsa_utils_spark.operators.quality import schema_drift
+
+        df = spark.createDataFrame([(1, "a")], "id long, name string")
+        assert schema_drift(df, df.select("name", "id")) == []  # order ignored
+
+    def test_added_removed_type_changed(self, spark):
+        from rdsa_utils_spark.operators.quality import schema_drift
+
+        exp = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, v double")
+        act = spark.createDataFrame([(1, 2, True)], "id long, v int, extra boolean")
+        report = {d["column"]: d for d in schema_drift(exp, act)}
+        assert report["extra"]["status"] == "added"
+        assert report["name"]["status"] == "removed"
+        assert report["v"]["status"] == "type_changed"
+        assert report["v"]["expected_type"] == "double"
+        assert report["v"]["actual_type"] == "int"
+        assert "id" not in report
+
+    def test_accepts_structtype_and_nested_changes(self, spark):
+        from pyspark.sql.types import (
+            LongType, StructField, StructType, StringType,
+        )
+
+        from rdsa_utils_spark.operators.quality import schema_drift
+
+        expected = StructType([
+            StructField("id", LongType()),
+            StructField("payload", StructType([StructField("a", StringType())])),
+        ])
+        act = spark.createDataFrame(
+            [(1, (2,))], "id long, payload struct<a: long>",
+        )
+        [d] = schema_drift(expected, act)
+        assert d["column"] == "payload" and d["status"] == "type_changed"
+
+    def test_require_schema_gate(self, spark):
+        import pytest as _pytest
+
+        from rdsa_utils_spark.exceptions import SchemaDriftError
+        from rdsa_utils_spark.operators.quality import require_schema
+
+        exp = spark.createDataFrame([(1, "a")], "id long, name string")
+        ok = spark.createDataFrame([(2, "b")], "id long, name string")
+        assert require_schema(ok, exp) is ok
+        extra = ok.withColumn("extra", ok.id + 1)
+        with _pytest.raises(SchemaDriftError, match="extra: added"):
+            require_schema(extra, exp)
+        assert require_schema(extra, exp, allow_added=True) is extra
+        bad = spark.createDataFrame([(1, 2)], "id long, name long")
+        with _pytest.raises(SchemaDriftError, match="string -> bigint"):
+            require_schema(bad, exp, allow_added=True)
