@@ -4159,6 +4159,93 @@ ORDER BY d.doc_id
 """
 
 
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-importance PageRank (operators/graph.py::pagerank, 5
+    iterations, d=0.85) over the co-purchase transition graph:
+    consecutive lineitems of an order (by l_linenumber) emit a
+    directed part→part edge; parallel edges aggregate to weights.
+    Fixed iteration count keeps the result a pure function of the
+    input, so the oracle replays the iterations unrolled in SQL."""
+    from pyspark.sql import Window
+
+    from rdsa_utils_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # l_partkey tiebreak makes the transition sequence total and the
+    # derived graph engine-independent.
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "dst")
+    edges = (
+        li.select(
+            "l_orderkey", "l_linenumber", F.col("l_partkey").alias("dst"),
+        )
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", weight="w", iterations=5)
+    n_nodes = ranks.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    return (
+        ranks.crossJoin(F.broadcast(n_nodes))  # 1-row stats attach
+        .select(
+            F.col("node").alias("part"),
+            F.round(F.col("rank") * F.col("__n"), 6).alias("rank_scaled"),
+        )
+        .orderBy("part")
+    )
+
+
+def _oracle_pagerank_parts(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolls the exact power iterations — teleport/damping literals
+    carry the same float64 values the operator computes (e.g.
+    1.0-0.85 = 0.15000000000000002, not 0.15)."""
+    d = repr(float(damping))
+    t = repr(float(1.0 - damping))
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT v.node,
+         {t} / nn.n + {d} * COALESCE(agg.m, 0.0) AS rank
+  FROM nodes v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT s.dst, SUM(s.share * r.rank) AS m
+    FROM shares s JOIN r{k - 1} r ON s.src = r.node
+    GROUP BY s.dst
+  ) agg ON v.node = agg.dst
+)""",
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT l_orderkey, l_partkey AS dst,
+         lag(l_partkey) OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS src
+  FROM lineitem
+), edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+  GROUP BY src, dst
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), outw AS (
+  SELECT src, SUM(w) AS wout FROM edges GROUP BY src
+), shares AS (
+  SELECT e.src, e.dst, e.w / o.wout AS share
+  FROM edges e JOIN outw o ON e.src = o.src
+), r0 AS (
+  SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT r.node AS part, ROUND(r.rank * nn.n, 6) AS rank_scaled
+FROM r{iterations} r CROSS JOIN nn
+ORDER BY part
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4228,6 +4315,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "ewma_hourly": q_ewma_hourly,
         "lm_quality": q_lm_quality,
+        "pagerank_parts": q_pagerank_parts,
     }
 
 
@@ -4359,4 +4447,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "price_histogram": _ORACLE_PRICE_HISTOGRAM,
         "ewma_hourly": _oracle_ewma_hourly(),
         "lm_quality": _ORACLE_LM_QUALITY,
+        "pagerank_parts": _oracle_pagerank_parts(),
     }

@@ -1,0 +1,121 @@
+"""Graph centrality over edge DataFrames: iteration-bounded PageRank.
+
+Extension surface (no reference equivalent; complements the
+connected-components clustering in ``operators/dedup.py``): entity
+graphs in a training-data pipeline — document citation/link graphs,
+co-occurrence graphs, record-linkage match graphs — need an
+importance score, and PageRank is the canonical one.
+
+Design (Spark-first, deterministic):
+
+- The operator runs a FIXED number of synchronous power iterations —
+  ``rank_{k+1}(v) = (1-d)/N + d · Σ_{(u,v,w)∈E} rank_k(u) · w/W(u)``
+  with ``W(u)`` the total out-weight of ``u``. A fixed iteration
+  count (vs an epsilon loop) makes the result a pure function of the
+  input, replayable by an external engine with the iterations
+  unrolled as SQL (see the ``pagerank_parts`` oracle) — the same
+  replay-determinism stance as ``operators/scd.py``.
+- Dangling mass is dropped, not redistributed: nodes without
+  out-edges absorb rank but re-emit only the teleport term, so ranks
+  sum to < 1 when dangling nodes exist. Documented contract — the
+  redistribution variant needs a global scalar per iteration (an
+  extra all-reduce each round) for a normalization most rankings
+  never read.
+- Per iteration the EDGE table never moves: shares are partitioned by
+  ``dst`` once (loop-invariant, lineage-cut), the rank vector — tiny
+  relative to edges — is broadcast into the join, and the
+  ``groupBy(dst)`` reuses the existing hash partitioning, so an
+  iteration shuffles O(nodes), not O(edges). Past
+  ``max_broadcast_nodes`` the join falls back to a plain shuffle
+  hash-join (AQE handles celebrity-node skew). ``localCheckpoint``
+  after every iteration truncates the plan exactly like
+  ``dedup_clusters`` does, so the DAG never grows with the iteration
+  count.
+- Driver traffic: one ``count()`` for N. No other driver data path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: Optional[str] = None,
+    iterations: int = 5,
+    damping: float = 0.85,
+    rank_col: str = "rank",
+    max_broadcast_nodes: int = 10_000_000,
+) -> DataFrame:
+    """Ranks after ``iterations`` synchronous PageRank steps over the
+    directed (optionally weighted) edge list. Returns one row per
+    node: (node, ``rank_col``). Parallel edges are additive weight;
+    self-loops are legal ordinary edges (filter them upstream if the
+    semantics call for it). While the graph has at most
+    ``max_broadcast_nodes`` nodes the rank vector is broadcast each
+    round and only O(nodes) rows shuffle per iteration; beyond that
+    every join falls back to shuffle hash-joins."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), w.alias("__w"),
+    )
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    small = n <= max_broadcast_nodes
+
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    # Loop invariant, computed once: per-edge share, pre-partitioned on
+    # the destination so every iteration's groupBy(dst) fully collapses
+    # in place — persist (not localCheckpoint) because a checkpoint
+    # scan forgets its outputPartitioning and would re-shuffle the
+    # partial aggregates every round; the cache is released before
+    # returning (the eager per-iteration rank checkpoints make the
+    # result independent of it).
+    shares = (
+        e.join(outw, "__src")
+        .select(
+            "__src", "__dst", (F.col("__w") / F.col("__wout")).alias("__share"),
+        )
+        .repartition(F.col("__dst"))
+        .persist()
+    )
+    teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias(rank_col))
+    for _ in range(iterations):
+        msgs = (
+            shares.join(_bcast(ranks), shares["__src"] == ranks["node"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("__share") * F.col(rank_col)).alias("__m"))
+        )
+        ranks = (
+            nodes.join(_bcast(msgs), nodes["node"] == msgs["__dst"], "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("__m"), F.lit(0.0))
+                ).alias(rank_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+    shares.unpersist()
+    return ranks
