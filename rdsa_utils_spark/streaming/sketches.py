@@ -1,4 +1,5 @@
-"""Streaming sketch state: per-window HLL distinct sketches.
+"""Streaming sketch state: per-window HLL distinct and count-min
+frequency sketches.
 
 Extension surface (no reference equivalent; composes
 ``streaming/windows_time.tumbling_window_agg`` with
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 
 from rdsa_utils_spark.streaming.windows_time import tumbling_window_agg
 
-__all__ = ["windowed_distinct_sketch"]
+__all__ = ["windowed_distinct_sketch", "windowed_freq_sketch"]
 
 
 def windowed_distinct_sketch(
@@ -48,5 +49,46 @@ def windowed_distinct_sketch(
         duration=duration,
         aggs={sketch_col: F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))},
         keys=list(keys),
+        watermark=watermark,
+    )
+
+
+def windowed_freq_sketch(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+    depth: int = 5,
+    width: int = 8192,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Tumbling-window count-min sketch rows: (window_start,
+    window_end, keys…, depth, pos, cnt) — ≤ depth×width rows per
+    window per key group regardless of event volume. The cell explode
+    is stateless, so the whole thing is an ordinary watermarked
+    windowed aggregation; batch-side
+    ``operators/sketches.merge_freq_sketches`` /
+    ``freq_estimate`` answer any-range frequency questions from the
+    persisted rows (merge is sum-by-key — bit-identical to a direct
+    build, the same contract as the batch CMS)."""
+    from rdsa_utils_spark.operators.sketches import _cms_cells
+
+    cell = F.explode(_cms_cells(value_col, depth, width)).alias("cell")
+    exploded = df.select(
+        F.col(ts_col), *[F.col(k) for k in keys], cell,
+    ).select(
+        F.col(ts_col),
+        *[F.col(k) for k in keys],
+        F.col("cell.depth").alias("depth"),
+        F.col("cell.pos").alias("pos"),
+    )
+    return tumbling_window_agg(
+        exploded,
+        ts_col=ts_col,
+        duration=duration,
+        aggs={count_col: F.count(F.lit(1))},
+        keys=[*keys, "depth", "pos"],
         watermark=watermark,
     )

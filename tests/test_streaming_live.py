@@ -270,3 +270,54 @@ def test_windowed_distinct_sketch_streaming(spark, events_stream):
         ).collect()
     }
     assert merged == direct
+
+
+def test_windowed_freq_sketch_streaming(spark, events_stream):
+    """Streaming CMS state: hourly sketch rows from the stream, summed
+    downstream, must match a direct batch CMS over the same windows
+    row-for-row (counter addition is the merge), and point estimates
+    from the merged state must never underestimate."""
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.sketches import (
+        freq_estimate,
+        freq_sketch,
+        merge_freq_sketches,
+    )
+    from rdsa_utils_spark.streaming.sketches import windowed_freq_sketch
+
+    stream_df, batch_df = events_stream
+    sk = windowed_freq_sketch(
+        stream_df, "ts", "1 hour", "user_id", watermark="2 hours",
+    )
+    q = (
+        sk.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("freq_sketch_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.sql("SELECT * FROM freq_sketch_out")
+    assert sink.count() > 0
+
+    merged = merge_freq_sketches(sink.drop("window_start", "window_end"))
+    emitted = sink.select("window_start").distinct()
+    batch_rows = (
+        batch_df.withColumn(
+            "window_start", F.date_trunc("hour", F.col("ts")),
+        )
+        .join(emitted, "window_start", "semi")
+    )
+    direct = freq_sketch(batch_rows, "user_id")
+    assert merged.exceptAll(direct).isEmpty()
+    assert direct.exceptAll(merged).isEmpty()
+
+    exact = batch_rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_freq"),
+    )
+    est = freq_estimate(merged, exact, "user_id")
+    assert est.filter(F.col("est_freq") < F.col("true_freq")).isEmpty()
