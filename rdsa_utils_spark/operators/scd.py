@@ -92,13 +92,26 @@ def scd2_apply(
 
     Updates strictly older than a key's current version raise no
     error; they splice into the chain at their effective time and the
-    ENTIRE chain (closed history included) is re-derived, so applying
-    an update stream in any batch split yields the identical table —
-    replay determinism holds even for late-arriving corrections that
-    land before versions that are already closed. (The window
+    ENTIRE chain (closed history included) is re-derived. (The window
     therefore carries every existing version of the dimension, not
     just current rows — the right trade for a dimension table, whose
     size is versions-per-key × keys, dwarfed by any fact table.)
+
+    Replay determinism — two precise guarantees:
+
+    - With ``drop_unchanged=False`` nothing is ever discarded, so
+      applying an update stream in ANY batch split (including
+      out-of-order, late-arriving batches) yields the identical
+      table.
+    - With ``drop_unchanged=True`` (default) equivalence holds for
+      every event-time-ordered split (each batch's updates not
+      earlier than the previous batch's). It can NOT hold for
+      arbitrary interleaves: an update deduped as a no-op in an
+      early batch (value equal to its then-neighbour) is
+      load-bearing if a later batch splices a different value
+      between the two — information a compacted chain no longer
+      carries. Feed out-of-order backlogs either in one batch or
+      with ``drop_unchanged=False``.
 
     ``(keys, effective_col)`` should be unique per update row; when a
     key can receive two updates at the same effective instant, pass

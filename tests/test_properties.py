@@ -228,8 +228,11 @@ def test_scd2_chain_invariants(spark, upd_rows):
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_scd2_batch_split_equivalence(spark, upd_rows):
-    """Applying any prefix/suffix split of an update stream in two
-    batches equals applying it in one (replay determinism)."""
+    """Replay determinism, per the scd2_apply contract: (a) an
+    event-time-ordered prefix/suffix split with default no-op
+    dropping equals one-shot application; (b) an ARBITRARY
+    (out-of-order) split equals one-shot when drop_unchanged=False
+    (nothing is discarded, so no interleave can lose information)."""
     from rdsa_utils_spark.operators.scd import scd2_apply, scd2_init
 
     base = spark.createDataFrame([(1, "z"), (2, "z"), (3, "z")], "k long, tier string")
@@ -240,20 +243,36 @@ def test_scd2_batch_split_equivalence(spark, upd_rows):
         df = spark.createDataFrame(rs, "k long, tier string, eff string")
         return df.withColumn("eff", F.col("eff").cast("timestamp"))
 
-    cut = len(rows) // 2
-    stepwise = scd2_apply(
-        scd2_apply(dim, mk(rows[:cut]), ["k"], ["tier"], "eff"),
-        mk(rows[cut:]), ["k"], ["tier"], "eff",
-    ) if rows else dim
-    oneshot = scd2_apply(dim, mk(rows), ["k"], ["tier"], "eff") if rows else dim
-
     def snap(df):
         return sorted(
             (r.k, r.tier, str(r.valid_from), str(r.valid_to), r.is_current)
             for r in df.collect()
         )
 
+    if not rows:
+        return
+
+    # (a) in-time-order split, default dedup.
+    ordered = sorted(rows, key=lambda r: r[2])
+    cut = len(ordered) // 2
+    stepwise = scd2_apply(
+        scd2_apply(dim, mk(ordered[:cut]), ["k"], ["tier"], "eff"),
+        mk(ordered[cut:]), ["k"], ["tier"], "eff",
+    )
+    oneshot = scd2_apply(dim, mk(ordered), ["k"], ["tier"], "eff")
     assert snap(stepwise) == snap(oneshot)
+
+    # (b) arbitrary (generation-order) split, nothing dropped.
+    cut = len(rows) // 2
+    stepwise_all = scd2_apply(
+        scd2_apply(dim, mk(rows[:cut]), ["k"], ["tier"], "eff",
+                   drop_unchanged=False),
+        mk(rows[cut:]), ["k"], ["tier"], "eff", drop_unchanged=False,
+    )
+    oneshot_all = scd2_apply(
+        dim, mk(rows), ["k"], ["tier"], "eff", drop_unchanged=False,
+    )
+    assert snap(stepwise_all) == snap(oneshot_all)
 
 
 # ------------------------------------------------------- rolling z-score
