@@ -4246,6 +4246,295 @@ ORDER BY part
 """
 
 
+def q_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend fit (operators/stats.py::grouped_linear_fit):
+    event value regressed on fractional hour-of-day, one regr_* moment
+    aggregation per event_type — single scan, map-side combined."""
+    from rdsa_utils_spark.operators.stats import grouped_linear_fit
+
+    events = _t(spark, sf_dir, "events")
+    x = F.hour("ts") + F.minute("ts") / F.lit(60.0)
+    return grouped_linear_fit(events, x, F.col("value"), ["event_type"]).orderBy(
+        "event_type",
+    )
+
+
+_ORACLE_TREND_BY_EVENT_TYPE = """
+SELECT event_type,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2
+FROM (
+  SELECT event_type,
+         CAST(value AS DOUBLE) AS y,
+         date_part('hour', ts) + date_part('minute', ts) / 60.0 AS x
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson matrix (operators/stats.py::correlation_matrix):
+    all six pairs over four lineitem measures in ONE 1-row aggregation,
+    unpivoted to long form with stack — no per-pair scans."""
+    from rdsa_utils_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return correlation_matrix(li, cols).orderBy("col_x", "col_y")
+
+
+_ORACLE_LINEITEM_CORRELATIONS = """
+SELECT col_x, col_y, "corr" FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS "corr" FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount',
+         ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+         ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+         ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+         ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax',
+         ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+)
+ORDER BY col_x, col_y
+"""
+
+
+def q_event_drift_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift test (operators/stats.py::chi_square_drift):
+    weekday vs weekend event_type mix, per-category chi-square
+    decomposition; SUM(chi2_contrib) is the k-1 d.f. statistic."""
+    from rdsa_utils_spark.operators.stats import chi_square_drift
+
+    events = _t(spark, sf_dir, "events")
+    weekend = F.dayofweek("ts").isin(1, 7)
+    return chi_square_drift(
+        events.filter(~weekend), events.filter(weekend), "event_type",
+    ).orderBy("category")
+
+
+_ORACLE_EVENT_DRIFT_WEEKEND = """
+WITH counts AS (
+  SELECT event_type AS category,
+         SUM(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS n_b
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb
+  FROM counts
+)
+SELECT category,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND((n_a + n_b) * ta / (ta + tb), 6) AS expected_a,
+       ROUND((n_b + n_a) * tb / (ta + tb), 6) AS expected_b,
+       ROUND(POW(n_a - (n_a + n_b) * ta / (ta + tb), 2)
+               / ((n_a + n_b) * ta / (ta + tb))
+             + POW(n_b - (n_a + n_b) * tb / (ta + tb), 2)
+               / ((n_a + n_b) * tb / (ta + tb)), 6) AS chi2_contrib
+FROM counts, tot
+ORDER BY category
+"""
+
+
+def q_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust clipping (operators/stats.py::winsorize): customer
+    balances clipped to the per-nation exact [p05, p95] band — one
+    percentile-pair accumulator per nation, broadcast back."""
+    from rdsa_utils_spark.operators.stats import winsorize
+
+    cust = _t(spark, sf_dir, "customer")
+    return winsorize(cust, "c_acctbal", ["c_nationkey"]).select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_acctbal_winsorized",
+    ).orderBy("c_custkey")
+
+
+_ORACLE_WINSORIZED_ACCTBAL = """
+WITH b AS (
+  SELECT c_nationkey,
+         quantile_cont(c_acctbal, 0.05) AS lo,
+         quantile_cont(c_acctbal, 0.95) AS hi
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c.c_nationkey, c_acctbal,
+       ROUND(LEAST(GREATEST(c_acctbal, lo), hi), 6) AS c_acctbal_winsorized
+FROM customer c JOIN b ON c.c_nationkey = b.c_nationkey
+ORDER BY c_custkey
+"""
+
+
+def q_rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/stats.py::rfm_segments): per-customer
+    recency/frequency/monetary scored 1-4 against exact population
+    quartiles attached as a broadcast 1-row frame — deliberately NOT a
+    global ntile window (single-partition sort cannot scale)."""
+    from rdsa_utils_spark.operators.stats import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice",
+    ).orderBy("customer")
+
+
+_ORACLE_RFM_CUSTOMERS = """
+WITH pc AS (
+  SELECT o_custkey AS customer,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(MAX(o_orderdate) AS DATE)) AS DOUBLE) AS recency_days,
+         CAST(COUNT(*) AS DOUBLE) AS frequency,
+         ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 6) AS monetary
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+  FROM pc
+), scored AS (
+  SELECT customer,
+         CAST(recency_days AS BIGINT) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency,
+         monetary,
+         1 + CASE WHEN recency_days >= rq[1] THEN 1 ELSE 0 END
+           + CASE WHEN recency_days >= rq[2] THEN 1 ELSE 0 END
+           + CASE WHEN recency_days >= rq[3] THEN 1 ELSE 0 END AS r_score,
+         1 + CASE WHEN frequency >= fq[1] THEN 1 ELSE 0 END
+           + CASE WHEN frequency >= fq[2] THEN 1 ELSE 0 END
+           + CASE WHEN frequency >= fq[3] THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN monetary >= mq[1] THEN 1 ELSE 0 END
+           + CASE WHEN monetary >= mq[2] THEN 1 ELSE 0 END
+           + CASE WHEN monetary >= mq[3] THEN 1 ELSE 0 END AS m_score
+  FROM pc, cuts
+)
+SELECT customer, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+ORDER BY customer
+"""
+
+
+def q_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs (operators/graph.py::cooccurrence_pairs):
+    brand pairs sharing an order, via distinct (basket, item) self
+    equi-join on the basket key — Σ k²/2 per basket, never |items|²."""
+    from rdsa_utils_spark.operators.graph import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return cooccurrence_pairs(j, "l_orderkey", "p_brand", min_count=2).orderBy(
+        "item_a", "item_b",
+    )
+
+
+_ORACLE_BRAND_COOCCURRENCE = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_baskets
+FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+GROUP BY a.item, b.item
+HAVING COUNT(*) >= 2
+ORDER BY item_a, item_b
+"""
+
+
+def q_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (operators/graph.py::triangle_count) over the
+    top-40 co-purchase brand edges (deterministic (count, a, b)
+    ordering keeps the edge set — hence the count — scale-stable and
+    replayable). Canonical a<b<c two-join enumeration, no cartesian."""
+    from rdsa_utils_spark.operators.graph import cooccurrence_pairs, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+    )
+    edges = (
+        cooccurrence_pairs(j, "l_orderkey", "p_brand")
+        .orderBy(F.desc("n_baskets"), "item_a", "item_b")
+        .limit(40)
+    )
+    return triangle_count(
+        edges.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
+    )
+
+
+_ORACLE_BRAND_TRIANGLES = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_baskets
+  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+), edges AS (
+  SELECT item_a AS a, item_b AS b FROM pairs
+  ORDER BY n_baskets DESC, item_a, item_b
+  LIMIT 40
+)
+SELECT COUNT(*) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.b = e2.a
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate share (operators/text.py::
+    boilerplate_ngrams, n=1, frac=0.8): tokens present in >80% of
+    documents are corpus boilerplate; each doc reports how much of
+    its distinct vocabulary they cover."""
+    from rdsa_utils_spark.operators.text import boilerplate_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_ngrams(
+        docs, "text", "doc_id", shingle_n=1, max_doc_frac=0.8,
+    ).orderBy("doc_id")
+
+
+_ORACLE_DOC_BOILERPLATE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+         END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS sh FROM t
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT sh, COUNT(*) AS dfc FROM s GROUP BY sh
+), fl AS (
+  SELECT sh FROM dfreq, nd WHERE dfc > 0.8 * n_docs
+), pd AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN fl.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate
+  FROM s LEFT JOIN fl ON s.sh = fl.sh
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+       ROUND(CAST(n_boilerplate AS DOUBLE) / n_shingles, 6) AS boilerplate_ratio
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4316,6 +4605,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": q_ewma_hourly,
         "lm_quality": q_lm_quality,
         "pagerank_parts": q_pagerank_parts,
+        "trend_by_event_type": q_trend_by_event_type,
+        "lineitem_correlations": q_lineitem_correlations,
+        "event_drift_weekend": q_event_drift_weekend,
+        "winsorized_acctbal": q_winsorized_acctbal,
+        "rfm_customers": q_rfm_customers,
+        "brand_cooccurrence": q_brand_cooccurrence,
+        "brand_triangles": q_brand_triangles,
+        "doc_boilerplate": q_doc_boilerplate,
     }
 
 
@@ -4448,4 +4745,12 @@ def extra_oracle_sql() -> dict[str, str]:
         "ewma_hourly": _oracle_ewma_hourly(),
         "lm_quality": _ORACLE_LM_QUALITY,
         "pagerank_parts": _oracle_pagerank_parts(),
+        "trend_by_event_type": _ORACLE_TREND_BY_EVENT_TYPE,
+        "lineitem_correlations": _ORACLE_LINEITEM_CORRELATIONS,
+        "event_drift_weekend": _ORACLE_EVENT_DRIFT_WEEKEND,
+        "winsorized_acctbal": _ORACLE_WINSORIZED_ACCTBAL,
+        "rfm_customers": _ORACLE_RFM_CUSTOMERS,
+        "brand_cooccurrence": _ORACLE_BRAND_COOCCURRENCE,
+        "brand_triangles": _ORACLE_BRAND_TRIANGLES,
+        "doc_boilerplate": _ORACLE_DOC_BOILERPLATE,
     }

@@ -1,4 +1,5 @@
-"""Graph centrality over edge DataFrames: iteration-bounded PageRank.
+"""Graph operators over edge DataFrames: iteration-bounded PageRank,
+market-basket co-occurrence, and triangle counting.
 
 Extension surface (no reference equivalent; complements the
 connected-components clustering in ``operators/dedup.py``): entity
@@ -41,7 +42,90 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "cooccurrence_pairs", "triangle_count"]
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_items_per_basket: Optional[int] = None,
+) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered item pair,
+    the number of distinct baskets containing both. Returns
+    ``(item_a, item_b, n_baskets)`` with ``item_a < item_b``,
+    filtered to ``n_baskets >= min_count``.
+
+    Shape: dedup to distinct (basket, item) rows, then a self
+    equi-join ON the basket key — cost is Σ k_b·(k_b−1)/2 over
+    basket sizes k_b, NOT |items|². That is linear in data volume
+    while basket sizes are bounded, which is exactly what
+    ``max_items_per_basket`` enforces at 100 TB: a deterministic
+    per-basket cap (smallest items win, so reruns agree) that stops
+    one celebrity basket from emitting millions of pairs. The join
+    key is the basket id — high cardinality, well distributed — so
+    the shuffle is even; AQE splits any residual skew.
+    """
+    base = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item"),
+    ).dropDuplicates(["__basket", "__item"])
+    if max_items_per_basket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__basket").orderBy("__item")
+        base = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_items_per_basket)
+            .drop("__rn")
+        )
+    left = base.select("__basket", F.col("__item").alias("item_a"))
+    right = base.select("__basket", F.col("__item").alias("item_b"))
+    return (
+        left.join(right, "__basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count of the undirected simple graph induced
+    by ``edges``: one row ``(n_triangles,)``.
+
+    Classic two-join enumeration with the canonical-ordering trick:
+    edges are normalized to ``a < b`` and deduped, then each
+    triangle ``a<b<c`` is found exactly once via
+    ``(a,b) ⋈ (b,c) ⋈ (a,c)``. Both joins are hash equi-joins on
+    vertex ids — no cartesian anywhere — and the canonical
+    orientation means every edge participates as a join probe only
+    in one direction, the standard halving that makes this the
+    scalable formulation. Skewed hub vertices are the known hot
+    spot; AQE skew-join splitting handles moderate hubs, and
+    degree-capping upstream (drop vertices above a degree bound) is
+    the documented mitigation for power-law graphs at full scale.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    e1 = canon
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def pagerank(

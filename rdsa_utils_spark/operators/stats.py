@@ -1,0 +1,277 @@
+"""Distributed statistics operators: grouped OLS fit, correlation
+matrix, two-sample chi-square drift, winsorization, quantile-cut
+RFM segmentation.
+
+Extension surface (no reference equivalent; complements the
+descriptive profiling in ``operators/quality.py::profile_columns``
+and the anomaly scoring in ``operators/events.py::rolling_zscore``):
+an analytics engine at 100 TB needs the *inferential* basics —
+trend fits, dependence structure, distribution-shift tests, robust
+clipping — executed as single-pass JVM aggregations, never as a
+driver-side scikit-learn detour.
+
+Design rules shared by every operator here:
+
+- Everything is a ``groupBy().agg()`` over built-in Catalyst
+  aggregates (``regr_*``, ``corr``, ``percentile``) — one shuffle on
+  the group key, map-side partial aggregation, whole-stage codegen.
+  No Python UDFs, no ``collect()``.
+- Scalar statistics that must be attached back to rows (quantile cut
+  points, sample totals) travel as a broadcast 1-row frame — the
+  same scalar-attach shape as ``bm25_search``/``lm_quality`` — so
+  the only non-equi join in any plan is a provably 1-row broadcast.
+- Results are rounded (default 6 dp) at the edge so they replay
+  bit-identically against external engines; pass ``round_to=None``
+  for full precision inside a pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "grouped_linear_fit",
+    "correlation_matrix",
+    "chi_square_drift",
+    "winsorize",
+    "rfm_segments",
+]
+
+
+def _maybe_round(col: Column, round_to: Optional[int]) -> Column:
+    return F.round(col, round_to) if round_to is not None else col
+
+
+def grouped_linear_fit(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+    group_cols: Sequence[str],
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x``: one row per
+    group with ``(n, slope, intercept, r2)``.
+
+    Runs as a single ``groupBy().agg()`` over Spark's built-in
+    ``regr_*`` aggregates (moment accumulators, map-side combined) —
+    the 100 TB cost is one linear scan plus one shuffle of
+    O(groups) partial states. Groups whose x is constant (zero
+    variance) yield NULL slope/intercept/r2, matching ANSI
+    ``REGR_*`` semantics.
+    """
+    x = F.col(x_col).cast("double") if isinstance(x_col, str) else x_col.cast("double")
+    y = F.col(y_col).cast("double") if isinstance(y_col, str) else y_col.cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.regr_count(y, x).alias("n"),
+        _maybe_round(F.regr_slope(y, x), round_to).alias("slope"),
+        _maybe_round(F.regr_intercept(y, x), round_to).alias("intercept"),
+        _maybe_round(F.regr_r2(y, x), round_to).alias("r2"),
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in long form: one row
+    per unordered pair ``(col_x, col_y, corr)`` with
+    ``col_x < col_y`` in the given order.
+
+    All C(k,2) ``corr`` accumulators run inside ONE global
+    aggregation — a single scan and a single 1-row reduce regardless
+    of k — and the 1-row wide result is unpivoted to long form with
+    ``stack`` (pure projection, no extra shuffle). NULL-safe per
+    Spark's ``corr`` (pairwise-complete observations).
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {list(cols)!r}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1 :]
+    ]
+    aggs = [
+        _maybe_round(
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")), round_to,
+        ).alias(f"__corr_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __corr_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr)",
+    )
+
+
+def chi_square_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Two-sample chi-square decomposition of distribution shift in
+    ``category_col`` between sample A and sample B: one row per
+    category with observed counts, expected counts under the pooled
+    distribution, and the category's additive contribution to the
+    chi-square statistic (``SUM(chi2_contrib)`` over the result is
+    the test statistic with k-1 degrees of freedom).
+
+    Shuffle shape: each side is one ``groupBy(category)`` count
+    (map-side combined), the category tables are outer-merged by
+    ``unionByName`` + re-aggregation, and the grand totals attach as
+    a broadcast 1-row frame — nothing driver-side, nothing
+    quadratic. NULL categories count as a real category (surfaced as
+    NULL), matching SQL ``GROUP BY``.
+    """
+    tagged = df_a.select(
+        F.col(category_col).alias("category"), F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+    ).unionByName(
+        df_b.select(
+            F.col(category_col).alias("category"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        ),
+    )
+    counts = tagged.groupBy("category").agg(
+        F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"),
+    )
+    t = counts.crossJoin(F.broadcast(totals))
+    row_total = (F.col("n_a") + F.col("n_b")).cast("double")
+    grand = (F.col("__ta") + F.col("__tb")).cast("double")
+    exp_a = row_total * F.col("__ta").cast("double") / grand
+    exp_b = row_total * F.col("__tb").cast("double") / grand
+    contrib = (
+        (F.col("n_a").cast("double") - exp_a) ** 2 / exp_a
+        + (F.col("n_b").cast("double") - exp_b) ** 2 / exp_b
+    )
+    return t.select(
+        "category",
+        "n_a",
+        "n_b",
+        _maybe_round(exp_a, round_to).alias("expected_a"),
+        _maybe_round(exp_b, round_to).alias("expected_b"),
+        _maybe_round(contrib, round_to).alias("chi2_contrib"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: Optional[str] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group ``[lower, upper]`` exact
+    quantile band (linear interpolation, ANSI ``PERCENTILE_CONT``
+    semantics) — the standard robust pre-processing step before
+    means/fits that outliers would otherwise dominate.
+
+    The per-group bounds are ONE ``percentile(value, array(lo, hi))``
+    accumulator per group — a single sort-based aggregation pass, not
+    two — and join back broadcast-sized (O(groups) rows, AQE
+    broadcasts them while they fit). Exact percentiles are
+    sort-heavy at extreme cardinality; substitute
+    ``approx_percentile`` upstream when the group count is small but
+    per-group rows are 100 TB-scale and a 1e-4 relative error is
+    acceptable.
+
+    NULL values pass through as NULL (never clipped to a bound).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    out = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.array(F.lit(float(lower)), F.lit(float(upper)))).alias("__qs"),
+    ).select(
+        *group_cols,
+        F.col("__qs")[0].alias("__lo"),
+        F.col("__qs")[1].alias("__hi"),
+    )
+    # greatest/least IGNORE null arguments (they return the extreme of
+    # the non-null ones), which would quietly clip NULL values to the
+    # lower bound — guard so NULL passes through as NULL.
+    clipped = F.when(
+        v.isNull(), F.lit(None).cast("double"),
+    ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(out, _maybe_round(clipped, round_to))
+        .drop("__lo", "__hi")
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """RFM segmentation: per customer, recency (days since epoch of
+    the last order — larger is more recent), frequency (order
+    count), monetary (total spend), each scored 1-4 against the
+    population's exact quartile cut points, plus the concatenated
+    ``segment`` label ('111'..'444').
+
+    Deliberately NOT ``ntile(4)`` over a global sort: a single-
+    partition window is the one operator that cannot scale past one
+    executor. Instead the three quartile triplets are ONE 1-row
+    aggregation (``percentile`` accumulators side by side),
+    broadcast back, and scores are plain comparisons — fully
+    parallel, and ties land in a deterministic bucket by value
+    rather than by sort position. Scores: 1 + [v>=q25] + [v>=q50] +
+    [v>=q75].
+    """
+    per_cust = df.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.datediff(F.max(F.col(date_col).cast("date")), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("double").alias("frequency"),
+        # Rounded BEFORE the cut points are taken: double sums are
+        # addition-order-dependent, and an ulp of noise on a customer
+        # sitting exactly on a quartile boundary would flip its score.
+        # Rounding first makes score assignment replayable bit-for-bit.
+        _maybe_round(F.sum(F.col(amount_col).cast("double")), round_to).alias(
+            "monetary",
+        ),
+    )
+    qarr = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = per_cust.agg(
+        F.percentile(F.col("recency_days"), qarr).alias("__rq"),
+        F.percentile(F.col("frequency"), qarr).alias("__fq"),
+        F.percentile(F.col("monetary"), qarr).alias("__mq"),
+    )
+
+    def _score(v: str, q: str) -> Column:
+        s = F.lit(1)
+        for i in range(3):
+            s = s + F.when(F.col(v) >= F.col(q)[i], 1).otherwise(0)
+        return s
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "customer",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary"),
+        _score("recency_days", "__rq").alias("r_score"),
+        _score("frequency", "__fq").alias("f_score"),
+        _score("monetary", "__mq").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

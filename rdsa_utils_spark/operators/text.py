@@ -14,6 +14,7 @@ hot path.
 - ``with_fingerprint`` — document fingerprints: exact (md5 of
   normalized text) and shingle fingerprint arrays for near-dup work.
 - ``repetition_stats`` — Gopher-style n-gram repetition diagnostics.
+- ``boilerplate_ngrams`` — cross-document boilerplate n-gram share.
 - ``redact_pii`` — email / IPv4 / phone regex scrubbing + counts.
 - ``chunk_documents`` — fixed-size token windows with overlap.
 """
@@ -213,8 +214,14 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
 
     Documents shorter than ``n`` tokens yield a single shingle of the
     whole text so they can still bucket.
+
+    ``n=1`` short-circuits to the token array itself: the general
+    path pays an O(k) slice+concat per token, which profiling shows
+    triples the cost of a unigram scan for an identical result.
     """
     toks = tokens(text_col)
+    if n == 1:
+        return toks
     k = F.size(toks)
     ngrams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(1))),
@@ -410,4 +417,73 @@ def chunk_documents(
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias(out_index, out_text),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_doc_frac: float = 0.2,
+) -> DataFrame:
+    """Cross-document boilerplate diagnostics: flag word n-grams that
+    recur across an outsized share of the corpus (navigation chrome,
+    legal footers, templated headers) and score each document by how
+    much of it is made of them — the corpus-level complement to the
+    intra-document ``repetition_stats``.
+
+    Returns one row per document: ``id_col``, ``n_shingles``
+    (distinct n-grams in the doc), ``n_boilerplate`` (of those, how
+    many occur in more than ``max_doc_frac`` of all documents), and
+    ``boilerplate_ratio`` (their ratio, round-6; NULL for shingle-less
+    docs). Filter on the ratio to drop template-dominated docs.
+
+    Shuffle shape at 100 TB: ONE explode of per-doc distinct shingles
+    → ``groupBy(shingle)`` document-frequency (map-side combined,
+    linear; doc_id is dropped before the explode, so the shuffled
+    rows are single-column) → the over-threshold vocabulary collapses
+    to a broadcast 1-row array and every document scores itself with
+    ``array_intersect`` — no join ever touches the token stream. The
+    collapse is safe at any corpus size because the flagged
+    vocabulary is bounded by the DATA SHAPE, not the corpus:
+    Σ df(t) = n_docs · mean_distinct_shingles, and each flagged
+    shingle has df > max_doc_frac · n_docs, so |vocab| <
+    mean_distinct_shingles / max_doc_frac — doc length over the
+    threshold, independent of row count. The corpus size N attaches
+    as a broadcast 1-row scalar, the same scalar-attach shape as
+    ``unigram_lm_score``. No Python anywhere.
+    """
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError(f"max_doc_frac must be in (0, 1], got {max_doc_frac}")
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    docfreq = (
+        df.select(F.explode(sh).alias("__sh"))
+        .groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    vocab = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("__df").cast("double")
+            > F.lit(float(max_doc_frac)) * F.col("__n_docs").cast("double"),
+        )
+        .agg(F.collect_list("__sh").alias("__boiler"))
+    )
+    scored = df.select(F.col(id_col), sh.alias("__doc_sh")).crossJoin(
+        F.broadcast(vocab),
+    )
+    n_sh = F.size("__doc_sh")
+    n_boiler = F.size(
+        F.array_intersect("__doc_sh", F.coalesce("__boiler", F.array())),
+    )
+    return scored.select(
+        id_col,
+        n_sh.cast("long").alias("n_shingles"),
+        n_boiler.cast("long").alias("n_boilerplate"),
+        F.round(
+            n_boiler.cast("double") / F.nullif(n_sh.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("boilerplate_ratio"),
     )

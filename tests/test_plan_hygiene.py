@@ -42,6 +42,9 @@ _BNLJ_OK = {
     "cosine_topk",            # brute force IS broadcast queries × corpus
     "lm_quality",             # 1-row (N, V) corpus-totals attach to vocab
     "pagerank_parts",         # 1-row node-count scalar attach per iteration
+    "event_drift_weekend",    # 1-row sample-totals attach (chi-square)
+    "rfm_customers",          # 1-row quartile-cuts attach
+    "doc_boilerplate",        # 1-row corpus-size attach
 }
 
 
