@@ -4535,6 +4535,138 @@ ORDER BY d.doc_id
 """
 
 
+def q_user_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/events.py::
+    transition_matrix) over each user's event-type sequence;
+    event_id tiebreak makes the sequence — hence the matrix — a pure
+    function of the data."""
+    from rdsa_utils_spark.operators.events import transition_matrix
+
+    events = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        events, "user_id", "ts", "event_type", tiebreak_cols=["event_id"],
+    ).orderBy("from_state", "to_state")
+
+
+_ORACLE_USER_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+  FROM events
+), c AS (
+  SELECT from_state, to_state, COUNT(*) AS n
+  FROM pairs WHERE to_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+FROM c
+ORDER BY from_state, to_state
+"""
+
+
+def q_merged_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup merge (operators/aggregations.py::
+    merge_partial_aggregates): lineitem pricing stats computed as two
+    independent shipdate-segment partials and merged — sums/counts
+    add, min/max re-extremize — proving the partial-aggregate
+    maintenance path reproduces the direct aggregate exactly.
+    Decimal(38,6) accumulation keeps sums order-independent."""
+    from rdsa_utils_spark.operators.aggregations import merge_partial_aggregates
+
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1995-06-30").cast("timestamp")
+
+    def partial(d: DataFrame) -> DataFrame:
+        return d.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    early = li.filter((F.col("l_shipdate") < cut) | F.col("l_shipdate").isNull())
+    late = li.filter(F.col("l_shipdate") >= cut)
+    merged = merge_partial_aggregates(
+        [partial(early), partial(late)],
+        ["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "sum_price"],
+        count_cols=["n_rows"],
+        min_cols=["min_price"],
+        max_cols=["max_price"],
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_rows",
+        "min_price",
+        "max_price",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_ORACLE_MERGED_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_view_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming/joins.py::interval_join,
+    batch path of the stream-stream join): every view paired with the
+    same user's purchases within the following 2 hours — equi-join on
+    user_id with the time bound as a post-probe filter, the exact
+    plan shape Spark needs to bound stream-stream join state."""
+    from rdsa_utils_spark.streaming.joins import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join(
+        views, purchases, ["user_id"], "ts", "purchase_ts",
+        lower="0 seconds", upper="2 hours",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        F.col("ts").cast("string").alias("view_ts"),
+        "purchase_id",
+        F.col("purchase_ts").cast("string").alias("purchase_ts"),
+    ).orderBy("user_id", "view_id", "purchase_id")
+
+
+_ORACLE_VIEW_PURCHASE_INTERVAL = """
+SELECT v.user_id AS user_id,
+       v.event_id AS view_id,
+       CAST(v.ts AS VARCHAR) AS view_ts,
+       p.event_id AS purchase_id,
+       CAST(p.ts AS VARCHAR) AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 2 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4613,6 +4745,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_cooccurrence": q_brand_cooccurrence,
         "brand_triangles": q_brand_triangles,
         "doc_boilerplate": q_doc_boilerplate,
+        "user_transitions": q_user_transitions,
+        "merged_pricing": q_merged_pricing,
+        "view_purchase_interval": q_view_purchase_interval,
     }
 
 
@@ -4753,4 +4888,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "brand_cooccurrence": _ORACLE_BRAND_COOCCURRENCE,
         "brand_triangles": _ORACLE_BRAND_TRIANGLES,
         "doc_boilerplate": _ORACLE_DOC_BOILERPLATE,
+        "user_transitions": _ORACLE_USER_TRANSITIONS,
+        "merged_pricing": _ORACLE_MERGED_PRICING,
+        "view_purchase_interval": _ORACLE_VIEW_PURCHASE_INTERVAL,
     }

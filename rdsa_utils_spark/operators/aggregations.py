@@ -127,3 +127,40 @@ def sum_columns(df: DataFrame, cols_to_sum: Sequence[str], output_col: str) -> D
     for c in cols_to_sum[1:]:
         total = total + F.col(c)
     return df.withColumn(output_col, total)
+
+
+def merge_partial_aggregates(
+    frames: Sequence[DataFrame],
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge pre-aggregated partial results (per-partition, per-day,
+    per-source rollups) into one aggregate table: sums and counts
+    add, mins/maxes re-extremize — the algebraic-aggregate merge law
+    that makes incremental rollup maintenance possible without
+    touching raw history.
+
+    The 100 TB point: re-aggregating a petabyte of history to admit
+    one late day is the anti-pattern; keeping additive partials per
+    ingest unit and merging them is O(partials), and this operator
+    IS that merge — ``unionByName`` + one ``groupBy(keys)`` whose
+    map side collapses each input partial locally before the
+    shuffle. Works for any aggregate with an associative merge
+    (sum/count/min/max here; pair it with ``operators/sketches.py``
+    HLL/CMS merges for the approximate ones).
+    """
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    if not (list(sum_cols) or list(count_cols) or list(min_cols) or list(max_cols)):
+        raise ValueError("at least one aggregate column is required")
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    aggs += [F.sum(c).alias(c) for c in count_cols]
+    aggs += [F.min(c).alias(c) for c in min_cols]
+    aggs += [F.max(c).alias(c) for c in max_cols]
+    return merged.groupBy(*keys).agg(*aggs)

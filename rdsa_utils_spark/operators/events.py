@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -281,3 +281,48 @@ def ewma_smooth(
         den = den + F.when(xk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
     out = F.when(den > 0, F.round(num / den, 6))
     return df.withColumn(out_col, out)
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over
+    each entity's state sequence: one row per observed
+    ``(from_state, to_state)`` with ``n`` transitions and ``p`` —
+    the row-normalized probability (transitions out of
+    ``from_state`` sum to 1).
+
+    Shuffle shape: ONE window over (entity, ts [, tiebreaks]) pairs
+    consecutive states — the same keyed-sort shuffle sessionization
+    pays — then a ``groupBy(from, to)`` count (map-side combined)
+    and a per-``from_state`` normalization window over the tiny
+    (states × states) count table. Pass ``tiebreak_cols`` whenever
+    (entity, ts) is not unique, or the sequence order — and hence
+    the matrix — is partition-dependent.
+    """
+    ordering = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(entity_col).orderBy(*ordering)
+    pairs = (
+        df.select(
+            F.col(entity_col),
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    norm = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(norm).cast("double"),
+            round_to,
+        ),
+    )

@@ -36,7 +36,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_init", "scd2_apply", "snapshot_as_of"]
+__all__ = ["scd2_init", "scd2_apply", "snapshot_as_of", "scd2_compact"]
 
 #: Open-ended ``valid_to`` for current rows. A sentinel (not NULL) so
 #: interval predicates (``ts < valid_to``) need no NULL branch and
@@ -173,3 +173,46 @@ def snapshot_as_of(
     contains ``ts``. Pure filter — pushdown-friendly, no shuffle."""
     t = ts if not isinstance(ts, str) else F.lit(ts).cast("timestamp")
     return dim.filter((F.col(valid_from_col) <= t) & (t < F.col(valid_to_col)))
+
+
+def scd2_compact(
+    dim: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Merge consecutive versions whose tracked ``attrs`` are equal
+    (null-safe) into one interval — the compaction that turns a
+    dimension maintained with ``drop_unchanged=False`` (every update
+    kept, full out-of-order replayability) into the compacted chain
+    ``drop_unchanged=True`` would have produced.
+
+    The intended 100 TB workflow for out-of-order backlogs: ingest
+    with ``drop_unchanged=False`` (lossless, any batch split), then
+    ``scd2_compact`` once the stream is caught up. One window pass
+    per key (keep the FIRST version of each same-value run, via lag)
+    and one lead() re-tiling — identical shuffle shape to
+    ``scd2_apply`` itself.
+    """
+    keys = list(keys)
+    attrs = list(attrs)
+    w = Window.partitionBy(*keys).orderBy(F.col(valid_from_col).asc())
+    same_as_prev = F.lit(True)
+    for a in attrs:
+        same_as_prev = same_as_prev & F.col(a).eqNullSafe(F.lag(a).over(w))
+    kept = (
+        dim.withColumn("__noop__", F.coalesce(same_as_prev, F.lit(False)))
+        .filter(~F.col("__noop__"))
+        .drop("__noop__")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(valid_from_col).asc())
+    nxt = F.lead(valid_from_col).over(w2)
+    return kept.select(
+        *keys,
+        *attrs,
+        F.col(valid_from_col),
+        F.coalesce(nxt, F.lit(END_OF_TIME).cast("timestamp")).alias(valid_to_col),
+        nxt.isNull().alias(current_col),
+    )

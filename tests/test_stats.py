@@ -155,3 +155,115 @@ def test_boilerplate_ngrams_flags_shared_tokens(spark):
     assert out[5].n_shingles == 0 and out[5].boilerplate_ratio is None
     with pytest.raises(ValueError):
         boilerplate_ngrams(docs, "text", "doc_id", max_doc_frac=0.0)
+
+
+# ----------------------------------------------------- round-2 additions
+
+def test_transition_matrix_counts_and_probs(spark):
+    from rdsa_utils_spark.operators.events import transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),   # a->b, b->c
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = {(r.from_state, r.to_state): r for r in
+           transition_matrix(df, "u", "t", "s").collect()}
+    assert out[("a", "b")].n == 2 and out[("a", "b")].p == 1.0
+    assert out[("b", "a")].p == 0.5 and out[("b", "c")].p == 0.5
+    # Rows out of each from_state sum to 1.
+    assert sum(r.p for k, r in out.items() if k[0] == "b") == 1.0
+
+
+def test_merge_partial_aggregates_equals_direct(spark):
+    from rdsa_utils_spark.operators.aggregations import merge_partial_aggregates
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("x", i, float(i * 10)) for i in range(10)]
+        + [("y", i, float(100 - i)) for i in range(5)],
+        "g string, n long, v double",
+    )
+
+    def partial(d):
+        return d.groupBy("g").agg(
+            F.sum("n").alias("sum_n"), F.count(F.lit(1)).alias("cnt"),
+            F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+        )
+
+    merged = merge_partial_aggregates(
+        [partial(df.filter(F.col("n") < 3)), partial(df.filter(F.col("n") >= 3))],
+        ["g"], sum_cols=["sum_n"], count_cols=["cnt"],
+        min_cols=["min_v"], max_cols=["max_v"],
+    )
+    direct = partial(df)
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(merged) == key(direct)
+    with pytest.raises(ValueError):
+        merge_partial_aggregates([], ["g"], sum_cols=["sum_n"])
+    with pytest.raises(ValueError):
+        merge_partial_aggregates([direct], ["g"])
+
+
+def test_scd2_compact_equals_dedup_apply(spark):
+    from rdsa_utils_spark.operators.scd import scd2_apply, scd2_compact, scd2_init
+
+    base = spark.createDataFrame([(1, "z"), (2, "z")], "k long, tier string")
+    dim = scd2_init(base, "2023-12-01 00:00:00")
+    upd = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"),
+         (1, "a", "2024-01-02 00:00:00"),   # no-op under dedup
+         (1, "b", "2024-01-03 00:00:00"),
+         (2, "z", "2024-01-01 00:00:00")],  # no-op vs base
+        "k long, tier string, eff string",
+    ).withColumn("eff", F.col("eff").cast("timestamp"))
+    lossless = scd2_apply(dim, upd, ["k"], ["tier"], "eff", drop_unchanged=False)
+    compacted = scd2_compact(lossless, ["k"], ["tier"])
+    deduped = scd2_apply(dim, upd, ["k"], ["tier"], "eff")
+    key = lambda d: sorted(
+        (r.k, r.tier, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in d.collect()
+    )
+    assert key(compacted) == key(deduped)
+    # Lossless kept the no-ops that compaction removes.
+    assert lossless.count() > compacted.count()
+
+
+def test_interval_join_bounds_and_renames(spark):
+    from rdsa_utils_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "L1"), (2, "2024-01-01 10:00:00", "L2")],
+        "u long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "R-in"),
+         (1, "2024-01-01 13:00:00", "R-late"),
+         (1, "2024-01-01 09:59:59", "R-early"),
+         (2, "2024-01-01 12:00:00", "R-edge")],  # exactly +2h
+        "u long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = interval_join(
+        left, right, ["u"], "ts", "ts", lower="0 seconds", upper="2 hours",
+    )
+    rows = sorted((r.u, r.tag, r.tag_right) for r in out.collect())
+    # Colliding right columns arrive suffixed; bounds are inclusive.
+    assert rows == [(1, "L1", "R-in"), (2, "L2", "R-edge")]
+    assert "ts_right" in out.columns
+    with pytest.raises(ValueError):
+        interval_join(left, right, [], "ts", "ts")
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    from rdsa_utils_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (9, "2024-01-01 10:00:00")],
+        "u long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00")], "u long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = interval_join(left, right, ["u"], "ts", "ts", how="leftOuter")
+    got = {r.u: r.ts_right for r in out.collect()}
+    assert got[9] is None and got[1] is not None

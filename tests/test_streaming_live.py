@@ -321,3 +321,54 @@ def test_windowed_freq_sketch_streaming(spark, events_stream):
     )
     est = freq_estimate(merged, exact, "user_id")
     assert est.filter(F.col("est_freq") < F.col("true_freq")).isEmpty()
+
+
+def test_interval_join_stream_stream_live(spark, sf_dir, tmp_path):
+    """Two live file streams joined on user_id within an event-time
+    interval, both watermarked — the genuine stream-stream join path
+    (state eviction requires exactly this watermark + bound shape).
+    Results must match the batch run of the SAME operator."""
+    from rdsa_utils_spark.sources.readers import read_parquet
+    from rdsa_utils_spark.streaming.joins import interval_join
+
+    batch = read_parquet(spark, f"{sf_dir}/events.parquet")
+    views_b = batch.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+    )
+    purch_b = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purchases")
+    views_b.write.parquet(vdir)
+    purch_b.write.parquet(pdir)
+    views_s = spark.readStream.schema(views_b.schema).parquet(vdir)
+    purch_s = spark.readStream.schema(purch_b.schema).parquet(pdir)
+
+    joined = interval_join(
+        views_s, purch_s, ["user_id"], "ts", "purchase_ts",
+        lower="0 seconds", upper="2 hours",
+        left_watermark="3 hours", right_watermark="3 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("ij_out")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    )
+    expected = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in interval_join(
+            views_b, purch_b, ["user_id"], "ts", "purchase_ts",
+            lower="0 seconds", upper="2 hours",
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
