@@ -4667,6 +4667,112 @@ ORDER BY v.user_id, view_id, purchase_id
 """
 
 
+def q_supplier_cells_sdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical disclosure control on a publication table
+    (operators/disclosure.py::suppress_small_cells + round_to_base):
+    supplier stats by nation with small cells suppressed (NULL) and
+    counts rounded to base 5 — the classic pre-release treatment."""
+    from rdsa_utils_spark.operators.disclosure import (
+        round_to_base,
+        suppress_small_cells,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    agg = sup.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        _dsum(F.col("s_acctbal"), "sum_acctbal"),
+    )
+    out = suppress_small_cells(agg, "n_suppliers", ["sum_acctbal"], min_count=5)
+    return out.select(
+        "s_nationkey",
+        round_to_base("n_suppliers", 5).alias("n_rounded"),
+        "sum_acctbal",
+        "suppressed",
+    ).orderBy("s_nationkey")
+
+
+_ORACLE_SUPPLIER_CELLS_SDC = """
+WITH agg AS (
+  SELECT s_nationkey,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT s_nationkey,
+       CAST(floor(n / 5.0 + 0.5) * 5 AS BIGINT) AS n_rounded,
+       CASE WHEN n < 5 THEN NULL ELSE s END AS sum_acctbal,
+       n < 5 AS suppressed
+FROM agg
+ORDER BY s_nationkey
+"""
+
+
+def q_dominant_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n,p) dominance rule (operators/disclosure.py::dominance_flags,
+    n=2, p=0.2): per-brand revenue cells flagged when the top two
+    suppliers dominate — decimal accumulation end to end so the flag
+    is a pure function of the data."""
+    from rdsa_utils_spark.operators.disclosure import dominance_flags
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return dominance_flags(
+        j, ["p_brand"], "l_suppkey", "l_extendedprice", n=2, p=0.2,
+    ).orderBy("p_brand")
+
+
+_ORACLE_DOMINANT_BRAND_SUPPLIERS = """
+WITH contrib AS (
+  SELECT p_brand, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_suppkey
+), ranked AS (
+  SELECT p_brand, v,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY v DESC, l_suppkey ASC) AS rk
+  FROM contrib
+), cells AS (
+  SELECT p_brand,
+         SUM(v) AS total,
+         SUM(CASE WHEN rk <= 2 THEN v ELSE CAST(0 AS DECIMAL(38,6)) END) AS topn
+  FROM ranked GROUP BY p_brand
+)
+SELECT p_brand,
+       ROUND(CAST(total AS DOUBLE), 6) AS cell_total,
+       ROUND(CASE WHEN total > 0
+                  THEN CAST(topn AS DOUBLE) / CAST(total AS DOUBLE) END, 6)
+         AS top_share,
+       COALESCE(CASE WHEN total > 0
+                     THEN CAST(topn AS DOUBLE) / CAST(total AS DOUBLE) END > 0.2,
+                TRUE) AS dominated
+FROM cells
+ORDER BY p_brand
+"""
+
+
+def q_k_anon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screening (operators/disclosure.py::
+    k_anonymity_violations, k=10): quasi-identifier groups
+    (nation, market segment) shared by fewer than 10 customers."""
+    from rdsa_utils_spark.operators.disclosure import k_anonymity_violations
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment"], k=10,
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+_ORACLE_K_ANON_CUSTOMERS = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(*) < 10
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4748,6 +4854,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_transitions": q_user_transitions,
         "merged_pricing": q_merged_pricing,
         "view_purchase_interval": q_view_purchase_interval,
+        "supplier_cells_sdc": q_supplier_cells_sdc,
+        "dominant_brand_suppliers": q_dominant_brand_suppliers,
+        "k_anon_customers": q_k_anon_customers,
     }
 
 
@@ -4891,4 +5000,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "user_transitions": _ORACLE_USER_TRANSITIONS,
         "merged_pricing": _ORACLE_MERGED_PRICING,
         "view_purchase_interval": _ORACLE_VIEW_PURCHASE_INTERVAL,
+        "supplier_cells_sdc": _ORACLE_SUPPLIER_CELLS_SDC,
+        "dominant_brand_suppliers": _ORACLE_DOMINANT_BRAND_SUPPLIERS,
+        "k_anon_customers": _ORACLE_K_ANON_CUSTOMERS,
     }
