@@ -4773,6 +4773,134 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def q_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization (operators/similarity.py::
+    standardize_dims): column-wise moments collapse to two broadcast
+    O(dim) arrays and every row z-scores itself with zip_with — no
+    join against the exploded stream. Moments rounded before use so
+    the arrays replay bit-identically in SQL."""
+    from rdsa_utils_spark.operators.similarity import standardize_dims
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = standardize_dims(emb, "embedding")
+    return out.select("vec_id", "z_vec").orderBy("vec_id")
+
+
+_ORACLE_STANDARDIZED_EMBEDDINGS = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), m AS (
+  SELECT pos,
+         ROUND(AVG(x), 9) AS mu,
+         ROUND(STDDEV_SAMP(x), 9) AS sd
+  FROM e GROUP BY pos
+)
+SELECT e.vec_id,
+       list(CASE WHEN m.sd IS NULL OR m.sd = 0 THEN 0.0
+                 ELSE ROUND((e.x - m.mu) / m.sd, 6) + 0.0 END
+            ORDER BY e.pos) AS z_vec
+FROM e JOIN m USING (pos)
+GROUP BY e.vec_id
+ORDER BY e.vec_id
+"""
+
+
+def q_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus assembly (operators/sampling.py::
+    mix_corpora): four sources thinned by deterministic md5-hash
+    selection to a 40/30/20/10 mixture — the binding source kept
+    whole, rates derived from a broadcast count table. Output is the
+    per-source audit (counts + achieved share)."""
+    from rdsa_utils_spark.operators.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = mix_corpora(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_MIXED_CORPUS = """
+WITH u AS (
+  SELECT source, n_chars,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), counts AS (
+  SELECT source, COUNT(*) AS n,
+         CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 ELSE 0.1 END AS p
+  FROM u GROUP BY source
+), c AS (
+  SELECT MIN(CAST(n AS DOUBLE) / p) AS big_c FROM counts
+), rates AS (
+  SELECT source, LEAST(1.0, big_c * p / CAST(n AS DOUBLE)) AS rate
+  FROM counts, c
+)
+SELECT u.source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM u JOIN rates ON u.source = rates.source
+WHERE u.u < rates.rate
+GROUP BY u.source
+ORDER BY u.source
+"""
+
+
+def q_event_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (operators/stats.py::js_divergence)
+    between weekday and weekend event-type mixes — the bounded,
+    symmetric companion to the chi-square drift query, one scalar
+    row out."""
+    from rdsa_utils_spark.operators.stats import js_divergence
+
+    events = _t(spark, sf_dir, "events")
+    weekend = F.dayofweek("ts").isin(1, 7)
+    return js_divergence(
+        events.filter(~weekend), events.filter(weekend), "event_type",
+    )
+
+
+_ORACLE_EVENT_JSD = """
+WITH counts AS (
+  SELECT event_type AS category,
+         SUM(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS n_b
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n_a) AS DOUBLE) AS ta, CAST(SUM(n_b) AS DOUBLE) AS tb,
+         CAST(SUM(n_a) AS BIGINT) AS ia, CAST(SUM(n_b) AS BIGINT) AS ib
+  FROM counts
+), terms AS (
+  SELECT CAST(n_a AS DOUBLE) / ta AS p,
+         CAST(n_b AS DOUBLE) / tb AS q,
+         (CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb) / 2.0 AS m
+  FROM counts, tot
+)
+SELECT ROUND(SUM(
+         0.5 * CASE WHEN p > 0 THEN p * log2(p / m) ELSE 0.0 END
+       + 0.5 * CASE WHEN q > 0 THEN q * log2(q / m) ELSE 0.0 END), 6) AS jsd,
+       MAX(ia) AS n_a,
+       MAX(ib) AS n_b
+FROM terms, tot
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4857,6 +4985,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_cells_sdc": q_supplier_cells_sdc,
         "dominant_brand_suppliers": q_dominant_brand_suppliers,
         "k_anon_customers": q_k_anon_customers,
+        "standardized_embeddings": q_standardized_embeddings,
+        "mixed_corpus": q_mixed_corpus,
+        "event_jsd": q_event_jsd,
     }
 
 
@@ -5003,4 +5134,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "supplier_cells_sdc": _ORACLE_SUPPLIER_CELLS_SDC,
         "dominant_brand_suppliers": _ORACLE_DOMINANT_BRAND_SUPPLIERS,
         "k_anon_customers": _ORACLE_K_ANON_CUSTOMERS,
+        "standardized_embeddings": _ORACLE_STANDARDIZED_EMBEDDINGS,
+        "mixed_corpus": _ORACLE_MIXED_CORPUS,
+        "event_jsd": _ORACLE_EVENT_JSD,
     }

@@ -37,6 +37,7 @@ __all__ = [
     "cap_per_group",
     "vocabulary",
     "pack_sequences",
+    "mix_corpora",
 ]
 
 _HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
@@ -270,4 +271,64 @@ def pack_sequences(
     cum = F.sum(tok).over(w)
     return df.withColumn("pack_shard", shard).withColumn(
         "pack_id", F.floor((cum - tok) / F.lit(target_tokens)).cast("long"),
+    )
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    target_props: Mapping[str, float],
+    seed: str = "mix",
+) -> DataFrame:
+    """Down-sample a multi-source corpus to hit a target mixture —
+    the data-mixing step of training-set assembly ("50% web, 30%
+    books, 20% code"). Keeps the LARGEST subset achieving the exact
+    target proportions: the binding source (smallest n_s/p_s) is
+    kept whole and every other source is hash-thinned to match.
+    Sources not named in ``target_props`` are dropped.
+
+    Selection is :func:`hash_uniform` on ``id_col`` — deterministic,
+    partition-independent, externally replayable, and stable under
+    corpus growth within a source. Per-source keep-rates derive from
+    a tiny ``groupBy(source)`` count table (one scalar min + a
+    broadcast rate join); nothing driver-side.
+
+    ``target_props`` should sum to 1 (validated) so the rate
+    arithmetic is reproducible from the documented literals.
+    """
+    if not target_props:
+        raise ValueError("target_props must be non-empty")
+    if any(p <= 0 for p in target_props.values()):
+        raise ValueError(f"proportions must be positive, got {dict(target_props)}")
+    total = float(sum(target_props.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target_props must sum to 1, got {total}")
+
+    p_expr = None
+    for s, p in target_props.items():
+        branch = (F.col(source_col) == F.lit(s), F.lit(float(p)))
+        p_expr = F.when(*branch) if p_expr is None else p_expr.when(*branch)
+
+    counts = (
+        df.filter(F.col(source_col).isin(*target_props.keys()))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__p", p_expr)
+    )
+    c = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__p")).alias("__C"),
+    )
+    rates = counts.crossJoin(F.broadcast(c)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__C") * F.col("__p") / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    u = hash_uniform(id_col, seed)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(u < F.col("__rate"))
+        .drop("__rate")
     )

@@ -758,3 +758,59 @@ def hyperplane_bucket(
     for b in bits:
         bucket = bucket * 2 + b
     return bucket
+
+
+def standardize_dims(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "z_vec",
+    moment_round: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension standardization of an embedding column: each
+    coordinate becomes ``(x - mean_d) / stddev_d`` against the
+    COLUMN-WISE moments of the whole frame — the feature-scaling step
+    before distance-based work when dimensions carry different
+    scales. Zero-variance dimensions map to 0.0.
+
+    Shuffle shape at 100 TB: one ``posexplode`` → ``groupBy(pos)``
+    (at most `dim` groups, map-side combined) computes the moment
+    table, which collapses to TWO broadcast arrays (mean, stddev —
+    O(dim), corpus-size independent); every row then standardizes
+    itself with ``zip_with`` — no join against the exploded stream,
+    mirroring ``boilerplate_ngrams``'s broadcast-vocabulary shape.
+
+    Moments are rounded (``moment_round``) BEFORE use and outputs
+    after, so the result replays bit-identically on an external
+    engine regardless of aggregation order. Sample stddev
+    (``stddev_samp``); single-row frames therefore yield NULL stddev
+    → treated as zero-variance.
+    """
+    e = df.select(F.posexplode(F.col(vec_col)).alias("__pos", "__x"))
+    m = e.groupBy("__pos").agg(
+        F.round(F.avg("__x"), moment_round).alias("__mu"),
+        F.round(F.stddev_samp("__x"), moment_round).alias("__sd"),
+    )
+    arrs = m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__mu"))),
+            lambda s: s["__mu"],
+        ).alias("__mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__sd"))),
+            lambda s: s["__sd"],
+        ).alias("__sds"),
+    )
+    centered = F.zip_with(F.col(vec_col), F.col("__mus"), lambda x, mu: x - mu)
+    z = F.zip_with(
+        centered,
+        F.col("__sds"),
+        # +0.0 canonicalizes IEEE -0.0 (round can produce it) so the
+        # value prints identically on every engine.
+        lambda d, s: F.when(
+            s.isNull() | (s == 0.0), F.lit(0.0),
+        ).otherwise(F.round(d / s, round_to) + F.lit(0.0)),
+    )
+    return df.crossJoin(F.broadcast(arrs)).withColumn(out_col, z).drop(
+        "__mus", "__sds",
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "chi_square_drift",
     "winsorize",
     "rfm_segments",
+    "js_divergence",
 ]
 
 
@@ -275,3 +276,48 @@ def rfm_segments(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (base-2, so in [0, 1]) between the
+    categorical distributions of ``category_col`` in two samples —
+    the bounded, symmetric companion to :func:`chi_square_drift` for
+    monitoring corpus mixture shift. Returns ONE row:
+    ``(jsd, n_a, n_b)``.
+
+    Same shuffle shape as the chi-square: two map-side-combined
+    category counts merged by union + re-aggregation, totals as a
+    broadcast 1-row attach, then a single scalar reduce. Categories
+    absent from one side contribute their full 0.5·log2(2) share,
+    per the standard 0·log(0) = 0 convention.
+    """
+    tagged = df_a.select(
+        F.col(category_col).alias("category"), F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+    ).unionByName(
+        df_b.select(
+            F.col(category_col).alias("category"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        ),
+    )
+    counts = tagged.groupBy("category").agg(
+        F.sum("__a").alias("n_a"), F.sum("__b").alias("n_b"),
+    )
+    totals = counts.agg(F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"))
+    t = counts.crossJoin(F.broadcast(totals))
+    p = F.col("n_a").cast("double") / F.col("__ta").cast("double")
+    q = F.col("n_b").cast("double") / F.col("__tb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    kl_term = lambda x: F.when(x > 0, x * F.log2(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    contrib = F.lit(0.5) * kl_term(p) + F.lit(0.5) * kl_term(q)
+    out = t.agg(
+        _maybe_round(F.sum(contrib), round_to).alias("jsd"),
+        F.max("__ta").alias("n_a"),
+        F.max("__tb").alias("n_b"),
+    )
+    return out

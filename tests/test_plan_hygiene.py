@@ -45,6 +45,9 @@ _BNLJ_OK = {
     "event_drift_weekend",    # 1-row sample-totals attach (chi-square)
     "rfm_customers",          # 1-row quartile-cuts attach
     "doc_boilerplate",        # 1-row corpus-size attach
+    "standardized_embeddings",  # 1-row moment-arrays attach
+    "mixed_corpus",           # 1-row feasible-total (min n/p) attach
+    "event_jsd",              # 1-row sample-totals attach
 }
 
 

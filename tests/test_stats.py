@@ -267,3 +267,50 @@ def test_interval_join_left_outer_keeps_unmatched(spark):
     out = interval_join(left, right, ["u"], "ts", "ts", how="leftOuter")
     got = {r.u: r.ts_right for r in out.collect()}
     assert got[9] is None and got[1] is not None
+
+
+def test_standardize_dims_moments_and_zero_variance(spark):
+    from rdsa_utils_spark.operators.similarity import standardize_dims
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0]), (3, [5.0, 5.0])],
+        "id long, v array<double>",
+    )
+    out = {r.id: r.z_vec for r in standardize_dims(df, "v").collect()}
+    # Dim 0: mean 3, stddev_samp 2 -> z = [-1, 0, 1]; dim 1 constant -> 0.
+    assert out[1] == [pytest.approx(-1.0), 0.0]
+    assert out[2] == [pytest.approx(0.0), 0.0]
+    assert out[3] == [pytest.approx(1.0), 0.0]
+
+
+def test_mix_corpora_hits_target_mixture(spark):
+    from rdsa_utils_spark.operators.sampling import mix_corpora
+
+    rows = [(f"a{i}", "a") for i in range(400)]
+    rows += [(f"b{i}", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, src string")
+    # Target 50/50: b (100 rows) binds -> keep all b, ~100 of a.
+    out = mix_corpora(df, "src", "id", {"a": 0.5, "b": 0.5})
+    counts = {r.src: r.c for r in out.groupBy("src").agg(F.count("*").alias("c")).collect()}
+    assert counts["b"] == 100
+    assert 80 <= counts["a"] <= 120  # hash thinning is statistical
+    # Determinism: same seed, same rows.
+    again = mix_corpora(df, "src", "id", {"a": 0.5, "b": 0.5})
+    assert sorted(r.id for r in out.collect()) == sorted(r.id for r in again.collect())
+    with pytest.raises(ValueError):
+        mix_corpora(df, "src", "id", {"a": 0.5, "b": 0.2})  # sums != 1
+    with pytest.raises(ValueError):
+        mix_corpora(df, "src", "id", {})
+
+
+def test_js_divergence_bounds_and_known_values(spark):
+    from rdsa_utils_spark.operators.stats import js_divergence
+
+    same = spark.createDataFrame([("x",)] * 4 + [("y",)] * 4, "c string")
+    r = js_divergence(same, same, "c").collect()[0]
+    assert r.jsd == pytest.approx(0.0)
+    assert r.n_a == 8 and r.n_b == 8
+    # Disjoint supports -> JSD = 1 bit (base 2).
+    a = spark.createDataFrame([("x",)] * 5, "c string")
+    b = spark.createDataFrame([("y",)] * 7, "c string")
+    assert js_divergence(a, b, "c").collect()[0].jsd == pytest.approx(1.0)
