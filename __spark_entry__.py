@@ -4901,6 +4901,50 @@ FROM terms, tot
 """
 
 
+def q_label_centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation diagnostic (operators/similarity.py::
+    label_centroid_similarity): cosine similarity between per-label
+    embedding centroids; only the |labels|-row centroid table is
+    joined pairwise, the corpus is scanned once."""
+    from rdsa_utils_spark.operators.similarity import label_centroid_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(emb, "embedding", "label").orderBy(
+        "label_a", "label_b",
+    )
+
+
+_ORACLE_LABEL_CENTROID_SIMS = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), m AS (
+  SELECT label, pos, ROUND(AVG(x), 9) AS mu
+  FROM e GROUP BY label, pos
+), cents AS (
+  SELECT label, list(mu ORDER BY pos) AS c
+  FROM m GROUP BY label
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.c AS ca, b.c AS cb
+  FROM cents a JOIN cents b ON a.label < b.label
+), dots AS (
+  SELECT label_a, label_b,
+         list_reduce(list_transform(range(1, len(ca) + 1), i -> ca[i] * cb[i]),
+                     (x, y) -> x + y) AS ab,
+         list_reduce(list_transform(range(1, len(ca) + 1), i -> ca[i] * ca[i]),
+                     (x, y) -> x + y) AS aa,
+         list_reduce(list_transform(range(1, len(cb) + 1), i -> cb[i] * cb[i]),
+                     (x, y) -> x + y) AS bb
+  FROM pairs
+)
+SELECT label_a, label_b,
+       ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos_sim
+FROM dots
+ORDER BY label_a, label_b
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -4988,6 +5032,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardized_embeddings": q_standardized_embeddings,
         "mixed_corpus": q_mixed_corpus,
         "event_jsd": q_event_jsd,
+        "label_centroid_sims": q_label_centroid_sims,
     }
 
 
@@ -5137,4 +5182,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "standardized_embeddings": _ORACLE_STANDARDIZED_EMBEDDINGS,
         "mixed_corpus": _ORACLE_MIXED_CORPUS,
         "event_jsd": _ORACLE_EVENT_JSD,
+        "label_centroid_sims": _ORACLE_LABEL_CENTROID_SIMS,
     }

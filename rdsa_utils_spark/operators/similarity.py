@@ -814,3 +814,47 @@ def standardize_dims(
     return df.crossJoin(F.broadcast(arrs)).withColumn(out_col, z).drop(
         "__mus", "__sds",
     )
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    moment_round: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-separation diagnostic for a labeled
+    embedding corpus (near-1.0 pairs flag label confusion). One row
+    per unordered label pair: ``(label_a, label_b, cos_sim)``.
+
+    Shuffle shape at 100 TB: ``posexplode`` → ``groupBy(label,
+    pos)`` mean (map-side combined, labels × dim groups) → rebuild
+    per-label centroid arrays → pairwise join over the |labels|-row
+    centroid table. Only the TINY centroid table is ever joined
+    non-equi (|labels|² pairs); the corpus itself is touched once.
+    Centroid coordinates round to ``moment_round`` before the cosine
+    so the whole result replays bit-identically externally (the dot
+    product is a deterministic left fold).
+    """
+    e = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    m = e.groupBy("label", "__pos").agg(
+        F.round(F.avg("__x"), moment_round).alias("__mu"),
+    )
+    cents = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__mu"))),
+            lambda s: s["__mu"],
+        ).alias("__c"),
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("__c").alias("__ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("__c").alias("__cb"))
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(cosine(F.col("__ca"), F.col("__cb")), round_to).alias("cos_sim"),
+    )

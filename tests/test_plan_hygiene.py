@@ -48,6 +48,7 @@ _BNLJ_OK = {
     "standardized_embeddings",  # 1-row moment-arrays attach
     "mixed_corpus",           # 1-row feasible-total (min n/p) attach
     "event_jsd",              # 1-row sample-totals attach
+    "label_centroid_sims",    # pairwise join over the tiny centroid table
 }
 
 

@@ -314,3 +314,22 @@ def test_js_divergence_bounds_and_known_values(spark):
     a = spark.createDataFrame([("x",)] * 5, "c string")
     b = spark.createDataFrame([("y",)] * 7, "c string")
     assert js_divergence(a, b, "c").collect()[0].jsd == pytest.approx(1.0)
+
+
+def test_label_centroid_similarity_hand_built(spark):
+    from rdsa_utils_spark.operators.similarity import label_centroid_similarity
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (0, [1.0, 0.0]),        # centroid (1, 0)
+            (1, [0.0, 2.0]), (1, [0.0, 4.0]),        # centroid (0, 3)
+            (2, [2.0, 0.0]), (2, [4.0, 0.0]),        # centroid (3, 0)
+        ],
+        "label long, v array<double>",
+    )
+    out = {(r.label_a, r.label_b): r.cos_sim
+           for r in label_centroid_similarity(df, "v", "label").collect()}
+    assert out[(0, 1)] == pytest.approx(0.0)   # orthogonal
+    assert out[(0, 2)] == pytest.approx(1.0)   # parallel
+    assert out[(1, 2)] == pytest.approx(0.0)
+    assert len(out) == 3  # unordered pairs only
