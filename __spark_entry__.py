@@ -4945,6 +4945,88 @@ ORDER BY label_a, label_b
 """
 
 
+def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-user debounce (operators/events.py::debounce_events,
+    30-minute gap): keep an event only >= 30 min after the last KEPT
+    one — sequential-per-key semantics no window can express
+    (survival depends on which earlier events survived). Spark side
+    is Arrow-batched applyInPandas; the oracle replays the exact
+    greedy walk as a rank-stepping recursive CTE."""
+    from rdsa_utils_spark.operators.events import debounce_events
+
+    events = _t(spark, sf_dir, "events")
+    kept = debounce_events(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", 1800, tiebreak_cols=["event_id"],
+    )
+    return kept.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_id",
+        "event_type",
+    ).orderBy("user_id", "ts", "event_id")
+
+
+_ORACLE_DEBOUNCED_EVENTS = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), walk AS (
+  SELECT user_id, rn, ts, event_id, event_type,
+         ts AS last_kept, TRUE AS kept
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts, s.event_id, s.event_type,
+         CASE WHEN s.ts >= w.last_kept + INTERVAL 1800 SECOND
+              THEN s.ts ELSE w.last_kept END,
+         s.ts >= w.last_kept + INTERVAL 1800 SECOND
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id, event_type
+FROM walk WHERE kept
+ORDER BY user_id, ts, event_id
+"""
+
+
+def q_imputed_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null imputation (operators/filters.py::impute_nulls): negative
+    balances nulled (operators/filters.py::set_nulls semantics) then
+    imputed with the per-nation mean of the observed values — one
+    aggregation + broadcast join back."""
+    from rdsa_utils_spark.operators.filters import impute_nulls
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal", F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
+    )
+    out = impute_nulls(
+        cust, "bal", ["c_nationkey"], strategy="mean", out_col="bal_imputed",
+    )
+    return out.select(
+        "c_custkey",
+        "c_nationkey",
+        "bal",
+        F.round("bal_imputed", 6).alias("bal_imputed"),
+    ).orderBy("c_custkey")
+
+
+_ORACLE_IMPUTED_ACCTBAL = """
+WITH base AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+), m AS (
+  SELECT c_nationkey, ROUND(AVG(bal), 6) AS fill
+  FROM base WHERE bal IS NOT NULL GROUP BY c_nationkey
+)
+SELECT b.c_custkey, b.c_nationkey, b.bal,
+       ROUND(COALESCE(b.bal, m.fill), 6) AS bal_imputed
+FROM base b LEFT JOIN m ON b.c_nationkey = m.c_nationkey
+ORDER BY b.c_custkey
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5033,6 +5115,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_corpus": q_mixed_corpus,
         "event_jsd": q_event_jsd,
         "label_centroid_sims": q_label_centroid_sims,
+        "debounced_events": q_debounced_events,
+        "imputed_acctbal": q_imputed_acctbal,
     }
 
 
@@ -5183,4 +5267,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "mixed_corpus": _ORACLE_MIXED_CORPUS,
         "event_jsd": _ORACLE_EVENT_JSD,
         "label_centroid_sims": _ORACLE_LABEL_CENTROID_SIMS,
+        "debounced_events": _ORACLE_DEBOUNCED_EVENTS,
+        "imputed_acctbal": _ORACLE_IMPUTED_ACCTBAL,
     }

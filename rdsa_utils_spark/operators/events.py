@@ -326,3 +326,52 @@ def transition_matrix(
             round_to,
         ),
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Greedy per-key debounce: keep an event only if it is at least
+    ``min_gap_seconds`` after the last KEPT event of the same key
+    (the first event of each key is always kept) — rate-limiting
+    duplicate-ish signals (retry storms, double clicks, sensor
+    chatter).
+
+    This is inherently SEQUENTIAL per key — whether an event
+    survives depends on which earlier events survived, so no window
+    function can express it (a lag-based filter keeps an event that
+    follows a *dropped* event too early). It is the engine's
+    canonical case for ``applyInPandas``: Arrow-batched, one group
+    per key, sorted and scanned once in C-speed pandas; partitioned
+    by the key hash so it scales like any keyed shuffle. The
+    equivalent relational form is a recursive CTE stepping one rank
+    at a time (the oracle replays exactly that), which no set-based
+    single pass can beat.
+
+    Rows keep the input schema. Pass ``tiebreak_cols`` when
+    (key, ts) is not unique so the scan order is total.
+    """
+    if min_gap_seconds <= 0:
+        raise ValueError(f"min_gap_seconds must be > 0, got {min_gap_seconds}")
+    import pandas as pd
+
+    sort_cols = [ts_col, *tiebreak_cols]
+    gap = float(min_gap_seconds)
+
+    def keep_group(pdf):
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        ts = pdf[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
+        keep = []
+        last = None
+        for t in ts:
+            ok = last is None or (t - last) >= gap
+            keep.append(ok)
+            if ok:
+                last = t
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(key_col).applyInPandas(keep_group, schema=df.schema)

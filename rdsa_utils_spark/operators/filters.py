@@ -14,9 +14,9 @@ All are narrow transformations; predicates push down to the scan.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,57 @@ def map_column_values(
         output_col,
         F.coalesce(literal_map[F.col(input_col)], F.col(input_col)),
     )
+
+
+def impute_nulls(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    strategy: str = "mean",
+    out_col: Optional[str] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fill NULLs in ``value_col`` with a per-group statistic of the
+    observed values: ``mean``, ``median`` (exact interpolated
+    percentile), or ``mode`` (most frequent, smallest value on tie —
+    deterministic). With no ``group_cols`` the statistic is global
+    (broadcast 1-row attach).
+
+    One aggregation over the non-null values per group (mode adds a
+    rank window over the (group, value) count table — already
+    reduced data), one broadcast-sized join back, one ``coalesce``.
+    Groups with NO observed values leave their NULLs in place.
+    """
+    if strategy not in ("mean", "median", "mode"):
+        raise ValueError(f"strategy must be mean|median|mode, got {strategy!r}")
+    out = out_col or value_col
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull())
+    if strategy == "mean":
+        stats = nn.groupBy(*group_cols).agg(
+            F.round(F.avg(v), round_to).alias("__fill"),
+        )
+    elif strategy == "median":
+        stats = nn.groupBy(*group_cols).agg(
+            F.round(F.percentile(v, F.lit(0.5)), round_to).alias("__fill"),
+        )
+    else:
+        counts = nn.groupBy(*group_cols, v.alias("__v")).agg(
+            F.count(F.lit(1)).alias("__n"),
+        )
+        w = Window.partitionBy(
+            *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)],
+        ).orderBy(F.col("__n").desc(), F.col("__v").asc())
+        stats = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(*group_cols, F.col("__v").alias("__fill"))
+        )
+    if group_cols:
+        joined = df.join(F.broadcast(stats), group_cols, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(
+        out, F.coalesce(v, F.col("__fill")),
+    ).drop("__fill")

@@ -328,3 +328,50 @@ class TestNumericHistogram:
         assert sum(r.n_rows for r in out.collect()) == 100
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_debounce_events_greedy_not_lag_based(spark):
+    from rdsa_utils_spark.operators.events import debounce_events
+    from pyspark.sql import functions as F
+
+    # Key 1 at t=0, 10, 20, 35 with gap 15: greedy keeps 0, 20, 35;
+    # a lag-based filter would drop 20 (only 10s after the DROPPED 10).
+    rows = [(1, t) for t in (0, 10, 20, 35)] + [(2, t) for t in (5,)]
+    df = spark.createDataFrame(rows, "k long, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec")),
+    )
+    kept = debounce_events(df, "k", "ts", 15, tiebreak_cols=["sec"])
+    got = sorted((r.k, r.sec) for r in kept.collect())
+    assert got == [(1, 0), (1, 20), (1, 35), (2, 5)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        debounce_events(df, "k", "ts", 0)
+
+
+def test_impute_nulls_strategies(spark):
+    from rdsa_utils_spark.operators.filters import impute_nulls
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 9.0), ("g", None),
+         ("h", None)],  # group with no observed values
+        "grp string, v double",
+    )
+    mean = impute_nulls(df, "v", ["grp"], "mean")
+    got = sorted((r.grp, r.v) for r in mean.collect())
+    assert (("g", 3.5) in got)          # (1+2+2+9)/4 fills the null
+    assert ("h", None) in got           # nothing observed -> stays NULL
+    med = impute_nulls(df, "v", ["grp"], "median", out_col="v2")
+    vals = [r.v2 for r in med.filter("grp = 'g'").collect()]
+    assert 2.0 in vals and sorted(vals) == [1.0, 2.0, 2.0, 2.0, 9.0]
+    mode = impute_nulls(df, "v", ["grp"], "mode", out_col="v3")
+    assert sorted(r.v3 for r in mode.filter("grp = 'g'").collect()) == [1.0, 2.0, 2.0, 2.0, 9.0]
+    # Global (no groups) path.
+    glob = impute_nulls(df, "v", [], "mean", out_col="v4")
+    filled = [r.v4 for r in glob.filter("grp = 'h'").collect()]
+    assert filled == [3.5]
+    import pytest
+
+    with pytest.raises(ValueError):
+        impute_nulls(df, "v", [], "bogus")
