@@ -103,3 +103,71 @@ def test_text_and_similarity_on_empty(spark, empty_docs):
     # empty corpus -> no results; empty queries -> no results
     assert brute_force_topk(q, emb, k=3).count() == 0
     assert brute_force_topk(emb, q, k=3).count() == 0
+
+
+def test_round4_ops_on_empty(spark, empty_docs, empty_ts):
+    from rdsa_utils_spark.operators.disclosure import (
+        dominance_flags,
+        k_anonymity_violations,
+        suppress_small_cells,
+    )
+    from rdsa_utils_spark.operators.events import debounce_events, transition_matrix
+    from rdsa_utils_spark.operators.filters import impute_nulls
+    from rdsa_utils_spark.operators.graph import cooccurrence_pairs, triangle_count
+    from rdsa_utils_spark.operators.stats import (
+        chi_square_drift,
+        correlation_matrix,
+        grouped_linear_fit,
+        js_divergence,
+        rfm_segments,
+        winsorize,
+    )
+    from rdsa_utils_spark.operators.text import boilerplate_ngrams
+
+    assert grouped_linear_fit(empty_ts, "v", "v", ["g"]).count() == 0
+    # Global-agg ops on empty input: one well-formed row, not a crash.
+    assert correlation_matrix(
+        empty_ts.select("v", F.col("v").alias("w")), ["v", "w"],
+    ).count() == 1
+    empty_cat = spark.createDataFrame([], "c string")
+    assert chi_square_drift(empty_cat, empty_cat, "c").count() == 0
+    assert js_divergence(empty_cat, empty_cat, "c").count() == 1
+    assert winsorize(empty_ts, "v", ["g"]).count() == 0
+    ord_empty = spark.createDataFrame([], "cust long, d timestamp, amt double")
+    assert rfm_segments(ord_empty, "cust", "d", "amt").count() == 0
+    bi = spark.createDataFrame([], "basket long, item string")
+    assert cooccurrence_pairs(bi, "basket", "item").count() == 0
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(edges).collect()[0].n_triangles == 0
+    assert boilerplate_ngrams(empty_docs, "text", "doc_id", 1, 0.8).count() == 0
+    ev = spark.createDataFrame([], "u long, ts timestamp, s string")
+    assert transition_matrix(ev, "u", "ts", "s").count() == 0
+    assert debounce_events(ev, "u", "ts", 60).count() == 0
+    assert impute_nulls(empty_ts, "v", ["g"], "mean").count() == 0
+    assert impute_nulls(empty_ts, "v", ["g"], "mode").count() == 0
+    cells = spark.createDataFrame([], "cell string, n long, v double")
+    assert suppress_small_cells(cells, "n", ["v"], 5).count() == 0
+    micro = spark.createDataFrame([], "cell string, sup long, v double")
+    assert dominance_flags(micro, ["cell"], "sup", "v").count() == 0
+    assert k_anonymity_violations(cells, ["cell"], 5).count() == 0
+
+
+def test_round4_stream_ops_on_empty(spark):
+    from rdsa_utils_spark.operators.sampling import mix_corpora
+    from rdsa_utils_spark.operators.scd import scd2_compact, scd2_init
+    from rdsa_utils_spark.operators.similarity import (
+        label_centroid_similarity,
+        standardize_dims,
+    )
+    from rdsa_utils_spark.streaming.joins import interval_join
+
+    docs = spark.createDataFrame([], "id string, src string")
+    assert mix_corpora(docs, "src", "id", {"a": 1.0}).count() == 0
+    emb = spark.createDataFrame([], "id long, v array<double>, label long")
+    assert standardize_dims(emb, "v").count() == 0
+    assert label_centroid_similarity(emb, "v", "label").count() == 0
+    dim = scd2_init(spark.createDataFrame([], "k long, a string"), "2024-01-01 00:00:00")
+    assert scd2_compact(dim, ["k"], ["a"]).count() == 0
+    l = spark.createDataFrame([], "u long, ts timestamp")
+    r = spark.createDataFrame([], "u long, ts timestamp")
+    assert interval_join(l, r, ["u"], "ts", "ts").count() == 0
