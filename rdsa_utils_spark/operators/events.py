@@ -360,15 +360,18 @@ def debounce_events(
     import pandas as pd
 
     sort_cols = [ts_col, *tiebreak_cols]
-    gap = float(min_gap_seconds)
+    gap_ns = int(min_gap_seconds) * 1_000_000_000
 
     def keep_group(pdf):
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        ts = pdf[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
+        # Plain python ints in a list: the greedy walk is inherently
+        # sequential, and looping a pandas Series pays ~30x the cost
+        # of looping a list. Integer nanoseconds avoid float drift.
+        ts = pdf[ts_col].astype("datetime64[ns]").astype("int64").tolist()
         keep = []
         last = None
         for t in ts:
-            ok = last is None or (t - last) >= gap
+            ok = last is None or (t - last) >= gap_ns
             keep.append(ok)
             if ok:
                 last = t
