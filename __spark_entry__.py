@@ -5027,6 +5027,73 @@ ORDER BY b.c_custkey
 """
 
 
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py::
+    weighted_sample, Efraimidis-Spirakis A-ES): 100 documents drawn
+    with probability proportional to length via the deterministic
+    md5 variate — one TakeOrderedAndProject top-k, no RNG state."""
+    from rdsa_utils_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", k=100)
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+_ORACLE_WEIGHTED_DOC_SAMPLE = """
+WITH u AS (
+  SELECT doc_id, source, n_chars,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0
+), keyed AS (
+  SELECT doc_id, source, n_chars,
+         POWER(u, 1.0 / CAST(n_chars AS DOUBLE)) AS wkey
+  FROM u
+), top AS (
+  SELECT doc_id, source, n_chars
+  FROM keyed ORDER BY wkey DESC, doc_id ASC LIMIT 100
+)
+SELECT doc_id, source, n_chars FROM top ORDER BY doc_id
+"""
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (operators/quality.py::
+    benford_deviation) over order totals: observed digit counts vs
+    log10(1 + 1/d) expectation with per-digit chi-square
+    contributions — the classic plausibility check on monetary data."""
+    from rdsa_utils_spark.operators.quality import benford_deviation
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_deviation(orders, "o_totalprice").orderBy("digit")
+
+
+_ORACLE_BENFORD_PRICES = """
+WITH d AS (
+  SELECT CAST(floor(abs(CAST(o_totalprice AS DOUBLE))
+              / power(10.0, floor(log10(abs(CAST(o_totalprice AS DOUBLE)))))) AS INT)
+           AS digit
+  FROM orders
+  WHERE abs(CAST(o_totalprice AS DOUBLE)) > 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM counts
+)
+SELECT digit, n_obs,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n, 6) AS expected,
+       ROUND(POW(CAST(n_obs AS DOUBLE) - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n, 2)
+             / (log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n), 6) AS chi2_contrib
+FROM counts, tot
+ORDER BY digit
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5117,6 +5184,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_sims": q_label_centroid_sims,
         "debounced_events": q_debounced_events,
         "imputed_acctbal": q_imputed_acctbal,
+        "weighted_doc_sample": q_weighted_doc_sample,
+        "benford_prices": q_benford_prices,
     }
 
 
@@ -5269,4 +5338,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "label_centroid_sims": _ORACLE_LABEL_CENTROID_SIMS,
         "debounced_events": _ORACLE_DEBOUNCED_EVENTS,
         "imputed_acctbal": _ORACLE_IMPUTED_ACCTBAL,
+        "weighted_doc_sample": _ORACLE_WEIGHTED_DOC_SAMPLE,
+        "benford_prices": _ORACLE_BENFORD_PRICES,
     }

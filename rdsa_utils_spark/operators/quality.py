@@ -368,3 +368,42 @@ def require_schema(
         )
         raise SchemaDriftError(f"schema drift detected — {lines}")
     return df
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic plausibility screen for invented or systematically
+    manipulated monetary data. One row per digit 1-9:
+    ``(digit, n_obs, expected, chi2_contrib)``;
+    ``SUM(chi2_contrib)`` is the 8-d.f. test statistic.
+
+    The first digit is extracted arithmetically
+    (``floor(|x| / 10^floor(log10|x|))``) — no string formatting, so
+    the scan stays in whole-stage codegen. Zero/NULL values are
+    excluded (they have no leading digit). One map-side-combined
+    9-group aggregation + a broadcast 1-row total.
+    """
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    counts = (
+        df.filter(v > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("__n"))
+    t = counts.crossJoin(F.broadcast(total))
+    expected = (
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        * F.col("__n").cast("double")
+    )
+    contrib = (F.col("n_obs").cast("double") - expected) ** 2 / expected
+    return t.select(
+        "digit",
+        "n_obs",
+        F.round(expected, round_to).alias("expected"),
+        F.round(contrib, round_to).alias("chi2_contrib"),
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "vocabulary",
     "pack_sequences",
     "mix_corpora",
+    "weighted_sample",
 ]
 
 _HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
@@ -331,4 +332,37 @@ def mix_corpora(
         df.join(F.broadcast(rates), source_col)
         .filter(u < F.col("__rate"))
         .drop("__rate")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep ``k`` rows where
+    each row's inclusion probability is proportional to its weight —
+    the Efraimidis–Spirakis A-ES scheme: rank every row by
+    ``u^(1/w)`` (``u`` = :func:`hash_uniform` variate) and take the
+    top k. One distributed top-k (TakeOrderedAndProject — per-
+    partition heaps, no global sort), deterministic and replayable
+    because the variate is the md5 hash, not RNG state.
+
+    Rows with non-positive or NULL weights are excluded (they have
+    zero inclusion probability). Ties (identical keys) break by
+    ``id_col`` so the sample is a pure function of the data.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(id_col, seed)
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
     )

@@ -49,6 +49,7 @@ _BNLJ_OK = {
     "mixed_corpus",           # 1-row feasible-total (min n/p) attach
     "event_jsd",              # 1-row sample-totals attach
     "label_centroid_sims",    # pairwise join over the tiny centroid table
+    "benford_prices",         # 1-row grand-total attach
 }
 
 

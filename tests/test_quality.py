@@ -261,3 +261,27 @@ class TestSchemaDrift:
         bad = spark.createDataFrame([(1, 2)], "id long, name long")
         with _pytest.raises(SchemaDriftError, match="string -> bigint"):
             require_schema(bad, exp, allow_added=True)
+
+
+def test_benford_deviation_on_benford_like_data(spark):
+    import math
+
+    from rdsa_utils_spark.operators.quality import benford_deviation
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # Geometric series 1.05^i spans many decades -> near-Benford digits.
+    rows = [(1.05 ** i,) for i in range(1, 400)]
+    rows += [(0.0,), (None,)]  # excluded
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_deviation(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    n = sum(r.n_obs for r in out.values())
+    assert n == 399
+    # Digit-1 expectation ~ 30.1% of rows, and low chi2 overall.
+    assert out[1].expected == pytest.approx(math.log10(2) * 399, abs=1e-3)
+    stat = sum(r.chi2_contrib for r in out.values())
+    assert stat < 20.0
+    # Negative values use |x|; magnitudes < 1 still have a first digit.
+    neg = spark.createDataFrame([(-234.5,), (0.071,)], "v double")
+    got = {r.digit: r.n_obs for r in benford_deviation(neg, "v").collect()}
+    assert got == {2: 1, 7: 1}

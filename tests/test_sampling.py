@@ -223,3 +223,27 @@ class TestDeterministicShuffle:
         assert "rangepartitioning" in plan
         assert "SinglePartition" not in plan
         assert out.rdd.getNumPartitions() == 8
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from rdsa_utils_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "id", "w", k=100)
+    ids = sorted(r.id for r in out.collect())
+    assert len(ids) == 100
+    # Heavy ids (w=100, 50 of them) should nearly all be selected.
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 45
+    # Deterministic: identical rerun.
+    again = sorted(r.id for r in weighted_sample(df, "id", "w", k=100).collect())
+    assert ids == again
+    # Non-positive weights never selected.
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id long, w double")
+    assert [r.id for r in weighted_sample(df2, "id", "w", k=10).collect()] == [3]
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_sample(df, "id", "w", k=0)
