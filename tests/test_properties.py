@@ -307,3 +307,93 @@ def test_rolling_zscore_matches_pandas(spark, values, win):
         else:
             expect = (values[i] - mean) / sd
             assert got[i] == pytest.approx(expect, rel=1e-9), f"t={i}"
+
+
+# ------------------------------------------------- round-4 statistics ops
+
+floats_list = st.lists(
+    st.floats(min_value=-1000, max_value=1000,
+              allow_nan=False, allow_infinity=False),
+    min_size=5, max_size=40,
+)
+
+
+@given(vals=floats_list)
+@settings(**SETTINGS)
+def test_winsorize_matches_numpy_interpolation(spark, vals):
+    from rdsa_utils_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    out = sorted(r.v_winsorized for r in
+                 winsorize(df, "v", ["g"], 0.1, 0.9, round_to=None).collect())
+    lo, hi = np.percentile(np.array(vals, dtype=float), [10, 90],
+                           method="linear")
+    expected = sorted(float(np.clip(v, lo, hi)) for v in vals)
+    assert out == pytest.approx(expected, rel=1e-9, abs=1e-9)
+
+
+@given(vals=st.lists(
+    st.tuples(st.floats(-100, 100, allow_nan=False),
+              st.floats(-100, 100, allow_nan=False)),
+    min_size=3, max_size=30,
+))
+@settings(**SETTINGS)
+def test_grouped_linear_fit_matches_numpy(spark, vals):
+    from rdsa_utils_spark.operators.stats import grouped_linear_fit
+
+    xs = np.array([v[0] for v in vals])
+    ys = np.array([v[1] for v in vals])
+    df = spark.createDataFrame(
+        [("g", float(x), float(y)) for x, y in vals], "g string, x double, y double",
+    )
+    r = grouped_linear_fit(df, "x", "y", ["g"], round_to=None).collect()[0]
+    if np.var(xs) == 0:
+        assert r.slope is None
+    else:
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r.slope == pytest.approx(float(slope), rel=1e-6, abs=1e-6)
+        assert r.intercept == pytest.approx(float(intercept), rel=1e-6, abs=1e-4)
+
+
+@given(counts=st.tuples(st.integers(1, 50), st.integers(1, 50),
+                        st.integers(1, 50), st.integers(1, 50)))
+@settings(**SETTINGS)
+def test_js_divergence_symmetric_and_bounded(spark, counts):
+    from rdsa_utils_spark.operators.stats import js_divergence
+
+    na_x, na_y, nb_x, nb_y = counts
+    a = spark.createDataFrame([("x",)] * na_x + [("y",)] * na_y, "c string")
+    b = spark.createDataFrame([("x",)] * nb_x + [("y",)] * nb_y, "c string")
+    ab = js_divergence(a, b, "c").collect()[0].jsd
+    ba = js_divergence(b, a, "c").collect()[0].jsd
+    assert ab == pytest.approx(ba, abs=1e-9)
+    assert -1e-9 <= ab <= 1.0 + 1e-9
+
+
+@given(rows=st.lists(
+    st.lists(st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+             min_size=3, max_size=3),
+    min_size=3, max_size=20,
+))
+@settings(**SETTINGS)
+def test_standardize_dims_moments(spark, rows):
+    from rdsa_utils_spark.operators.similarity import standardize_dims
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(rows)],
+        "id long, v array<double>",
+    )
+    z = np.array([r.z_vec for r in
+                  standardize_dims(df, "v", round_to=12).orderBy("id").collect()])
+    orig = np.array(rows)
+    for d in range(3):
+        sd = np.std(orig[:, d], ddof=1)
+        if sd < 1e-9:
+            assert np.allclose(z[:, d], 0.0)
+        elif sd >= 1e-3:
+            # Moments are rounded to 9 dp by contract, so only
+            # non-degenerate dims carry the exact z-score invariants.
+            assert abs(z[:, d].mean()) < 1e-3
+            assert abs(z[:, d].std(ddof=1) - 1.0) < 1e-3
+        else:
+            assert np.all(np.isfinite(z[:, d]))
