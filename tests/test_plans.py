@@ -273,3 +273,60 @@ def test_repetition_stats_single_gram_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
     assert count_exchanges(df) <= 3
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    # The per-group bounds table must come back as a broadcast join and
+    # the percentile pair must be ONE accumulator, not two scans.
+    df = entrymod.q_winsorized_acctbal(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+    # ONE percentile accumulator: formatted plans print the aggregate
+    # in partial+final nodes and their detail blocks (4 mentions); a
+    # second independent percentile agg would double that.
+    assert plan_string(df).count("percentile(") <= 4
+
+
+def test_boilerplate_single_explode_no_stream_join(spark, sf_dir):
+    # One generator over the token stream; the flagged vocabulary is a
+    # broadcast array, so no SortMergeJoin anywhere in the plan.
+    import re
+
+    df = entrymod.q_doc_boilerplate(spark, sf_dir)
+    p = plan_string(df)
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    # Top-k must be TakeOrderedAndProject (per-partition heaps), never
+    # a global sort materialization.
+    df = entrymod.q_weighted_doc_sample(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_string(df)
+
+
+def test_mix_corpora_broadcasts_rates(spark, sf_dir):
+    df = entrymod.q_mixed_corpus(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+    assert not has_cartesian_product(df)
+
+
+def test_interval_join_is_equi_join_with_range_filter(spark, sf_dir):
+    # The stream-stream-shaped join must hash/merge on the key with the
+    # time bound as a post-probe condition — no nested-loop join.
+    df = entrymod.q_view_purchase_interval(spark, sf_dir)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_transition_matrix_single_keyed_window(spark, sf_dir):
+    # One window over the entity key (plus the tiny normalization
+    # window over the states x states table).
+    df = entrymod.q_user_transitions(spark, sf_dir)
+    assert plan_string(df).count("Window") <= 4  # lead + normalize, partial plans
+
+
+def test_standardize_dims_no_stream_join(spark, sf_dir):
+    # Rows score themselves against broadcast moment arrays: the only
+    # join is the 1-row attach, never a join on the exploded stream.
+    df = entrymod.q_standardized_embeddings(spark, sf_dir)
+    assert "SortMergeJoin" not in plan_string(df)
