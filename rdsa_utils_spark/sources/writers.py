@@ -330,3 +330,52 @@ def merge_upsert(
     fs.move_file(path, old)
     fs.move_file(stage, path)
     fs.delete_folder(old)
+
+
+def write_stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    order_col: Optional[str] = None,
+    query_name: str = "stream_upsert_sink",
+    trigger_available_now: bool = True,
+):
+    """Stream a CDC-style feed of row versions into a keyed parquet
+    dataset: every micro-batch is applied with :func:`merge_upsert`
+    (new keys insert, existing keys replace), so the dataset always
+    holds the latest version of each key — the classic streaming
+    dimension/state sink without a table format.
+
+    Exactly-once across restarts: the streaming checkpoint replays an
+    unacknowledged batch after a crash, so the sink is made
+    idempotent with a per-batch marker file under
+    ``<path>__commits__/<batch_id>`` — a replayed batch whose marker
+    exists is skipped. (The marker is written AFTER the upsert's
+    crash-safe swap; a crash between swap and marker re-applies the
+    same batch, which ``merge_upsert`` makes a no-op for identical
+    content.) Within a batch, duplicate keys resolve by ``order_col``
+    descending, exactly as in the batch operator.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops).
+    """
+    spark = stream_df.sparkSession
+    commits_dir = f"{path}__commits__"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{batch_id}")
+        fs = marker.getFileSystem(conf)
+        if fs.exists(marker):
+            return
+        merge_upsert(spark, batch_df, path, keys, order_col=order_col)
+        fs.mkdirs(marker)
+
+    return write_stream_foreach_batch(
+        stream_df,
+        process,
+        checkpoint_dir,
+        query_name=query_name,
+        trigger_available_now=trigger_available_now,
+    )
