@@ -5094,6 +5094,72 @@ ORDER BY digit
 """
 
 
+def q_pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance triage (operators/quality.py::detect_pii_columns):
+    which string columns carry PII-shaped content. Two synthetic
+    columns built from customer keys (one email+phone-bearing, one
+    clean-except-IP-every-3rd-row); all columns x patterns counted
+    in ONE scan and unpivoted with stack."""
+    from rdsa_utils_spark.operators.quality import detect_pii_columns
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    frame = cust.select(
+        F.concat(
+            F.lit("mail user"),
+            F.col("c_custkey"),
+            F.lit("@example.org tel +44 20 7946 0958"),
+        ).alias("contact"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit("host 192.168."),
+                (F.col("c_custkey") % 256).cast("string"),
+                F.lit(".9"),
+            ),
+        ).otherwise(F.lit("no sensitive content")).alias("note"),
+    )
+    return detect_pii_columns(frame).orderBy("column_name", "pattern")
+
+
+_ORACLE_PII_COLUMN_SCAN = r"""
+WITH f AS (
+  SELECT 'mail user' || c_custkey || '@example.org tel +44 20 7946 0958'
+           AS contact,
+         CASE WHEN c_custkey % 3 = 0
+              THEN 'host 192.168.' || CAST(c_custkey % 256 AS VARCHAR) || '.9'
+              ELSE 'no sensitive content' END AS note
+  FROM customer WHERE c_custkey % 5 = 0
+), wide AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN regexp_matches(contact,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS c_email,
+         SUM(CASE WHEN regexp_matches(contact,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') THEN 1 ELSE 0 END) AS c_ipv4,
+         SUM(CASE WHEN regexp_matches(contact,
+           '\+?[0-9][0-9()\-. ]{6,}[0-9]') THEN 1 ELSE 0 END) AS c_phone,
+         SUM(CASE WHEN regexp_matches(note,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS n_email,
+         SUM(CASE WHEN regexp_matches(note,
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') THEN 1 ELSE 0 END) AS n_ipv4,
+         SUM(CASE WHEN regexp_matches(note,
+           '\+?[0-9][0-9()\-. ]{6,}[0-9]') THEN 1 ELSE 0 END) AS n_phone
+  FROM f
+)
+SELECT column_name, pattern,
+       CAST(n_matching AS BIGINT) AS n_matching,
+       ROUND(CAST(n_matching AS DOUBLE) / n, 6) AS match_rate
+FROM (
+  SELECT n, 'contact' AS column_name, 'email' AS pattern, c_email AS n_matching FROM wide
+  UNION ALL SELECT n, 'contact', 'ipv4', c_ipv4 FROM wide
+  UNION ALL SELECT n, 'contact', 'phone', c_phone FROM wide
+  UNION ALL SELECT n, 'note', 'email', n_email FROM wide
+  UNION ALL SELECT n, 'note', 'ipv4', n_ipv4 FROM wide
+  UNION ALL SELECT n, 'note', 'phone', n_phone FROM wide
+)
+ORDER BY column_name, pattern
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5186,6 +5252,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imputed_acctbal": q_imputed_acctbal,
         "weighted_doc_sample": q_weighted_doc_sample,
         "benford_prices": q_benford_prices,
+        "pii_column_scan": q_pii_column_scan,
     }
 
 
@@ -5340,4 +5407,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "imputed_acctbal": _ORACLE_IMPUTED_ACCTBAL,
         "weighted_doc_sample": _ORACLE_WEIGHTED_DOC_SAMPLE,
         "benford_prices": _ORACLE_BENFORD_PRICES,
+        "pii_column_scan": _ORACLE_PII_COLUMN_SCAN,
     }

@@ -407,3 +407,71 @@ def benford_deviation(
         F.round(expected, round_to).alias("expected"),
         F.round(contrib, round_to).alias("chi2_contrib"),
     )
+
+
+def detect_pii_columns(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Governance scan: which string columns contain PII-shaped
+    content, and how much. One row per (column, pattern) with the
+    count of matching rows and the match rate — the triage step
+    before :func:`rdsa_utils_spark.operators.text.redact_pii` is
+    pointed at the offending columns.
+
+    ALL columns × patterns are counted inside ONE aggregation (a
+    conditional-sum accumulator per pair, map-side combined, single
+    scan) and the 1-row wide result unpivots with ``stack`` — adding
+    columns never adds scans, the same shape as
+    ``stats.correlation_matrix``. Patterns are the engine's
+    RE2-compatible email / IPv4 / phone regexes, so external engines
+    replay the counts exactly.
+    """
+    from rdsa_utils_spark.operators.text import (
+        PII_EMAIL_PATTERN,
+        PII_IPV4_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    if columns is None:
+        columns = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() == "string"
+        ]
+    columns = list(columns)
+    if not columns:
+        raise ValueError("no string columns to scan")
+    patterns = [
+        ("email", PII_EMAIL_PATTERN),
+        ("ipv4", PII_IPV4_PATTERN),
+        ("phone", PII_PHONE_PATTERN),
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for ci, c in enumerate(columns):
+        for pi, (_, pat) in enumerate(patterns):
+            aggs.append(
+                F.sum(
+                    F.when(F.regexp_like(F.col(c), F.lit(pat)), 1).otherwise(0),
+                ).alias(f"__m_{ci}_{pi}"),
+            )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', '{pname}', __m_{ci}_{pi}"
+        for ci, c in enumerate(columns)
+        for pi, (pname, _) in enumerate(patterns)
+    )
+    n_pairs = len(columns) * len(patterns)
+    return wide.selectExpr(
+        "__n",
+        f"stack({n_pairs}, {stack_args}) AS (column_name, pattern, n_matching)",
+    ).select(
+        "column_name",
+        "pattern",
+        "n_matching",
+        F.round(
+            F.col("n_matching").cast("double")
+            / F.nullif(F.col("__n").cast("double"), F.lit(0.0)),
+            round_to,
+        ).alias("match_rate"),
+    )

@@ -285,3 +285,33 @@ def test_benford_deviation_on_benford_like_data(spark):
     neg = spark.createDataFrame([(-234.5,), (0.071,)], "v double")
     got = {r.digit: r.n_obs for r in benford_deviation(neg, "v").collect()}
     assert got == {2: 1, 7: 1}
+
+
+def test_detect_pii_columns_single_scan_and_rates(spark):
+    from rdsa_utils_spark.operators.quality import detect_pii_columns
+    from rdsa_utils_spark.plans.explain import count_exchanges
+
+    df = spark.createDataFrame(
+        [
+            ("a@b.com", "clean", 1),
+            ("no pii here", "10.0.0.1", 2),
+            (None, "call +1 555 123 4567", 3),
+        ],
+        "c1 string, c2 string, k long",
+    )
+    out = detect_pii_columns(df)  # auto-selects string columns only
+    got = {(r.column_name, r.pattern): (r.n_matching, r.match_rate)
+           for r in out.collect()}
+    assert set(c for c, _ in got) == {"c1", "c2"}
+    assert got[("c1", "email")] == (1, pytest.approx(1 / 3, abs=1e-6))
+    assert got[("c2", "ipv4")][0] == 1
+    # Triage counts are per-pattern on the RAW text (unlike redact_pii's
+    # sequenced counts): a dotted IPv4 is phone-shaped too.
+    assert got[("c2", "phone")][0] == 2
+    assert got[("c1", "ipv4")][0] == 0
+    # ONE scan: a single aggregation, no per-column jobs.
+    assert count_exchanges(out) <= 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        detect_pii_columns(df.select("k"))
