@@ -309,8 +309,13 @@ def test_detect_pii_columns_single_scan_and_rates(spark):
     # sequenced counts): a dotted IPv4 is phone-shaped too.
     assert got[("c2", "phone")][0] == 2
     assert got[("c1", "ipv4")][0] == 0
-    # ONE scan: a single aggregation, no per-column jobs.
-    assert count_exchanges(out) <= 1
+    # ONE scan, one global aggregation (its partial->final single-
+    # partition funnel plans as two exchanges) — and no joins, so no
+    # per-column or per-pattern jobs.
+    assert count_exchanges(out) <= 2
+    from rdsa_utils_spark.plans.explain import plan_string
+
+    assert "Join" not in plan_string(out)
     import pytest as _pt
 
     with _pt.raises(ValueError):
