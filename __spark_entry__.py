@@ -5160,6 +5160,61 @@ ORDER BY column_name, pattern
 """
 
 
+def q_hist_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the mergeable pinned-range histogram sketch
+    (plans/diagnostics.numeric_histogram + operators/sketches.py::
+    histogram_quantiles): p50/p90/p99 of extended price per
+    returnflag, answered from the (groups x bins) sketch table —
+    the facts are scanned once to build state that any later range
+    or rollup reuses by adding counts."""
+    from rdsa_utils_spark.operators.sketches import histogram_quantiles
+    from rdsa_utils_spark.plans.diagnostics import numeric_histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = numeric_histogram(
+        li, "l_extendedprice", bins=200, value_range=(900.0, 105000.0),
+        group_cols=["l_returnflag"],
+    )
+    return histogram_quantiles(
+        hist, [0.5, 0.9, 0.99], group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag", "p")
+
+
+_ORACLE_HIST_QUANTILE_PRICES = """
+WITH h AS (
+  SELECT l_returnflag,
+         LEAST(GREATEST(CAST(floor((l_extendedprice - 900.0)
+                              / (105000.0 - 900.0) * 200) AS INT), 0), 199)
+           AS bin,
+         COUNT(*) AS n_rows
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, bin,
+         900.0 + bin * (105000.0 - 900.0) / 200 AS bin_lo,
+         900.0 + (bin + 1) * (105000.0 - 900.0) / 200 AS bin_hi,
+         n_rows,
+         SUM(n_rows) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+         SUM(n_rows) OVER (PARTITION BY l_returnflag) AS total
+  FROM h
+), e AS (
+  SELECT l_returnflag, bin_lo, bin_hi, n_rows,
+         CAST(cum - n_rows AS DOUBLE) AS cum_prev,
+         CAST(cum AS DOUBLE) AS cum,
+         CAST(total AS DOUBLE) AS total,
+         unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p
+  FROM c
+)
+SELECT l_returnflag, p,
+       ROUND(bin_lo + (p * total - cum_prev) / n_rows * (bin_hi - bin_lo), 6)
+         AS quantile
+FROM e
+WHERE cum_prev < p * total AND cum >= p * total
+ORDER BY l_returnflag, p
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5253,6 +5308,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_doc_sample": q_weighted_doc_sample,
         "benford_prices": q_benford_prices,
         "pii_column_scan": q_pii_column_scan,
+        "hist_quantile_prices": q_hist_quantile_prices,
     }
 
 
@@ -5408,4 +5464,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "weighted_doc_sample": _ORACLE_WEIGHTED_DOC_SAMPLE,
         "benford_prices": _ORACLE_BENFORD_PRICES,
         "pii_column_scan": _ORACLE_PII_COLUMN_SCAN,
+        "hist_quantile_prices": _ORACLE_HIST_QUANTILE_PRICES,
     }

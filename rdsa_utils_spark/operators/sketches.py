@@ -35,6 +35,7 @@ __all__ = [
     "freq_sketch",
     "merge_freq_sketches",
     "freq_estimate",
+    "histogram_quantiles",
 ]
 
 
@@ -178,4 +179,68 @@ def freq_estimate(
     return (
         joined.groupBy(*[F.col(c) for c in probes.columns])
         .agg(F.min(F.coalesce(F.col(count_col), F.lit(0))).alias(out_col))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    ps: Sequence[float],
+    group_cols: Sequence[str] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a pinned-range equi-width histogram
+    (the output of ``plans/diagnostics.numeric_histogram`` with
+    ``value_range`` set) — completing the mergeable-sketch family:
+    HLL for distincts, count-min for frequencies, and the pinned
+    histogram for quantiles. Histogram rows MERGE BY ADDING COUNTS
+    (same pinned range ⇒ same bins), so per-day sketches answer
+    any-range quantiles without rescanning facts; estimation error
+    is bounded by one bin width (test-asserted).
+
+    One row per (group…, p): ``p``, ``quantile`` — the linear
+    interpolation of rank ``p·N`` inside the bin where the
+    cumulative count crosses it (p=0 reads the first bin's lower
+    edge). Pure windows over the tiny (groups × bins) sketch table —
+    the facts are never touched.
+    """
+    from pyspark.sql import Window
+
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"quantiles must be in [0, 1], got {p}")
+    groups = list(group_cols)
+    gcols = [F.col(g) for g in groups] if groups else [F.lit(1)]
+    w = Window.partitionBy(*gcols).orderBy("bin")
+    cum = hist.select(
+        *groups,
+        "bin", "bin_lo", "bin_hi", "n_rows",
+        F.sum("n_rows").over(w).alias("__cum"),
+        F.sum("n_rows").over(
+            Window.partitionBy(*gcols),
+        ).alias("__total"),
+    ).withColumn("__cum_prev", F.col("__cum") - F.col("n_rows"))
+    p_arr = F.array(*[F.lit(float(p)) for p in ps])
+    expanded = cum.withColumn("p", F.explode(p_arr))
+    target = F.col("p") * F.col("__total").cast("double")
+    first_bin_floor = F.col("p") == 0.0
+    hit = expanded.filter(
+        (
+            (F.col("__cum_prev").cast("double") < target)
+            & (F.col("__cum").cast("double") >= target)
+        )
+        | (first_bin_floor & (F.col("__cum_prev") == 0)),
+    )
+    frac = F.when(
+        first_bin_floor, F.lit(0.0),
+    ).otherwise(
+        (target - F.col("__cum_prev").cast("double"))
+        / F.col("n_rows").cast("double"),
+    )
+    est = F.col("bin_lo") + frac * (F.col("bin_hi") - F.col("bin_lo"))
+    return hit.select(
+        *groups,
+        "p",
+        F.round(est, round_to).alias("quantile"),
     )

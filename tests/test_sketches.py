@@ -120,3 +120,40 @@ def test_cms_plan_is_jvm_only(spark, events):
     # Map-side partial aggregation must collapse the ×depth explode
     # before the shuffle: two HashAggregates around the exchange.
     assert plan.count("HashAggregate") >= 2
+
+
+def test_histogram_quantiles_error_bounded_and_mergeable(spark):
+    import numpy as np
+
+    from rdsa_utils_spark.operators.aggregations import merge_partial_aggregates
+    from rdsa_utils_spark.operators.sketches import histogram_quantiles
+    from rdsa_utils_spark.plans.diagnostics import numeric_histogram
+
+    vals = [float(v) for v in np.random.RandomState(7).uniform(0, 100, 2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = numeric_histogram(df, "v", bins=50, value_range=(0.0, 100.0))
+    est = {r.p: r.quantile for r in
+           histogram_quantiles(hist, [0.0, 0.5, 0.9, 0.99, 1.0]).collect()}
+    bin_w = 2.0
+    for p in (0.5, 0.9, 0.99):
+        exact = float(np.percentile(np.array(vals), p * 100))
+        assert abs(est[p] - exact) <= bin_w + 1e-9, (p, est[p], exact)
+    assert est[0.0] >= 0.0 and est[1.0] <= 100.0
+    # Merge law: per-half sketches summed == whole-data sketch.
+    df1 = df.filter("v < 50"); df2 = df.filter("v >= 50")
+    ha = numeric_histogram(df1, "v", bins=50, value_range=(0.0, 100.0))
+    hb = numeric_histogram(df2, "v", bins=50, value_range=(0.0, 100.0))
+    merged = merge_partial_aggregates(
+        [ha, hb], ["bin", "bin_lo", "bin_hi"], sum_cols=["n_rows"],
+    )
+    key = lambda d: sorted((r.bin, r.n_rows) for r in d.collect())
+    assert key(merged) == key(hist)
+    est_m = {r.p: r.quantile for r in
+             histogram_quantiles(merged, [0.5, 0.9]).collect()}
+    assert est_m[0.5] == est[0.5] and est_m[0.9] == est[0.9]
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram_quantiles(hist, [])
+    with pytest.raises(ValueError):
+        histogram_quantiles(hist, [1.5])
