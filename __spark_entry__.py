@@ -5215,6 +5215,57 @@ ORDER BY l_returnflag, p
 """
 
 
+def q_nearby_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (operators/spatial.py::
+    radius_self_join): all synthetic customer locations within 5 km,
+    via radius-sized grid cells + 3x3 neighbor explode + hash
+    equi-join on the cell key — the spatial version of the range
+    join, linear shuffle, no cartesian. Oracle brute-forces with a
+    generous bounding-box prefilter and the same rounded haversine."""
+    from rdsa_utils_spark.operators.spatial import radius_self_join
+
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            (F.col("c_custkey") % 100).cast("double") / 10.0
+            + ((F.col("c_custkey") * 13) % 97).cast("double") / 1000.0
+        ).alias("lat"),
+        (
+            (F.floor(F.col("c_custkey") / 100) % 100).cast("double") / 10.0
+            + ((F.col("c_custkey") * 29) % 89).cast("double") / 1000.0
+        ).alias("lon"),
+    )
+    return radius_self_join(pts, "id", "lat", "lon", 5.0).orderBy(
+        "id_a", "id_b",
+    )
+
+
+_ORACLE_NEARBY_CUSTOMERS = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey % 100) / 10.0 + ((c_custkey * 13) % 97) / 1000.0 AS lat,
+         (CAST(floor(c_custkey / 100) AS BIGINT) % 100) / 10.0
+           + ((c_custkey * 29) % 89) / 1000.0 AS lon
+  FROM customer
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         ROUND(2.0 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2.0), 2))), 6) AS distance_km
+  FROM pts a JOIN pts b
+    ON b.id > a.id
+   AND abs(a.lat - b.lat) <= 0.06
+   AND abs(a.lon - b.lon) <= 0.12
+)
+SELECT id_a, id_b, distance_km
+FROM pairs
+WHERE distance_km <= 5.0
+ORDER BY id_a, id_b
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5309,6 +5360,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": q_benford_prices,
         "pii_column_scan": q_pii_column_scan,
         "hist_quantile_prices": q_hist_quantile_prices,
+        "nearby_customers": q_nearby_customers,
     }
 
 
@@ -5465,4 +5517,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "benford_prices": _ORACLE_BENFORD_PRICES,
         "pii_column_scan": _ORACLE_PII_COLUMN_SCAN,
         "hist_quantile_prices": _ORACLE_HIST_QUANTILE_PRICES,
+        "nearby_customers": _ORACLE_NEARBY_CUSTOMERS,
     }
