@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "cooccurrence_pairs", "triangle_count"]
+__all__ = ["pagerank", "cooccurrence_pairs", "triangle_count", "connected_components"]
 
 
 def cooccurrence_pairs(
@@ -203,3 +203,25 @@ def pagerank(
         )
     shares.unpersist()
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weakly-connected components of the undirected graph induced by
+    ``edges``: one row per node, ``(id, cluster_id)`` with
+    ``cluster_id`` = the component's smallest node id.
+
+    Thin graph-vocabulary alias over
+    ``operators/dedup.dedup_clusters`` (iterative min-label
+    propagation with per-round lineage cuts and an exact convergence
+    check — see that operator for the scale design and the
+    union-find property test); exposed here so graph workloads find
+    it next to pagerank/triangles without knowing the dedup module.
+    """
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    return dedup_clusters(pairs)

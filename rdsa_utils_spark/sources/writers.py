@@ -379,3 +379,51 @@ def write_stream_upsert(
         query_name=query_name,
         trigger_available_now=trigger_available_now,
     )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_size: int = 128 * 1024 * 1024,
+    stage_suffix: str = "__stage__",
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_size`` files —
+    the small-files maintenance job every long-lived 100 TB dataset
+    needs (streaming sinks and incremental upserts accrete small
+    files; a thousand 1 MB files cost a thousand task launches and
+    a thousand NameNode/object-store round trips per scan).
+
+    Row-identical rewrite: data is read, coalesced via the
+    optimizer's size estimate (``plans/tuning.smart_coalesce`` — no
+    shuffle, no job to size), and swapped in with the same
+    rename-aside-first protocol as :func:`merge_upsert`, so a crash
+    at any step leaves a complete copy on disk. Returns the number
+    of files written.
+
+    Partition-directory layouts should compact per partition
+    (point this at the partition directory) — compacting across
+    partitions would rewrite the partitioning away.
+    """
+    from rdsa_utils_spark.plans.tuning import smart_coalesce
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    fs = HadoopFileSystemClient(spark)
+    if not fs.folder_exists(path):
+        raise FileNotFoundError(f"no dataset at {path}")
+    df = read_parquet(spark, path)
+    compacted = smart_coalesce(df, target_file_size=target_file_size)
+    stage = path.rstrip("/") + stage_suffix
+    old = path.rstrip("/") + "__old__"
+    if fs.folder_exists(stage):
+        fs.delete_folder(stage)
+    if fs.folder_exists(old):
+        fs.delete_folder(old)
+    compacted.write.parquet(stage)
+    n_files = sum(
+        1 for name in fs.list_files(stage) if name.endswith(".parquet")
+    )
+    fs.move_file(path, old)
+    fs.move_file(stage, path)
+    fs.delete_folder(old)
+    return n_files

@@ -96,3 +96,64 @@ def stateful_session_counter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stateful_debounce(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_seconds: int,
+):
+    """Streaming version of ``operators/events.debounce_events``: emit
+    an event only if it is at least ``min_gap_seconds`` after the
+    last EMITTED event of its key — per-key ``GroupState`` carries
+    the last-kept timestamp across micro-batches, so the greedy
+    sequential semantics survive incremental arrival. Output schema:
+    (key, ts, n_kept_so_far).
+
+    Ordering contract: events are debounced in (ts) order WITHIN each
+    micro-batch and in ARRIVAL order across batches — an event
+    arriving in a later batch with an earlier timestamp is compared
+    against the newest kept state, exactly like any online
+    rate-limiter. For a fully order-insensitive result over a closed
+    dataset use the batch operator.
+    """
+    if min_gap_seconds <= 0:
+        raise ValueError(f"min_gap_seconds must be > 0, got {min_gap_seconds}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ns = int(min_gap_seconds) * 1_000_000_000
+
+    def update(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last, n_kept = state.get if state.exists else (None, 0)
+        kept_ts = []
+        for pdf in pdfs:
+            ts = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64").sort_values()
+            )
+            for t in ts.tolist():
+                if last is None or (t - last) >= gap_ns:
+                    kept_ts.append(t)
+                    last = t
+                    n_kept += 1
+        state.update((last if last is not None else 0, n_kept))
+        if kept_ts:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(kept_ts),
+                    "ts": pd.to_datetime(kept_ts, utc=True),
+                    "n_kept_so_far": range(n_kept - len(kept_ts) + 1, n_kept + 1),
+                },
+            )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key long, ts timestamp, n_kept_so_far long",
+        stateStructType="last_ns long, n_kept long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -75,3 +75,15 @@ def test_plan_is_jvm_only_and_lineage_cut(spark):
     # localCheckpoint each round: the final plan must NOT contain the
     # full 4-iteration join cascade (lineage is cut per iteration).
     assert plan.count("Join") <= 2
+
+
+def test_connected_components_alias_matches_dedup_clusters(spark):
+    from rdsa_utils_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20

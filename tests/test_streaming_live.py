@@ -414,3 +414,43 @@ def test_write_stream_upsert_latest_version_wins(spark, tmp_path):
 
     markers = os.listdir(target + "__commits__")
     assert len(markers) >= 1
+
+
+def test_stateful_debounce_matches_batch_on_single_batch(spark, sf_dir, tmp_path):
+    """Per-key GroupState debounce over a live stream: with the whole
+    feed in one micro-batch (sorted within batch), the kept set must
+    equal the batch operator's greedy walk."""
+    from rdsa_utils_spark.operators.events import debounce_events
+    from rdsa_utils_spark.sources.readers import read_parquet
+    from rdsa_utils_spark.streaming.stateful import stateful_debounce
+
+    batch = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts",
+    )
+    src = str(tmp_path / "debounce_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = stateful_debounce(stream, "user_id", "ts", 1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("debounce_out")
+        .trigger(availableNow=True).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.key, str(r.ts))
+        for r in spark.sql("SELECT * FROM debounce_out").collect()
+    )
+    expected = sorted(
+        (r.user_id, str(r.ts))
+        for r in debounce_events(batch, "user_id", "ts", 1800).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful_debounce(stream, "user_id", "ts", 0)

@@ -115,3 +115,30 @@ def test_key_skew_report_values(spark):
     assert top.skew_ratio == round(6 / (10 / 3), 6)
     with pytest.raises(ValueError):
         key_skew_report(df, [])
+
+
+def test_compact_dataset_reduces_files_keeps_rows(spark, tmp_path):
+    from rdsa_utils_spark.sources.writers import compact_dataset
+
+    path = str(tmp_path / "smallfiles")
+    # 40 tiny files.
+    spark.range(0, 4000).repartition(40).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 30
+    original = sorted(r.id for r in spark.read.parquet(path).collect())
+    n_files = compact_dataset(spark, path, target_file_size=64 * 1024 * 1024)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert n_files == after
+    assert after < before and after >= 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == original
+    # No leftover stage/old dirs.
+    import os
+
+    assert not os.path.exists(path + "__stage__")
+    assert not os.path.exists(path + "__old__")
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        compact_dataset(spark, str(tmp_path / "missing"))
