@@ -454,3 +454,43 @@ def test_stateful_debounce_matches_batch_on_single_batch(spark, sf_dir, tmp_path
 
     with pytest.raises(ValueError):
         stateful_debounce(stream, "user_id", "ts", 0)
+
+
+def test_write_stream_additive_rollup_accumulates(spark, sf_dir, tmp_path):
+    """Two micro-batches of facts -> persistent rollup whose sums and
+    counts ACCUMULATE; final table equals the batch groupBy over all
+    facts. Facts are never rescanned (rollup size = key cardinality)."""
+    from rdsa_utils_spark.sources.readers import read_parquet
+    from rdsa_utils_spark.sources.writers import write_stream_additive_rollup
+
+    events = read_parquet(spark, f"{sf_dir}/events.parquet").select(
+        "event_type", "value",
+    )
+    half1 = events.limit(400)
+    src = str(tmp_path / "facts")
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = write_stream_additive_rollup(
+            stream, target, ["event_type"], ["value"], "n_events", ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    events.exceptAll(half1).write.mode("append").parquet(src)
+    run()
+
+    got = {r.event_type: (round(r.value, 4), r.n_events)
+           for r in spark.read.parquet(target).collect()}
+    expected_df = events.groupBy("event_type").agg(
+        F.sum("value").alias("value"), F.count(F.lit(1)).alias("n_events"),
+    )
+    expected = {r.event_type: (round(r.value, 4), r.n_events)
+                for r in expected_df.collect()}
+    assert got == expected
