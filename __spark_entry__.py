@@ -5266,6 +5266,109 @@ ORDER BY id_a, id_b
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composition — the engine's operators
+    chained the way a real training-data pipeline runs them:
+    quality filter (with_quality_score >= 0.75) → language gate
+    (language_id == 'en') → exact dedup (normalized-md5, min-id
+    winner) → deterministic 90/5/5 split — reduced to per-split
+    counts. Every stage is individually oracle-checked elsewhere;
+    this query proves they COMPOSE deterministically (the oracle
+    replays the whole chain in one SQL statement)."""
+    from rdsa_utils_spark.operators.dedup import exact_dedup
+    from rdsa_utils_spark.operators.sampling import deterministic_split
+    from rdsa_utils_spark.operators.text import with_language_id, with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs, "text")
+    kept = with_language_id(scored.filter(F.col("quality_score") >= 0.75), "text")
+    kept = kept.filter(F.col("lang_pred") == "en")
+    deduped = exact_dedup(kept, "text", "doc_id")
+    split = deterministic_split(
+        deduped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_ORACLE_CURATION_PIPELINE = r"""
+WITH stats AS (
+  SELECT doc_id,
+         length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS tok,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents
+), ratios AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         CAST(n_punct AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS punct_ratio,
+         CAST(n_digit AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS digit_ratio,
+         CASE WHEN len(tok) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok)
+         END AS mean_token_len,
+         list_transform(tok, t -> lower(t)) AS ltok
+  FROM stats
+), quality AS (
+  SELECT doc_id, ltok,
+         ((CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 15.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality_score
+  FROM ratios
+), lang AS (
+  SELECT doc_id,
+         len(list_filter(['the','and','of','to','in','is','that','for','with','a'],
+                         s -> list_contains(ltok, s))) AS en,
+         len(list_filter(['le','la','les','des','est','et','un','une','dans','pour'],
+                         s -> list_contains(ltok, s))) AS fr,
+         len(list_filter(['der','die','das','und','ist','nicht','ein','mit','für','von'],
+                         s -> list_contains(ltok, s))) AS de,
+         len(list_filter(['el','la','los','las','es','un','una','por','para','con'],
+                         s -> list_contains(ltok, s))) AS es
+  FROM quality
+), kept AS (
+  SELECT d.doc_id, d.text, d.n_chars
+  FROM documents d
+  JOIN quality q ON d.doc_id = q.doc_id
+  JOIN lang l ON d.doc_id = l.doc_id
+  WHERE q.quality_score >= 0.75
+    AND greatest(l.en, l.fr, l.de, l.es) > 0
+    AND l.en >= l.fr AND l.en >= l.de AND l.en >= l.es
+), deduped AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id ASC) AS rn
+    FROM kept)
+  WHERE rn = 1
+), u AS (
+  SELECT doc_id, n_chars,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':split'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM deduped
+)
+SELECT CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM u
+GROUP BY split
+ORDER BY split
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5361,6 +5464,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_column_scan": q_pii_column_scan,
         "hist_quantile_prices": q_hist_quantile_prices,
         "nearby_customers": q_nearby_customers,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -5518,4 +5622,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "pii_column_scan": _ORACLE_PII_COLUMN_SCAN,
         "hist_quantile_prices": _ORACLE_HIST_QUANTILE_PRICES,
         "nearby_customers": _ORACLE_NEARBY_CUSTOMERS,
+        "curation_pipeline": _ORACLE_CURATION_PIPELINE,
     }
