@@ -5369,6 +5369,80 @@ ORDER BY split
 """
 
 
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup
+    (operators/dedup.py::dedup_against_corpus_bloom): the SAME batch
+    construction and SAME oracle as `dedup_incremental` — the Bloom
+    filter is a pure shuffle-volume optimization (definite-fresh rows
+    bypass the anti-join; might_contain positives are exact-confirmed),
+    so results are bit-identical to the plain anti-join. The oracle
+    re-verifying that equality IS the correctness claim."""
+    from rdsa_utils_spark.operators.dedup import dedup_against_corpus_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new_batch = (
+        docs.filter(F.col("doc_id") >= 250)
+        .unionByName(
+            docs.filter(F.col("doc_id") < 50)
+            .withColumn("doc_id", F.col("doc_id") + 10000),
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 260))
+            .withColumn("doc_id", F.col("doc_id") + 20000),
+        )
+    )
+    out = dedup_against_corpus_bloom(
+        new_batch, corpus, "text", "doc_id", expected_items=100_000,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation of the daily mean value at lags
+    1, 2 and 7 (operators/stats.py::grouped_autocorrelation) — the
+    persistence/weekly-echo diagnostic. One groupBy for the daily
+    series, then window-lag + corr aggregates sharing a single hash
+    partitioning on event_type; stack unpivots to long form. Daily
+    means round to 9 dp so the ACF replays bit-identically at 6 dp."""
+    from rdsa_utils_spark.operators.stats import grouped_autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg((F.round(F.avg("value"), 9) + F.lit(0.0)).alias("x"))
+    out = grouped_autocorrelation(
+        daily, ["event_type"], "day", "x", lags=(1, 2, 7), round_to=6,
+    )
+    return out.orderBy("event_type", "lag")
+
+
+_ORACLE_ACF_DAILY = r"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         round(avg(value), 9) + 0.0 AS x
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER w AS x1,
+         lag(x, 2) OVER w AS x2,
+         lag(x, 7) OVER w AS x7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), wide AS (
+  SELECT event_type, corr(x, x1) AS a1, corr(x, x2) AS a2, corr(x, x7) AS a7
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, lag, round(acf, 6) + 0.0 AS acf
+FROM (
+  SELECT event_type, 1 AS lag, a1 AS acf FROM wide
+  UNION ALL SELECT event_type, 2, a2 FROM wide
+  UNION ALL SELECT event_type, 7, a7 FROM wide
+)
+ORDER BY event_type, lag
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5465,6 +5539,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile_prices": q_hist_quantile_prices,
         "nearby_customers": q_nearby_customers,
         "curation_pipeline": q_curation_pipeline,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "acf_daily": q_acf_daily,
     }
 
 
@@ -5623,4 +5699,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "hist_quantile_prices": _ORACLE_HIST_QUANTILE_PRICES,
         "nearby_customers": _ORACLE_NEARBY_CUSTOMERS,
         "curation_pipeline": _ORACLE_CURATION_PIPELINE,
+        "dedup_incremental_bloom": _ORACLE_DEDUP_INCREMENTAL,
+        "acf_daily": _ORACLE_ACF_DAILY,
     }

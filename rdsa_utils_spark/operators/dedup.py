@@ -624,3 +624,134 @@ def dedup_clusters(
         f"dedup_clusters did not converge in {max_iterations} iterations; "
         "raise max_iterations (component diameter exceeds the cap)",
     )
+
+
+def dedup_against_corpus_bloom(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+    max_bloom_bytes: int = 64 << 20,
+) -> DataFrame:
+    """:func:`dedup_against_corpus` with a Bloom prefilter — identical
+    results, different shuffle profile.
+
+    The plain version anti-joins EVERY new-batch fingerprint against
+    the corpus digest table: at 100 TB that shuffles the full batch
+    even when duplicates are rare. Here the corpus digests build a
+    Bloom filter out of pure DataFrame ops (OSS Spark does not expose
+    ``bloom_filter_agg`` to SQL): each digest sets ``k`` seeded
+    ``xxhash64`` bit positions, a ``bit_or`` aggregation packs them
+    into 64-bit words map-side (at most ``m/64`` compact partial rows
+    per partition), and the driver densifies the sparse words into one
+    ``array<long>`` bitmap — exactly ``m/8`` bytes, the same payload a
+    native Bloom broadcast would carry. The bitmap rides a 1-row
+    broadcast; membership is ``k`` ``getbit(element_at(...))``
+    expressions inside whole-stage codegen. Rows the filter rejects
+    are DEFINITE non-duplicates and bypass the anti-join shuffle
+    entirely; the positives — true dups + ~``fpp`` false positives —
+    reach the exact anti-join that removes Bloom error. With a 1%
+    duplicate rate, ~99% of the batch never shuffles.
+
+    Size the filter for the CORPUS digest cardinality
+    (``expected_items``): bitmap bytes ≈ ``1.2 × expected_items`` at
+    1% fpp, capped by ``max_bloom_bytes`` (default 64 MiB ≈ a 55M-item
+    corpus; beyond that, undersize the filter — still correct, more
+    false positives — or fall back to :func:`dedup_against_corpus`).
+    An undersized filter stays correct but lets more false positives
+    through to the join. Within-batch dedup is the same keep-min/max
+    window as :func:`exact_dedup`.
+    """
+    if keep not in {"min", "max"}:
+        raise ValueError("dedup_against_corpus_bloom: keep must be 'min' or 'max'")
+    m_bits, k_hashes = _bloom_params(expected_items, fpp)
+    if m_bits // 8 > max_bloom_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {m_bits // 8} bytes for "
+            f"expected_items={expected_items}, over max_bloom_bytes="
+            f"{max_bloom_bytes}; lower expected_items (more false "
+            f"positives, still exact) or use dedup_against_corpus",
+        )
+    n_words = (m_bits + 63) // 64
+
+    new_fp = with_fingerprint(new_df, text_col, "__fp__")
+    corpus_fp = (
+        with_fingerprint(corpus_df, text_col, "__fp__")
+        .select("__fp__")
+        .distinct()
+    )
+
+    # Build: explode each digest's k positions, pack into (word, mask)
+    # partials — bit_or combines map-side, so the shuffle carries at
+    # most m/64 rows per partition regardless of corpus size.
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("__fp__"), F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ],
+    )
+    sparse = (
+        corpus_fp.select(F.explode(positions).alias("__p__"))
+        .select(
+            (F.col("__p__") / 64).cast("long").alias("__w__"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__p__ % 64 as int))").alias(
+                "__b__",
+            ),
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__b__").alias("__mask__"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in sparse:
+        words[r["__w__"]] = r["__mask__"]
+    spark = new_df.sparkSession
+    bitmap = spark.createDataFrame([(words,)], "__bloom__ array<bigint>")
+
+    # Probe: k getbit lookups into the broadcast bitmap, all codegen.
+    hits = []
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.col("__fp__"), F.lit(i)), F.lit(m_bits))
+        word = F.element_at("__bloom__", (p / 64).cast("int") + F.lit(1))
+        hits.append(F.getbit(word, F.pmod(p, F.lit(64))) == 1)
+    maybe = hits[0]
+    for h in hits[1:]:
+        maybe = maybe & h
+    flagged = new_fp.join(F.broadcast(bitmap)).withColumn("__maybe__", maybe).drop(
+        "__bloom__",
+    )
+    definite_fresh = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
+    candidates = (
+        flagged.filter(F.col("__maybe__"))
+        .drop("__maybe__")
+        .join(corpus_fp, "__fp__", "left_anti")
+    )
+    fresh = definite_fresh.unionByName(candidates)
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp__").orderBy(order)
+    return (
+        fresh.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__fp__", "__rn__")
+    )
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal Bloom sizing: m = -n·ln(p)/ln(2)² bits, k = (m/n)·ln 2
+    hash functions."""
+    import math
+
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if expected_items <= 0:
+        raise ValueError(f"expected_items must be > 0, got {expected_items}")
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+

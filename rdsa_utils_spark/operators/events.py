@@ -359,6 +359,7 @@ def debounce_events(
     """
     if min_gap_seconds <= 0:
         raise ValueError(f"min_gap_seconds must be > 0, got {min_gap_seconds}")
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -371,14 +372,19 @@ def debounce_events(
         table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
         unit = table.schema.field(ts_col).type.unit
         gap = int(min_gap_seconds) * _unit_per_second[unit]
-        ts = table.column(ts_col).cast(pa.int64()).to_pylist()
-        keep = []
-        last = None
-        for t in ts:
-            ok = last is None or (t - last) >= gap
-            keep.append(ok)
-            if ok:
-                last = t
-        return table.filter(pa.array(keep))
+        ts = table.column(ts_col).cast(pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False,
+        )
+        # Greedy walk visiting only the KEPT events: from each survivor,
+        # binary-search the first timestamp >= last + gap. Python-level
+        # work is O(kept * log n) instead of O(n) — the dense-burst case
+        # (many drops per keep) is exactly where debounce is used.
+        n = len(ts)
+        kept_idx = []
+        i = 0
+        while i < n:
+            kept_idx.append(i)
+            i = int(np.searchsorted(ts, ts[i] + gap, side="left"))
+        return table.take(pa.array(kept_idx, type=pa.int64()))
 
     return df.groupBy(key_col).applyInArrow(keep_group, schema=df.schema)

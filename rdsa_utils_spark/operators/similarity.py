@@ -858,3 +858,244 @@ def label_centroid_similarity(
         "label_b",
         F.round(cosine(F.col("__ca"), F.col("__cb")), round_to).alias("cos_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN index
+# --------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_subvectors: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+) -> np.ndarray:
+    """Train product-quantization codebooks, distributed.
+
+    The L2-normalized vector is split into ``n_subvectors`` contiguous
+    blocks; each block gets its own ``n_codes``-entry k-means codebook
+    (classic PQ, Jégou et al. 2011). A vector is then stored as
+    ``n_subvectors`` small code ids — at (8, 256) that is 8 bytes per
+    vector vs 256 for float32, a 32× index compression, which is what
+    makes a 100 TB embedding corpus scannable.
+
+    Same distributed-Lloyd shape as :func:`ivf_train_centroids`: a
+    deterministic init (the ``n_codes`` smallest-id vectors, sliced per
+    block), then per iteration ONE ``mapInPandas`` pass emitting
+    per-(subvector, code) partial (count, sum) rows — at most
+    ``n_subvectors × n_codes`` rows per partition, so driver traffic is
+    independent of corpus size. Empty codes keep their previous
+    centroid. Returns a ``(n_subvectors, n_codes, dim//n_subvectors)``
+    float64 array.
+    """
+    if dim % n_subvectors != 0:
+        raise ValueError(
+            f"dim={dim} must divide evenly into n_subvectors={n_subvectors}",
+        )
+    d_sub = dim // n_subvectors
+
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_codes).collect()
+    )
+    init = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in init_rows])
+    init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+    # (S, C, d_sub): code c of subvector s starts as block s of init row c.
+    books = np.stack(
+        [init[:, s * d_sub:(s + 1) * d_sub] for s in range(n_subvectors)],
+    )
+
+    partial_schema = "sub int, code int, cnt long, vsum array<double>"
+    vecs_only = corpus.select(vec_col)
+
+    for _ in range(iters):
+        bk = books
+
+        def partials(batches, _bk=bk):
+            for pdf in batches:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                subs, codes_l, cnts, sums = [], [], [], []
+                for s in range(_bk.shape[0]):
+                    block = mat[:, s * d_sub:(s + 1) * d_sub]  # (n, d_sub)
+                    # nearest code by L2: argmin ||x - c||² = argmax (x·c - ½||c||²)
+                    scores = block @ _bk[s].T - 0.5 * (_bk[s] ** 2).sum(axis=1)
+                    assign = np.argmax(scores, axis=1)
+                    for code in np.unique(assign):
+                        mask = assign == code
+                        subs.append(s)
+                        codes_l.append(int(code))
+                        cnts.append(int(mask.sum()))
+                        sums.append(block[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(
+                    {"sub": subs, "code": codes_l, "cnt": cnts, "vsum": sums},
+                )
+
+        rows = vecs_only.mapInPandas(partials, partial_schema).collect()
+        sums = np.zeros_like(books)
+        counts = np.zeros(books.shape[:2], dtype=np.int64)
+        for r in rows:
+            sums[r["sub"], r["code"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["sub"], r["code"]] += r["cnt"]
+        books = books.copy()
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code array (``array<int>``, one entry per
+    subvector). Vectors are L2-normalized before encoding, so ADC
+    scores later approximate cosine directly. One Arrow-batched matmul
+    per subvector; at scale, persist the coded corpus and drop the raw
+    vectors from the scan path."""
+    bk = codebooks
+    n_sub, _, d_sub = bk.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((mat.shape[0], n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            block = mat[:, s * d_sub:(s + 1) * d_sub]
+            scores = block @ bk[s].T - 0.5 * (bk[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmax(scores, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_subvectors: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    rerank_factor: int = 10,
+    exclude_self: bool = True,
+    codebooks: np.ndarray | None = None,
+    corpus_codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate cosine top-k: asymmetric distance computation
+    (ADC) shortlist + exact re-ranking.
+
+    Each query precomputes a small lookup table: ``lut[s][c] =
+    query_block_s · codebook[s][c]`` (a ``n_subvectors × n_codes``
+    float grid). The corpus-sized scoring pass is then PURE JVM
+    expression work — ``aggregate(zip_with(codes, lut, (code, row) →
+    row[code]))`` — inside whole-stage codegen: no Python, no vector
+    payloads, only the tiny code column moves. The tiny query frame
+    (ids + luts) broadcasts. The ADC top ``k × rerank_factor`` per
+    query then re-scores EXACTLY: only those candidates fetch their
+    true vectors (an equi-join on candidate id), so the full-precision
+    work is ``k × rerank_factor`` rows per query instead of the whole
+    corpus — the standard IVFADC-style re-rank stage that buys back
+    the quantization error while keeping the 10-100× compressed scan.
+    Set ``rerank_factor=1`` (shortlist = k) to skip re-ranking and
+    return raw ADC scores.
+
+    Accuracy is the PQ tradeoff — verify with the recall harness
+    against :func:`brute_force_topk` (see tests/test_recall.py); raise
+    ``n_codes``/``rerank_factor`` for recall, lower them for index
+    size/scan cost. Pass pre-trained ``codebooks`` (+ optionally a
+    pre-encoded ``corpus_codes``) in production — the 100 TB pattern
+    is train-once-on-a-sample, encode-once, reuse.
+    """
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            corpus, dim, corpus_vec, corpus_id, n_subvectors, n_codes, iters,
+        )
+    bk = codebooks
+    n_sub, n_cd, d_sub = bk.shape
+
+    if corpus_codes is None:
+        corpus_codes = pq_encode(
+            corpus.select(
+                F.col(corpus_id).alias("candidate_id"),
+                F.col(corpus_vec).alias("__cv__"),
+            ),
+            bk,
+            "__cv__",
+            "__code__",
+        ).select("candidate_id", "__code__")
+
+    @F.pandas_udf("array<array<double>>")
+    def lut_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = []
+        for row in mat:
+            lut = [
+                (row[s * d_sub:(s + 1) * d_sub] @ bk[s].T).tolist()
+                for s in range(n_sub)
+            ]
+            out.append(lut)
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        lut_udf(F.col(query_vec)).alias("__lut__"),
+    )
+
+    joined = corpus_codes.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("candidate_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "candidate_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("__code__"),
+                F.col("__lut__"),
+                lambda code, row: F.element_at(row, code + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("cosine"),
+    )
+    if rerank_factor == 1:
+        return _topk_per_query(scored, k)
+
+    shortlist = _topk_per_query(scored, k * rerank_factor).select(
+        "query_id", "candidate_id",
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv__"),
+        _norm(F.col(query_vec)).alias("__qn__"),
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("candidate_id"),
+        F.col(corpus_vec).alias("__cv__"),
+        _norm(F.col(corpus_vec)).alias("__cn__"),
+    )
+    rescored = (
+        shortlist.join(cv, "candidate_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            (
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(rescored, k)

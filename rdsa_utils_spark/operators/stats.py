@@ -39,6 +39,7 @@ __all__ = [
     "winsorize",
     "rfm_segments",
     "js_divergence",
+    "grouped_autocorrelation",
 ]
 
 
@@ -320,4 +321,62 @@ def js_divergence(
         F.max("__ta").alias("n_a"),
         F.max("__tb").alias("n_b"),
     )
+    return out
+
+
+def grouped_autocorrelation(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3),
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Per-group autocorrelation of an ordered series at the given
+    lags — the periodicity/persistence diagnostic for keyed time
+    series (does yesterday predict today? is there a weekly echo?).
+
+    Output: one row per (group, lag) with ``acf`` = Pearson r between
+    the series and its lag-shifted self (sample ACF over the
+    overlapping pairs; NULL when a group has ≤ lag rows or zero
+    variance in the overlap).
+
+    One window pass materializes ALL requested lag columns (single
+    sort within the group partition), then one ``groupBy`` computes
+    every ``corr(x, x_lag)`` as built-in Catalyst aggregates, and a
+    ``stack`` unpivots to long form. The window and the aggregation
+    hash-partition on the same key, so AQE collapses them into ONE
+    shuffle; cost is independent of ``len(lags)`` beyond the extra
+    aggregate buffers. No Python anywhere.
+    """
+    if not lags or any(lag <= 0 for lag in lags):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(order_col)
+    lagged = df.select(
+        *gcols,
+        F.col(value_col).alias("__x__"),
+        *[
+            F.lag(value_col, lag).over(w).alias(f"__x_lag{lag}__")
+            for lag in lags
+        ],
+    )
+    aggs = [
+        F.corr("__x__", f"__x_lag{lag}__").alias(f"__acf{lag}__")
+        for lag in lags
+    ]
+    wide = lagged.groupBy(*gcols).agg(*aggs)
+    stack_expr = ", ".join(
+        f"{lag}, __acf{lag}__" for lag in lags
+    )
+    out = wide.select(
+        *gcols,
+        F.expr(
+            f"stack({len(lags)}, {stack_expr}) as (lag, acf)",
+        ),
+    )
+    if round_to is not None:
+        out = out.withColumn("acf", F.round("acf", round_to) + F.lit(0.0))
     return out

@@ -513,3 +513,116 @@ class TestUnigramLmScore:
         out = unigram_lm_score(df, "text", "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dedup_against_corpus_bloom_matches_exact(spark):
+    """The Bloom-prefiltered variant must return exactly what the
+    plain anti-join returns (false positives are removed by the exact
+    confirm join), including within-batch dedup, and its plan must
+    contain the broadcast bloom + might_contain prefilter."""
+    from rdsa_utils_spark.operators.dedup import (
+        dedup_against_corpus,
+        dedup_against_corpus_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"historical document number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 20 cross-corpus dups, 30 fresh, one within-batch dup pair.
+        [(1000 + i, f"historical document number {i}") for i in range(20)]
+        + [(2000 + i, f"brand new text {i}") for i in range(30)]
+        + [(3000, "brand new text 0")],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        r.doc_id
+        for r in dedup_against_corpus(batch, corpus, "text", "doc_id").collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_against_corpus_bloom(
+            batch, corpus, "text", "doc_id", expected_items=1000,
+        ).collect()
+    )
+    assert got == exact
+    assert got[0] == 2000 and len(got) == 30
+
+    # The probe must be pure JVM bit arithmetic against the broadcast
+    # bitmap — getbit lookups, no Python, no shuffle of fresh rows.
+    plan = dedup_against_corpus_bloom(
+        batch, corpus, "text", "doc_id",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+    with pytest.raises(ValueError, match="min.*max|max.*min"):
+        dedup_against_corpus_bloom(batch, corpus, "text", "doc_id", keep="neither")
+    with pytest.raises(ValueError, match="fpp"):
+        dedup_against_corpus_bloom(batch, corpus, "text", "doc_id", fpp=1.5)
+    with pytest.raises(ValueError, match="max_bloom_bytes"):
+        dedup_against_corpus_bloom(
+            batch, corpus, "text", "doc_id",
+            expected_items=10_000_000_000,
+        )
+
+
+class TestProductQuantization:
+    def _emb(self, spark, n=120, dim=16, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim)).astype("float32")
+        return spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_codebook_shape_and_determinism(self, spark):
+        from rdsa_utils_spark.operators.similarity import pq_train_codebooks
+
+        df = self._emb(spark)
+        bk1 = pq_train_codebooks(df, dim=16, n_subvectors=4, n_codes=8, iters=2)
+        bk2 = pq_train_codebooks(df, dim=16, n_subvectors=4, n_codes=8, iters=2)
+        assert bk1.shape == (4, 8, 4)
+        import numpy as np
+
+        assert np.array_equal(bk1, bk2), "training must be deterministic"
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="divide evenly"):
+            pq_train_codebooks(df, dim=16, n_subvectors=5)
+
+    def test_encode_codes_in_range(self, spark):
+        from rdsa_utils_spark.operators.similarity import (
+            pq_encode,
+            pq_train_codebooks,
+        )
+
+        df = self._emb(spark)
+        bk = pq_train_codebooks(df, dim=16, n_subvectors=4, n_codes=8, iters=2)
+        coded = pq_encode(df, bk).collect()
+        assert len(coded) == 120
+        for r in coded:
+            assert len(r.pq_code) == 4
+            assert all(0 <= c < 8 for c in r.pq_code)
+
+    def test_topk_scoring_is_jvm_side(self, spark):
+        """The corpus-sized ADC scoring pass must stay inside JVM
+        expression evaluation: the only Python in the plan is the
+        per-row encode/lut UDFs (ArrowEvalPython), never a
+        MapInPandas/BatchEval over the scored cross product."""
+        from rdsa_utils_spark.operators.similarity import pq_topk
+
+        df = self._emb(spark)
+        out = pq_topk(df.filter("vec_id < 5"), df, dim=16,
+                      n_subvectors=4, n_codes=8, iters=1, k=3)
+        rows = out.collect()
+        assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+        for q in range(5):
+            assert sum(1 for r in rows if r.query_id == q) == 3
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "BatchEvalPython" not in plan

@@ -50,6 +50,7 @@ _BNLJ_OK = {
     "event_jsd",              # 1-row sample-totals attach
     "label_centroid_sims",    # pairwise join over the tiny centroid table
     "benford_prices",         # 1-row grand-total attach
+    "dedup_incremental_bloom",  # 1-row Bloom-bitmap attach (getbit probe)
 }
 
 

@@ -333,3 +333,39 @@ def test_label_centroid_similarity_hand_built(spark):
     assert out[(0, 2)] == pytest.approx(1.0)   # parallel
     assert out[(1, 2)] == pytest.approx(0.0)
     assert len(out) == 3  # unordered pairs only
+
+
+def test_grouped_autocorrelation_matches_numpy(spark):
+    """ACF per group at lags 1..3 must equal the pandas/numpy sample
+    Pearson r between the series and its shifted self (overlap pairs
+    only); short groups yield NULL; lag must be positive."""
+    import numpy as np
+    import pandas as pd
+
+    from rdsa_utils_spark.operators.stats import grouped_autocorrelation
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for g, n in (("a", 40), ("b", 25), ("tiny", 2)):
+        x = np.cumsum(rng.normal(size=n))  # random walk → high lag-1 ACF
+        frames.append(pd.DataFrame({"g": g, "t": range(n), "x": x}))
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    out = grouped_autocorrelation(df, ["g"], "t", "x", lags=(1, 2, 3))
+    got = {(r.g, r.lag): r.acf for r in out.collect()}
+    assert len(got) == 9
+
+    for g, n in (("a", 40), ("b", 25)):
+        s = pdf.loc[pdf.g == g, "x"].reset_index(drop=True)
+        for lag in (1, 2, 3):
+            a, b = s[lag:].to_numpy(), s[:-lag].to_numpy()
+            want = float(np.corrcoef(a, b)[0, 1])
+            assert got[(g, lag)] == pytest.approx(want, abs=1e-6), (g, lag)
+
+    # 2-row group: lag-1 overlap has zero variance → NULL; lags 2,3 have
+    # no overlap at all → NULL.
+    assert got[("tiny", 2)] is None and got[("tiny", 3)] is None
+
+    with pytest.raises(ValueError, match="positive"):
+        grouped_autocorrelation(df, ["g"], "t", "x", lags=(0,))
