@@ -5443,6 +5443,81 @@ ORDER BY event_type, lag
 """
 
 
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join at Jaccard ≥ 0.9
+    (operators/dedup.py::jaccard_similarity_join): prefix filtering
+    (rarest-token blocks) + length-ratio pruning + exact
+    array_intersect verify — deterministic near-dup pairs with NO
+    probabilistic misses, the lossless counterpart to the MinHash
+    banding path. The oracle is brute-force all-pairs: same answer,
+    quadratic vs near-linear candidate cost."""
+    from rdsa_utils_spark.operators.dedup import jaccard_similarity_join
+
+    # doc_id < 1000 covers the whole corpus at the correctness SFs
+    # (0.001/0.01) and bounds the OUTPUT at bench SFs: the synthetic
+    # corpus repeats templates, so identical-doc cliques make the pair
+    # set itself quadratic in corpus size (~1M pairs at sf0.1) — a
+    # property of the data, not the plan.
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    out = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.9)
+    return out.orderBy("id_a", "id_b")
+
+
+_ORACLE_JACCARD_JOIN = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tk
+  FROM documents WHERE length(trim(text)) > 0 AND doc_id < 1000
+), scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+               (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))),
+               6) + 0.0 AS jaccard
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard
+FROM scored
+WHERE jaccard >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup (operators/similarity.py::semantic_dedup,
+    exact pair method so the whole composition is oracle-replayable):
+    cosine-≥-0.35 pairs → connected components → keep the min-id
+    representative per cluster. The oracle rebuilds the same edge set
+    all-pairs and resolves components with a recursive CTE."""
+    from rdsa_utils_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, dim=64, threshold=0.35, method="exact")
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+_ORACLE_SEMANTIC_DEDUP = r"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.35
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM scored
+  UNION
+  SELECT id_b AS a, id_a AS b FROM scored
+), reach AS (
+  SELECT DISTINCT a AS id, a AS r FROM sym
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM reach JOIN sym e ON e.a = reach.id
+), losers AS (
+  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+  WHERE id <> cluster_id
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+ORDER BY vec_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5541,6 +5616,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "acf_daily": q_acf_daily,
+        "jaccard_join": q_jaccard_join,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -5701,4 +5778,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "curation_pipeline": _ORACLE_CURATION_PIPELINE,
         "dedup_incremental_bloom": _ORACLE_DEDUP_INCREMENTAL,
         "acf_daily": _ORACLE_ACF_DAILY,
+        "jaccard_join": _ORACLE_JACCARD_JOIN,
+        "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
     }

@@ -1099,3 +1099,50 @@ def pq_topk(
         )
     )
     return _topk_per_query(rescored, k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "lsh",
+    max_iterations: int = 25,
+    **pair_kwargs,
+) -> DataFrame:
+    """Embedding-space deduplication (SemDeDup-style): drop every row
+    whose vector is cosine-≥-``threshold`` similar to a kept one,
+    resolving TRANSITIVE duplicate chains — A~B and B~C collapse to
+    one survivor even when A~C is below threshold. Returns the
+    surviving rows of ``df`` (full schema), keeping the smallest id
+    per duplicate cluster.
+
+    Composition of two audited primitives: near-dup pair generation
+    (``method="lsh"`` — hyperplane-bucketed candidates + exact
+    rescoring, the 100 TB path; ``method="exact"`` — all-pairs
+    broadcast GEMM, the oracle-checkable baseline) feeding
+    :func:`~rdsa_utils_spark.operators.dedup.dedup_clusters`
+    min-label propagation. The anti-join back to ``df`` touches ids
+    only; vectors never shuffle after pair generation.
+    """
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    if method == "lsh":
+        pairs = cosine_near_dup_pairs(
+            df, dim, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            **pair_kwargs,
+        )
+    elif method == "exact":
+        pairs = cosine_near_dup_pairs_exact(
+            df, dim, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            **pair_kwargs,
+        )
+    else:
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+
+    clusters = dedup_clusters(
+        pairs.select("id_a", "id_b"), max_iterations=max_iterations,
+    )
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

@@ -626,3 +626,87 @@ class TestProductQuantization:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_similarity_join_exact_vs_naive(spark):
+    """Prefix filtering must be lossless: results equal the brute-force
+    all-pairs Jaccard at several thresholds, including FP-hostile ones
+    (0.9·10 = 9.000000000000002 must not shorten the prefix)."""
+    from rdsa_utils_spark.operators.dedup import jaccard_similarity_join
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # 9/11 shared words with doc 1 -> J = 9/11 ≈ 0.818
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lam mu"),
+        # identical set to doc 1, different multiplicity/order
+        (3, "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"),
+        (4, "totally different words entirely here now"),
+        (5, ""),
+        # exact 0.9 boundary: shares 9 of its 10 with doc 6's 10 -> not 0.9;
+        # instead make J exactly 9/10? impossible for distinct sets; keep edges above
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def naive(t):
+        rows = df.collect()
+        toks = {r.doc_id: set(r.text.split()) for r in rows if r.text.strip()}
+        out = set()
+        for a in toks:
+            for b in toks:
+                if a < b:
+                    i = len(toks[a] & toks[b])
+                    j = i / (len(toks[a] | toks[b]))
+                    if round(j, 6) >= t:
+                        out.add((a, b, round(j, 6)))
+        return out
+
+    for t in (0.5, 0.8, 0.9, 1.0):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_similarity_join(df, "doc_id", "text", t).collect()
+        }
+        assert got == naive(t), f"threshold {t}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(df, "doc_id", "text", 0.0)
+
+    # Plan hygiene: no cartesian, no Python, no global window.
+    plan = jaccard_similarity_join(df, "doc_id", "text", 0.9) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_transitive_chain(spark):
+    """A~B and B~C (but not A~C) must collapse to one survivor; both
+    pair methods agree on this graph; unknown method raises."""
+    from rdsa_utils_spark.operators.similarity import semantic_dedup
+
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # 0° ~ 25° ~ 50° chain at threshold cos(30°)≈0.866: (0,25) and
+    # (25,50) are dups, (0,50) is not. 170° is isolated.
+    df = spark.createDataFrame(
+        [
+            (1, unit(0.0)),
+            (2, unit(math.radians(25))),
+            (3, unit(math.radians(50))),
+            (4, unit(math.radians(170))),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, dim=4, threshold=0.866, method="exact")
+    assert sorted(r.vec_id for r in out.collect()) == [1, 4]
+
+    out_lsh = semantic_dedup(
+        df, dim=4, threshold=0.866, method="lsh", bits=2, num_tables=16,
+    )
+    assert sorted(r.vec_id for r in out_lsh.collect()) == [1, 4]
+
+    with pytest.raises(ValueError, match="method"):
+        semantic_dedup(df, dim=4, method="other")
