@@ -5518,6 +5518,102 @@ ORDER BY vec_id
 """
 
 
+def q_pq_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, fully oracle-replayed
+    (operators/similarity.py::pq_topk): codebooks pinned to the
+    deterministic init (the 16 smallest-id vectors, normalized and
+    sliced per subvector — ``iters=0``), so DuckDB can re-derive the
+    ENTIRE pipeline in SQL: per-block argmax encoding, the per-query
+    ADC lookup tables, the rounded-ADC shortlist (k×10 with id
+    tie-break), and the exact cosine re-rank. ADC scores round to
+    9 dp before ranking so float summation order can't flip the
+    shortlist across engines. The TRAINED path keeps its measured
+    recall floor in tests/test_recall.py; this query proves the
+    machinery itself is exact."""
+    from rdsa_utils_spark.operators.similarity import (
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, dim=64, n_subvectors=8, n_codes=16, iters=0)
+    q = emb.filter(F.col("vec_id") < 20)
+    out = pq_topk(
+        q, emb, dim=64, k=10, n_subvectors=8, n_codes=16,
+        rerank_factor=10, codebooks=books, round_adc_to=9,
+    )
+    return out.select(
+        "query_id",
+        "candidate_id",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+    ).orderBy("query_id", "candidate_id")
+
+
+_ORACLE_PQ_TOPK_REPLAY = r"""
+WITH init AS (
+  SELECT c, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+           CAST(embedding AS DOUBLE[]) AS e
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+  )
+), subs AS (
+  SELECT unnest(range(8)) AS s
+), codes AS (
+  SELECT subs.s, init.c, list_slice(init.e, subs.s * 8 + 1, subs.s * 8 + 8) AS cv
+  FROM init CROSS JOIN subs
+), normed AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), blocks AS (
+  SELECT n.vec_id, c.s, c.c,
+         list_dot_product(list_slice(n.e, c.s * 8 + 1, c.s * 8 + 8), c.cv)
+           - 0.5 * list_dot_product(c.cv, c.cv) AS score
+  FROM normed n CROSS JOIN codes c
+), enc AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY score DESC, c ASC) AS rn
+    FROM blocks
+  ) WHERE rn = 1
+), lut AS (
+  SELECT n.vec_id AS qid, c.s, c.c,
+         list_dot_product(list_slice(n.e, c.s * 8 + 1, c.s * 8 + 8), c.cv) AS v
+  FROM normed n CROSS JOIN codes c
+  WHERE n.vec_id < 20
+), adc AS (
+  SELECT l.qid, e.vec_id AS cid, round(sum(l.v), 9) AS score
+  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.c
+  WHERE e.vec_id <> l.qid
+  GROUP BY l.qid, e.vec_id
+), short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, cid ASC) AS rn
+    FROM adc
+  ) WHERE rn <= 100
+), rescored AS (
+  SELECT s.qid AS query_id, s.cid AS candidate_id,
+         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                CAST(ce.embedding AS DOUBLE[])) AS cos
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.qid
+  JOIN embeddings ce ON ce.vec_id = s.cid
+)
+SELECT query_id, candidate_id, round(cos, 6) + 0.0 AS cosine
+FROM (
+  SELECT query_id, candidate_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, candidate_id ASC) AS rn
+  FROM rescored
+) WHERE rn <= 10
+ORDER BY query_id, candidate_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5618,6 +5714,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_daily": q_acf_daily,
         "jaccard_join": q_jaccard_join,
         "semantic_dedup": q_semantic_dedup,
+        "pq_topk_replay": q_pq_topk_replay,
     }
 
 
@@ -5780,4 +5877,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "acf_daily": _ORACLE_ACF_DAILY,
         "jaccard_join": _ORACLE_JACCARD_JOIN,
         "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
+        "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
     }

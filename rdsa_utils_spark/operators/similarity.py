@@ -990,6 +990,7 @@ def pq_topk(
     exclude_self: bool = True,
     codebooks: np.ndarray | None = None,
     corpus_codes: DataFrame | None = None,
+    round_adc_to: int | None = None,
 ) -> DataFrame:
     """PQ approximate cosine top-k: asymmetric distance computation
     (ADC) shortlist + exact re-ranking.
@@ -1015,6 +1016,11 @@ def pq_topk(
     size/scan cost. Pass pre-trained ``codebooks`` (+ optionally a
     pre-encoded ``corpus_codes``) in production — the 100 TB pattern
     is train-once-on-a-sample, encode-once, reuse.
+
+    ``round_adc_to`` rounds the ADC scores before shortlist ranking so
+    the shortlist replays bit-identically on engines with different
+    float summation order (the external-oracle pattern; see the
+    ``pq_topk_replay`` query) — leave ``None`` in production.
     """
     if rerank_factor < 1:
         raise ValueError(f"rerank_factor must be >= 1, got {rerank_factor}")
@@ -1057,19 +1063,18 @@ def pq_topk(
     joined = corpus_codes.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("candidate_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "candidate_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("__code__"),
-                F.col("__lut__"),
-                lambda code, row: F.element_at(row, code + F.lit(1)),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("cosine"),
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__code__"),
+            F.col("__lut__"),
+            lambda code, row: F.element_at(row, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
+    if round_adc_to is not None:
+        adc = F.round(adc, round_adc_to)
+    scored = joined.select("query_id", "candidate_id", adc.alias("cosine"))
     if rerank_factor == 1:
         return _topk_per_query(scored, k)
 

@@ -51,6 +51,7 @@ _BNLJ_OK = {
     "label_centroid_sims",    # pairwise join over the tiny centroid table
     "benford_prices",         # 1-row grand-total attach
     "dedup_incremental_bloom",  # 1-row Bloom-bitmap attach (getbit probe)
+    "pq_topk_replay",         # ADC scan IS broadcast query-LUTs × corpus codes
 }
 
 
