@@ -5614,6 +5614,69 @@ ORDER BY query_id, candidate_id
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit
+    (operators/sampling.py::split_leakage_report) over the same
+    deterministic-hash split machinery the curation pipeline
+    ships (50/25/25 here so cross-split collisions exist at every SF): distinct
+    cross-split fingerprint collisions + eval-side leaked row counts.
+    The template-heavy synthetic corpus leaks by construction, so the
+    report is non-trivial; the oracle re-derives the md5 split
+    variate, the fingerprints, and both tallies."""
+    from rdsa_utils_spark.operators.sampling import (
+        deterministic_split,
+        split_leakage_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # The raw corpus has no exact text dups at the correctness SFs, so
+    # (as in dedup_incremental) the audited frame is documents plus
+    # re-keyed copies of the first 100: the copies hash into different
+    # splits than their originals, guaranteeing real leakage to count.
+    audited = docs.unionByName(
+        docs.filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id") + 5000),
+    )
+    split = deterministic_split(
+        audited, "doc_id", {"train": 0.5, "val": 0.25, "test": 0.25}, seed="split",
+    )
+    return split_leakage_report(split, "split", "text").orderBy(
+        "split_a", "split_b",
+    )
+
+
+_ORACLE_SPLIT_LEAKAGE = r"""
+WITH audited AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000, text FROM documents WHERE doc_id < 100
+), u AS (
+  SELECT doc_id, text,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':split'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM audited
+), s AS (
+  SELECT CASE WHEN u < 0.5 THEN 'train'
+              WHEN u < 0.75 THEN 'val'
+              ELSE 'test' END AS split,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+  FROM u
+), fp AS (
+  SELECT split, f, COUNT(*) AS n_rows FROM s GROUP BY split, f
+)
+SELECT a.split AS split_a, b.split AS split_b,
+       COUNT(*) AS n_shared_fingerprints,
+       CAST(SUM(b.n_rows) AS BIGINT) AS n_leaked_rows_b
+FROM fp a JOIN fp b ON a.f = b.f AND a.split < b.split
+GROUP BY a.split, b.split
+ORDER BY split_a, split_b
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5715,6 +5778,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join": q_jaccard_join,
         "semantic_dedup": q_semantic_dedup,
         "pq_topk_replay": q_pq_topk_replay,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -5878,4 +5942,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "jaccard_join": _ORACLE_JACCARD_JOIN,
         "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
         "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
+        "split_leakage": _ORACLE_SPLIT_LEAKAGE,
     }

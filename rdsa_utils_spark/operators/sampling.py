@@ -366,3 +366,52 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    split_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Train/eval leakage audit: for every ordered pair of splits,
+    how many distinct normalized-text fingerprints appear in BOTH —
+    the check a curation pipeline runs before shipping a split layout
+    (an eval document whose exact text sits in train invalidates the
+    benchmark; group-unaware random splits cause this constantly).
+
+    Output: (``split_a``, ``split_b``, ``n_shared_fingerprints``,
+    ``n_leaked_rows_b``) with ``split_a < split_b`` lexically —
+    ``n_leaked_rows_b`` counts the rows of ``split_b`` whose
+    fingerprint also occurs in ``split_a`` (the eval-side casualties
+    when b is the eval split).
+
+    One shuffle shape: fingerprints reduce to DISTINCT
+    (split, digest) pairs first — document bodies never join — then a
+    self-equi-join on digest across different splits and one
+    aggregation. Row counts per (split, digest) ride along from the
+    first aggregation, so the leaked-row tally costs nothing extra.
+    """
+    from rdsa_utils_spark.operators.text import with_fingerprint
+
+    fp = (
+        with_fingerprint(df, text_col, "__fp__")
+        .groupBy(split_col, "__fp__")
+        .agg(F.count(F.lit(1)).alias("__rows__"))
+    )
+    a = fp.select(
+        F.col(split_col).alias("split_a"), "__fp__",
+    )
+    b = fp.select(
+        F.col(split_col).alias("split_b"),
+        "__fp__",
+        F.col("__rows__").alias("__rows_b__"),
+    )
+    return (
+        a.join(b, "__fp__")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_fingerprints"),
+            F.sum("__rows_b__").alias("n_leaked_rows_b"),
+        )
+    )

@@ -247,3 +247,30 @@ def test_weighted_sample_proportional_and_deterministic(spark):
 
     with pytest.raises(ValueError):
         weighted_sample(df, "id", "w", k=0)
+
+
+def test_split_leakage_report_counts(spark):
+    from rdsa_utils_spark.operators.sampling import split_leakage_report
+
+    df = spark.createDataFrame(
+        [
+            ("train", 1, "shared text one"),
+            ("train", 2, "shared  TEXT one"),   # same fingerprint as 1
+            ("train", 3, "train only"),
+            ("val", 4, "Shared text ONE"),      # leaks from train (1 row)
+            ("val", 5, "val only"),
+            ("test", 6, "shared text one"),     # leaks from train AND val
+            ("test", 7, "shared text one "),    # second leaked test row
+            ("test", 8, "val only"),            # leaks from val
+        ],
+        "split string, doc_id long, text string",
+    )
+    out = {
+        (r.split_a, r.split_b): (r.n_shared_fingerprints, r.n_leaked_rows_b)
+        for r in split_leakage_report(df, "split", "text").collect()
+    }
+    # NB lexical pair order: test < train < val; n_leaked_rows_b counts
+    # rows on the split_b side of each pair.
+    assert out[("train", "val")] == (1, 1)    # digest S; val has 1 S-row
+    assert out[("test", "train")] == (1, 2)   # digest S; train has 2 S-rows
+    assert out[("test", "val")] == (2, 2)     # digests S+V; val rows 1+1
