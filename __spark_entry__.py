@@ -5677,6 +5677,84 @@ ORDER BY split_a, split_b
 """
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Naive-Bayes train→predict→confusion-matrix
+    (operators/classify.py): train on (lang, text), re-score the
+    corpus, count (lang, label_pred) cells. Training is two groupBy
+    aggregations + a 1-row vocabulary scalar; scoring is explode ×
+    label cross × broadcast model join + argmax window. Log values
+    round at 9 dp (train) / 6 dp (score) so DuckDB replays the whole
+    pipeline — train loop included — hash-identically."""
+    from rdsa_utils_spark.operators.classify import (
+        naive_bayes_score,
+        train_naive_bayes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model, priors = train_naive_bayes(docs, "lang", "text")
+    pred = naive_bayes_score(docs, model, priors, "doc_id", "text")
+    truth = docs.select("doc_id", "lang")
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("lang", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "label_pred")
+    )
+
+
+_ORACLE_NB_CONFUSION = r"""
+WITH docs AS (
+  SELECT doc_id, lang, trim(text) AS t FROM documents
+), tok AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(t, '\s+')) AS token
+  FROM docs WHERE length(t) > 0
+), counts AS (
+  SELECT lang AS label, token, count(*) AS c FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT label, sum(c) AS n FROM counts GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT token) AS v FROM counts
+), ndocs AS (
+  SELECT count(*) AS nd FROM docs
+), dcounts AS (
+  SELECT lang AS label, count(*) AS d FROM docs GROUP BY 1
+), model AS (
+  SELECT c.label, c.token,
+         round(ln((c.c + 1.0) / (t.n + 1.0 * v.v)), 9) + 0.0 AS log_cond
+  FROM counts c JOIN totals t USING (label) CROSS JOIN vocab v
+), priors AS (
+  SELECT dc.label,
+         round(ln(dc.d / nd.nd), 9) + 0.0 AS log_prior,
+         round(ln(1.0 / (t.n + 1.0 * v.v)), 9) + 0.0 AS log_default
+  FROM dcounts dc JOIN totals t USING (label)
+  CROSS JOIN vocab v CROSS JOIN ndocs nd
+), token_scores AS (
+  SELECT tk.doc_id, p.label, sum(coalesce(m.log_cond, p.log_default)) AS s
+  FROM tok tk
+  CROSS JOIN (SELECT label, log_default FROM priors) p
+  LEFT JOIN model m ON m.token = tk.token AND m.label = p.label
+  GROUP BY 1, 2
+), total AS (
+  SELECT d.doc_id, p.label,
+         round(p.log_prior + coalesce(ts.s, 0.0), 6) + 0.0 AS log_score
+  FROM docs d
+  CROSS JOIN priors p
+  LEFT JOIN token_scores ts ON ts.doc_id = d.doc_id AND ts.label = p.label
+), pred AS (
+  SELECT doc_id, label AS label_pred FROM (
+    SELECT doc_id, label,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY log_score DESC, label ASC) AS rn
+    FROM total
+  ) WHERE rn = 1
+)
+SELECT d.lang, p.label_pred, count(*) AS n_docs
+FROM pred p JOIN docs d USING (doc_id)
+GROUP BY d.lang, p.label_pred
+ORDER BY d.lang, p.label_pred
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5779,6 +5857,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pq_topk_replay": q_pq_topk_replay,
         "split_leakage": q_split_leakage,
+        "nb_confusion": q_nb_confusion,
     }
 
 
@@ -5943,4 +6022,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
         "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
         "split_leakage": _ORACLE_SPLIT_LEAKAGE,
+        "nb_confusion": _ORACLE_NB_CONFUSION,
     }

@@ -52,6 +52,7 @@ _BNLJ_OK = {
     "benford_prices",         # 1-row grand-total attach
     "dedup_incremental_bloom",  # 1-row Bloom-bitmap attach (getbit probe)
     "pq_topk_replay",         # ADC scan IS broadcast query-LUTs × corpus codes
+    "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
 }
 
 
