@@ -5755,6 +5755,90 @@ ORDER BY d.lang, p.label_pred
 """
 
 
+def q_ivf_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, fully oracle-replayed (operators/similarity.py::
+    ivf_topk): centroids pinned to the deterministic init (16 smallest
+    ids, normalized, ``iters=0``) and per-cell selection switched to
+    its deterministic rounded form, so DuckDB re-derives cell
+    assignment (argmax cosine, id tie-break), the 7-of-16 probe sets,
+    per-cell exact-cosine top-k, and the global top-10. Upgrades the
+    IVF machinery from rows-only evidence (the trained `ivf_topk`
+    declared query keeps its measured recall floor) to hash-checked."""
+    from rdsa_utils_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, dim=64, n_cells=16, iters=0)
+    q = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(
+        q, emb, dim=64, k=10, n_cells=16, nprobe=7,
+        centroids=cents, round_scores_to=9,
+    )
+    return out.select(
+        "query_id",
+        "candidate_id",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+    ).orderBy("query_id", "candidate_id")
+
+
+_ORACLE_IVF_TOPK_REPLAY = r"""
+WITH init AS (
+  SELECT c, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+           CAST(embedding AS DOUBLE[]) AS e
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+  )
+), normed AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), assign AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT n.vec_id, i.c,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.e, i.ce) DESC,
+                                       i.c ASC) AS rn
+    FROM normed n CROSS JOIN init i
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS qid, c AS cell FROM (
+    SELECT n.vec_id, i.c,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.e, i.ce) DESC,
+                                       i.c ASC) AS rn
+    FROM normed n CROSS JOIN init i
+    WHERE n.vec_id < 20
+  ) WHERE rn <= 7
+), cellscore AS (
+  SELECT p.qid, p.cell, a.vec_id AS cid,
+         round(list_dot_product(qn.e, cn.e), 9) + 0.0 AS cos9
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN normed qn ON qn.vec_id = p.qid
+  JOIN normed cn ON cn.vec_id = a.vec_id
+  WHERE a.vec_id <> p.qid
+), percell AS (
+  SELECT qid, cid, cos9 FROM (
+    SELECT qid, cell, cid, cos9,
+           row_number() OVER (PARTITION BY qid, cell
+                              ORDER BY cos9 DESC, cid ASC) AS rn
+    FROM cellscore
+  ) WHERE rn <= 10
+)
+SELECT query_id, candidate_id, round(cos9, 6) + 0.0 AS cosine
+FROM (
+  SELECT qid AS query_id, cid AS candidate_id, cos9,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos9 DESC, cid ASC) AS rn
+  FROM percell
+) WHERE rn <= 10
+ORDER BY query_id, candidate_id
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5858,6 +5942,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_replay": q_pq_topk_replay,
         "split_leakage": q_split_leakage,
         "nb_confusion": q_nb_confusion,
+        "ivf_topk_replay": q_ivf_topk_replay,
     }
 
 
@@ -6023,4 +6108,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
         "split_leakage": _ORACLE_SPLIT_LEAKAGE,
         "nb_confusion": _ORACLE_NB_CONFUSION,
+        "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
     }

@@ -673,10 +673,18 @@ def ivf_topk(
     seed: int = 42,
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
+    round_scores_to: int | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: corpus vectors live in k-means
     cells; each query scores only the ``nprobe`` cells nearest its own
     vector, then exact cosine rescoring + per-query top-k.
+
+    ``round_scores_to`` switches the per-cell selection to a
+    deterministic replayable form (scores rounded before selection,
+    full (score desc, id asc) ordering instead of argpartition's
+    arbitrary tie order) so an external engine can reproduce the
+    output exactly — see the ``ivf_topk_replay`` query. Leave ``None``
+    in production.
 
     Shuffle profile: corpus is hash-partitioned by cell once; queries
     explode ×nprobe and equi-join on cell — no broadcast of the corpus,
@@ -723,11 +731,17 @@ def ivf_topk(
         cids = cpdf["candidate_id"].to_numpy()
         if drop_self:
             sims = np.where(qids[:, None] == cids[None, :], -np.inf, sims)
+        if round_scores_to is not None:
+            sims = np.round(sims, round_scores_to)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows_q, rows_c, rows_s = [], [], []
         for i in range(sims.shape[0]):
-            for j in top[i]:
+            if round_scores_to is not None:
+                # Deterministic selection: (score desc, id asc).
+                top_i = np.lexsort((cids, -sims[i]))[:kk]
+            else:
+                top_i = np.argpartition(-sims[i], kk - 1)[:kk]
+            for j in top_i:
                 if np.isfinite(sims[i, j]):
                     rows_q.append(qids[i])
                     rows_c.append(cids[j])
