@@ -5839,6 +5839,56 @@ ORDER BY query_id, candidate_id
 """
 
 
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity report
+    (operators/text.py::token_entropy_by): mean per-doc token entropy,
+    mean token count, and distinct vocabulary per source — the
+    low-entropy screen that catches template/stamped sources before
+    they pollute a training mix. Entropy rounds per doc, the report
+    rounds per source; the oracle replays both aggregation levels."""
+    from rdsa_utils_spark.operators.text import token_entropy_by
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = token_entropy_by(docs, "doc_id", "text")
+    per_doc = docs.select("doc_id", "source").join(ent, "doc_id")
+    by_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("entropy"), 6) + F.lit(0.0)).alias("avg_entropy"),
+        (F.round(F.avg("n_tokens"), 6) + F.lit(0.0)).alias("avg_tokens"),
+    )
+    vocab = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .groupBy("source")
+        .agg(F.count_distinct("t").alias("vocab_size"))
+    )
+    return by_source.join(vocab, "source").orderBy("source")
+
+
+_ORACLE_SOURCE_ENTROPY = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, source, t, count(*) AS c FROM tok GROUP BY 1, 2, 3
+), ent AS (
+  SELECT doc_id, source, sum(c) AS n,
+         round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0 AS h
+  FROM c GROUP BY 1, 2
+), v AS (
+  SELECT source, count(DISTINCT t) AS vocab_size FROM tok GROUP BY 1
+)
+SELECT e.source, count(*) AS n_docs,
+       round(avg(e.h), 6) + 0.0 AS avg_entropy,
+       round(avg(e.n), 6) + 0.0 AS avg_tokens,
+       v.vocab_size
+FROM ent e JOIN v ON v.source = e.source
+GROUP BY e.source, v.vocab_size
+ORDER BY e.source
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5943,6 +5993,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "nb_confusion": q_nb_confusion,
         "ivf_topk_replay": q_ivf_topk_replay,
+        "source_entropy": q_source_entropy,
     }
 
 
@@ -6109,4 +6160,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "split_leakage": _ORACLE_SPLIT_LEAKAGE,
         "nb_confusion": _ORACLE_NB_CONFUSION,
         "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
+        "source_entropy": _ORACLE_SOURCE_ENTROPY,
     }

@@ -498,3 +498,40 @@ def boilerplate_ngrams(
             6,
         ).alias("boilerplate_ratio"),
     )
+
+
+def token_entropy_by(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    ``H = ln(N) − (Σ c·ln c)/N`` over whitespace-token counts — the
+    repetition/diversity diagnostic a curation pipeline thresholds on
+    (near-0 entropy = one token stamped repeatedly; log-vocab-sized
+    entropy = natural prose). Returns (``id_col``, ``n_tokens``,
+    ``entropy``); documents with no tokens are absent (entropy of an
+    empty distribution is undefined — filter or coalesce downstream).
+
+    Two hash shuffles, both on high-cardinality keys: explode →
+    count per (doc, token), then one aggregation per doc computing
+    both moments (Σc, Σc·ln c) in the same buffer pass. All JVM;
+    entropy rounds at the edge so external engines replay it.
+    """
+    counts = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = counts.groupBy("__id").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clnc"),
+    )
+    h = F.log(F.col("n_tokens")) - F.col("__clnc") / F.col("n_tokens")
+    if round_to is not None:
+        h = F.round(h, round_to) + F.lit(0.0)
+    return agg.select(F.col("__id").alias(id_col), "n_tokens", h.alias("entropy"))

@@ -710,3 +710,26 @@ def test_semantic_dedup_transitive_chain(spark):
 
     with pytest.raises(ValueError, match="method"):
         semantic_dedup(df, dim=4, method="other")
+
+
+def test_token_entropy_values(spark):
+    import math
+
+    from rdsa_utils_spark.operators.text import token_entropy_by
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated -> H = 0
+            (2, "a b c d"),          # uniform over 4 -> H = ln 4
+            (3, "a a b"),            # 2/3, 1/3
+            (4, ""),                 # absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.entropy) for r in
+           token_entropy_by(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (4, 0.0)
+    assert out[2][1] == pytest.approx(round(math.log(4), 6), abs=1e-9)
+    want3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert out[3][1] == pytest.approx(round(want3, 6), abs=1e-9)
