@@ -5889,6 +5889,39 @@ ORDER BY e.source
 """
 
 
+def q_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day
+    (operators/events.py::cumulative_distinct): the first-occurrence
+    trick — min(day) per user, count per day, one running-sum window
+    over the calendar-sized frame — replaces the quadratic per-day
+    COUNT DISTINCT re-scan (which neither Spark nor ANSI SQL can even
+    express as a window). Oracle replays the same derivation."""
+    from rdsa_utils_spark.operators.events import cumulative_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = cumulative_distinct(ev, "user_id", "ts", bucket="day")
+    return out.select(
+        F.col("bucket_start").cast("string").alias("day"),
+        "n_new",
+        "n_cumulative",
+    ).orderBy("day")
+
+
+_ORACLE_CUMULATIVE_NEW_USERS = r"""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d FROM events GROUP BY user_id
+), per_day AS (
+  SELECT d, count(*) AS n_new FROM first_seen GROUP BY d
+)
+SELECT CAST(CAST(d AS TIMESTAMP) AS VARCHAR) AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_cumulative
+FROM per_day
+ORDER BY day
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -5994,6 +6027,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": q_nb_confusion,
         "ivf_topk_replay": q_ivf_topk_replay,
         "source_entropy": q_source_entropy,
+        "cumulative_new_users": q_cumulative_new_users,
     }
 
 
@@ -6161,4 +6195,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "nb_confusion": _ORACLE_NB_CONFUSION,
         "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
+        "cumulative_new_users": _ORACLE_CUMULATIVE_NEW_USERS,
     }

@@ -375,3 +375,30 @@ def test_impute_nulls_strategies(spark):
 
     with pytest.raises(ValueError):
         impute_nulls(df, "v", [], "bogus")
+
+
+def test_cumulative_distinct_first_occurrence(spark):
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.events import cumulative_distinct
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-03 10:00:00"),   # returning — must not recount
+        (2, "2024-01-01 12:00:00"),
+        (3, "2024-01-03 09:00:00"),
+        (3, "2024-01-05 09:00:00"),
+        (4, "2024-01-05 23:59:59"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").withColumn(
+        "ts", F.to_timestamp("s"),
+    )
+    out = {
+        str(r.bucket_start)[:10]: (r.n_new, r.n_cumulative)
+        for r in cumulative_distinct(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-03": (1, 3),
+        "2024-01-05": (1, 4),
+    }

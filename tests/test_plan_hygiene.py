@@ -55,6 +55,13 @@ _BNLJ_OK = {
     "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
 }
 
+#: Queries allowed a single-partition global window: the window runs
+#: over a frame ALREADY reduced to calendar/catalog size by an
+#: aggregation (the rule's target is global windows over raw data).
+_GLOBAL_WINDOW_OK = {
+    "cumulative_new_users",   # running sum over one row per day
+}
+
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_plan_hygiene(spark, name):
@@ -72,6 +79,7 @@ def test_plan_hygiene(spark, name):
     # renders as a windowspecdefinition with no partition columns before
     # the ORDER spec; cheap textual proxy — a SinglePartition exchange
     # feeding a Window operator.
-    assert "Exchange SinglePartition\n   +- Window" not in plan, (
-        f"{name}: single-partition global window"
-    )
+    if name not in _GLOBAL_WINDOW_OK:
+        assert "Exchange SinglePartition\n   +- Window" not in plan, (
+            f"{name}: single-partition global window"
+        )
