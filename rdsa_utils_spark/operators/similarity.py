@@ -540,6 +540,12 @@ def cosine_near_dup_pairs_exact(
             "use cosine_near_dup_pairs (LSH) for corpora beyond broadcast size",
         )
     pdf = src.toPandas()
+    if pdf.empty:
+        # Zero-row corpus: no pairs by definition; keep the output
+        # schema without running the scoring pass.
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double",
+        )
     ids = pdf["id"].to_numpy(dtype=np.int64)
     mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -550,6 +556,8 @@ def cosine_near_dup_pairs_exact(
     def score(batches):
         c_ids, c_unit = bc.value
         for batch in batches:
+            if batch.empty:
+                continue
             bmat = np.stack(batch["vec"].to_numpy()).astype(np.float64)
             bn = np.linalg.norm(bmat, axis=1)
             bn[bn == 0.0] = 1.0
@@ -976,6 +984,8 @@ def pq_encode(
 
     @F.pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         codes = np.empty((mat.shape[0], n_sub), dtype=np.int64)
@@ -1058,6 +1068,8 @@ def pq_topk(
 
     @F.pandas_udf("array<array<double>>")
     def lut_udf(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         out = []

@@ -171,3 +171,63 @@ def test_round4_stream_ops_on_empty(spark):
     l = spark.createDataFrame([], "u long, ts timestamp")
     r = spark.createDataFrame([], "u long, ts timestamp")
     assert interval_join(l, r, ["u"], "ts", "ts").count() == 0
+
+
+def test_round4_third_wave_ops_on_empty(spark, empty_docs):
+    """Jaccard join, bloom dedup, semantic dedup, NB, entropy,
+    cumulative distinct, ACF, split leakage on zero-row inputs."""
+    from rdsa_utils_spark.operators.classify import (
+        naive_bayes_score,
+        train_naive_bayes,
+    )
+    from rdsa_utils_spark.operators.dedup import (
+        dedup_against_corpus_bloom,
+        jaccard_similarity_join,
+    )
+    from rdsa_utils_spark.operators.events import cumulative_distinct
+    from rdsa_utils_spark.operators.sampling import split_leakage_report
+    from rdsa_utils_spark.operators.stats import grouped_autocorrelation
+    from rdsa_utils_spark.operators.text import token_entropy_by
+
+    assert jaccard_similarity_join(empty_docs, "doc_id", "text").count() == 0
+    assert token_entropy_by(empty_docs, "doc_id", "text").count() == 0
+
+    corpus = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    # empty batch vs real corpus -> empty; real batch vs EMPTY corpus
+    # exercises the zero-item bloom build (all-zero bitmap, no rows).
+    assert dedup_against_corpus_bloom(
+        empty_docs, corpus, "text", "doc_id",
+    ).count() == 0
+    out = dedup_against_corpus_bloom(corpus, empty_docs, "text", "doc_id")
+    assert [r.doc_id for r in out.collect()] == [1]
+
+    empty_split = spark.createDataFrame([], "split string, doc_id long, text string")
+    assert split_leakage_report(empty_split, "split", "text").count() == 0
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp")
+    assert cumulative_distinct(ev, "user_id", "ts").count() == 0
+
+    ets = spark.createDataFrame([], "g string, t long, x double")
+    assert grouped_autocorrelation(ets, ["g"], "t", "x", lags=(1,)).count() == 0
+
+    labeled = spark.createDataFrame([], "doc_id long, label string, text string")
+    model, priors = train_naive_bayes(labeled, "label", "text")
+    assert model.count() == 0 and priors.count() == 0
+    # scoring an empty frame against an empty model: empty, not an error
+    assert naive_bayes_score(
+        empty_docs, model, priors, "doc_id", "text",
+    ).count() == 0
+
+
+def test_pq_and_semantic_on_empty(spark):
+    from rdsa_utils_spark.operators.similarity import (
+        pq_encode,
+        semantic_dedup,
+    )
+    import numpy as np
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    books = np.zeros((4, 8, 4))
+    assert pq_encode(empty_emb, books).count() == 0
+    # semantic dedup of an empty frame: no pairs, no clusters, empty out
+    assert semantic_dedup(empty_emb, dim=16, method="exact").count() == 0
