@@ -397,3 +397,51 @@ def test_standardize_dims_moments(spark, rows):
             assert abs(z[:, d].std(ddof=1) - 1.0) < 1e-3
         else:
             assert np.all(np.isfinite(z[:, d]))
+
+
+# Docs drawn from a tiny vocabulary so high-Jaccard pairs actually
+# occur; duplicate doc_ids collapse via dict.
+jaccard_docs_strategy = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=15),
+    values=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    docs=jaccard_docs_strategy,
+    threshold=st.sampled_from([0.34, 0.5, 0.75, 0.9, 1.0]),
+)
+@settings(**SETTINGS)
+def test_jaccard_join_matches_brute_force(spark, docs, threshold):
+    """Prefix filtering must be LOSSLESS for any corpus/threshold:
+    identical pair set and identical rounded scores as quadratic
+    brute force, including all-identical docs (giant cliques), empty
+    docs, and single-token docs where the prefix is the whole set."""
+    from rdsa_utils_spark.operators.dedup import jaccard_similarity_join
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similarity_join(df, "doc_id", "text", threshold).collect()
+    }
+
+    toks = {i: set(w) for i, w in docs.items() if w}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a < b:
+                j = round(
+                    len(toks[a] & toks[b]) / len(toks[a] | toks[b]), 6,
+                )
+                if j >= threshold:
+                    want[(a, b)] = j
+    assert got == want
