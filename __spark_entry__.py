@@ -5922,6 +5922,44 @@ ORDER BY day
 """
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer
+    (operators/text.py::hashed_token_features, 128 buckets, signed):
+    sparse (doc, feature, value) rows for the first 50 documents —
+    the zero-vocabulary-pass path to model inputs. md5-derived
+    bucketing and signs, so the oracle replays every feature."""
+    from rdsa_utils_spark.operators.text import hashed_token_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = hashed_token_features(docs, "doc_id", "text", n_features=128)
+    return out.orderBy("doc_id", "feature")
+
+
+_ORACLE_HASHED_FEATURES = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+  WHERE doc_id < 50 AND length(trim(text)) > 0
+), hashed AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 9), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+                    * CAST(power(16, 8 - i) AS BIGINT) AS BIGINT))),
+           (a, b) -> a + b) % 128 AS INTEGER) AS feature,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(t), 9, 1)) - 1 < 8
+              THEN 1.0 ELSE -1.0 END AS v
+  FROM tok
+)
+SELECT doc_id, feature, sum(v) AS value
+FROM hashed
+GROUP BY doc_id, feature
+HAVING sum(v) <> 0
+ORDER BY doc_id, feature
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -6028,6 +6066,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_replay": q_ivf_topk_replay,
         "source_entropy": q_source_entropy,
         "cumulative_new_users": q_cumulative_new_users,
+        "hashed_features": q_hashed_features,
     }
 
 
@@ -6196,4 +6235,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
         "cumulative_new_users": _ORACLE_CUMULATIVE_NEW_USERS,
+        "hashed_features": _ORACLE_HASHED_FEATURES,
     }

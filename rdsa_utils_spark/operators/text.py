@@ -535,3 +535,48 @@ def token_entropy_by(
     if round_to is not None:
         h = F.round(h, round_to) + F.lit(0.0)
     return agg.select(F.col("__id").alias(id_col), "n_tokens", h.alias("entropy"))
+
+
+def hashed_token_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 256,
+    signed: bool = True,
+) -> DataFrame:
+    """The hashing trick (feature hashing): map tokens to a fixed
+    ``n_features``-bucket space with NO vocabulary pass — the
+    stateless vectorizer for linear models/NB over unbounded corpora
+    (a 100 TB stream can't build and broadcast a vocabulary first;
+    hashing needs zero driver state and no second scan).
+
+    Returns sparse long form ``(id_col, feature, value)``: bucket =
+    first 8 md5 hex digits of the token mod ``n_features``; with
+    ``signed=True`` each token contributes ±1 by its 9th md5 digit
+    (Weinberger et al. 2009 — makes collision noise zero-mean), and
+    exact ±cancellations are dropped. All hashing is md5-derived so
+    an ANSI-SQL engine replays features bit-for-bit.
+
+    One explode + one groupBy(id, feature) with map-side combine —
+    the same shuffle shape as a token count.
+    """
+    if n_features < 2:
+        raise ValueError(f"n_features must be >= 2, got {n_features}")
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    )
+    h8 = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h8, F.lit(n_features)).cast("int")
+    if signed:
+        sign_digit = F.conv(F.substring(F.md5("__t"), 9, 1), 16, 10).cast("int")
+        contrib = F.when(sign_digit < 8, F.lit(1.0)).otherwise(F.lit(-1.0))
+    else:
+        contrib = F.lit(1.0)
+    return (
+        tok.select("__id", bucket.alias("feature"), contrib.alias("__v"))
+        .groupBy("__id", "feature")
+        .agg(F.sum("__v").alias("value"))
+        .filter(F.col("value") != 0.0)
+        .select(F.col("__id").alias(id_col), "feature", "value")
+    )

@@ -733,3 +733,29 @@ def test_token_entropy_values(spark):
     assert out[2][1] == pytest.approx(round(math.log(4), 6), abs=1e-9)
     want3 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert out[3][1] == pytest.approx(round(want3, 6), abs=1e-9)
+
+
+def test_hashed_token_features_deterministic_and_bounded(spark):
+    from rdsa_utils_spark.operators.text import hashed_token_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = hashed_token_features(df, "doc_id", "text", n_features=16).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.feature < 16
+        by_doc.setdefault(r.doc_id, {})[r.feature] = r.value
+    # same token -> same bucket & sign on every doc
+    f_alpha = [(f, v) for f, v in by_doc[2].items()][0]
+    assert abs(f_alpha[1]) == 1.0
+    # doc 1 has alpha twice: its bucket carries ±2 (or ±2∓1 if beta
+    # collides); magnitudes are integers
+    assert all(v == int(v) for d in by_doc.values() for v in d.values())
+    assert 3 not in by_doc  # empty doc -> no features
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_features"):
+        hashed_token_features(df, "doc_id", "text", n_features=1)
