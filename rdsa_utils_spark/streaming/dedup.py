@@ -74,3 +74,46 @@ def fingerprint_dedup_stream(
     return dedup_within_watermark(
         fp, [fingerprint_col], ts_col=ts_col, watermark=watermark,
     )
+
+
+def new_keys_per_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming "new vs returning": count keys whose FIRST arrival
+    (within the watermark horizon) lands in each tumbling window —
+    the live half of ``operators/events.cumulative_distinct``'s
+    first-occurrence trick. A key is counted in exactly one window,
+    so a monotonic sink (or a batch running sum over the emitted
+    rows) yields the cumulative distinct series.
+
+    Streaming: dedup-first-arrival per key (state = one digest-sized
+    row per key in the horizon) feeding a windowed count — both
+    stateful operators share the watermark, so state is bounded and
+    windows finalize. Batch: min-timestamp per key then the same
+    window bucketing, the exact infinite-horizon semantics. Output:
+    (``window_start``, ``window_end``, ``n_new``).
+    """
+    if not df.isStreaming:
+        firsts = df.groupBy(key_col).agg(F.min(ts_col).alias(ts_col))
+        bucketed = firsts.groupBy(F.window(ts_col, window)).agg(
+            F.count(F.lit(1)).alias("n_new"),
+        )
+    else:
+        deduped = dedup_within_watermark(
+            df.select(key_col, ts_col), [key_col],
+            ts_col=ts_col, watermark=watermark,
+        )
+        # The watermark set inside the dedup carries downstream;
+        # re-defining it on the same column is illegal in Spark 4.
+        bucketed = deduped.groupBy(F.window(ts_col, window)).agg(
+            F.count(F.lit(1)).alias("n_new"),
+        )
+    return bucketed.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n_new",
+    )

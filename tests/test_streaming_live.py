@@ -494,3 +494,42 @@ def test_write_stream_additive_rollup_accumulates(spark, sf_dir, tmp_path):
     expected = {r.event_type: (round(r.value, 4), r.n_events)
                 for r in expected_df.collect()}
     assert got == expected
+
+
+def test_new_keys_per_window_streaming(spark, events_stream):
+    """Streaming first-occurrence counts equal the batch
+    first-occurrence trick on every closed window (a key counts once,
+    in its first window, never again)."""
+    from rdsa_utils_spark.streaming.dedup import new_keys_per_window
+
+    stream_df, batch_df = events_stream
+    agg = new_keys_per_window(
+        stream_df, "user_id", "ts", window="1 day", watermark="1 day",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("new_keys_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT window_start, n_new FROM new_keys_out",
+    ).collect()
+    expected = {
+        str(r["window_start"]): r["n_new"]
+        for r in new_keys_per_window(batch_df, "user_id", "ts", "1 day").collect()
+    }
+    assert len(got) > 0
+    total_streamed = 0
+    for r in got:
+        assert expected[str(r["window_start"])] == r["n_new"], (
+            f"diverges at {r['window_start']}"
+        )
+        total_streamed += r["n_new"]
+    # sanity: closed windows never over-count distinct users
+    assert total_streamed <= batch_df.select("user_id").distinct().count()
