@@ -3698,9 +3698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_candidates": q_lsh_candidates,
         "minhash_near_dedup": q_minhash_near_dedup,
-        # --- non-SQL-expressible, rows-only by design (4) ---
+        "ivf_topk_replay": q_ivf_topk_replay,
+        # --- non-SQL-expressible, rows-only by design (3) ---
+        # (the trained ivf_topk path moved to tests-only coverage when
+        # the oracle-backed iters=0 replay took its driver slot; its
+        # recall floor lives in tests/test_recall.py)
         "approx_sketches": q_approx_sketches,
-        "ivf_topk": q_ivf_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
     }
@@ -6063,7 +6066,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_replay": q_pq_topk_replay,
         "split_leakage": q_split_leakage,
         "nb_confusion": q_nb_confusion,
-        "ivf_topk_replay": q_ivf_topk_replay,
         "source_entropy": q_source_entropy,
         "cumulative_new_users": q_cumulative_new_users,
         "hashed_features": q_hashed_features,
@@ -6118,6 +6120,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups_exact": _ORACLE_EMBEDDING_NEAR_DUPS_EXACT,
         "lsh_candidates": _oracle_lsh_candidates(),
         "minhash_near_dedup": _oracle_minhash_near_dedup(),
+        "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
         # approx_sketches: HLL/KLL sketch algorithms are engine-specific
         # (Spark HLL++ vs DuckDB HLL) — rows-only check; the exact
         # counterparts are oracle-verified above.
@@ -6232,7 +6235,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
         "split_leakage": _ORACLE_SPLIT_LEAKAGE,
         "nb_confusion": _ORACLE_NB_CONFUSION,
-        "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
         "cumulative_new_users": _ORACLE_CUMULATIVE_NEW_USERS,
         "hashed_features": _ORACLE_HASHED_FEATURES,
