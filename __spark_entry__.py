@@ -5963,6 +5963,84 @@ ORDER BY doc_id, feature
 """
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/search.py::rrf_fuse): the BM25 top-10 fused with a
+    term-density top-10 for the same bag of query words — rank-based
+    fusion needs no score calibration between heterogeneous
+    retrievers. Both input rankings and the fusion replay in SQL."""
+    from rdsa_utils_spark.operators.search import bm25_topk, rrf_fuse
+    from rdsa_utils_spark.operators.text import tokens as _tokens
+
+    terms = ["spark", "window", "join"]
+    docs = _t(spark, sf_dir, "documents")
+    bm25 = bm25_topk(docs, terms, k=10).withColumnRenamed("bm25", "score")
+
+    m = docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("__dl"),
+        F.explode(_tokens(F.col("text"))).alias("__t"),
+    ).withColumn("__t", F.lower(F.col("__t")))
+    density = (
+        m.filter(F.col("__t").isin(terms))
+        .groupBy("doc_id")
+        .agg((F.count(F.lit(1)).cast("double") / F.first("__dl")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    fused = rrf_fuse([bm25, density], "doc_id", k=60, top_n=10)
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+
+
+_ORACLE_HYBRID_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS dl, lower(unnest(toks)) AS term FROM t
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM m WHERE term IN ('spark', 'window', 'join')
+  GROUP BY doc_id, term
+), scal AS (
+  SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM t
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), bm25 AS (
+  SELECT doc_id,
+         round(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN scal
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT 10
+), density AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) / MAX(dl) AS score
+  FROM m WHERE term IN ('spark', 'window', 'join')
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT 10
+), ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm25
+  UNION ALL
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM density
+)
+SELECT doc_id,
+       round(SUM(1.0 / (60 + r)), 6) + 0.0 AS rrf_score,
+       COUNT(*) AS n_lists
+FROM ranked
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -6069,6 +6147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": q_source_entropy,
         "cumulative_new_users": q_cumulative_new_users,
         "hashed_features": q_hashed_features,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -6238,4 +6317,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
         "cumulative_new_users": _ORACLE_CUMULATIVE_NEW_USERS,
         "hashed_features": _ORACLE_HASHED_FEATURES,
+        "hybrid_search": _ORACLE_HYBRID_SEARCH,
     }

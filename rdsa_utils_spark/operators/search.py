@@ -163,3 +163,64 @@ def tf_idf_top_terms(
             F.col("__tfidf__").alias("tf_idf"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str,
+    score_col: str = "score",
+    group_cols: Sequence[str] = (),
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine N
+    heterogeneous rankings of the same id space into one —
+    ``rrf_score = Σ_lists 1/(k + rank)`` — the standard way to merge
+    keyword (BM25) and vector (cosine) retrieval without score
+    calibration, since only RANKS enter the sum. Ids absent from a
+    list simply contribute nothing (no penalty term).
+
+    Each input frame needs (``group_cols``…, ``id_col``,
+    ``score_col``); ranks are dense row numbers per group ordered
+    (score desc, id asc) — the deterministic tie-break. Output:
+    (``group_cols``…, ``id_col``, ``rrf_score`` rounded 6 dp,
+    ``n_lists``), optionally cut to ``top_n`` per group.
+
+    Plan: one window per input ranking (inputs are top-k frames —
+    already k-sized per group), a union, and ONE aggregation on
+    (group, id). The fusion math is rank-based integer arithmetic,
+    so it replays exactly on any engine.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gcols = list(group_cols)
+    parts = []
+    for df in rankings:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc(),
+        )
+        parts.append(
+            df.select(*gcols, id_col, F.row_number().over(w).alias("__r")),
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*gcols, id_col).agg(
+        (
+            F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__r"))), 6)
+            + F.lit(0.0)
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    if top_n is not None:
+        w = Window.partitionBy(*gcols).orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc(),
+        )
+        fused = (
+            fused.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_n)
+            .drop("__rn")
+        )
+    return fused

@@ -53,6 +53,7 @@ _BNLJ_OK = {
     "dedup_incremental_bloom",  # 1-row Bloom-bitmap attach (getbit probe)
     "pq_topk_replay",         # ADC scan IS broadcast query-LUTs × corpus codes
     "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
+    "hybrid_search",          # inherits bm25_search's 1-row corpus-stats attach
 }
 
 #: Queries allowed a single-partition global window: the window runs
@@ -60,6 +61,7 @@ _BNLJ_OK = {
 #: aggregation (the rule's target is global windows over raw data).
 _GLOBAL_WINDOW_OK = {
     "cumulative_new_users",   # running sum over one row per day
+    "hybrid_search",          # RRF ranks over two top-10 frames
 }
 
 

@@ -55,3 +55,31 @@ def test_tf_idf_top_terms_rank_and_tiebreak(corpus):
     assert all(sorted(r for r, _, _ in v) == [1, 2] for v in by_doc.values())
     # scores are rounded to 6 decimals (rank key == output value)
     assert all(s == round(s, 6) for v in by_doc.values() for _, _, s in v)
+
+
+def test_rrf_fuse_hand_calc(spark):
+    from rdsa_utils_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (1, 0.8), (4, 0.7)], "doc_id long, score double",
+    )
+    out = {r.doc_id: (r.rrf_score, r.n_lists)
+           for r in rrf_fuse([a, b], "doc_id", k=60).collect()}
+    # doc 1: rank 1 in a, rank 2 in b -> 1/61 + 1/62
+    assert out[1] == (round(1 / 61 + 1 / 62, 6), 2)
+    assert out[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert out[2] == (round(1 / 62, 6), 1)
+    assert out[4] == (round(1 / 63, 6), 1)
+
+    top = rrf_fuse([a, b], "doc_id", k=60, top_n=2).collect()
+    assert sorted(r.doc_id for r in top) == [1, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], "doc_id")
+    with _pytest.raises(ValueError, match="k must"):
+        rrf_fuse([a], "doc_id", k=0)
