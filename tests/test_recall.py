@@ -1,12 +1,14 @@
 """Recall bounds for the approximate ANN paths.
 
-The driver's correctness gate checks the three approximate queries
-(`lsh_cosine_topk`, `ivf_topk`, `embedding_near_dups`) rows-only — by
-design, their results are not SQL-reproducible. These tests close that
-verification gap: each approximate operator must reach a measured
-recall floor against its exact, oracle-verified counterpart on the
-sf0.01 embeddings table (500 × dim-64 random vectors — an adversarial
-corpus for LSH, since neighbours are barely closer than noise).
+The remaining rows-only driver queries (`lsh_cosine_topk`,
+`embedding_near_dups`) are not SQL-reproducible by design (seeded
+gaussian hyperplanes); `ivf_topk`'s TRAINED path likewise lives here
+after its driver slot went to the oracle-backed `ivf_topk_replay`.
+These tests close that verification gap: each approximate operator
+must reach a measured recall floor against its exact, oracle-verified
+counterpart on the sf0.01 embeddings table (500 × dim-64 random
+vectors — an adversarial corpus for LSH, since neighbours are barely
+closer than noise).
 """
 
 import os
