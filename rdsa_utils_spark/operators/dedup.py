@@ -849,13 +849,33 @@ def jaccard_similarity_join(
     prefixes = sorted_docs.select(
         "__id",
         "__n",
-        F.explode(F.slice("__tk", 1, prefix_len)).alias("__t"),
+        F.posexplode(F.slice("__tk", 1, prefix_len)).alias("__p", "__t"),
     )
     a = prefixes.select(
-        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__t",
+        F.col("__id").alias("id_a"), F.col("__n").alias("__na"),
+        F.col("__p").alias("__pa"), "__t",
     )
     b = prefixes.select(
-        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__t",
+        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"),
+        F.col("__p").alias("__pb"), "__t",
+    )
+    # Positional filter (PPJoin): a token shared at (0-based) prefix
+    # positions (pa, pb) caps the overlap at 1 + min(remaining tokens
+    # on each side); pairs whose cap can't reach the required overlap
+    # α = ⌈t/(1+t)·(na+nb)⌉ are pruned BEFORE the distinct + verify.
+    # Lossless: the first-in-global-order shared token of any
+    # qualifying pair satisfies the bound, and keeping a pair when ANY
+    # occurrence passes is a superset of that.
+    alpha = F.ceil(
+        F.round(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("__na") + F.col("__nb")),
+            6,
+        ),
+    )
+    ubound = 1 + F.least(
+        F.col("__na") - F.col("__pa") - 1,
+        F.col("__nb") - F.col("__pb") - 1,
     )
     cands = (
         a.join(b, "__t")
@@ -864,6 +884,7 @@ def jaccard_similarity_join(
             # Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t for either order.
             & (F.round(F.lit(threshold) * F.col("__na"), 6) <= F.col("__nb"))
             & (F.round(F.lit(threshold) * F.col("__nb"), 6) <= F.col("__na"))
+            & (ubound >= alpha)
         )
         .select("id_a", "id_b")
         .distinct()
