@@ -6041,6 +6041,45 @@ LIMIT 10
 """
 
 
+def q_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-priority content checksum of orders
+    (operators/quality.py::frame_checksum) — the migration-validation
+    probe: row order, partitioning and engine never change the sums,
+    so Spark and DuckDB computing the digest independently IS the
+    cross-engine equality check."""
+    from rdsa_utils_spark.operators.quality import frame_checksum
+
+    orders = _t(spark, sf_dir, "orders")
+    out = frame_checksum(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+        group_cols=["o_orderpriority"],
+    )
+    return out.orderBy("o_orderpriority")
+
+
+_ORACLE_ORDERS_CHECKSUM = r"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, 13), i ->
+             CAST((strpos('0123456789abcdef', substr(md5(
+               concat_ws(chr(31),
+                 COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'NULL'),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL'),
+                 COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'NULL'),
+                 COALESCE(CAST(o_orderdate AS VARCHAR), chr(0) || 'NULL'),
+                 COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'NULL')
+               )), i, 1)) - 1)
+               * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+         (a, b) -> a + b) AS BIGINT)) AS BIGINT) AS checksum
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Queries retired from the driver-verdict window (see
     :func:`queries`): near-duplicate TPC-H variants and operators whose
@@ -6148,6 +6187,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_new_users": q_cumulative_new_users,
         "hashed_features": q_hashed_features,
         "hybrid_search": q_hybrid_search,
+        "orders_checksum": q_orders_checksum,
     }
 
 
@@ -6318,4 +6358,5 @@ def extra_oracle_sql() -> dict[str, str]:
         "cumulative_new_users": _ORACLE_CUMULATIVE_NEW_USERS,
         "hashed_features": _ORACLE_HASHED_FEATURES,
         "hybrid_search": _ORACLE_HYBRID_SEARCH,
+        "orders_checksum": _ORACLE_ORDERS_CHECKSUM,
     }

@@ -475,3 +475,44 @@ def detect_pii_columns(
             round_to,
         ).alias("match_rate"),
     )
+
+
+def frame_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent content checksum: per group (or globally),
+    ``n_rows`` and ``checksum`` = sum over rows of the first 12 md5
+    hex digits (48 bits, parsed base-16) of a canonical
+    field-separated rendering of ``cols``. Row order, partitioning,
+    and engine never change the result — the cheap equality probe for
+    migration validation ("same data on both sides?") when a full
+    :func:`frame_diff` is overkill; sums fit comfortably in int64
+    (2⁴⁸ per row ⇒ overflow needs ~32k billion rows).
+
+    Canonical rendering: each column cast to string, NULL encoded as
+    a reserved marker, fields joined with an ASCII unit separator.
+    Cast floats/doubles to a fixed decimal rendering UPSTREAM —
+    float-to-string formatting differs across engines, which would
+    break cross-engine comparison (ints, strings, dates, timestamps
+    and decimals render identically).
+
+    One map-side-combinable aggregation; no window, no Python.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    rendered = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols],
+    )
+    row_hash = F.conv(F.substring(F.md5(rendered), 1, 12), 16, 10).cast("long")
+    gcols = list(group_cols)
+    agg = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    ]
+    if gcols:
+        return df.groupBy(*gcols).agg(*agg)
+    return df.agg(*agg)

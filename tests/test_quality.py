@@ -320,3 +320,35 @@ def test_detect_pii_columns_single_scan_and_rates(spark):
 
     with _pt.raises(ValueError):
         detect_pii_columns(df.select("k"))
+
+
+def test_frame_checksum_order_and_partition_invariant(spark):
+    from rdsa_utils_spark.operators.quality import frame_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, v string",
+    )
+    base = frame_checksum(df, ["k", "v"]).first()
+    assert base.n_rows == 3
+    # reversed row order, different partitioning -> identical digest
+    shuffled = frame_checksum(
+        df.orderBy(F.col("k").desc()).repartition(7), ["k", "v"],
+    ).first()
+    assert (base.n_rows, base.checksum) == (shuffled.n_rows, shuffled.checksum)
+    # any value change -> different digest
+    changed = frame_checksum(
+        df.withColumn("v", F.when(F.col("k") == 3, "X").otherwise(F.col("v"))),
+        ["k", "v"],
+    ).first()
+    assert changed.checksum != base.checksum
+    # NULL vs the string 'NULL' must not collide
+    lit_null = frame_checksum(
+        df.withColumn("v", F.when(F.col("k") == 2, "NULL").otherwise(F.col("v"))),
+        ["k", "v"],
+    ).first()
+    assert lit_null.checksum != base.checksum
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cols"):
+        frame_checksum(df, [])
