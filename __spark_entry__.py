@@ -6188,6 +6188,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "hybrid_search": q_hybrid_search,
         "orders_checksum": q_orders_checksum,
+        "span_dedup": q_span_dedup,
+        "row_index_orders": q_row_index_orders,
+        "embedding_pca": q_embedding_pca,
+        "collocations": q_collocations,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -6359,4 +6364,150 @@ def extra_oracle_sql() -> dict[str, str]:
         "hashed_features": _ORACLE_HASHED_FEATURES,
         "hybrid_search": _ORACLE_HYBRID_SEARCH,
         "orders_checksum": _ORACLE_ORDERS_CHECKSUM,
+        "span_dedup": _ORACLE_SPAN_DEDUP,
+        "row_index_orders": _ORACLE_ROW_INDEX_ORDERS,
+        # embedding_pca: rows-only (eigendecomposition; variance==
+        # eigenvalue identity asserted in tests/test_round4_third.py)
+        "collocations": _ORACLE_COLLOCATIONS,
     }
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span removal: non-overlapping 10-token
+    blocks, first corpus occurrence (by doc_id, position) kept, docs
+    reassembled. Scalable stand-in for suffix-array substring dedup
+    (Lee et al. 2022) — exact group-by on block text, no window over
+    the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.dedup import span_dedup
+
+    return span_dedup(docs, "doc_id", "text", 10).orderBy("doc_id")
+
+
+_ORACLE_SPAN_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS idx,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(toks) / 10.0) AS INT)),
+           i -> array_to_string(toks[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' '))) AS block
+  FROM t
+  WHERE len(toks) > 0
+), ranked AS (
+  SELECT doc_id, idx, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+  FROM b
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id
+), reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(block, ' ' ORDER BY idx) AS dedup_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_blocks,
+       COALESCE(reb.n_kept, 0) AS n_kept,
+       COALESCE(reb.dedup_text, '') AS dedup_text
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+ORDER BY tot.doc_id
+"""
+
+
+def q_row_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous row index over orders by (o_orderdate,
+    o_orderkey) — range-repartition + per-partition offsets, never a
+    single-task global window."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    from rdsa_utils_spark.operators.windows import add_row_index
+
+    return (
+        add_row_index(orders, ["o_orderdate", "o_orderkey"], num_partitions=8)
+        .select("o_orderkey", "row_index")
+        .orderBy("o_orderkey")
+    )
+
+
+_ORACLE_ROW_INDEX_ORDERS = r"""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS row_index
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA sanity sweep: train on the embeddings table
+    (moment partials via mapInPandas, d×d eigh on the driver), project
+    to 8 dims, return each projected dim's sample variance — which
+    must equal the model's eigenvalues (asserted in
+    tests/test_round4_third.py; not SQL-expressible, so no oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import pca_project, pca_train
+
+    model = pca_train(emb, "embedding", k=8)
+    proj = pca_project(emb, model, "embedding", "pca")
+    aggs = [
+        F.round(F.var_samp(F.col("pca")[i]), 6).alias(f"var_{i}")
+        for i in range(8)
+    ]
+    return proj.agg(*aggs)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations by PMI — multi-word-expression /
+    boilerplate-phrase diagnostic. Pure JVM bigram assembly + two
+    aggregations + word-key joins; 1-row scalar attaches for the
+    totals."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import collocation_pmi
+
+    return collocation_pmi(docs, "text", min_count=5).orderBy(
+        F.desc("pmi"), "w1", "w2",
+    )
+
+
+_ORACLE_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), bg AS (
+  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+), pc AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2
+), ucc AS (
+  SELECT w, COUNT(*) AS n_w
+  FROM (SELECT unnest(toks) AS w FROM t)
+  GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(n_pair) AS DOUBLE) AS nb FROM pc
+), nt AS (
+  SELECT CAST(SUM(n_w) AS DOUBLE) AS ntk FROM ucc
+)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       round(ln((CAST(pc.n_pair AS DOUBLE) / nb)
+                / ((CAST(u1.n_w AS DOUBLE) / ntk) * (CAST(u2.n_w AS DOUBLE) / ntk))), 6) AS pmi
+FROM pc
+JOIN ucc u1 ON pc.w1 = u1.w
+JOIN ucc u2 ON pc.w2 = u2.w
+CROSS JOIN tot CROSS JOIN nt
+WHERE pc.n_pair >= 5
+ORDER BY pmi DESC, pc.w1, pc.w2
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-corpus BPE tokenizer training (20 merges): per-round one
+    vocab aggregation + 1-row driver argmax + JVM fold merge. Not
+    SQL-expressible (iterative argmax); exact semantics verified
+    against a pure-Python reference in tests/test_tokenize.py."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.tokenize import bpe_merge_table, bpe_train
+
+    merges = bpe_train(docs, "text", num_merges=20)
+    return bpe_merge_table(spark, merges)

@@ -903,3 +903,88 @@ def jaccard_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicated-span removal: split every document into
+    non-overlapping blocks of ``block_tokens`` whitespace tokens, keep
+    only the FIRST occurrence of each distinct block across the whole
+    corpus (ordered by (id, block position)), and reassemble each
+    document from its surviving blocks.
+
+    A scalable approximation of exact substring deduplication (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the suffix-array approach finds arbitrary repeated
+    substrings, which needs a global sort of every suffix; aligning to
+    fixed token blocks turns the problem into an exact group-by on
+    block text — one linear shuffle — at the cost of missing repeats
+    that straddle a block boundary or are shorter than a block.
+
+    Returns (``id``, ``n_blocks``, ``n_kept``, ``dedup_text``) where
+    ``dedup_text`` is the surviving blocks re-joined with single
+    spaces (empty string if every block was a repeat).
+
+    Plan shape at 100 TB: tokenize + block assembly are per-row JVM
+    expressions (no Python); one explode to (id, block_idx, block);
+    first-occurrence selection is ``min(struct(id, idx))`` per block
+    text — a hash aggregation on a well-distributed string key with
+    map-side partial aggregation, NOT a window; one join back on the
+    block key and one final group-by per doc. Three linear shuffles
+    total, no skew hazard beyond genuinely mega-duplicated blocks
+    (which AQE skew handling splits).
+
+    No reference equivalent (extension surface).
+    """
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    k = block_tokens
+    tk = tokens(F.col(text_col))
+    n_blocks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), blocks.alias("__blocks"))
+        .filter(F.size("__blocks") > 0)
+        .select("__id", F.posexplode("__blocks").alias("__idx", "__block"))
+    )
+    # First occurrence of each distinct block: an aggregation, not a
+    # window — struct min orders by (__id, __idx) lexicographically.
+    first = (
+        exploded.groupBy("__block")
+        .agg(F.min(F.struct("__id", "__idx")).alias("__first"))
+        .select(
+            "__block",
+            F.col("__first.__id").alias("__fid"),
+            F.col("__first.__idx").alias("__fidx"),
+        )
+    )
+    kept = exploded.join(first, "__block").filter(
+        (F.col("__id") == F.col("__fid")) & (F.col("__idx") == F.col("__fidx")),
+    )
+    totals = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__block"))),
+                lambda s: s["__block"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_blocks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -1177,3 +1177,123 @@ def semantic_dedup(
     )
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    center: bool = True,
+):
+    """Train a PCA model over an embedding column, distributed.
+
+    One ``mapInPandas`` pass computes per-partition moment partials
+    (row count, sum vector, and the d×d Gram matrix X'X — each partial
+    is O(d²) floats regardless of partition size, accumulated with ONE
+    numpy matmul per Arrow batch); a ``coalesce``d combine level caps
+    what the driver ingests at a handful of partial rows, so driver
+    traffic is O(d²) — independent of corpus size. The covariance
+    eigendecomposition is d×d on the driver (d ≤ a few thousand for
+    real embedding models; trivial next to the scan).
+
+    Sign convention: each component is flipped so its largest-|x|
+    coordinate is positive — deterministic across LAPACK builds.
+
+    Returns a dict: ``mean`` (d,), ``components`` (k, d) rows =
+    principal axes (descending eigenvalue), ``explained_variance``
+    (k,) eigenvalues, ``explained_variance_ratio`` (k,). All float64
+    numpy arrays. No reference equivalent (extension surface).
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_train: input frame is empty")
+    dim = len(first[0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"pca_train: need 1 <= k <= dim={dim}, got {k}")
+
+    partial_schema = "n long, s array<double>, g array<double>"
+
+    def partials(batches):
+        n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            mat = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+            g += mat.T @ mat
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]},
+            )
+
+    def combine(batches):
+        n, s, g = 0, np.zeros(dim), np.zeros(dim * dim)
+        seen = False
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                seen = True
+                n += int(r["n"])
+                s += np.asarray(r["s"])
+                g += np.asarray(r["g"])
+        if seen:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.tolist()]},
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, partial_schema)
+        .coalesce(8)
+        .mapInPandas(combine, partial_schema)
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    if center:
+        cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    else:
+        cov = g / max(n - 1, 1)
+        mean = np.zeros(dim)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps *= flip[:, None]
+    ev = np.maximum(evals[order], 0.0)
+    total = max(float(np.trace(cov)), 1e-300)
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": ev,
+        "explained_variance_ratio": ev / total,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project an embedding column onto a trained :func:`pca_train`
+    model: one Arrow-vectorized pandas UDF, one (batch × d) @ (d × k)
+    matmul per batch; the (d × k) projection matrix travels to
+    executors inside the UDF closure (kilobytes). ``whiten=True``
+    scales each projected axis to unit variance."""
+    comps = np.asarray(model["components"], dtype=np.float64)
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    proj = comps.T
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(model["explained_variance"], 1e-12))
+        proj = proj * scale[None, :]
+
+    @F.pandas_udf("array<double>")
+    def _project(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64) - mean
+        out = mat @ proj
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _project(F.col(vec_col)))

@@ -580,3 +580,86 @@ def hashed_token_features(
         .filter(F.col("value") != 0.0)
         .select(F.col("__id").alias(id_col), "feature", "value")
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level bigram collocation strength via pointwise mutual
+    information: ``pmi = log( P(w1,w2) / (P(w1)·P(w2)) )`` with
+    bigram probabilities over adjacent-token pairs and unigram
+    probabilities over all tokens.
+
+    Returns (``w1``, ``w2``, ``n_pair``, ``pmi``) for pairs with
+    ``n_pair >= min_count``, PMI rounded to ``round_to`` decimals.
+    High-PMI pairs surface multi-word expressions and boilerplate
+    phrases worth treating as units in dedup/tokenizer decisions.
+
+    Plan shape at 100 TB: bigram assembly is a JVM higher-order
+    expression per row (``transform`` over token positions — no
+    Python); counting is two map-side-combined aggregations (pairs,
+    unigrams); the two totals are 1-row broadcast attaches and the
+    unigram attach is an equi-join on the word key (hash shuffle,
+    well distributed — stop-word keys are heavy but bounded by
+    vocabulary, and AQE splits them). No window, no cartesian beyond
+    the 1-row scalar attaches.
+
+    No reference equivalent (extension surface).
+    """
+    tk = tokens(F.col(text_col))
+    bigrams = F.when(F.size(tk) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
+            ),
+        ),
+    )
+    pair_stream = (
+        df.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    # Both count frames are vocabulary-sized (≪ corpus) and each is
+    # consumed by 2-3 downstream branches; localCheckpoint pins them so
+    # the corpus explode+aggregate runs ONCE per frame (not once per
+    # branch) and AQE sees exact sizes (auto-broadcasting the vocab
+    # side of the joins when it fits).
+    pair_counts = (
+        pair_stream.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    uni_counts = (
+        df.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .localCheckpoint(eager=False)
+    )
+    totals = pair_counts.agg(F.sum("n_pair").alias("n_bigrams"))
+    n_tokens = uni_counts.agg(F.sum("n_w").alias("n_tokens"))
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / F.col("n_bigrams"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("n_tokens"))
+            * (F.col("n_w2").cast("double") / F.col("n_tokens"))
+        ),
+    )
+    return (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(pmi, round_to).alias("pmi"),
+        )
+    )

@@ -1,0 +1,190 @@
+"""On-corpus BPE tokenizer training, distributed.
+
+No reference equivalent (extension surface). Byte-pair-encoding merge
+learning (Sennrich et al. 2016) re-expressed for Spark:
+
+- The working state is the WORD-VOCABULARY frame (distinct word,
+  corpus count, current symbol array), never the corpus: after one
+  initial word-count aggregation, every merge round touches rows
+  proportional to vocabulary size — millions, not the corpus's
+  trillions of tokens at 100 TB.
+- Each round is ONE aggregation (adjacent-pair counts, weighted by
+  word count, map-side combined) + a driver `.limit(1).collect()` of
+  the argmax pair + ONE JVM fold (`F.aggregate`) rewriting symbol
+  arrays — greedy left-to-right non-overlapping merge, the classic
+  semantics. No Python in the data path.
+- Lineage is cut with `localCheckpoint` every few rounds so the plan
+  doesn't deepen linearly with merge count.
+
+Tie-breaks are total (count desc, left asc, right asc), so training
+is deterministic across runs, partitionings, and cluster sizes.
+
+``bpe_apply`` encodes text with a trained merge list in one Arrow
+pass per batch (the merge table rides the UDF closure — kilobytes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.text import tokens
+
+#: End-of-word marker appended to every word's symbol sequence
+#: (Sennrich-style): merges learned at word ends don't leak into
+#: word-internal contexts.
+EOW = "</w>"
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt, syms) — one row per distinct word; syms = chars + EOW."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
+        )
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over the vocab, weighted by word
+    count. Counts overlapping occurrences (reference BPE semantics)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("l"),
+            F.element_at("syms", i + 1).alias("r"),
+        ),
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _merge_fold(left: str, right: str):
+    """JVM fold: greedy left-to-right non-overlapping replacement of
+    (left, right) with left||right in a symbol array."""
+    merged = left + right
+
+    def step(acc, x):
+        can_merge = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(left)) & (
+            x == F.lit(right)
+        )
+        return F.when(
+            can_merge,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step,
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merge rules from a corpus.
+
+    Returns the ordered merge list ``[(left, right, pair_count), …]``
+    — rank r's pair was the most frequent adjacent symbol pair after
+    applying merges 0..r−1 (ties: count desc, left asc, right asc).
+    Stops early when no pair remains (vocabulary fully merged).
+
+    Driver traffic per round is ONE row; executor work per round is
+    one vocab-frame aggregation + one fold. See module docstring for
+    the 100 TB posture.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    vocab = _word_vocab(df, text_col).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for r in range(num_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        merges.append((left, right, int(cnt)))
+        vocab = vocab.withColumn("syms", _merge_fold(left, right))
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merge_table(spark, merges: Sequence[tuple[str, str, int]]) -> DataFrame:
+    """Materialize a trained merge list as a DataFrame
+    (rank, left, right, pair_count) for persistence/audit."""
+    rows = [
+        (i, left, right, cnt) for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long",
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str, int]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode ``text_col`` with a trained merge list: one Arrow batch
+    at a time, merge ranks in a closure dict (kilobytes — no join, no
+    broadcast variable). Python is acceptable here because encoding is
+    inherently sequential per word; the per-word loop runs over the
+    DISTINCT words of each batch only."""
+    rules = [(left, right) for left, right, _ in merges]
+
+    def encode_word(word: str) -> list[str]:
+        # Exact training replay: each rule in rank order, greedy
+        # left-to-right non-overlapping — so encoding a training word
+        # reproduces the trained vocab's symbol sequence bit-for-bit.
+        syms = list(word) + [EOW]
+        for left, right in rules:
+            if len(syms) < 2:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @F.pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").split():
+                if w not in cache:
+                    cache[w] = encode_word(w)
+                toks.extend(cache[w])
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))

@@ -152,3 +152,67 @@ def top_k_per_group(
         .filter(F.col("__rank__") <= k)
         .drop("__rank__")
     )
+
+
+def add_row_index(
+    df: DataFrame,
+    order_cols: _Cols,
+    index_col: str = "row_index",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Attach a contiguous 0-based global row index ordered by
+    ``order_cols`` — WITHOUT the single-task collapse of
+    ``row_number().over(Window.orderBy(...))``.
+
+    Plan: range-repartition on the order columns (sampled boundaries,
+    one exchange — the same layout ``orderBy`` lowers to), sort within
+    partitions, then a per-partition ``row_number`` window keyed on
+    ``spark_partition_id()`` plus a driver-computed offset per
+    partition (one tiny ``groupBy(pid).count()`` collect — ≤ one row
+    per partition, never data-sized). Every stage is parallel; the
+    only serial step is the O(#partitions) prefix sum on the driver.
+
+    Deterministic when ``order_cols`` is a unique key (ties within a
+    range partition are broken by the sort's stability, but ties ON a
+    range boundary may land in either partition across runs — pass a
+    tiebreaker column to make the index reproducible).
+
+    Reference has no counterpart (its engines index single-node);
+    replaces the ``monotonically_increasing_id`` anti-pattern (gapped,
+    layout-dependent) for training-order ids, resumable readers, and
+    stable sample labels.
+    """
+    orders = _to_list(order_cols)
+    if not orders:
+        raise ValueError("add_row_index: order_cols must be non-empty")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    laid_out = (
+        df.repartitionByRange(parts, *orders)
+        .sortWithinPartitions(*orders)
+        .withColumn("__pid__", F.spark_partition_id())
+    )
+    # localCheckpoint pins the sampled range boundaries so the counts
+    # pass and the output pass see the SAME partition assignment (a
+    # recompute could re-sample boundaries and skew the offsets).
+    laid_out = laid_out.localCheckpoint(eager=False)
+    counts = {r["__pid__"]: r["cnt"] for r in
+              laid_out.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv],
+        )
+        offset = offset_map[F.col("__pid__")]
+    else:  # empty frame: no offsets to attach
+        offset = F.lit(0)
+    w = Window.partitionBy("__pid__").orderBy(*orders)
+    return (
+        laid_out.withColumn(
+            index_col,
+            (F.row_number().over(w) - 1 + offset).cast("long"),
+        )
+        .drop("__pid__")
+    )

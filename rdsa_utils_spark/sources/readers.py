@@ -305,3 +305,57 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    filepath: str,
+    schema: str,
+    required: Optional[Sequence[str]] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-gated JSONL corpus reader: returns ``(good, bad)``.
+
+    The standard LLM-corpus interchange format is line-delimited JSON
+    with a long tail of malformed lines; silently coercing them to
+    nulls (Spark's default PERMISSIVE read) poisons training data.
+    This reader splits instead: ``good`` carries exactly ``schema``'s
+    columns for lines that parse AND have every ``required`` field
+    non-null; ``bad`` carries (``line``, ``reason``) for quarantine.
+
+    Implementation: ``spark.read.text`` + ``from_json`` with an
+    appended ``_corrupt_record`` sink column — one distributed parse,
+    no caching workaround (the classic gotcha: filtering a native
+    JSON read on its corrupt-record column alone is disallowed /
+    requires a cache; parsing text lines explicitly sidesteps it).
+    Both outputs derive from one scan; at 100 TB the text source
+    splits by line ranges exactly like the native JSON reader.
+    """
+    corrupt = "_corrupt_record"
+    full_schema = f"{schema}, {corrupt} string"
+    parsed = (
+        spark.read.text(filepath)
+        .select(
+            F.col("value").alias("line"),
+            F.from_json(
+                "value",
+                full_schema,
+                {"columnNameOfCorruptRecord": corrupt},
+            ).alias("rec"),
+        )
+    )
+    is_corrupt = F.col(f"rec.{corrupt}").isNotNull() | F.col("rec").isNull()
+    missing = F.lit(False)
+    reason = F.when(is_corrupt, F.lit("malformed"))
+    for field in required or []:
+        f_null = F.col(f"rec.{field}").isNull()
+        missing = missing | f_null
+        reason = reason.when(f_null, F.lit(f"missing:{field}"))
+    good = (
+        parsed.filter(~is_corrupt & ~missing)
+        .select("rec.*")
+        .drop(corrupt)
+    )
+    bad = parsed.filter(is_corrupt | missing).select(
+        "line", reason.alias("reason"),
+    )
+    return good, bad

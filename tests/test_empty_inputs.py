@@ -231,3 +231,16 @@ def test_pq_and_semantic_on_empty(spark):
     assert pq_encode(empty_emb, books).count() == 0
     # semantic dedup of an empty frame: no pairs, no clusters, empty out
     assert semantic_dedup(empty_emb, dim=16, method="exact").count() == 0
+
+
+def test_round4_fourth_wave_ops_on_empty(spark, empty_docs):
+    from rdsa_utils_spark.operators.dedup import span_dedup
+    from rdsa_utils_spark.operators.windows import add_row_index
+
+    out = span_dedup(empty_docs, "doc_id", "text", 10)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_blocks", "n_kept", "dedup_text"]
+
+    idx = add_row_index(empty_docs, ["doc_id"])
+    assert idx.count() == 0
+    assert "row_index" in idx.columns

@@ -19,6 +19,18 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
+#: Extras with no SQL-expressible oracle (documented rows-only tier —
+#: same category as the declared registry's rows-only tail). Each MUST
+#: have its correctness asserted elsewhere; cite the test here.
+ROWS_ONLY_EXTRAS = {
+    # eigendecomposition; projected-variance == eigenvalue identity +
+    # numpy replay asserted in tests/test_round4_third.py
+    "embedding_pca",
+    # iterative argmax (BPE merge learning); exact-semantics replay vs
+    # a pure-Python reference asserted in tests/test_tokenize.py
+    "bpe_merges",
+}
+
 
 def _norm_cell(v):
     if v is None:
@@ -68,11 +80,16 @@ def test_registry_contract():
         "oracle-backed queries must precede rows-only ones in registry order"
     )
     assert not (set(qs) & set(extras))
-    assert set(extras) == set(extra_oracles)
+    assert set(extras) - set(extra_oracles) == ROWS_ONLY_EXTRAS
+    assert set(extra_oracles) <= set(extras)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.extra_queries()))
 def test_extra_query_matches_oracle(spark, duck, name):
+    if name in ROWS_ONLY_EXTRAS:
+        fn = entrymod.extra_queries()[name]
+        assert fn(spark, SF_DIR).count() >= 0  # runs; values checked elsewhere
+        return
     fn = entrymod.extra_queries()[name]
     sql = entrymod.extra_oracle_sql()[name]
     sdf = fn(spark, SF_DIR)

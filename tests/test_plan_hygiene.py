@@ -54,6 +54,7 @@ _BNLJ_OK = {
     "pq_topk_replay",         # ADC scan IS broadcast query-LUTs × corpus codes
     "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
     "hybrid_search",          # inherits bm25_search's 1-row corpus-stats attach
+    "collocations",           # 1-row bigram/token-totals attaches (PMI)
 }
 
 #: Queries allowed a single-partition global window: the window runs

@@ -1,0 +1,158 @@
+"""Round-4 late additions: span_dedup, add_row_index, PCA, JSONL gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.dedup import span_dedup
+from rdsa_utils_spark.operators.similarity import pca_project, pca_train
+from rdsa_utils_spark.operators.windows import add_row_index
+from rdsa_utils_spark.sources.readers import read_jsonl_corpus
+
+
+# ---------------------------------------------------------------- span_dedup
+def test_span_dedup_removes_repeated_blocks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # blocks (k=3): "a b c", "d e f"
+            (2, "a b c x y z"),   # "a b c" repeats -> dropped
+            (3, "x y z"),         # "x y z" already seen in doc 2
+            (4, "q r"),           # short doc: one partial block
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", 3).collect()}
+    assert out[1]["dedup_text"] == "a b c d e f"
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["dedup_text"] == "x y z"
+    assert out[2]["n_kept"] == 1
+    assert out[3]["dedup_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["dedup_text"] == "q r"
+
+
+def test_span_dedup_first_occurrence_is_by_id_then_position(spark):
+    # Same block twice within one doc: second occurrence dropped.
+    df = spark.createDataFrame([(7, "p q p q")], ["doc_id", "text"])
+    row = span_dedup(df, "doc_id", "text", 2).collect()[0]
+    assert row["n_blocks"] == 2 and row["n_kept"] == 1
+    assert row["dedup_text"] == "p q"
+
+
+# ------------------------------------------------------------- add_row_index
+def test_add_row_index_matches_global_sort(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = add_row_index(orders, ["o_orderdate", "o_orderkey"], num_partitions=8)
+    got = [
+        r["o_orderkey"]
+        for r in out.orderBy("row_index").select("o_orderkey").collect()
+    ]
+    want = [
+        r["o_orderkey"]
+        for r in orders.orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey")
+        .collect()
+    ]
+    assert got == want
+    idx = sorted(r["row_index"] for r in out.select("row_index").collect())
+    assert idx == list(range(orders.count()))  # contiguous, 0-based, no gaps
+
+
+def test_add_row_index_requires_order(spark):
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        add_row_index(df, [])
+
+
+# --------------------------------------------------------------------- PCA
+def test_pca_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_train(emb, "embedding", k=8)
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()],
+    )
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    np.testing.assert_allclose(model["mean"], mean, atol=1e-9)
+    np.testing.assert_allclose(
+        model["explained_variance"], evals[order], rtol=1e-8,
+    )
+    # Components match up to sign; the model pins a deterministic sign.
+    want = evecs[:, order].T
+    for i in range(8):
+        dot = abs(float(np.dot(model["components"][i], want[i])))
+        assert dot == pytest.approx(1.0, abs=1e-8)
+    ratio = model["explained_variance_ratio"]
+    assert np.all(np.diff(ratio) <= 1e-12) and ratio[0] > 0
+
+
+def test_pca_project_variances_are_eigenvalues(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_train(emb, "embedding", k=4)
+    proj = pca_project(emb, model, "embedding", "pca")
+    vals = np.stack(
+        [np.asarray(r["pca"]) for r in proj.select("pca").collect()],
+    )
+    np.testing.assert_allclose(
+        vals.var(axis=0, ddof=1), model["explained_variance"], rtol=1e-8,
+    )
+    white = pca_project(emb, model, "embedding", "pca", whiten=True)
+    wvals = np.stack(
+        [np.asarray(r["pca"]) for r in white.select("pca").collect()],
+    )
+    np.testing.assert_allclose(
+        wvals.var(axis=0, ddof=1), np.ones(4), rtol=1e-6,
+    )
+
+
+def test_pca_train_empty_raises(spark):
+    df = spark.createDataFrame([], "embedding array<float>")
+    with pytest.raises(ValueError):
+        pca_train(df, "embedding", k=2)
+
+
+# ------------------------------------------------------------- JSONL gate
+def test_read_jsonl_corpus_splits_good_and_bad(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2}\n'                       # missing required text
+        'not json at all\n'
+        '{"doc_id": 3, "text": "ok"}\n',
+    )
+    good, bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, text string", required=["doc_id", "text"],
+    )
+    grows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert grows == {1: "hello world", 3: "ok"}
+    assert good.columns == ["doc_id", "text"]
+    brows = sorted((r["reason"], r["line"]) for r in bad.collect())
+    assert [r[0] for r in brows] == ["malformed", "missing:text"]
+
+
+# ----------------------------------------------------------- collocations
+def test_collocation_pmi_hand_computed(spark):
+    import math
+
+    from rdsa_utils_spark.operators.text import collocation_pmi
+
+    # "a b" occurs 3x; tokens: a=3, b=3, n_tokens=6, n_bigrams=3.
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("a b",)], ["text"],
+    )
+    rows = collocation_pmi(df, "text", min_count=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["n_pair"]) == ("a", "b", 3)
+    want = math.log((3 / 3) / ((3 / 6) * (3 / 6)))
+    assert r["pmi"] == pytest.approx(round(want, 6), abs=1e-9)
+
+
+def test_collocation_pmi_short_docs_no_bigrams(spark):
+    from rdsa_utils_spark.operators.text import collocation_pmi
+
+    df = spark.createDataFrame([("solo",), ("",), ("  ",)], ["text"])
+    assert collocation_pmi(df, "text", min_count=1).count() == 0

@@ -1,0 +1,100 @@
+"""Distributed BPE training/encoding vs an independent pure-Python
+reference implementing the same (classic Sennrich) semantics:
+adjacent-pair counts weighted by word frequency (overlaps counted),
+tie-break (count desc, left asc, right asc), greedy left-to-right
+non-overlapping merge application in rank order."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from rdsa_utils_spark.operators.tokenize import (
+    EOW,
+    bpe_apply,
+    bpe_merge_table,
+    bpe_train,
+)
+
+
+# ------------------------------------------------------ pure-Python reference
+def _ref_merge(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts, num_merges):
+    words = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) + [EOW] for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        merges.append((left, right, cnt))
+        vocab = {w: _ref_merge(s, left, right) for w, s in vocab.items()}
+    return merges, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new",
+    "wide wider widest new low",
+    "lowest newest widest",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    got = bpe_train(df, "text", num_merges=12)
+    want, _ = _ref_train(TEXTS, 12)
+    assert got == want
+
+
+def test_bpe_apply_replays_training(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    merges = bpe_train(df, "text", num_merges=10)
+    _, ref_vocab = _ref_train(TEXTS, 10)
+    encoded = {
+        r["text"]: r["bpe_tokens"]
+        for r in bpe_apply(df, "text", merges).collect()
+    }
+    for t in TEXTS:
+        want = [s for w in t.split() for s in ref_vocab[w]]
+        assert encoded[t] == want
+
+
+def test_bpe_train_exhausts_and_stops_early(spark):
+    df = spark.createDataFrame([("aa aa",)], ["text"])
+    merges = bpe_train(df, "text", num_merges=50)
+    # "aa</w>" fully merges in 2 steps; no pairs remain after.
+    assert len(merges) == 2
+    assert merges[0][:2] in {("a", "a"), ("a", EOW)}
+
+
+def test_bpe_merge_table_schema(spark):
+    df = spark.createDataFrame([("ab ab",)], ["text"])
+    merges = bpe_train(df, "text", num_merges=2)
+    tbl = bpe_merge_table(spark, merges)
+    assert tbl.columns == ["rank", "left", "right", "pair_count"]
+    assert tbl.count() == len(merges)
+
+
+def test_bpe_train_validates(spark):
+    df = spark.createDataFrame([("x",)], ["text"])
+    with pytest.raises(ValueError):
+        bpe_train(df, "text", num_merges=0)
