@@ -6193,6 +6193,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "collocations": q_collocations,
         "bpe_merges": q_bpe_merges,
+        "acctbal_pct_rank": q_acctbal_pct_rank,
+        "order_total_outliers": q_order_total_outliers,
     }
 
 
@@ -6369,6 +6371,8 @@ def extra_oracle_sql() -> dict[str, str]:
         # embedding_pca: rows-only (eigendecomposition; variance==
         # eigenvalue identity asserted in tests/test_round4_third.py)
         "collocations": _ORACLE_COLLOCATIONS,
+        "acctbal_pct_rank": _ORACLE_ACCTBAL_PCT_RANK,
+        "order_total_outliers": _ORACLE_ORDER_TOTAL_OUTLIERS,
     }
 
 
@@ -6511,3 +6515,65 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = bpe_train(docs, "text", num_merges=20)
     return bpe_merge_table(spark, merges)
+
+
+def q_acctbal_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation percentile rank of customer balances — the
+    rank-based score normalization (one window, one shuffle)."""
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.stats import group_percent_rank
+
+    return (
+        group_percent_rank(cust, "c_nationkey", "c_acctbal")
+        .select("c_custkey", "c_nationkey", "pct_rank")
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_ACCTBAL_PCT_RANK = r"""
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS pct_rank
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def q_order_total_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier screen on order totals per
+    priority class: two exact-percentile aggregations + group-key
+    joins; summary counts per group."""
+    orders = _t(spark, sf_dir, "orders")
+    from rdsa_utils_spark.operators.stats import mad_outliers
+
+    flagged = mad_outliers(orders, "o_orderpriority", "o_totalprice", 3.5)
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ORDER_TOTAL_OUTLIERS = r"""
+WITH med AS (
+  SELECT o_orderpriority, median(o_totalprice) AS m
+  FROM orders GROUP BY o_orderpriority
+), mad AS (
+  SELECT o.o_orderpriority, median(abs(o.o_totalprice - med.m)) AS d
+  FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+  GROUP BY o.o_orderpriority
+)
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE
+         WHEN mad.d = 0 THEN CASE WHEN o.o_totalprice <> med.m THEN 1 ELSE 0 END
+         WHEN abs(0.6745 * (o.o_totalprice - med.m) / mad.d) > 3.5 THEN 1
+         ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o
+JOIN med ON o.o_orderpriority = med.o_orderpriority
+JOIN mad ON o.o_orderpriority = mad.o_orderpriority
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -40,6 +40,8 @@ __all__ = [
     "rfm_segments",
     "js_divergence",
     "grouped_autocorrelation",
+    "group_percent_rank",
+    "mad_outliers",
 ]
 
 
@@ -380,3 +382,78 @@ def grouped_autocorrelation(
     if round_to is not None:
         out = out.withColumn("acf", F.round("acf", round_to) + F.lit(0.0))
     return out
+
+
+def group_percent_rank(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    value_col: str,
+    out_col: str = "pct_rank",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Within-group percentile rank of ``value_col`` (0 at the group
+    minimum, 1 at the maximum — SQL ``percent_rank`` semantics): the
+    rank-based normalization for mixing heterogeneous score scales
+    (quality scores from different models, per-source spam scores)
+    before thresholding or corpus mixing.
+
+    One window = one hash shuffle on the group key; ties share a
+    rank, so the output is deterministic without a tiebreaker.
+    """
+    keys = [group] if isinstance(group, str) else list(group)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col))
+    return df.withColumn(
+        out_col, _maybe_round(F.percent_rank().over(w), round_to),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    value_col: str,
+    z_threshold: float = 3.5,
+    out_col: str = "is_outlier",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Robust outlier flags via the modified z-score
+    ``0.6745 · (x − median) / MAD`` (Iglewicz & Hoaglin): unlike
+    mean/std z-scores the cut points don't move when the outliers
+    themselves inflate the spread.
+
+    Two grouped exact-percentile aggregations (median, then median of
+    absolute deviations — the second pass is required; MAD is not
+    algebraic) + one join back on the group key: three hash shuffles
+    on the same key, no window, no Python. Groups with MAD = 0 flag
+    only exact deviants (score = null → not outlier, x ≠ median →
+    outlier by convention ∞).
+
+    Adds ``mod_z`` (rounded) and ``out_col`` to the frame.
+    """
+    keys = [group] if isinstance(group, str) else list(group)
+    med = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med__"),
+    )
+    with_med = df.join(med, keys)
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(
+            F.percentile(
+                F.abs(F.col(value_col) - F.col("__med__")), F.lit(0.5),
+            ).alias("__mad__"),
+        )
+    )
+    scored = with_med.join(mad, keys)
+    mod_z = F.lit(0.6745) * (F.col(value_col) - F.col("__med__")) / F.col("__mad__")
+    is_out = F.when(
+        F.col("__mad__") == 0, F.col(value_col) != F.col("__med__"),
+    ).otherwise(F.abs(mod_z) > z_threshold)
+    return (
+        scored.withColumn(
+            "mod_z",
+            F.when(F.col("__mad__") != 0, _maybe_round(mod_z, round_to)),
+        )
+        .withColumn(out_col, is_out)
+        .drop("__med__", "__mad__")
+    )

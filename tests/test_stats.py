@@ -369,3 +369,48 @@ def test_grouped_autocorrelation_matches_numpy(spark):
 
     with pytest.raises(ValueError, match="positive"):
         grouped_autocorrelation(df, ["g"], "t", "x", lags=(0,))
+
+
+def test_group_percent_rank_semantics(spark):
+    from rdsa_utils_spark.operators.stats import group_percent_rank
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("b", 9.0)],
+        ["g", "v"],
+    )
+    rows = group_percent_rank(df, "g", "v").collect()
+    got = sorted((r["g"], r["v"], r["pct_rank"]) for r in rows)
+    # percent_rank = (rank-1)/(n-1); ties share rank; singleton group -> 0.
+    assert got == [
+        ("a", 1.0, 0.0),
+        ("a", 2.0, round(1 / 3, 6)),
+        ("a", 2.0, round(1 / 3, 6)),
+        ("a", 4.0, 1.0),
+        ("b", 9.0, 0.0),
+    ]
+
+
+def test_mad_outliers_hand_computed(spark):
+    from rdsa_utils_spark.operators.stats import mad_outliers
+
+    # g=a: values 1..5 plus 100. median=3.5, MAD=1.5;
+    # mod_z(100) = .6745*96.5/1.5 = 43.4 -> outlier; others < 3.5.
+    data = [("a", float(v)) for v in [1, 2, 3, 4, 5, 100]]
+    df = spark.createDataFrame(data, ["g", "v"])
+    out = {r["v"]: r for r in mad_outliers(df, "g", "v").collect()}
+    assert out[100.0]["is_outlier"] is True
+    assert all(out[float(v)]["is_outlier"] is False for v in [1, 2, 3, 4, 5])
+    assert out[100.0]["mod_z"] == round(0.6745 * (100 - 3.5) / 1.5, 6)
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    from rdsa_utils_spark.operators.stats import mad_outliers
+
+    # constant group: MAD=0 -> only exact deviants flagged
+    df = spark.createDataFrame(
+        [("c", 5.0), ("c", 5.0), ("c", 5.0), ("c", 7.0)], ["g", "v"],
+    )
+    rows = mad_outliers(df, "g", "v").collect()
+    # median=5, MAD=0: 7.0 deviates -> outlier, 5.0s not
+    flags = sorted((r["v"], r["is_outlier"]) for r in rows)
+    assert flags == [(5.0, False), (5.0, False), (5.0, False), (7.0, True)]
