@@ -6195,6 +6195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "acctbal_pct_rank": q_acctbal_pct_rank,
         "order_total_outliers": q_order_total_outliers,
+        "lm2_quality": q_lm2_quality,
     }
 
 
@@ -6373,6 +6374,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "collocations": _ORACLE_COLLOCATIONS,
         "acctbal_pct_rank": _ORACLE_ACCTBAL_PCT_RANK,
         "order_total_outliers": _ORACLE_ORDER_TOTAL_OUTLIERS,
+        "lm2_quality": _ORACLE_LM2_QUALITY,
     }
 
 
@@ -6576,4 +6578,54 @@ JOIN med ON o.o_orderpriority = med.o_orderpriority
 JOIN mad ON o.o_orderpriority = mad.o_orderpriority
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
+"""
+
+
+def q_lm2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores (word-order-aware perplexity proxy):
+    pair-count aggregation + vocab-bounded logprob table + one stream
+    join; the left-context counts derive from the pair counts, not a
+    second corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import bigram_lm_score
+
+    return (
+        bigram_lm_score(docs, "text", "doc_id")
+        .select("doc_id", "lm2_logprob", "n_lm2_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_LM2_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                w -> lower(w)) END AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+), pc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+), lc AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pc GROUP BY w1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS vs FROM (SELECT unnest(toks) AS w FROM t)
+), lp AS (
+  SELECT pc.w1, pc.w2,
+         ln((CAST(pc.c12 AS DOUBLE) + 0.5)
+            / (CAST(lc.c1 AS DOUBLE) + 0.5 * CAST(v.vs AS DOUBLE))) AS lp
+  FROM pc JOIN lc ON pc.w1 = lc.w1 CROSS JOIN v
+), per_doc AS (
+  SELECT bg.doc_id, round(AVG(lp.lp), 6) AS lm2_logprob,
+         COUNT(*) AS n_lm2_tokens
+  FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id, per_doc.lm2_logprob,
+       COALESCE(per_doc.n_lm2_tokens, 0) AS n_lm2_tokens
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
 """

@@ -663,3 +663,79 @@ def collocation_pmi(
             F.round(pmi, round_to).alias("pmi"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "lm2_logprob",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-k bigram
+    LM fitted on the corpus itself — the next step up from
+    :func:`unigram_lm_score` for quality filtering: catches shuffled /
+    unnatural word ORDER that unigram statistics can't see.
+
+    Model: ``ln((c(w1,w2) + s) / (c_left(w1) + s·V))`` with
+    ``c_left(w1)`` = occurrences of w1 as a bigram left context and
+    ``V`` = corpus unigram vocabulary size. Tokens lower-cased.
+    Attaches ``out_col`` (round-6 double; NULL for docs with < 2
+    tokens) and ``n_lm2_tokens`` (bigram count).
+
+    Shuffle shape at 100 TB: one bigram explode → pair-count
+    aggregation (map-side combined); left-context counts derive from
+    the (vocabulary²-bounded, checkpointed) pair-count frame, not
+    from a second corpus pass; V is a 1-row broadcast; scoring is one
+    equi-join of the bigram stream on (w1, w2) + one groupBy(doc).
+    No Python anywhere.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    )
+    stream = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("__w1"), F.col("bg.w2").alias("__w2"))
+    )
+    pair_counts = (
+        stream.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .localCheckpoint(eager=False)
+    )
+    left_counts = pair_counts.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    vocab_size = df.select(F.explode(toks).alias("__t")).agg(
+        F.countDistinct("__t").alias("__v"),
+    )
+    s = float(smoothing)
+    logprob = (
+        pair_counts.join(left_counts, "__w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "__w1",
+            "__w2",
+            F.log(
+                (F.col("__c12").cast("double") + F.lit(s))
+                / (F.col("__c1").cast("double") + F.lit(s) * F.col("__v").cast("double")),
+            ).alias("__lp"),
+        )
+    )
+    per_doc = (
+        stream.join(logprob, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("__lp"), 6).alias(out_col),
+            F.count(F.lit(1)).alias("n_lm2_tokens"),
+        )
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        "n_lm2_tokens", F.coalesce(F.col("n_lm2_tokens"), F.lit(0)),
+    )

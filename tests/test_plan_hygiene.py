@@ -55,6 +55,7 @@ _BNLJ_OK = {
     "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
     "hybrid_search",          # inherits bm25_search's 1-row corpus-stats attach
     "collocations",           # 1-row bigram/token-totals attaches (PMI)
+    "lm2_quality",            # 1-row vocab-size scalar attach (bigram LM)
 }
 
 #: Queries allowed a single-partition global window: the window runs
