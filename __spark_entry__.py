@@ -3639,8 +3639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-declared registry — capped at 50 entries so EVERY
     declared query receives a driver CORRECTNESS verdict (round 1
     declared 74 and the driver checked only the first 50, leaving 24
-    with no verdict at all). Ordering contract: all 46 oracle-backed
-    queries first, the 4 genuinely non-SQL-expressible ones
+    with no verdict at all). Ordering contract: all 47 oracle-backed
+    queries first, the 3 genuinely non-SQL-expressible ones
     (approximate sketches / random-hyperplane ANN) last, so a
     count-capped checker always verifies the strongest evidence.
 
@@ -3651,7 +3651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants.
     """
     return {
-        # --- oracle-backed (46) ---
+        # --- oracle-backed (47) ---
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -3673,9 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_nulls_count": q_set_nulls_count,
         "cumulative_qty": q_cumulative_qty,
         "unpack_tokens": q_unpack_tokens,
-        "struct_roundtrip": q_struct_roundtrip,
         "customers_without_orders": q_customers_without_orders,
-        "nations_in_both": q_nations_in_both,
         "pivot_status": q_pivot_status,
         "running_revenue": q_running_revenue,
         "range_join_events": q_range_join_events,
@@ -3692,13 +3690,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "trailing_revenue": q_trailing_revenue,
         "ngram_jaccard": q_ngram_jaccard,
-        "json_props": q_json_props,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_fingerprints": q_simhash_fingerprints,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "lsh_candidates": q_lsh_candidates,
         "minhash_near_dedup": q_minhash_near_dedup,
         "ivf_topk_replay": q_ivf_topk_replay,
+        "span_dedup": q_span_dedup,
+        "collocations": q_collocations,
+        "lm2_quality": q_lm2_quality,
         # --- non-SQL-expressible, rows-only by design (3) ---
         # (the trained ivf_topk path moved to tests-only coverage when
         # the oracle-backed iters=0 replay took its driver slot; its
@@ -6188,14 +6188,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "hybrid_search": q_hybrid_search,
         "orders_checksum": q_orders_checksum,
-        "span_dedup": q_span_dedup,
+        "nations_in_both": q_nations_in_both,
+        "struct_roundtrip": q_struct_roundtrip,
+        "json_props": q_json_props,
         "row_index_orders": q_row_index_orders,
         "embedding_pca": q_embedding_pca,
-        "collocations": q_collocations,
         "bpe_merges": q_bpe_merges,
         "acctbal_pct_rank": q_acctbal_pct_rank,
         "order_total_outliers": q_order_total_outliers,
-        "lm2_quality": q_lm2_quality,
     }
 
 
@@ -6222,9 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         "set_nulls_count": _ORACLE_SET_NULLS_COUNT,
         "cumulative_qty": _ORACLE_CUMULATIVE_QTY,
         "unpack_tokens": _ORACLE_UNPACK_TOKENS,
-        "struct_roundtrip": _ORACLE_STRUCT_ROUNDTRIP,
         "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
-        "nations_in_both": _ORACLE_NATIONS_IN_BOTH,
         "pivot_status": _ORACLE_PIVOT_STATUS,
         "running_revenue": _ORACLE_RUNNING_REVENUE,
         "range_join_events": _ORACLE_RANGE_JOIN_EVENTS,
@@ -6241,13 +6239,15 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "trailing_revenue": _ORACLE_TRAILING_REVENUE,
         "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
-        "json_props": _ORACLE_JSON_PROPS,
         "doc_fingerprints": _ORACLE_DOC_FINGERPRINTS,
         "simhash_fingerprints": _ORACLE_SIMHASH_FINGERPRINTS,
         "embedding_near_dups_exact": _ORACLE_EMBEDDING_NEAR_DUPS_EXACT,
         "lsh_candidates": _oracle_lsh_candidates(),
         "minhash_near_dedup": _oracle_minhash_near_dedup(),
         "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
+        "span_dedup": _ORACLE_SPAN_DEDUP,
+        "collocations": _ORACLE_COLLOCATIONS,
+        "lm2_quality": _ORACLE_LM2_QUALITY,
         # approx_sketches: HLL/KLL sketch algorithms are engine-specific
         # (Spark HLL++ vs DuckDB HLL) — rows-only check; the exact
         # counterparts are oracle-verified above.
@@ -6367,14 +6367,14 @@ def extra_oracle_sql() -> dict[str, str]:
         "hashed_features": _ORACLE_HASHED_FEATURES,
         "hybrid_search": _ORACLE_HYBRID_SEARCH,
         "orders_checksum": _ORACLE_ORDERS_CHECKSUM,
-        "span_dedup": _ORACLE_SPAN_DEDUP,
+        "nations_in_both": _ORACLE_NATIONS_IN_BOTH,
+        "struct_roundtrip": _ORACLE_STRUCT_ROUNDTRIP,
+        "json_props": _ORACLE_JSON_PROPS,
         "row_index_orders": _ORACLE_ROW_INDEX_ORDERS,
         # embedding_pca: rows-only (eigendecomposition; variance==
         # eigenvalue identity asserted in tests/test_round4_third.py)
-        "collocations": _ORACLE_COLLOCATIONS,
         "acctbal_pct_rank": _ORACLE_ACCTBAL_PCT_RANK,
         "order_total_outliers": _ORACLE_ORDER_TOTAL_OUTLIERS,
-        "lm2_quality": _ORACLE_LM2_QUALITY,
     }
 
 

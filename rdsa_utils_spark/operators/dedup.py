@@ -945,9 +945,16 @@ def span_dedup(
     k = block_tokens
     tk = tokens(F.col(text_col))
     n_blocks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
-    blocks = F.transform(
-        F.sequence(F.lit(0), n_blocks - 1),
-        lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
+    # Guard the token-less case explicitly: Spark's sequence(0, -1)
+    # DESCENDS (yielding [0, -1]), which would fabricate empty blocks
+    # and feed slice() an illegal start of 0.
+    blocks = F.when(
+        n_blocks <= 0, F.array().cast("array<string>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
+        ),
     )
     exploded = (
         df.select(F.col(id_col).alias("__id"), blocks.alias("__blocks"))
