@@ -6196,6 +6196,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "acctbal_pct_rank": q_acctbal_pct_rank,
         "order_total_outliers": q_order_total_outliers,
+        "hard_negatives": q_hard_negatives,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -6375,6 +6377,8 @@ def extra_oracle_sql() -> dict[str, str]:
         # eigenvalue identity asserted in tests/test_round4_third.py)
         "acctbal_pct_rank": _ORACLE_ACCTBAL_PCT_RANK,
         "order_total_outliers": _ORACLE_ORDER_TOTAL_OUTLIERS,
+        "hard_negatives": _ORACLE_HARD_NEGATIVES,
+        "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
     }
 
 
@@ -6628,4 +6632,82 @@ SELECT d.doc_id, per_doc.lm2_logprob,
        COALESCE(per_doc.n_lm2_tokens, 0) AS n_lm2_tokens
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the 5 most
+    cosine-similar embeddings with a DIFFERENT label (label filter
+    BEFORE the top-k window — globally hardest negatives)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import hard_negative_topk
+
+    out = hard_negative_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5,
+    )
+    return out.select(
+        "query_id", "query_label", "candidate_id", "candidate_label",
+        (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+    ).orderBy("query_id", F.desc("cosine"), "candidate_id")
+
+
+_ORACLE_HARD_NEGATIVES = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS candidate_id, c.label AS candidate_label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.label <> q.label
+)
+SELECT query_id, query_label, candidate_id, candidate_label,
+       ROUND(cos, 6) + 0.0 AS cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, candidate_id ASC) AS rn
+  FROM pairs
+)
+WHERE rn <= 5
+ORDER BY query_id, cosine DESC, candidate_id
+"""
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling: 3 hashed draws per
+    anchor mapped through a contiguous corpus row index — fully
+    engine-replayable (no RNG state)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.sampling import negative_sample
+
+    anchors = emb.filter(F.col("vec_id") < 100)
+    return negative_sample(anchors, emb, "vec_id", "vec_id", k=3).orderBy(
+        "vec_id", "draw",
+    )
+
+
+_ORACLE_NEGATIVE_SAMPLES = """
+WITH slots AS (
+  SELECT vec_id AS neg_id,
+         row_number() OVER (ORDER BY vec_id) - 1 AS slot
+  FROM embeddings
+), n AS (SELECT COUNT(*) AS n FROM embeddings),
+draws AS (
+  SELECT e.vec_id, unnest(range(0, 3)) AS draw
+  FROM embeddings e WHERE e.vec_id < 100
+), hashed AS (
+  SELECT vec_id, draw,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             CAST((strpos('0123456789abcdef',
+                     substr(md5(CAST(vec_id AS VARCHAR) || ':neg:' || CAST(draw AS VARCHAR)), i, 1)) - 1)
+                  AS BIGINT)
+             * CAST(power(16, 12 - i) AS BIGINT)),
+           (a, b) -> a + b) AS h
+  FROM draws
+)
+SELECT hashed.vec_id, CAST(hashed.draw AS INT) AS draw, slots.neg_id AS negative_id
+FROM hashed CROSS JOIN n
+JOIN slots ON slots.slot = hashed.h % n.n
+WHERE CAST(slots.neg_id AS VARCHAR) <> CAST(hashed.vec_id AS VARCHAR)
+ORDER BY hashed.vec_id, draw
 """

@@ -39,6 +39,7 @@ __all__ = [
     "pack_sequences",
     "mix_corpora",
     "weighted_sample",
+    "negative_sample",
 ]
 
 _HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
@@ -415,3 +416,71 @@ def split_leakage_report(
             F.sum("__rows_b__").alias("n_leaked_rows_b"),
         )
     )
+
+
+def negative_sample(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    anchor_id: str,
+    corpus_id: str,
+    k: int = 5,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive /
+    ranking training: for every anchor row, draw up to ``k`` corpus
+    rows by hashed pseudo-randomness — reproducible across runs,
+    partitionings and engines (no RNG state), unlike ``F.rand``-based
+    sampling.
+
+    Draw *i* for anchor *a* lands on corpus slot
+    ``hash48(a ':' seed ':' i) mod N`` where slots come from
+    :func:`~rdsa_utils_spark.operators.windows.add_row_index` over the
+    corpus ids (contiguous 0..N−1, no single-task sort). Sampling is
+    WITH replacement across draws; draws that hit the anchor's own id
+    are dropped, so an anchor can yield fewer than ``k`` rows
+    (corpus ≫ k makes this vanishingly rare).
+
+    Plan shape at 100 TB: one indexed-corpus build (range layout +
+    per-partition offsets), an explode of anchors × k (linear), and
+    ONE equi-join of draws against slots — hash-shuffle on a
+    uniformly distributed key, no skew, no broadcast of the corpus.
+    Output: (``anchor_id``, ``draw``, ``negative_id``).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from rdsa_utils_spark.operators.windows import add_row_index
+
+    slots = add_row_index(
+        corpus.select(F.col(corpus_id).alias("__neg_id__")), ["__neg_id__"],
+        index_col="__slot__",
+    ).localCheckpoint(eager=False)
+    n = slots.count()
+    if n == 0:
+        raise ValueError("negative_sample: corpus is empty")
+    draws = anchors.select(F.col(anchor_id).alias("__a__")).select(
+        "__a__", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("draw"),
+    )
+    digits = F.substring(
+        F.md5(
+            F.concat(
+                F.col("__a__").cast("string"),
+                F.lit(":" + seed + ":"),
+                F.col("draw").cast("string"),
+            ),
+        ),
+        1,
+        _HEX_DIGITS,
+    )
+    # 48-bit value fits a long exactly; integer mod replays in SQL.
+    slot = F.conv(digits, 16, 10).cast("long") % F.lit(n)
+    picked = (
+        draws.withColumn("__slot__", slot)
+        .join(slots, "__slot__")
+        .filter(F.col("__neg_id__").cast("string") != F.col("__a__").cast("string"))
+        .select(
+            F.col("__a__").alias(anchor_id),
+            "draw",
+            F.col("__neg_id__").alias("negative_id"),
+        )
+    )
+    return picked

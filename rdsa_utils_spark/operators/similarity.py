@@ -1297,3 +1297,59 @@ def pca_project(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _project(F.col(vec_col)))
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the ``k`` most cosine-similar corpus rows whose ``label_col``
+    DIFFERS from the query's — the near-miss negatives that produce
+    informative gradients (easy random negatives quickly saturate).
+
+    Exact path (this function): same broadcast-scoring shape as
+    :func:`brute_force_topk` with the label-inequality predicate
+    applied BEFORE the top-k window, so the returned rows are the
+    globally hardest negatives, not a post-filtered top-k. The scale
+    path swaps the scorer for :func:`lsh_bucketed_topk` /
+    :func:`ivf_topk` and keeps the same predicate; this exact form is
+    the recall oracle. Deterministic left-fold cosine (JVM) so ANSI
+    engines replay it bit-for-bit.
+
+    Output: (query_id, query_label, candidate_id, candidate_label,
+    cosine).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(query_vec).alias("__qv__"),
+        _norm(F.col(query_vec)).alias("__qn__"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("candidate_id"),
+        F.col(label_col).alias("candidate_label"),
+        F.col(corpus_vec).alias("__cv__"),
+        _norm(F.col(corpus_vec)).alias("__cn__"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("candidate_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            (
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored, k)

@@ -56,6 +56,7 @@ _BNLJ_OK = {
     "hybrid_search",          # inherits bm25_search's 1-row corpus-stats attach
     "collocations",           # 1-row bigram/token-totals attaches (PMI)
     "lm2_quality",            # 1-row vocab-size scalar attach (bigram LM)
+    "hard_negatives",         # broadcast query frame × corpus (exact scorer)
 }
 
 #: Queries allowed a single-partition global window: the window runs

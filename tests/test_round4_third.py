@@ -176,3 +176,46 @@ def test_bigram_lm_score_hand_computed(spark):
     assert out[2]["lm2_logprob"] == round((lp_ab + lp_bc) / 2, 6)
     assert out[2]["n_lm2_tokens"] == 2
     assert out[3]["lm2_logprob"] is None and out[3]["n_lm2_tokens"] == 0
+
+
+# -------------------------------------------------- negatives (contrastive)
+def test_hard_negative_topk_excludes_same_label(spark, sf_dir):
+    from rdsa_utils_spark.operators.similarity import hard_negative_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hard_negative_topk(emb.filter(F.col("vec_id") < 3), emb, k=4).collect()
+    assert out, "expected some negatives"
+    by_q = {}
+    for r in out:
+        assert r["candidate_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True) and len(sims) <= 4
+
+
+def test_negative_sample_deterministic_and_in_corpus(spark, sf_dir):
+    from rdsa_utils_spark.operators.sampling import negative_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    a = sorted(tuple(r) for r in negative_sample(anchors, emb, "vec_id", "vec_id", k=3).collect())
+    b = sorted(tuple(r) for r in negative_sample(anchors, emb, "vec_id", "vec_id", k=3).collect())
+    assert a == b  # reproducible
+    corpus_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for vec_id, draw, neg in a:
+        assert neg in corpus_ids and neg != vec_id and 0 <= draw < 3
+    # different seed -> (almost surely) different draws
+    c = sorted(tuple(r) for r in negative_sample(anchors, emb, "vec_id", "vec_id", k=3, seed="other").collect())
+    assert a != c
+
+
+def test_negative_sample_validates(spark):
+    from rdsa_utils_spark.operators.sampling import negative_sample
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    empty = spark.createDataFrame([], "id long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        negative_sample(df, df, "id", "id", k=0)
+    with _pt.raises(ValueError):
+        negative_sample(df, empty, "id", "id", k=2)
