@@ -110,3 +110,44 @@ def numeric_histogram(
         )
         .orderBy(*group_cols, "bin")
     )
+
+
+def observe_frame(df: DataFrame, metrics, name: str = "rdsa_metrics"):
+    """Attach a Spark ``Observation`` to a frame: ``metrics`` maps
+    output names to aggregate Columns (``F.count``, ``F.sum``,
+    null-count conditions, …). Returns ``(observed_df, observation)``;
+    read ``observation.get`` AFTER the first action on the frame.
+
+    The point at 100 TB: the metrics ride the SAME job that writes /
+    consumes the data — a separate validation ``agg()`` would re-scan
+    the entire input. This is Spark's accumulator-backed metric path,
+    exact for the completed action (unlike task-level accumulators,
+    re-tries don't double-count).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = [c.alias(n) for n, c in dict(metrics).items()]
+    if not cols:
+        raise ValueError("observe_frame: metrics must be non-empty")
+    return df.observe(obs, *cols), obs
+
+
+def write_with_metrics(
+    df: DataFrame,
+    metrics,
+    path: Optional[str] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` and return observation metrics captured by the
+    write job itself — ingest-gate counters (rows written, nulls,
+    value totals) at zero extra scans. ``fmt='noop'`` benchmarks /
+    validates without persisting."""
+    observed, obs = observe_frame(df, metrics)
+    writer = observed.write.format(fmt).mode(mode)
+    if path is not None:
+        writer.save(path)
+    else:
+        writer.save()
+    return dict(obs.get)

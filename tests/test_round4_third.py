@@ -219,3 +219,33 @@ def test_negative_sample_validates(spark):
         negative_sample(df, df, "id", "id", k=0)
     with _pt.raises(ValueError):
         negative_sample(df, empty, "id", "id", k=2)
+
+
+# ----------------------------------------------------------- observation
+def test_write_with_metrics_single_scan(spark, sf_dir, tmp_path):
+    from rdsa_utils_spark.plans.diagnostics import observe_frame, write_with_metrics
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = write_with_metrics(
+        orders,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_comment": F.sum(F.col("o_orderpriority").isNull().cast("long")),
+            "total_price": F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2),
+        },
+        path=str(tmp_path / "orders_out"),
+    )
+    want = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("n_null_comment"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2).alias("total_price"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_null_comment"] == want["n_null_comment"]
+    assert got["total_price"] == want["total_price"]
+    # round-trip: the write actually happened
+    assert spark.read.parquet(str(tmp_path / "orders_out")).count() == got["n_rows"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        observe_frame(orders, {})
