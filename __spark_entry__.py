@@ -6198,6 +6198,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_total_outliers": q_order_total_outliers,
         "hard_negatives": q_hard_negatives,
         "negative_samples": q_negative_samples,
+        "cusum_daily": q_cusum_daily,
     }
 
 
@@ -6379,6 +6380,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "order_total_outliers": _ORACLE_ORDER_TOTAL_OUTLIERS,
         "hard_negatives": _ORACLE_HARD_NEGATIVES,
         "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
+        "cusum_daily": _ORACLE_CUSUM_DAILY,
     }
 
 
@@ -6710,4 +6712,58 @@ FROM hashed CROSS JOIN n
 JOIN slots ON slots.slot = hashed.h % n.n
 WHERE CAST(slots.neg_id AS VARCHAR) <> CAST(hashed.vec_id AS VARCHAR)
 ORDER BY hashed.vec_id, draw
+"""
+
+
+def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift scores over daily event-value totals per event
+    type (target = the type's mean daily total): closed-form prefix
+    sum − running min — two stacked window aggregates on one shuffle,
+    no recursion."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import cusum_scores
+
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6).cast("double").alias("daily_value"))
+    )
+    means = daily.groupBy("event_type").agg(
+        F.round(F.avg("daily_value"), 6).alias("target"),
+    )
+    scored = cusum_scores(
+        daily.join(means, "event_type"),
+        "event_type", "day", "daily_value", "target",
+    )
+    return scored.select(
+        "event_type", "day", "daily_value", "cusum_pos", "cusum_neg",
+    ).orderBy("event_type", "day")
+
+
+_ORACLE_CUSUM_DAILY = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS daily_value
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), m AS (
+  SELECT event_type, round(AVG(daily_value), 6) AS target
+  FROM daily GROUP BY event_type
+), p AS (
+  SELECT d.event_type, d.day, d.daily_value,
+         SUM(d.daily_value - m.target - 0.0)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_pos,
+         SUM(-(d.daily_value - m.target) - 0.0)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_neg
+  FROM daily d JOIN m ON d.event_type = m.event_type
+)
+SELECT event_type, day, daily_value,
+       round(p_pos - least(min(p_pos) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS cusum_pos,
+       round(p_neg - least(min(p_neg) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS cusum_neg
+FROM p
+ORDER BY event_type, day
 """

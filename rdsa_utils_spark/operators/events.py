@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -432,3 +432,51 @@ def cumulative_distinct(
         "n_new",
         F.sum("n_new").over(w).alias("n_cumulative"),
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    target_col: str | Column | float,
+    slack: float = 0.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Two-sided CUSUM change-detection scores per group (Page 1954):
+    ``S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack))`` and the mirrored
+    ``S⁻`` — the classic sequential drift detector for pipeline
+    metrics (row counts, quality scores, revenue) that flags slow
+    persistent shifts a point-threshold misses.
+
+    The recursion LOOKS sequential, but has the closed form
+    ``S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)`` over the prefix sums ``P`` of
+    the increments — so it runs as two stacked window aggregates
+    (running sum, then running min) on ONE hash shuffle of the group
+    key, pure JVM, no applyInPandas, and replays in ANSI SQL without
+    recursion. (Contrast ``debounce_events``, where survival feeds
+    back into the scan itself and no such closed form exists.)
+
+    ``target_col`` may be a column name, Column, or constant.
+    Adds ``cusum_pos`` / ``cusum_neg``; alerting is a caller-side
+    threshold on these.
+    """
+    t = (
+        F.lit(float(target_col))
+        if isinstance(target_col, (int, float))
+        else (F.col(target_col) if isinstance(target_col, str) else target_col)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d_pos = F.col(value_col) - t - F.lit(slack)
+    d_neg = -(F.col(value_col) - t) - F.lit(slack)
+    p_pos = F.sum(d_pos).over(w)
+    p_neg = F.sum(d_neg).over(w)
+    s_pos = p_pos - F.least(F.min(p_pos).over(w), F.lit(0.0))
+    s_neg = p_neg - F.least(F.min(p_neg).over(w), F.lit(0.0))
+    if round_to is not None:
+        s_pos, s_neg = F.round(s_pos, round_to), F.round(s_neg, round_to)
+    return df.withColumn("cusum_pos", s_pos).withColumn("cusum_neg", s_neg)

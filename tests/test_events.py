@@ -402,3 +402,20 @@ def test_cumulative_distinct_first_occurrence(spark):
         "2024-01-03": (1, 3),
         "2024-01-05": (1, 4),
     }
+
+
+def test_cusum_matches_naive_recursion(spark):
+    from rdsa_utils_spark.operators.events import cusum_scores
+
+    vals = [0.0, 2.0, -1.0, 5.0, -10.0, 3.0, 3.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], ["g", "i", "v"],
+    )
+    out = {r["i"]: r for r in cusum_scores(df, "g", "i", "v", 0.0, slack=0.5).collect()}
+
+    s_pos = s_neg = 0.0
+    for i, x in enumerate(vals):
+        s_pos = max(0.0, s_pos + (x - 0.0 - 0.5))
+        s_neg = max(0.0, s_neg + (-(x - 0.0) - 0.5))
+        assert out[i]["cusum_pos"] == round(s_pos, 6), f"pos row {i}"
+        assert out[i]["cusum_neg"] == round(s_neg, 6), f"neg row {i}"
