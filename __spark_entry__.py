@@ -6199,6 +6199,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "negative_samples": q_negative_samples,
         "cusum_daily": q_cusum_daily,
+        "pit_segment_revenue": q_pit_segment_revenue,
     }
 
 
@@ -6381,6 +6382,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "hard_negatives": _ORACLE_HARD_NEGATIVES,
         "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
         "cusum_daily": _ORACLE_CUSUM_DAILY,
+        "pit_segment_revenue": _ORACLE_PIT_SEGMENT_REVENUE,
     }
 
 
@@ -6766,4 +6768,69 @@ SELECT event_type, day, daily_value,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS cusum_neg
 FROM p
 ORDER BY event_type, day
+"""
+
+
+def q_pit_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of orders against a versioned customer
+    dimension (balance band re-banded at 1998-01-01): each order picks
+    the version valid at ITS order date — the leakage-free temporal
+    join. Equi-join on custkey with the interval residual."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.scd import point_in_time_join
+
+    cut = "1998-01-01"
+    v1 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt"))
+        .otherwise(F.lit("credit")).alias("band"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(cut).cast("timestamp").alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 1000, F.lit("low"))
+        .otherwise(F.lit("high")).alias("band"),
+        F.lit(cut).cast("timestamp").alias("valid_from"),
+        F.lit("2999-12-31").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_totalprice",
+    )
+    joined = point_in_time_join(facts, dim, ["c_custkey"], "ts")
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double").alias("revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+_ORACLE_PIT_SEGMENT_REVENUE = """
+WITH dim AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS band,
+         TIMESTAMP '1990-01-01' AS valid_from, TIMESTAMP '1998-01-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 1000 THEN 'low' ELSE 'high' END AS band,
+         TIMESTAMP '1998-01-01', TIMESTAMP '2999-12-31'
+  FROM customer
+)
+SELECT dim.band, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+FROM orders o
+JOIN dim ON o.o_custkey = dim.c_custkey
+        AND dim.valid_from <= CAST(o.o_orderdate AS TIMESTAMP)
+        AND CAST(o.o_orderdate AS TIMESTAMP) < dim.valid_to
+GROUP BY dim.band
+ORDER BY dim.band
 """

@@ -36,7 +36,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_init", "scd2_apply", "snapshot_as_of", "scd2_compact"]
+__all__ = ["scd2_init", "scd2_apply", "snapshot_as_of", "scd2_compact", "point_in_time_join"]
 
 #: Open-ended ``valid_to`` for current rows. A sentinel (not NULL) so
 #: interval predicates (``ts < valid_to``) need no NULL branch and
@@ -216,3 +216,37 @@ def scd2_compact(
         F.coalesce(nxt, F.lit(END_OF_TIME).cast("timestamp")).alias(valid_to_col),
         nxt.isNull().alias(current_col),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join: every fact row picks the
+    dimension VERSION that was valid at the fact's own timestamp —
+    the correct way to join facts to an SCD2 dimension
+    (``snapshot_as_of`` answers "the dim at one instant"; this
+    answers "each fact against the dim as of itself", which a plain
+    key join silently gets wrong by attaching today's attributes to
+    yesterday's facts — training-data leakage in feature pipelines).
+
+    Plan: an EQUI-join on the business key with the interval
+    predicate ``valid_from <= ts < valid_to`` as a residual filter —
+    one hash shuffle, never a range/cross join, because version
+    intervals per key are disjoint and few (the fanout before the
+    residual is bounded by versions-per-key). Version columns stay in
+    the output for audit.
+    """
+    cond = [facts[k] == dim[k] for k in keys]
+    t = facts[fact_ts]
+    interval = (dim[valid_from_col] <= t) & (t < dim[valid_to_col])
+    joined = facts.join(dim, [*cond, interval], how)
+    # drop the dim's duplicate key columns (join kept both sides)
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined

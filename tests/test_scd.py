@@ -124,3 +124,52 @@ def test_scd2_single_window_shuffle(spark):
     out = scd2_apply(_dim(spark), upd, ["k"], ["tier"], "eff")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "InPandas" not in plan
+
+
+def test_point_in_time_join_picks_correct_version(spark):
+    from rdsa_utils_spark.operators.scd import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2020-06-01"),
+            (1, "v2", "2020-06-01", "2999-12-31"),
+            (2, "w1", "2020-01-01", "2999-12-31"),
+        ],
+        ["k", "attr", "valid_from", "valid_to"],
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, "2020-03-01"),   # -> v1
+            (1, "2020-06-01"),   # boundary: valid_from inclusive -> v2
+            (1, "2021-01-01"),   # -> v2
+            (2, "2020-02-02"),   # -> w1
+            (3, "2020-02-02"),   # no dim row -> left join null
+        ],
+        ["k", "ts"],
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = point_in_time_join(facts, dim, ["k"], "ts")
+    rows = {(r["k"], str(r["ts"])[:10]): r["attr"] for r in out.collect()}
+    assert rows[(1, "2020-03-01")] == "v1"
+    assert rows[(1, "2020-06-01")] == "v2"
+    assert rows[(1, "2021-01-01")] == "v2"
+    assert rows[(2, "2020-02-02")] == "w1"
+    assert rows[(3, "2020-02-02")] is None
+    assert out.count() == 5  # exactly one version per fact (or null)
+
+
+def test_point_in_time_join_plan_is_equi_join(spark):
+    from rdsa_utils_spark.operators.scd import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", "2999-01-01")],
+        ["k", "attr", "valid_from", "valid_to"],
+    ).select("k", "attr", F.col("valid_from").cast("timestamp").alias("valid_from"),
+             F.col("valid_to").cast("timestamp").alias("valid_to"))
+    facts = spark.createDataFrame([(1, "2020-05-05")], ["k", "ts"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"))
+    plan = point_in_time_join(facts, dim, ["k"], "ts")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
