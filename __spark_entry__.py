@@ -6200,6 +6200,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": q_negative_samples,
         "cusum_daily": q_cusum_daily,
         "pit_segment_revenue": q_pit_segment_revenue,
+        "quality_calibration": q_quality_calibration,
     }
 
 
@@ -6383,6 +6384,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "negative_samples": _ORACLE_NEGATIVE_SAMPLES,
         "cusum_daily": _ORACLE_CUSUM_DAILY,
         "pit_segment_revenue": _ORACLE_PIT_SEGMENT_REVENUE,
+        "quality_calibration": _ORACLE_QUALITY_CALIBRATION,
     }
 
 
@@ -6833,4 +6835,55 @@ JOIN dim ON o.o_custkey = dim.c_custkey
         AND CAST(o.o_orderdate AS TIMESTAMP) < dim.valid_to
 GROUP BY dim.band
 ORDER BY dim.band
+"""
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: quality_score as the probabilistic
+    scorer, lang == 'en' as the outcome — per bin the mean score,
+    observed positive rate, count. One map-side-combined aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.classify import calibration_bins
+    from rdsa_utils_spark.operators.text import with_quality_score
+
+    scored = with_quality_score(docs, "text").withColumn(
+        "is_en", (F.col("lang") == "en").cast("int"),
+    )
+    return calibration_bins(scored, "quality_score", "is_en", n_bins=4)
+
+
+_ORACLE_QUALITY_CALIBRATION = r"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         length(text) AS n,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS tok,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents
+), ratios AS (
+  SELECT doc_id, lang,
+         len(tok) AS n_tokens,
+         CAST(n_punct AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS punct_ratio,
+         CAST(n_digit AS DOUBLE) / (CASE WHEN n = 0 THEN 1 ELSE n END) AS digit_ratio,
+         CASE WHEN len(tok) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE) / len(tok)
+         END AS mean_token_len
+  FROM stats
+), scored AS (
+  SELECT doc_id,
+         ((CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 15.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN digit_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality_score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM ratios
+)
+SELECT CAST(least(floor(least(greatest(quality_score, 0.0), 1.0) * 4), 3) AS INT) AS bin,
+       round(AVG(quality_score), 6) AS mean_score,
+       round(AVG(CAST(is_en AS DOUBLE)), 6) AS positive_rate,
+       COUNT(*) AS n
+FROM scored
+GROUP BY bin
+ORDER BY bin
 """

@@ -161,3 +161,42 @@ def naive_bayes_score(
             "log_score",
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability-diagram data for a probabilistic scorer: scores
+    bucketed into ``n_bins`` equal-width bins over [0, 1]; per bin the
+    mean score, observed positive rate, and count — well-calibrated
+    scores track the diagonal. The gap drives threshold choice for
+    quality-filter cutoffs (a score of 0.9 should MEAN 90%).
+
+    Scores outside [0, 1] are clamped into the edge bins; bin index is
+    ``min(floor(score·n), n−1)`` so 1.0 lands in the top bin. One
+    map-side-combined aggregation — a single shuffle of ``n_bins``
+    partial rows per map task at any scale.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col)
+    clamped = F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
+    bin_idx = F.least(
+        F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1),
+    )
+    return (
+        df.withColumn("bin", bin_idx)
+        .groupBy("bin")
+        .agg(
+            F.round(F.avg(s), round_to).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), round_to).alias(
+                "positive_rate",
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bin")
+    )

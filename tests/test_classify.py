@@ -62,3 +62,26 @@ def test_score_predicts_and_handles_empty_docs(spark, tiny):
     plan = naive_bayes_score(new, model, priors, "doc_id", "text") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "InPandas" not in plan
+
+
+def test_calibration_bins_hand_computed(spark):
+    from rdsa_utils_spark.operators.classify import calibration_bins
+
+    rows = [
+        (0.05, 0), (0.08, 0),          # bin 0: rate 0
+        (0.55, 1), (0.45, 0),          # bins 2,1
+        (0.95, 1), (1.0, 1), (1.4, 1), # clamp: 1.4 -> bin 3
+        (-0.2, 0),                     # clamp: -> bin 0
+    ]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    out = {r["bin"]: r for r in calibration_bins(df, "score", "y", n_bins=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n"] == 3 and out[0]["positive_rate"] == 0.0
+    assert out[1]["n"] == 1 and out[1]["positive_rate"] == 0.0
+    assert out[2]["n"] == 1 and out[2]["positive_rate"] == 1.0
+    assert out[3]["n"] == 3 and out[3]["positive_rate"] == 1.0
+    assert out[0]["mean_score"] == round((0.05 + 0.08 - 0.2) / 3, 6)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        calibration_bins(df, "score", "y", n_bins=0)
