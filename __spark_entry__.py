@@ -6201,6 +6201,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_daily": q_cusum_daily,
         "pit_segment_revenue": q_pit_segment_revenue,
         "quality_calibration": q_quality_calibration,
+        "term_keyness": q_term_keyness,
+        "top_paths": q_top_paths,
     }
 
 
@@ -6385,6 +6387,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "cusum_daily": _ORACLE_CUSUM_DAILY,
         "pit_segment_revenue": _ORACLE_PIT_SEGMENT_REVENUE,
         "quality_calibration": _ORACLE_QUALITY_CALIBRATION,
+        "term_keyness": _ORACLE_TERM_KEYNESS,
+        "top_paths": _ORACLE_TOP_PATHS,
     }
 
 
@@ -6886,4 +6890,88 @@ SELECT CAST(least(floor(least(greatest(quality_score, 0.0), 1.0) * 4), 3) AS INT
 FROM scored
 GROUP BY bin
 ORDER BY bin
+"""
+
+
+def q_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness (log-odds with Dirichlet prior) of terms in src0 vs
+    src1 — the corpus-slice contrast diagnostic; one term-key shuffle
+    plus a 1-row totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import term_log_odds
+
+    return term_log_odds(docs, "text", "source", "src0", "src1").orderBy(
+        F.desc("z"), "term",
+    )
+
+
+_ORACLE_TERM_KEYNESS = r"""
+WITH two AS (
+  SELECT source AS g,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents WHERE source IN ('src0', 'src1')
+), stream AS (
+  SELECT g, unnest(toks) AS term FROM two
+), counts AS (
+  SELECT g, term, COUNT(*) AS c FROM stream GROUP BY g, term
+), aligned AS (
+  SELECT COALESCE(a.term, b.term) AS term,
+         COALESCE(a.c, 0) AS count_a, COALESCE(b.c, 0) AS count_b
+  FROM (SELECT term, c FROM counts WHERE g = 'src0') a
+  FULL OUTER JOIN (SELECT term, c FROM counts WHERE g = 'src1') b
+    ON a.term = b.term
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN g = 'src0' THEN c ELSE 0 END) AS DOUBLE) AS na,
+         CAST(SUM(CASE WHEN g = 'src1' THEN c ELSE 0 END) AS DOUBLE) AS nb,
+         CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+  FROM counts
+)
+SELECT term, count_a, count_b,
+       round(ln((count_a + 0.5) / (na + 0.5 * v - (count_a + 0.5)))
+             - ln((count_b + 0.5) / (nb + 0.5 * v - (count_b + 0.5))), 6) AS log_odds,
+       round((ln((count_a + 0.5) / (na + 0.5 * v - (count_a + 0.5)))
+              - ln((count_b + 0.5) / (nb + 0.5 * v - (count_b + 0.5))))
+             / sqrt(1.0 / (count_a + 0.5) + 1.0 / (count_b + 0.5)), 6) AS z
+FROM aligned CROSS JOIN tot
+WHERE count_a + count_b >= 5
+ORDER BY z DESC, term
+"""
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session paths (gap sessionization → ordered
+    event-type path string → count → top-20, event_id tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import top_paths
+
+    return top_paths(
+        ev, "user_id", "ts", "event_type", 1800, k=20,
+        tiebreak_cols=["event_id"],
+    )
+
+
+_ORACLE_TOP_PATHS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
 """

@@ -480,3 +480,53 @@ def cusum_scores(
     if round_to is not None:
         s_pos, s_neg = F.round(s_pos, round_to), F.round(s_neg, round_to)
     return df.withColumn("cusum_pos", s_pos).withColumn("cusum_neg", s_neg)
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_seconds: float,
+    k: int = 20,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Most common session paths: sessionize by inactivity gap, render
+    each session's ordered event types as an arrow path string
+    (``view>click>purchase``), count identical paths corpus-wide and
+    keep the top ``k`` (ties broken by path text) — the product-
+    analytics staple for "how do users actually get to X".
+
+    Plan: gap sessionization (one keyed window), one aggregation per
+    (user, session) building the ordered path via sort-by-struct (an
+    aggregation, not a second window), one path-count aggregation,
+    and a k-row TakeOrdered — no global window, no driver loops.
+    Pass ``tiebreak_cols`` (e.g. an event id) to make paths total-
+    ordered when timestamps collide.
+    """
+    from rdsa_utils_spark.streaming.windows_time import sessionize_by_gap
+
+    sess = sessionize_by_gap(
+        df, ts_col, user_col, gap_seconds, tiebreak_cols=tiebreak_cols or None,
+    )
+    order_struct = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols], F.col(type_col),
+    )
+    paths = (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(order_struct)),
+                    lambda s: s[type_col],
+                ),
+                ">",
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )

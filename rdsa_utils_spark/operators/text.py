@@ -739,3 +739,80 @@ def bigram_lm_score(
     return df.join(per_doc, id_col, "left").withColumn(
         "n_lm2_tokens", F.coalesce(F.col("n_lm2_tokens"), F.lit(0)),
     )
+
+
+def term_log_odds(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    alpha: float = 0.5,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus keyness: which terms are over-represented in group A vs
+    group B, scored by the log-odds-ratio with a Dirichlet prior
+    (Monroe, Colaresi & Quinn 2008) — the standard drift/contrast
+    diagnostic between two corpus slices (sources, time periods,
+    pre/post-filter). Raw frequency ratios over-rank rare terms; the
+    prior ``alpha`` and the z-standardization fix exactly that.
+
+    Per term t: ``δ_t = ln((c_a+α)/(N_a+αV−c_a−α)) −
+    ln((c_b+α)/(N_b+αV−c_b−α))``, ``z_t = δ_t / sqrt(1/(c_a+α) +
+    1/(c_b+α))``. Terms missing from one group get c=0 there (the
+    prior keeps the log finite).
+
+    Plan: one token explode filtered to the two groups, one
+    (group, term) count aggregation, a full-outer term self-align,
+    and a 1-row totals broadcast. All counts shuffle once on the term
+    key; nothing is corpus-quadratic.
+    """
+    two = df.filter(F.col(group_col).isin([group_a, group_b]))
+    stream = two.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    counts = stream.groupBy("__g", "term").agg(
+        F.count(F.lit(1)).alias("__c"),
+    ).localCheckpoint(eager=False)
+    ca = counts.filter(F.col("__g") == group_a).select(
+        "term", F.col("__c").alias("count_a"),
+    )
+    cb = counts.filter(F.col("__g") == group_b).select(
+        "term", F.col("__c").alias("count_b"),
+    )
+    aligned = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum(F.when(F.col("__g") == group_a, F.col("__c")).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__g") == group_b, F.col("__c")).otherwise(0)).alias("__nb"),
+        F.countDistinct("term").alias("__v"),
+    )
+    a = float(alpha)
+    ca_s = F.col("count_a").cast("double") + F.lit(a)
+    cb_s = F.col("count_b").cast("double") + F.lit(a)
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    v = F.col("__v").cast("double")
+    delta = F.log(ca_s / (na + F.lit(a) * v - ca_s)) - F.log(
+        cb_s / (nb + F.lit(a) * v - cb_s),
+    )
+    z = delta / F.sqrt(1.0 / ca_s + 1.0 / cb_s)
+    return (
+        aligned.crossJoin(F.broadcast(totals))
+        .filter((F.col("count_a") + F.col("count_b")) >= min_count)
+        .select(
+            "term",
+            "count_a",
+            "count_b",
+            F.round(delta, round_to).alias("log_odds"),
+            F.round(z, round_to).alias("z"),
+        )
+    )

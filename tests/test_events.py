@@ -419,3 +419,24 @@ def test_cusum_matches_naive_recursion(spark):
         s_neg = max(0.0, s_neg + (-(x - 0.0) - 0.5))
         assert out[i]["cusum_pos"] == round(s_pos, 6), f"pos row {i}"
         assert out[i]["cusum_neg"] == round(s_neg, 6), f"neg row {i}"
+
+
+def test_top_paths_hand_computed(spark):
+    from rdsa_utils_spark.operators.events import top_paths
+
+    rows = [
+        # user 1: one session a>b, then (gap) session a
+        (1, "2020-01-01 10:00:00", 1, "a"),
+        (1, "2020-01-01 10:05:00", 2, "b"),
+        (1, "2020-01-01 12:00:00", 3, "a"),
+        # user 2: session a>b
+        (2, "2020-01-01 09:00:00", 4, "a"),
+        (2, "2020-01-01 09:10:00", 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type",
+    )
+    out = [(r["path"], r["n_sessions"]) for r in
+           top_paths(df, "user_id", "ts", "event_type", 1800,
+                     k=10, tiebreak_cols=["event_id"]).collect()]
+    assert out == [("a>b", 2), ("a", 1)]

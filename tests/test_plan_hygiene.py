@@ -57,6 +57,7 @@ _BNLJ_OK = {
     "collocations",           # 1-row bigram/token-totals attaches (PMI)
     "lm2_quality",            # 1-row vocab-size scalar attach (bigram LM)
     "hard_negatives",         # broadcast query frame × corpus (exact scorer)
+    "term_keyness",           # 1-row corpus-totals attach (log-odds prior)
 }
 
 #: Queries allowed a single-partition global window: the window runs

@@ -249,3 +249,22 @@ def test_write_with_metrics_single_scan(spark, sf_dir, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         observe_frame(orders, {})
+
+
+# ----------------------------------------------------------- term keyness
+def test_term_log_odds_symmetry_and_sign(spark):
+    from rdsa_utils_spark.operators.text import term_log_odds
+
+    df = spark.createDataFrame(
+        [("A", "x x x y"), ("B", "y y y x")], ["g", "text"],
+    )
+    ab = {r["term"]: r for r in
+          term_log_odds(df, "text", "g", "A", "B", min_count=1).collect()}
+    ba = {r["term"]: r for r in
+          term_log_odds(df, "text", "g", "B", "A", min_count=1).collect()}
+    # x over-represented in A, y in B; swapping groups flips sign exactly
+    assert ab["x"]["log_odds"] > 0 > ab["y"]["log_odds"]
+    for t in ("x", "y"):
+        assert ab[t]["log_odds"] == -ba[t]["log_odds"]
+        assert ab[t]["z"] == -ba[t]["z"]
+        assert ab[t]["count_a"] == ba[t]["count_b"]
