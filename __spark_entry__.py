@@ -6203,6 +6203,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibration": q_quality_calibration,
         "term_keyness": q_term_keyness,
         "top_paths": q_top_paths,
+        "cosine_histogram": q_cosine_histogram,
+        "dup_rate_by_source": q_dup_rate_by_source,
     }
 
 
@@ -6389,6 +6391,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "quality_calibration": _ORACLE_QUALITY_CALIBRATION,
         "term_keyness": _ORACLE_TERM_KEYNESS,
         "top_paths": _ORACLE_TOP_PATHS,
+        "cosine_histogram": _ORACLE_COSINE_HISTOGRAM,
+        "dup_rate_by_source": _ORACLE_DUP_RATE_BY_SOURCE,
     }
 
 
@@ -6974,4 +6978,97 @@ FROM paths
 GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 20
+"""
+
+
+def q_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled pairwise-cosine histogram — threshold-picking
+    diagnostic for near-dup/ANN cutoffs; deterministic hash-drawn
+    pairs, fold cosine, 20 bins over [-1, 1]."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import cosine_histogram
+
+    return cosine_histogram(emb, "vec_id", "embedding", pairs_per_row=2)
+
+
+_ORACLE_COSINE_HISTOGRAM = """
+WITH slots AS (
+  SELECT vec_id AS neg_id, embedding AS vb,
+         row_number() OVER (ORDER BY vec_id) - 1 AS slot
+  FROM embeddings
+), n AS (SELECT COUNT(*) AS n FROM embeddings),
+draws AS (
+  SELECT e.vec_id, e.embedding AS va, unnest(range(0, 2)) AS draw
+  FROM embeddings e
+), hashed AS (
+  SELECT vec_id, va, draw,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             CAST((strpos('0123456789abcdef',
+                     substr(md5(CAST(vec_id AS VARCHAR) || ':disthist:' || CAST(draw AS VARCHAR)), i, 1)) - 1)
+                  AS BIGINT)
+             * CAST(power(16, 12 - i) AS BIGINT)),
+           (a, b) -> a + b) AS h
+  FROM draws
+), scored AS (
+  SELECT list_cosine_similarity(CAST(hashed.va AS DOUBLE[]),
+                                CAST(slots.vb AS DOUBLE[])) AS cos
+  FROM hashed CROSS JOIN n
+  JOIN slots ON slots.slot = hashed.h % n.n
+  WHERE CAST(slots.neg_id AS VARCHAR) <> CAST(hashed.vec_id AS VARCHAR)
+), binned AS (
+  SELECT greatest(CAST(least(floor((cos + 1.0) / 2.0 * 20), 19) AS INT), 0) AS bin
+  FROM scored
+)
+SELECT bin,
+       round(-1.0 + bin * 0.1, 6) AS lo,
+       round(-1.0 + (bin + 1) * 0.1, 6) AS hi,
+       COUNT(*) AS n_pairs
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-rate report: exact fingerprints, distinct
+    count vs row count per source — the curation dashboard's first
+    number. Two aggregations sharing one shuffle key."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.text import with_fingerprint
+
+    fp = with_fingerprint(docs, "text")
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_DUP_RATE_BY_SOURCE = r"""
+WITH fp AS (
+  SELECT source,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT fingerprint) AS n_distinct,
+       round((COUNT(*) - COUNT(DISTINCT fingerprint))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM fp
+GROUP BY source
+ORDER BY source
 """

@@ -1353,3 +1353,68 @@ def hard_negative_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def cosine_histogram(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs_per_row: int = 2,
+    n_bins: int = 20,
+    seed: str = "disthist",
+) -> DataFrame:
+    """Sampled pairwise-cosine histogram: the threshold-picking
+    diagnostic for near-dup dedup and ANN radius choices — before
+    committing to `cosine >= 0.95`, look at where the corpus's pair
+    similarity mass actually sits.
+
+    Pairs are drawn DETERMINISTICALLY (hash48 slots via
+    :func:`~rdsa_utils_spark.operators.sampling.negative_sample`'s
+    machinery — no RNG state), ``pairs_per_row`` per row, then scored
+    with the deterministic left-fold cosine and binned over [−1, 1].
+    Output: (``bin``, ``lo``, ``hi``, ``n_pairs``) — bin index
+    ``min(floor((cos+1)/2·n), n−1)``.
+
+    Scale: the sample is linear in the corpus (rows × pairs_per_row),
+    the join against the slot index is one hash shuffle, and the
+    histogram is a map-side-combined aggregation. The full pairwise
+    histogram is O(n²) and never needed for a threshold decision.
+    """
+    from rdsa_utils_spark.operators.sampling import negative_sample
+
+    pairs = negative_sample(
+        df.select(id_col), df.select(id_col), id_col, id_col,
+        k=pairs_per_row, seed=seed,
+    )
+    a = df.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
+    b = df.select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("__vb"),
+    )
+    scored = (
+        pairs.select(F.col(id_col).alias("__ia"), "negative_id")
+        .join(a, "__ia")
+        .join(b, "negative_id")
+        .select(
+            (
+                _dot(F.col("__va"), F.col("__vb"))
+                / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+            ).alias("cos"),
+        )
+    )
+    binf = F.least(
+        F.floor((F.col("cos") + 1.0) / 2.0 * n_bins).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    width = 2.0 / n_bins
+    return (
+        scored.withColumn("bin", F.greatest(binf, F.lit(0)))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.lit(-1.0) + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.lit(-1.0) + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )

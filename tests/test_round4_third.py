@@ -268,3 +268,19 @@ def test_term_log_odds_symmetry_and_sign(spark):
         assert ab[t]["log_odds"] == -ba[t]["log_odds"]
         assert ab[t]["z"] == -ba[t]["z"]
         assert ab[t]["count_a"] == ba[t]["count_b"]
+
+
+# ----------------------------------------------------- cosine histogram
+def test_cosine_histogram_counts_and_bounds(spark, sf_dir):
+    from rdsa_utils_spark.operators.similarity import cosine_histogram
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = cosine_histogram(emb, "vec_id", "embedding", pairs_per_row=2).collect()
+    total = sum(r["n_pairs"] for r in out)
+    # 2 draws per row minus self-hits (rare)
+    assert n * 2 * 0.9 <= total <= n * 2
+    for r in out:
+        assert 0 <= r["bin"] <= 19
+        assert r["lo"] == round(-1.0 + r["bin"] * 0.1, 6)
+        assert r["hi"] == round(r["lo"] + 0.1, 6)
