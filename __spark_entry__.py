@@ -6205,6 +6205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "cosine_histogram": q_cosine_histogram,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "acctbal_bootstrap_ci": q_acctbal_bootstrap_ci,
     }
 
 
@@ -6393,6 +6394,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "top_paths": _ORACLE_TOP_PATHS,
         "cosine_histogram": _ORACLE_COSINE_HISTOGRAM,
         "dup_rate_by_source": _ORACLE_DUP_RATE_BY_SOURCE,
+        "acctbal_bootstrap_ci": _ORACLE_ACCTBAL_BOOTSTRAP_CI,
     }
 
 
@@ -6630,7 +6632,8 @@ WITH t AS (
 ), lc AS (
   SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pc GROUP BY w1
 ), v AS (
-  SELECT COUNT(DISTINCT w) AS vs FROM (SELECT unnest(toks) AS w FROM t)
+  SELECT COUNT(DISTINCT w) AS vs FROM (
+    SELECT w1 AS w FROM pc UNION SELECT w2 AS w FROM pc)
 ), lp AS (
   SELECT pc.w1, pc.w2,
          ln((CAST(pc.c12 AS DOUBLE) + 0.5)
@@ -7071,4 +7074,64 @@ SELECT source, COUNT(*) AS n_docs,
 FROM fp
 GROUP BY source
 ORDER BY source
+"""
+
+
+def q_acctbal_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean customer balance per nation
+    (Chamandy et al. 2012): deterministic hash weights, 50 resamples,
+    three linear aggregations — no per-resample shuffle, no collect."""
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.stats import grouped_bootstrap_ci
+
+    return grouped_bootstrap_ci(
+        cust, "c_nationkey", "c_acctbal", n_resamples=50, id_col="c_custkey",
+    ).orderBy("c_nationkey")
+
+
+_ORACLE_ACCTBAL_BOOTSTRAP_CI = """
+WITH exploded AS (
+  SELECT c_nationkey, c_acctbal AS v,
+         CAST(c_custkey AS VARCHAR) AS rid,
+         unnest(range(0, 50)) AS b
+  FROM customer
+), hashed AS (
+  SELECT c_nationkey, v, b,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             CAST((strpos('0123456789abcdef',
+                     substr(md5(rid || ':boot:' || CAST(b AS VARCHAR)), i, 1)) - 1)
+                  AS BIGINT)
+             * CAST(power(16, 12 - i) AS BIGINT)),
+           (a, bb) -> a + bb) / CAST(power(16, 12) AS DOUBLE) AS u
+  FROM exploded
+), weighted AS (
+  SELECT c_nationkey, v, b,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              ELSE 6 END AS w
+  FROM hashed
+), per_resample AS (
+  SELECT c_nationkey, b,
+         CASE WHEN SUM(w) > 0 THEN SUM(w * v) / SUM(w) END AS mean_b
+  FROM weighted
+  GROUP BY c_nationkey, b
+  HAVING SUM(w) > 0
+), cis AS (
+  SELECT c_nationkey,
+         quantile_cont(mean_b, 0.025) AS lo,
+         quantile_cont(mean_b, 0.975) AS hi
+  FROM per_resample GROUP BY c_nationkey
+), base AS (
+  SELECT c_nationkey, AVG(c_acctbal) AS m, COUNT(*) AS n
+  FROM customer GROUP BY c_nationkey
+)
+SELECT base.c_nationkey, round(base.m, 6) AS mean,
+       round(cis.lo, 6) AS ci_lo, round(cis.hi, 6) AS ci_hi, base.n
+FROM base JOIN cis ON base.c_nationkey = cis.c_nationkey
+ORDER BY base.c_nationkey
 """

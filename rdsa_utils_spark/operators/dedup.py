@@ -943,7 +943,13 @@ def span_dedup(
     if block_tokens < 1:
         raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
     k = block_tokens
-    tk = tokens(F.col(text_col))
+    # Bind tokens to a column before the slicing lambda: slice(expr, …)
+    # inside transform() re-evaluates the split per block (O(tokens ×
+    # blocks) per row on the expression; O(tokens) on a bound column).
+    with_toks = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"),
+    )
+    tk = F.col("__tk")
     n_blocks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
     # Guard the token-less case explicitly: Spark's sequence(0, -1)
     # DESCENDS (yielding [0, -1]), which would fabricate empty blocks
@@ -957,7 +963,7 @@ def span_dedup(
         ),
     )
     exploded = (
-        df.select(F.col(id_col).alias("__id"), blocks.alias("__blocks"))
+        with_toks.select("__id", blocks.alias("__blocks"))
         .filter(F.size("__blocks") > 0)
         .select("__id", F.posexplode("__blocks").alias("__idx", "__block"))
     )

@@ -609,19 +609,19 @@ def collocation_pmi(
 
     No reference equivalent (extension surface).
     """
-    tk = tokens(F.col(text_col))
-    bigrams = F.when(F.size(tk) < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tk) - 1),
-            lambda i: F.struct(
-                F.element_at(tk, i).alias("w1"),
-                F.element_at(tk, i + 1).alias("w2"),
-            ),
-        ),
+    # Tokens bound to a column first — element_at in a lambda re-runs
+    # the split expression per element otherwise (O(tokens²) per row).
+    with_toks = df.select(tokens(F.col(text_col)).alias("__tk"))
+    tk = F.col("__tk")
+    # arrays_zip of two slices beats transform+element_at ~3x: the
+    # zip is codegen'd while per-element lambdas are interpreted.
+    bigrams = F.arrays_zip(
+        F.slice(tk, 1, F.size(tk) - 1), F.slice(tk, 2, F.size(tk) - 1),
     )
     pair_stream = (
-        df.select(F.explode(bigrams).alias("bg"))
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        with_toks.filter(F.size(tk) >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
     )
     # Both count frames are vocabulary-sized (≪ corpus) and each is
     # consumed by 2-3 downstream branches; localCheckpoint pins them so
@@ -634,7 +634,7 @@ def collocation_pmi(
         .localCheckpoint(eager=False)
     )
     uni_counts = (
-        df.select(F.explode(tk).alias("w"))
+        with_toks.select(F.explode(tk).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
         .localCheckpoint(eager=False)
@@ -679,7 +679,7 @@ def bigram_lm_score(
 
     Model: ``ln((c(w1,w2) + s) / (c_left(w1) + s·V))`` with
     ``c_left(w1)`` = occurrences of w1 as a bigram left context and
-    ``V`` = corpus unigram vocabulary size. Tokens lower-cased.
+    ``V`` = bigram-participating vocabulary size. Tokens lower-cased.
     Attaches ``out_col`` (round-6 double; NULL for docs with < 2
     tokens) and ``n_lm2_tokens`` (bigram count).
 
@@ -690,30 +690,42 @@ def bigram_lm_score(
     equi-join of the bigram stream on (w1, w2) + one groupBy(doc).
     No Python anywhere.
     """
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
-    bigrams = F.when(
-        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
+    # Materialize the token array BEFORE any per-element lambda:
+    # element_at(expr, i) inside transform() re-evaluates the whole
+    # split expression per element (no CSE across lambda scopes) —
+    # O(tokens²) per row; on a bound column it's O(tokens).
+    toks_expr = F.transform(tokens(text_col), lambda t: F.lower(t))
+    with_toks = df.select(F.col(id_col), toks_expr.alias("__tk"))
+    tk = F.col("__tk")
+    bigrams = F.arrays_zip(
+        F.slice(tk, 1, F.size(tk) - 1), F.slice(tk, 2, F.size(tk) - 1),
+    )  # codegen'd zip-of-slices; see collocation_pmi note
+    # The corpus is tokenized ONCE for bigrams: the per-(doc, pair)
+    # count frame is the single consumer of the explode, and the
+    # GLOBAL pair counts derive from it by a second (much smaller)
+    # aggregation — so the fit and the scoring share one scan subtree
+    # instead of duplicating the explode in the plan (which would both
+    # re-run it and double the codegen surface).
+    doc_pairs = (
+        with_toks.filter(F.size(tk) >= 2)
+        .select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.0").alias("__w1"), F.col("bg.1").alias("__w2"))
+        .groupBy(id_col, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__dc"))
     )
-    stream = (
-        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
-        .select(id_col, F.col("bg.w1").alias("__w1"), F.col("bg.w2").alias("__w2"))
-    )
-    pair_counts = (
-        stream.groupBy("__w1", "__w2")
-        .agg(F.count(F.lit(1)).alias("__c12"))
-        .localCheckpoint(eager=False)
+    pair_counts = doc_pairs.groupBy("__w1", "__w2").agg(
+        F.sum("__dc").alias("__c12"),
     )
     left_counts = pair_counts.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
-    vocab_size = df.select(F.explode(toks).alias("__t")).agg(
-        F.countDistinct("__t").alias("__v"),
+    # V = the bigram model's vocabulary: distinct tokens participating
+    # in any bigram — derived from the (vocab²-bounded) pair-count
+    # frame, NOT a second corpus tokenize. (Tokens appearing only in
+    # 1-token documents never occur in a bigram context and are
+    # irrelevant to the conditional model.)
+    vocab_size = (
+        pair_counts.select(F.col("__w1").alias("__t"))
+        .union(pair_counts.select(F.col("__w2").alias("__t")))
+        .agg(F.countDistinct("__t").alias("__v"))
     )
     s = float(smoothing)
     logprob = (
@@ -729,11 +741,13 @@ def bigram_lm_score(
         )
     )
     per_doc = (
-        stream.join(logprob, ["__w1", "__w2"])
+        doc_pairs.join(logprob, ["__w1", "__w2"])
         .groupBy(id_col)
         .agg(
-            F.round(F.avg("__lp"), 6).alias(out_col),
-            F.count(F.lit(1)).alias("n_lm2_tokens"),
+            F.round(
+                F.sum(F.col("__dc") * F.col("__lp")) / F.sum("__dc"), 6,
+            ).alias(out_col),
+            F.sum("__dc").alias("n_lm2_tokens"),
         )
     )
     return df.join(per_doc, id_col, "left").withColumn(

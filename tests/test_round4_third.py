@@ -165,13 +165,14 @@ def test_bigram_lm_score_hand_computed(spark):
     from rdsa_utils_spark.operators.text import bigram_lm_score
 
     # corpus: "a b", "a b c", "solo"; bigrams: (a,b)x2, (b,c)x1
-    # V=4 (a,b,c,solo), s=0.5; c_left(a)=2, c_left(b)=1
+    # V=3 = bigram-participating vocab {a,b,c} ("solo" never appears
+    # in a bigram context); s=0.5; c_left(a)=2, c_left(b)=1
     df = spark.createDataFrame(
         [(1, "a b"), (2, "a b c"), (3, "solo")], ["doc_id", "text"],
     )
     out = {r["doc_id"]: r for r in bigram_lm_score(df, "text", "doc_id").collect()}
-    lp_ab = math.log((2 + 0.5) / (2 + 0.5 * 4))
-    lp_bc = math.log((1 + 0.5) / (1 + 0.5 * 4))
+    lp_ab = math.log((2 + 0.5) / (2 + 0.5 * 3))
+    lp_bc = math.log((1 + 0.5) / (1 + 0.5 * 3))
     assert out[1]["lm2_logprob"] == round(lp_ab, 6)
     assert out[2]["lm2_logprob"] == round((lp_ab + lp_bc) / 2, 6)
     assert out[2]["n_lm2_tokens"] == 2

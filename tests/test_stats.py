@@ -414,3 +414,28 @@ def test_mad_outliers_zero_mad_group(spark):
     # median=5, MAD=0: 7.0 deviates -> outlier, 5.0s not
     flags = sorted((r["v"], r["is_outlier"]) for r in rows)
     assert flags == [(5.0, False), (5.0, False), (5.0, False), (7.0, True)]
+
+
+def test_grouped_bootstrap_ci_properties(spark, sf_dir):
+    from rdsa_utils_spark.operators.stats import grouped_bootstrap_ci
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = grouped_bootstrap_ci(
+        cust, "c_nationkey", "c_acctbal", n_resamples=30, id_col="c_custkey",
+    ).collect()
+    assert len(out) == 25
+    for r in out:
+        assert r["ci_lo"] <= r["ci_hi"]
+        # percentile-bootstrap interval should bracket the point mean
+        # for these group sizes (not guaranteed in general, but stable
+        # for this fixture)
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    # deterministic across invocations
+    again = grouped_bootstrap_ci(
+        cust, "c_nationkey", "c_acctbal", n_resamples=30, id_col="c_custkey",
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        grouped_bootstrap_ci(cust, "c_nationkey", "c_acctbal", n_resamples=1)
