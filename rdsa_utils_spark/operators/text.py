@@ -415,7 +415,13 @@ def chunk_documents(
             f"overlap_tokens ({overlap_tokens}) must be < chunk_tokens ({chunk_tokens})",
         )
     stride = chunk_tokens - overlap_tokens
-    toks = tokens(text_col)
+    # Bind tokens to a column before the slicing lambda: slice over the
+    # raw split EXPRESSION would re-tokenize the document once per
+    # chunk — O(tokens²/stride) per row on long documents.
+    with_toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__tk"),
+    )
+    toks = F.col("__tk")
     k = F.size(toks)
     starts = F.sequence(
         F.lit(1),
@@ -425,7 +431,7 @@ def chunk_documents(
     chunks = F.when(k == 0, F.array().cast("array<string>")).otherwise(
         F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens))),
     )
-    return df.select(
+    return with_toks.select(
         F.col(id_col),
         F.posexplode(chunks).alias(out_index, out_text),
     )
