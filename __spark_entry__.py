@@ -6206,6 +6206,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_histogram": q_cosine_histogram,
         "dup_rate_by_source": q_dup_rate_by_source,
         "acctbal_bootstrap_ci": q_acctbal_bootstrap_ci,
+        "user_value_twap": q_user_value_twap,
+        "purchase_attribution": q_purchase_attribution,
     }
 
 
@@ -6395,6 +6397,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "cosine_histogram": _ORACLE_COSINE_HISTOGRAM,
         "dup_rate_by_source": _ORACLE_DUP_RATE_BY_SOURCE,
         "acctbal_bootstrap_ci": _ORACLE_ACCTBAL_BOOTSTRAP_CI,
+        "user_value_twap": _ORACLE_USER_VALUE_TWAP,
+        "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
     }
 
 
@@ -7134,4 +7138,71 @@ SELECT base.c_nationkey, round(base.m, 6) AS mean,
        round(cis.lo, 6) AS ci_lo, round(cis.hi, 6) AS ci_hi, base.n
 FROM base JOIN cis ON base.c_nationkey = cis.c_nationkey
 ORDER BY base.c_nationkey
+"""
+
+
+def q_user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of event values (TWAP): lead
+    window for holding durations + one weighted aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import time_weighted_avg
+
+    return time_weighted_avg(ev, "user_id", "ts", "value").orderBy("user_id")
+
+
+_ORACLE_USER_VALUE_TWAP = """
+WITH d AS (
+  SELECT user_id, value,
+         epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC)) - epoch(ts) AS dur
+  FROM events
+)
+SELECT user_id,
+       round(CASE WHEN SUM(dur) > 0 THEN SUM(value * dur) / SUM(dur) END, 6) AS twap,
+       round(COALESCE(SUM(dur), 0.0), 6) AS span_seconds,
+       COUNT(*) AS n_obs
+FROM d
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to view/click/signup
+    touches: interval-constrained left equi-join on user + struct-max
+    winner per conversion (aggregation, not window)."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import conversion_attribution
+
+    return conversion_attribution(
+        ev, "user_id", "ts", "event_type", "purchase",
+        ["view", "click", "signup"], model="last", tiebreak_col="event_id",
+    )
+
+
+_ORACLE_PURCHASE_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u2, ts AS tts, event_id AS tid, event_type AS ttype
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), joined AS (
+  SELECT conv.u, conv.cts, conv.cid, touch.tts, touch.tid, touch.ttype
+  FROM conv LEFT JOIN touch
+    ON conv.u = touch.u2 AND touch.tts <= conv.cts
+), ranked AS (
+  SELECT u, cts, cid, tts, ttype,
+         row_number() OVER (PARTITION BY u, cts, cid
+                            ORDER BY tts DESC NULLS LAST, tid DESC NULLS LAST,
+                                     ttype DESC NULLS LAST) AS rn
+  FROM joined
+), winners AS (
+  SELECT u, cts, cid,
+         COALESCE(CASE WHEN tts IS NULL THEN NULL ELSE ttype END, '(none)') AS touch_type
+  FROM ranked WHERE rn = 1
+)
+SELECT touch_type, COUNT(*) AS n_conversions
+FROM winners
+GROUP BY touch_type
+ORDER BY touch_type
 """

@@ -530,3 +530,105 @@ def top_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(k)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation is
+    weighted by how long it remained current (until the key's next
+    observation) — the correct mean for irregularly sampled state
+    (prices, sensor readings, feature values), where the plain AVG
+    over-weights bursts of rapid updates.
+
+    The key's LAST observation has no forward duration and is
+    excluded from the weighted mean (standard TWAP over the observed
+    span); single-observation keys yield NULL. One window (lead) +
+    one aggregation on the same key partitioning — one shuffle.
+
+    Returns (``key_col``, ``twap``, ``span_seconds``, ``n_obs``).
+    """
+    from rdsa_utils_spark.functions.columns import epoch_double
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc())
+    ts_num = epoch_double(df, ts_col)
+    dur = F.lead(ts_num).over(w) - ts_num
+    return (
+        df.withColumn("__dur__", dur)
+        .groupBy(key_col)
+        .agg(
+            F.round(
+                F.when(
+                    F.sum("__dur__") > 0,
+                    F.sum(F.col(value_col) * F.col("__dur__"))
+                    / F.sum("__dur__"),
+                ),
+                round_to,
+            ).alias("twap"),
+            F.round(F.coalesce(F.sum("__dur__"), F.lit(0.0)), 6).alias("span_seconds"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    model: str = "last",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Marketing-style conversion attribution: each conversion event
+    credits ONE preceding touch event of the same user — the latest
+    (``model='last'``) or the earliest (``model='first'``) touch at
+    or before the conversion time. Returns
+    (``touch_type``, ``n_conversions``); conversions with no prior
+    touch are reported under touch_type ``'(none)'``.
+
+    Plan: touches × conversions equi-join on the user key (fanout
+    bounded by per-user touch count), ``min``/``max`` of a
+    (ts, tiebreak, type) struct per conversion — an aggregation, not
+    a window — then a count by winning touch type. Two hash shuffles
+    on user, one tiny count. Pass ``tiebreak_col`` (e.g. event id)
+    for a total order under timestamp ties.
+    """
+    if model not in {"last", "first"}:
+        raise ValueError(f"model must be 'last' or 'first', got {model}")
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        *([F.col(tiebreak_col).alias("__cid")] if tiebreak_col else [F.lit(0).alias("__cid")]),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u2"),
+        F.col(ts_col).alias("__tts"),
+        *([F.col(tiebreak_col).alias("__tid")] if tiebreak_col else [F.lit(0).alias("__tid")]),
+        F.col(type_col).alias("__ttype"),
+    )
+    # Time predicate INSIDE the left join: a post-join filter would
+    # silently drop conversions whose touches are all later (their
+    # matched rows fail the filter and no null row remains).
+    joined = conv.join(
+        touch,
+        (F.col("__u") == F.col("__u2")) & (F.col("__tts") <= F.col("__cts")),
+        "left",
+    )
+    pick = F.struct("__tts", "__tid", "__ttype")
+    agg = F.max(pick) if model == "last" else F.min(pick)
+    winners = (
+        joined.groupBy("__u", "__cts", "__cid")
+        .agg(agg.alias("__win"))
+        .select(F.coalesce(F.col("__win.__ttype"), F.lit("(none)")).alias("touch_type"))
+    )
+    return (
+        winners.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("touch_type")
+    )

@@ -440,3 +440,49 @@ def test_top_paths_hand_computed(spark):
            top_paths(df, "user_id", "ts", "event_type", 1800,
                      k=10, tiebreak_cols=["event_id"]).collect()]
     assert out == [("a>b", 2), ("a", 1)]
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from rdsa_utils_spark.operators.events import time_weighted_avg
+
+    rows = [
+        # key a: value 10 for 100s, then 20 for 300s, last obs excluded
+        ("a", "2020-01-01 00:00:00", 10.0),
+        ("a", "2020-01-01 00:01:40", 20.0),
+        ("a", "2020-01-01 00:06:40", 99.0),
+        ("b", "2020-01-01 00:00:00", 7.0),   # single obs -> NULL twap
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v",
+    )
+    out = {r["k"]: r for r in time_weighted_avg(df, "k", "ts", "v").collect()}
+    want = (10 * 100 + 20 * 300) / 400
+    assert out["a"]["twap"] == round(want, 6)
+    assert out["a"]["span_seconds"] == 400.0 and out["a"]["n_obs"] == 3
+    assert out["b"]["twap"] is None and out["b"]["n_obs"] == 1
+
+
+def test_conversion_attribution_models(spark):
+    from rdsa_utils_spark.operators.events import conversion_attribution
+
+    rows = [
+        (1, "2020-01-01 09:00:00", 1, "ad"),
+        (1, "2020-01-01 10:00:00", 2, "email"),
+        (1, "2020-01-01 11:00:00", 3, "purchase"),
+        (2, "2020-01-01 09:00:00", 4, "email"),
+        (2, "2020-01-01 09:30:00", 5, "purchase"),
+        (3, "2020-01-01 09:00:00", 6, "purchase"),   # no touch -> (none)
+        (4, "2020-01-02 09:00:00", 7, "purchase"),   # touch after conv -> (none)
+        (4, "2020-01-02 10:00:00", 8, "ad"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type",
+    )
+    last = {r["touch_type"]: r["n_conversions"] for r in conversion_attribution(
+        df, "user_id", "ts", "event_type", "purchase", ["ad", "email"],
+        model="last", tiebreak_col="event_id").collect()}
+    assert last == {"email": 2, "(none)": 2}
+    first = {r["touch_type"]: r["n_conversions"] for r in conversion_attribution(
+        df, "user_id", "ts", "event_type", "purchase", ["ad", "email"],
+        model="first", tiebreak_col="event_id").collect()}
+    assert first == {"ad": 1, "email": 1, "(none)": 2}
