@@ -6208,6 +6208,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_bootstrap_ci": q_acctbal_bootstrap_ci,
         "user_value_twap": q_user_value_twap,
         "purchase_attribution": q_purchase_attribution,
+        "containment_pairs": q_containment_pairs,
+        "seasonal_anomalies": q_seasonal_anomalies,
     }
 
 
@@ -6399,6 +6401,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "acctbal_bootstrap_ci": _ORACLE_ACCTBAL_BOOTSTRAP_CI,
         "user_value_twap": _ORACLE_USER_VALUE_TWAP,
         "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
+        "containment_pairs": _ORACLE_CONTAINMENT_PAIRS,
+        "seasonal_anomalies": _ORACLE_SEASONAL_ANOMALIES,
     }
 
 
@@ -7205,4 +7209,86 @@ SELECT touch_type, COUNT(*) AS n_conversions
 FROM winners
 GROUP BY touch_type
 ORDER BY touch_type
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment for banded candidate pairs —
+    the quote/superset detector symmetric Jaccard misses; same
+    attach-by-id join shape as ngram_jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.dedup import containment_pairs
+
+    pairs = _banded_doc_pairs(docs)
+    out = containment_pairs(docs, pairs, "doc_id", "text", n=3)
+    return (
+        out.filter(
+            (F.col("containment_a_in_b") >= 0.2)
+            | (F.col("containment_b_in_a") >= 0.2),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_CONTAINMENT_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 1) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS sh
+  FROM t
+), scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN na > 0 THEN inter / na END, 6) AS containment_a_in_b,
+       ROUND(CASE WHEN nb > 0 THEN inter / nb END, 6) AS containment_b_in_a,
+       ROUND(CASE WHEN na + nb - inter > 0 THEN inter / (na + nb - inter) END, 6) AS jaccard
+FROM scored
+WHERE (CASE WHEN na > 0 THEN inter / na END >= 0.2)
+   OR (CASE WHEN nb > 0 THEN inter / nb END >= 0.2)
+ORDER BY id_a, id_b
+"""
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (dow, hour)-profile anomaly scores for event values
+    per event type: one baseline aggregation + one slot join."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import seasonal_baseline_anomalies
+
+    out = seasonal_baseline_anomalies(ev, "event_type", "ts", "value")
+    return out.select(
+        "event_id", "event_type", "slot_mean", "slot_n", "seasonal_z",
+    ).orderBy("event_id")
+
+
+_ORACLE_SEASONAL_ANOMALIES = """
+WITH keyed AS (
+  SELECT event_id, event_type, value,
+         dayofweek(ts) AS dw, hour(ts) AS hr
+  FROM events
+), base AS (
+  SELECT event_type, dw, hr,
+         AVG(value) AS m, stddev_samp(value) AS s, COUNT(*) AS slot_n
+  FROM keyed GROUP BY event_type, dw, hr
+)
+SELECT k.event_id, k.event_type,
+       round(b.m, 6) AS slot_mean, b.slot_n,
+       CASE WHEN b.slot_n >= 3 AND b.s > 0
+            THEN round((k.value - b.m) / b.s, 6) END AS seasonal_z
+FROM keyed k
+JOIN base b ON k.event_type = b.event_type AND k.dw = b.dw AND k.hr = b.hr
+ORDER BY k.event_id
 """

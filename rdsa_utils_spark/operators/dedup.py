@@ -1001,3 +1001,54 @@ def span_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs:
+    ``containment(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)|``
+    — catches quotes, excerpts and supersets that symmetric Jaccard
+    misses (a 100-word quote inside a 10k-word page has Jaccard ≈ 0.01
+    but containment ≈ 1.0). The Broder resemblance/containment pair;
+    the standard decontamination metric for "is this eval doc inside a
+    training doc".
+
+    ``pairs`` carries (``id_a``, ``id_b``); shingle sets attach by two
+    id joins (bare arrays ride the join, same shape as
+    :func:`ngram_jaccard_pairs`) and intersections run JVM-side.
+    Returns (id_a, id_b, ``containment_a_in_b``,
+    ``containment_b_in_a``, ``jaccard``).
+    """
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    a = sets_df.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sets_df.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    na = F.size("__sa")
+    nb = F.size("__sb")
+    union = (na + nb).cast("double") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(na > 0, inter / na), round_to,
+            ).alias("containment_a_in_b"),
+            F.round(
+                F.when(nb > 0, inter / nb), round_to,
+            ).alias("containment_b_in_a"),
+            F.round(
+                F.when(union > 0, inter / union), round_to,
+            ).alias("jaccard"),
+        )
+    )

@@ -632,3 +632,43 @@ def conversion_attribution(
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .orderBy("touch_type")
     )
+
+
+def seasonal_baseline_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    min_obs: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Seasonal-profile anomaly scores: each observation is compared
+    against its key's OWN (day-of-week, hour) baseline — the traffic /
+    sales shape where "low for 3am Sunday" and "low for 2pm Monday"
+    are different questions that a rolling window conflates.
+
+    Baseline = per (key, dow, hour) mean and stddev over the whole
+    frame; score = (x − mean)/std. Slots with fewer than ``min_obs``
+    observations or zero variance yield NULL scores (not 0 — silence,
+    not confidence). Two shuffles: one baseline aggregation, one join
+    back on (key, dow, hour).
+
+    Adds ``slot_mean``, ``slot_n``, ``seasonal_z``.
+    """
+    dow = F.dayofweek(F.col(ts_col))
+    hour = F.hour(F.col(ts_col))
+    keyed = df.withColumn("__dow__", dow).withColumn("__hr__", hour)
+    base = keyed.groupBy(key_col, "__dow__", "__hr__").agg(
+        F.avg(value_col).alias("__m__"),
+        F.stddev_samp(value_col).alias("__s__"),
+        F.count(F.lit(1)).alias("slot_n"),
+    )
+    joined = keyed.join(base, [key_col, "__dow__", "__hr__"])
+    z = (F.col(value_col) - F.col("__m__")) / F.col("__s__")
+    ok = (F.col("slot_n") >= min_obs) & (F.col("__s__") > 0)
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return (
+        joined.withColumn("slot_mean", rnd(F.col("__m__")))
+        .withColumn("seasonal_z", F.when(ok, rnd(z)))
+        .drop("__dow__", "__hr__", "__m__", "__s__")
+    )

@@ -486,3 +486,35 @@ def test_conversion_attribution_models(spark):
         df, "user_id", "ts", "event_type", "purchase", ["ad", "email"],
         model="first", tiebreak_col="event_id").collect()}
     assert first == {"ad": 1, "email": 1, "(none)": 2}
+
+
+def test_seasonal_baseline_null_for_thin_or_flat_slots(spark):
+    from rdsa_utils_spark.operators.events import seasonal_baseline_anomalies
+
+    rows = [
+        # slot with 3 obs, variance > 0
+        ("k", "2020-01-06 10:00:00", 1.0),
+        ("k", "2020-01-13 10:00:00", 2.0),
+        ("k", "2020-01-20 10:30:00", 6.0),
+        # slot with 2 obs only -> NULL scores
+        ("k", "2020-01-06 11:00:00", 1.0),
+        ("k", "2020-01-13 11:00:00", 9.0),
+        # flat slot (zero variance) -> NULL scores
+        ("k", "2020-01-06 12:00:00", 5.0),
+        ("k", "2020-01-13 12:00:00", 5.0),
+        ("k", "2020-01-20 12:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"]).select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v",
+    )
+    out = seasonal_baseline_anomalies(df, "k", "ts", "v")
+    by_hour = {}
+    for r in out.collect():
+        by_hour.setdefault(r["ts"].hour, []).append(r)
+    assert all(r["seasonal_z"] is not None for r in by_hour[10])
+    assert all(r["seasonal_z"] is None for r in by_hour[11])  # thin
+    assert all(r["seasonal_z"] is None for r in by_hour[12])  # flat
+    import statistics
+    m = statistics.mean([1.0, 2.0, 6.0]); s = statistics.stdev([1.0, 2.0, 6.0])
+    got = {round((v - m) / s, 6) for v in (1.0, 2.0, 6.0)}
+    assert {r["seasonal_z"] for r in by_hour[10]} == got

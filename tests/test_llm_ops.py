@@ -759,3 +759,17 @@ def test_hashed_token_features_deterministic_and_bounded(spark):
 
     with _pytest.raises(ValueError, match="n_features"):
         hashed_token_features(df, "doc_id", "text", n_features=1)
+
+
+def test_containment_asymmetry_quote_in_page(spark):
+    from rdsa_utils_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    page = quote + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame([(1, quote), (2, page)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r = containment_pairs(df, pairs, "doc_id", "text", n=3).collect()[0]
+    # every shingle of the quote appears in the page
+    assert r["containment_a_in_b"] == 1.0
+    assert r["containment_b_in_a"] < 0.1
+    assert r["jaccard"] < 0.1
