@@ -6210,6 +6210,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": q_purchase_attribution,
         "containment_pairs": q_containment_pairs,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "growth_accounting": q_growth_accounting,
+        "rolling_mau": q_rolling_mau,
     }
 
 
@@ -6403,6 +6405,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
         "containment_pairs": _ORACLE_CONTAINMENT_PAIRS,
         "seasonal_anomalies": _ORACLE_SEASONAL_ANOMALIES,
+        "growth_accounting": _ORACLE_GROWTH_ACCOUNTING,
+        "rolling_mau": _ORACLE_ROLLING_MAU,
     }
 
 
@@ -7291,4 +7295,87 @@ SELECT k.event_id, k.event_type,
 FROM keyed k
 JOIN base b ON k.event_type = b.event_type AND k.dw = b.dw AND k.hr = b.hr
 ORDER BY k.event_id
+"""
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth accounting of purchase values:
+    new/expansion/contraction/resurrected/churned decomposition —
+    user-hash-aligned windows + month rollup."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import growth_accounting
+
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return growth_accounting(purchases, "user_id", "ts", "value").orderBy("month")
+
+
+_ORACLE_GROWTH_ACCOUNTING = """
+WITH per AS (
+  SELECT user_id AS u, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+         SUM(CAST(value AS DECIMAL(38,6))) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, date_trunc('month', ts)
+), lagged AS (
+  SELECT u, month, v,
+         lag(month) OVER w AS prev_m,
+         lag(v) OVER w AS prev_v,
+         min(month) OVER (PARTITION BY u) AS first_m,
+         lead(month) OVER w AS next_m
+  FROM per
+  WINDOW w AS (PARTITION BY u ORDER BY month)
+), cur AS (
+  SELECT month,
+         CASE WHEN month = first_m THEN v ELSE 0 END AS nw,
+         CASE WHEN month <> first_m AND prev_m IS NOT NULL
+                   AND prev_m < month - INTERVAL 1 MONTH THEN v ELSE 0 END AS res,
+         CASE WHEN prev_m = month - INTERVAL 1 MONTH AND v > prev_v
+              THEN v - prev_v ELSE 0 END AS exp,
+         CASE WHEN prev_m = month - INTERVAL 1 MONTH AND v < prev_v
+              THEN v - prev_v ELSE 0 END AS con,
+         v AS tot
+  FROM lagged
+), churn AS (
+  SELECT month + INTERVAL 1 MONTH AS month, SUM(-v) AS chn
+  FROM lagged
+  WHERE next_m IS NULL OR next_m > month + INTERVAL 1 MONTH
+  GROUP BY month + INTERVAL 1 MONTH
+), rolled AS (
+  SELECT month, SUM(nw) AS nw, SUM(exp) AS exp, SUM(con) AS con,
+         SUM(res) AS res, SUM(tot) AS tot
+  FROM cur GROUP BY month
+)
+SELECT rolled.month,
+       round(CAST(nw AS DOUBLE), 6) AS new,
+       round(CAST(exp AS DOUBLE), 6) AS expansion,
+       round(CAST(con AS DOUBLE), 6) AS contraction,
+       round(CAST(res AS DOUBLE), 6) AS resurrected,
+       round(CAST(COALESCE(chn, 0) AS DOUBLE), 6) AS churned,
+       round(CAST(tot AS DOUBLE), 6) AS total
+FROM rolled LEFT JOIN churn ON rolled.month = churn.month
+ORDER BY rolled.month
+"""
+
+
+def q_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 30-day rolling distinct active users per day via the
+    contribute-to-each-window explode (sliding distinct → plain
+    groupBy; linear rows, no un-mergeable state)."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import rolling_active_users
+
+    return rolling_active_users(ev, "ts", "user_id", window_days=30)
+
+
+_ORACLE_ROLLING_MAU = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), exploded AS (
+  SELECT u, d + to_days(CAST(i AS INT)) AS day
+  FROM active, unnest(range(0, 30)) AS t(i)
+)
+SELECT day, COUNT(DISTINCT u) AS active_users
+FROM exploded
+GROUP BY day
+ORDER BY day
 """

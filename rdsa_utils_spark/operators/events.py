@@ -672,3 +672,141 @@ def seasonal_baseline_anomalies(
         .withColumn("seasonal_z", F.when(ok, rnd(z)))
         .drop("__dow__", "__hr__", "__m__", "__s__")
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Month-over-month revenue growth accounting: decompose each
+    month's change into ``new`` (first-ever month), ``expansion`` /
+    ``contraction`` (same user, more / less than last month),
+    ``resurrected`` (returned after a gap) and ``churned`` (negative:
+    last month's revenue of users absent this month) — the SaaS
+    growth-audit standard.
+
+    Plan: one (user, month) revenue aggregation, one lag/min window
+    per user, a self-align on (user, next month) for churn, then a
+    month rollup. All shuffles share the user hash; the rollup is
+    month-cardinality-sized.
+
+    Returns one row per month: (``month``, new, expansion,
+    contraction, resurrected, churned, total).
+    """
+    month = F.date_trunc("month", F.col(ts_col))
+    per = (
+        df.groupBy(F.col(user_col).alias("__u"), month.alias("month"))
+        .agg(F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__v"))
+    )
+    w = Window.partitionBy("__u").orderBy("month")
+    first_m = F.min("month").over(
+        Window.partitionBy("__u"),
+    )
+    lagged = (
+        per.withColumn("__prev_m", F.lag("month").over(w))
+        .withColumn("__prev_v", F.lag("__v").over(w))
+        .withColumn("__first", first_m)
+    )
+    is_new = F.col("month") == F.col("__first")
+    gap = F.col("__prev_m").isNotNull() & (
+        F.col("__prev_m") < F.add_months(F.col("month"), -1)
+    )
+    adjacent = F.col("__prev_m") == F.add_months(F.col("month"), -1)
+    cur = (
+        lagged.select(
+            "month",
+            F.when(is_new, F.col("__v")).otherwise(F.lit(0)).alias("__new"),
+            F.when(~is_new & gap, F.col("__v")).otherwise(F.lit(0)).alias("__res"),
+            F.when(
+                adjacent & (F.col("__v") > F.col("__prev_v")),
+                F.col("__v") - F.col("__prev_v"),
+            ).otherwise(F.lit(0)).alias("__exp"),
+            F.when(
+                adjacent & (F.col("__v") < F.col("__prev_v")),
+                F.col("__v") - F.col("__prev_v"),
+            ).otherwise(F.lit(0)).alias("__con"),
+            F.col("__v").alias("__tot"),
+        )
+    )
+    # churn: a user active in month m and absent in m+1 contributes
+    # -v to month m+1's churned bucket (lead window on the same hash).
+    churn = (
+        per.withColumn("__next_m", F.lead("month").over(w))
+        .filter(
+            F.col("__next_m").isNull()
+            | (F.col("__next_m") > F.add_months(F.col("month"), 1)),
+        )
+        .select(
+            F.add_months(F.col("month"), 1).alias("month"),
+            (-F.col("__v")).alias("__chn"),
+        )
+    )
+    rolled = (
+        cur.groupBy("month")
+        .agg(
+            F.sum("__new").alias("new"),
+            F.sum("__exp").alias("expansion"),
+            F.sum("__con").alias("contraction"),
+            F.sum("__res").alias("resurrected"),
+            F.sum("__tot").alias("total"),
+        )
+        .join(
+            churn.groupBy("month").agg(F.sum("__chn").alias("churned")),
+            "month",
+            "left",
+        )
+    )
+    rnd = (lambda c: F.round(c.cast("double"), round_to)) if round_to is not None else (lambda c: c.cast("double"))
+    return rolled.select(
+        "month",
+        rnd(F.col("new")).alias("new"),
+        rnd(F.col("expansion")).alias("expansion"),
+        rnd(F.col("contraction")).alias("contraction"),
+        rnd(F.col("resurrected")).alias("resurrected"),
+        rnd(F.coalesce(F.col("churned"), F.lit(0))).alias("churned"),
+        rnd(F.col("total")).alias("total"),
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    window_days: int = 30,
+) -> DataFrame:
+    """EXACT rolling distinct active users per day (e.g. MAU when
+    ``window_days=30``): each (user, active-day) pair contributes to
+    the ``window_days`` calendar days it falls inside, so the sliding
+    distinct count becomes a plain groupBy — the explode turns an
+    un-mergeable sliding-distinct into ``window_days`` linear rows per
+    active day. At larger windows switch to the HLL sketch path
+    (``sketches.distinct_sketch`` merged per window) — same output
+    contract, approximate counts.
+
+    Only days with at least one contributing active day appear.
+    Returns (``day``, ``active_users``).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.date_trunc("day", F.col(ts_col))
+    active = df.select(
+        F.col(user_col).alias("__u"), day.alias("__d"),
+    ).distinct()
+    exploded = active.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d").cast("date"), window_days - 1).cast("timestamp"),
+                F.expr("interval 1 day"),
+            ),
+        ).alias("day"),
+    )
+    return (
+        exploded.groupBy("day")
+        .agg(F.countDistinct("__u").alias("active_users"))
+        .orderBy("day")
+    )

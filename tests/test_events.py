@@ -518,3 +518,53 @@ def test_seasonal_baseline_null_for_thin_or_flat_slots(spark):
     m = statistics.mean([1.0, 2.0, 6.0]); s = statistics.stdev([1.0, 2.0, 6.0])
     got = {round((v - m) / s, 6) for v in (1.0, 2.0, 6.0)}
     assert {r["seasonal_z"] for r in by_hour[10]} == got
+
+
+def test_growth_accounting_decomposition(spark):
+    from rdsa_utils_spark.operators.events import growth_accounting
+
+    rows = [
+        # u1: new in Jan(10), expands Feb(15), churns Mar (absent)
+        (1, "2020-01-05", 10.0), (1, "2020-02-05", 15.0),
+        # u2: new in Jan(20), contracts Feb(5), retained Mar(5)
+        (2, "2020-01-10", 20.0), (2, "2020-02-10", 5.0), (2, "2020-03-10", 5.0),
+        # u3: new in Feb(7)
+        (3, "2020-02-15", 7.0),
+        # u4: new Jan(3), gap Feb, resurrected Mar(4)
+        (4, "2020-01-20", 3.0), (4, "2020-03-20", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "v"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "v",
+    )
+    out = {str(r["month"])[:7]: r for r in
+           growth_accounting(df, "user_id", "ts", "v").collect()}
+    jan, feb, mar = out["2020-01"], out["2020-02"], out["2020-03"]
+    assert (jan["new"], jan["total"]) == (33.0, 33.0)
+    assert feb["new"] == 7.0 and feb["expansion"] == 5.0
+    assert feb["contraction"] == -15.0 and feb["churned"] == -3.0
+    assert feb["total"] == 27.0
+    assert mar["resurrected"] == 4.0 and mar["churned"] == -22.0
+    assert mar["total"] == 9.0
+    # Apr: only churn from u2(5), u4(4) -- months with no activity
+    # don't appear unless churn lands there; u3 churns in Mar.
+    assert mar["new"] == 0.0
+
+
+def test_rolling_active_users_window(spark):
+    from rdsa_utils_spark.operators.events import rolling_active_users
+
+    rows = [
+        (1, "2020-01-01"), (2, "2020-01-01"), (1, "2020-01-03"),
+        (3, "2020-01-05"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = {str(r["day"])[:10]: r["active_users"] for r in
+           rolling_active_users(df, "ts", "user_id", window_days=3).collect()}
+    assert out["2020-01-01"] == 2          # u1,u2
+    assert out["2020-01-03"] == 2          # u1(1st+3rd),u2(1st)
+    assert out["2020-01-04"] == 1          # u1 (3rd)
+    assert out["2020-01-05"] == 2          # u1(3rd), u3(5th)
+    assert out["2020-01-07"] == 1          # u3 only
+    assert "2020-01-08" not in out
