@@ -6212,6 +6212,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "growth_accounting": q_growth_accounting,
         "rolling_mau": q_rolling_mau,
+        "label_noise": q_label_noise,
     }
 
 
@@ -6407,6 +6408,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seasonal_anomalies": _ORACLE_SEASONAL_ANOMALIES,
         "growth_accounting": _ORACLE_GROWTH_ACCOUNTING,
         "rolling_mau": _ORACLE_ROLLING_MAU,
+        "label_noise": _ORACLE_LABEL_NOISE,
     }
 
 
@@ -7378,4 +7380,41 @@ SELECT day, COUNT(DISTINCT u) AS active_users
 FROM exploded
 GROUP BY day
 ORDER BY day
+"""
+
+
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency screen on embeddings (queries vec_id <
+    100, k=10 exact neighbors): high-disagreement rows are mislabel
+    candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from rdsa_utils_spark.operators.similarity import label_noise_scores
+
+    return label_noise_scores(
+        emb.filter(F.col("vec_id") < 100), emb, k=10,
+    ).orderBy("vec_id")
+
+
+_ORACLE_LABEL_NOISE = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS candidate_id, c.label AS candidate_label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, candidate_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn <= 10
+)
+SELECT query_id AS vec_id, query_label AS label,
+       COUNT(*) AS n_neighbors,
+       round(AVG(CASE WHEN candidate_label <> query_label THEN 1.0 ELSE 0.0 END), 6)
+         AS disagreement
+FROM topk
+GROUP BY query_id, query_label
+ORDER BY query_id
 """

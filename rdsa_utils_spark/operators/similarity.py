@@ -1418,3 +1418,68 @@ def cosine_histogram(
         )
         .orderBy("bin")
     )
+
+
+def label_noise_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """kNN label-consistency scores for mislabel detection: for each
+    query row, the fraction of its ``k`` nearest corpus neighbors
+    (cosine) whose label DISAGREES — rows whose neighborhoods vote
+    against their own label are the curation candidates (the cheap
+    end of the confident-learning family).
+
+    Exact tier (this function): broadcast-query scoring identical to
+    :func:`brute_force_topk`, then one aggregation per query. Swap
+    the neighbor source for :func:`ivf_topk` at corpus scale — the
+    score definition and downstream columns stay the same; this exact
+    form is the recall/oracle reference.
+
+    Returns (``id_col``, ``label``, ``n_neighbors``,
+    ``disagreement``) with deterministic neighbor tie-break by id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv__"),
+        _norm(F.col(vec_col)).alias("__qn__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        F.col(label_col).alias("candidate_label"),
+        F.col(vec_col).alias("__cv__"),
+        _norm(F.col(vec_col)).alias("__cn__"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "candidate_id",
+            "candidate_label",
+            (
+                _dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("cosine"),
+        )
+    )
+    topk = _topk_per_query(scored, k)
+    return (
+        topk.groupBy(F.col("query_id").alias(id_col), F.col("query_label").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(
+                F.avg(
+                    (F.col("candidate_label") != F.col("query_label")).cast("double"),
+                ),
+                round_to,
+            ).alias("disagreement"),
+        )
+    )

@@ -58,6 +58,7 @@ _BNLJ_OK = {
     "lm2_quality",            # 1-row vocab-size scalar attach (bigram LM)
     "hard_negatives",         # broadcast query frame × corpus (exact scorer)
     "term_keyness",           # 1-row corpus-totals attach (log-odds prior)
+    "label_noise",            # broadcast query frame × corpus (exact kNN)
 }
 
 #: Queries allowed a single-partition global window: the window runs

@@ -285,3 +285,25 @@ def test_cosine_histogram_counts_and_bounds(spark, sf_dir):
         assert 0 <= r["bin"] <= 19
         assert r["lo"] == round(-1.0 + r["bin"] * 0.1, 6)
         assert r["hi"] == round(r["lo"] + 0.1, 6)
+
+
+# ----------------------------------------------------------- label noise
+def test_label_noise_flags_planted_mislabel(spark):
+    import numpy as np
+
+    from rdsa_utils_spark.operators.similarity import label_noise_scores
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # two tight clusters; row 0 gets the WRONG label
+    for i in range(10):
+        rows.append((i, (rng.normal(0, 0.05, 8) + np.array([1.0]*4 + [0.0]*4)).tolist(),
+                     1 if i == 0 else 0))
+    for i in range(10, 20):
+        rows.append((i, (rng.normal(0, 0.05, 8) + np.array([0.0]*4 + [1.0]*4)).tolist(), 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["vec_id"]: r for r in label_noise_scores(df, df, k=5).collect()}
+    assert out[0]["disagreement"] == 1.0      # planted mislabel
+    assert out[5]["disagreement"] <= 0.2      # clean row (only row 0 disagrees nearby)
+    assert out[15]["disagreement"] == 0.0     # clean cluster B
+    assert all(r["n_neighbors"] == 5 for r in out.values())
