@@ -6213,6 +6213,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting": q_growth_accounting,
         "rolling_mau": q_rolling_mau,
         "label_noise": q_label_noise,
+        "ab_click_value": q_ab_click_value,
+        "cuped_values": q_cuped_values,
     }
 
 
@@ -6409,6 +6411,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "growth_accounting": _ORACLE_GROWTH_ACCOUNTING,
         "rolling_mau": _ORACLE_ROLLING_MAU,
         "label_noise": _ORACLE_LABEL_NOISE,
+        "ab_click_value": _ORACLE_AB_CLICK_VALUE,
+        "cuped_values": _ORACLE_CUPED_VALUES,
     }
 
 
@@ -7417,4 +7421,75 @@ SELECT query_id AS vec_id, query_label AS label,
 FROM topk
 GROUP BY query_id, query_label
 ORDER BY query_id
+"""
+
+
+def q_ab_click_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch A/B comparison of event values: 'click' (control) vs
+    'purchase' (treatment) — per-arm moments in one aggregation, the
+    statistic assembled from a 1×1 reshape."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.stats import ab_test_report
+
+    return ab_test_report(ev, "event_type", "value", "click", "purchase")
+
+
+_ORACLE_AB_CLICK_VALUE = """
+WITH agg AS (
+  SELECT event_type, COUNT(*) AS n, AVG(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+), c AS (SELECT n AS n_c, m AS m_c, v AS v_c FROM agg WHERE event_type = 'click'),
+t AS (SELECT n AS n_t, m AS m_t, v AS v_t FROM agg WHERE event_type = 'purchase')
+SELECT n_c, n_t,
+       round(m_c, 6) AS mean_c, round(m_t, 6) AS mean_t,
+       round(m_t - m_c, 6) AS lift,
+       round((m_t - m_c) / m_c, 6) AS rel_lift,
+       round((m_t - m_c) / sqrt(v_c / n_c + v_t / n_t), 6) AS welch_t,
+       round((v_c / n_c + v_t / n_t) * (v_c / n_c + v_t / n_t)
+             / ((v_c / n_c) * (v_c / n_c) / (n_c - 1)
+                + (v_t / n_t) * (v_t / n_t) / (n_t - 1)), 6) AS dof
+FROM c CROSS JOIN t
+"""
+
+
+def q_cuped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment of order totals using the customer balance as
+    the pre-period covariate; verifies mean preservation and reports
+    variance reduction."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.stats import cuped_adjust
+
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_acctbal")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    adj = cuped_adjust(joined, "o_totalprice", "c_acctbal")
+    # variance REDUCTION ratio rather than raw variances: the ratio is
+    # robust to the accumulation-order noise of var over 1e10-scale
+    # doubles that raw per-engine variances would expose at 2 dp.
+    return adj.agg(
+        F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
+        F.round(F.avg("metric_cuped"), 4).alias("mean_cuped"),
+        F.round(
+            F.var_samp("metric_cuped") / F.var_samp("o_totalprice"), 4,
+        ).alias("var_ratio"),
+    )
+
+
+_ORACLE_CUPED_VALUES = """
+WITH j AS (
+  SELECT o.o_totalprice AS y, c.c_acctbal AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT covar_samp(x, y) AS cv, var_samp(x) AS vx, AVG(x) AS mx FROM j
+), adj AS (
+  SELECT y, round(y - (CASE WHEN vx > 0 THEN cv / vx ELSE 0 END) * (x - mx), 6) AS y2
+  FROM j CROSS JOIN s
+)
+SELECT round(AVG(y), 4) AS mean_raw,
+       round(AVG(y2), 4) AS mean_cuped,
+       round(var_samp(y2) / var_samp(y), 4) AS var_ratio
+FROM adj
 """

@@ -43,6 +43,8 @@ __all__ = [
     "group_percent_rank",
     "mad_outliers",
     "grouped_bootstrap_ci",
+    "ab_test_report",
+    "cuped_adjust",
 ]
 
 
@@ -563,4 +565,95 @@ def grouped_bootstrap_ci(
         rnd(F.col("__lo")).alias("ci_lo"),
         rnd(F.col("__hi")).alias("ci_hi"),
         "n",
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Two-sample A/B comparison of a metric: per-arm n/mean/variance,
+    absolute and relative lift, and the Welch t statistic (unequal
+    variances — the correct default; a pooled-variance t silently
+    assumes equal spread). P-values are left to the caller's CDF of
+    choice — the statistic is the engine's job, the threshold is not.
+
+    One aggregation over both arms (map-side combined), one 1×1 row
+    reshape. Returns a single row: (n_c, n_t, mean_c, mean_t, lift,
+    rel_lift, welch_t, dof) with Welch–Satterthwaite degrees of
+    freedom.
+    """
+    agg = (
+        df.filter(F.col(group_col).isin([control, treatment]))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(metric_col).alias("m"),
+            F.var_samp(metric_col).alias("v"),
+        )
+    )
+    c = agg.filter(F.col(group_col) == control).select(
+        F.col("n").alias("n_c"), F.col("m").alias("m_c"), F.col("v").alias("v_c"),
+    )
+    t = agg.filter(F.col(group_col) == treatment).select(
+        F.col("n").alias("n_t"), F.col("m").alias("m_t"), F.col("v").alias("v_t"),
+    )
+    row = c.crossJoin(t)
+    se2_c = F.col("v_c") / F.col("n_c")
+    se2_t = F.col("v_t") / F.col("n_t")
+    se = F.sqrt(se2_c + se2_t)
+    welch_t = (F.col("m_t") - F.col("m_c")) / se
+    dof = (se2_c + se2_t) * (se2_c + se2_t) / (
+        se2_c * se2_c / (F.col("n_c") - 1) + se2_t * se2_t / (F.col("n_t") - 1)
+    )
+    rnd = (lambda x: F.round(x, round_to)) if round_to is not None else (lambda x: x)
+    return row.select(
+        "n_c",
+        "n_t",
+        rnd(F.col("m_c")).alias("mean_c"),
+        rnd(F.col("m_t")).alias("mean_t"),
+        rnd(F.col("m_t") - F.col("m_c")).alias("lift"),
+        rnd((F.col("m_t") - F.col("m_c")) / F.col("m_c")).alias("rel_lift"),
+        rnd(welch_t).alias("welch_t"),
+        rnd(dof).alias("dof"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    out_col: str = "metric_cuped",
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): adjust the
+    experiment metric with a pre-experiment covariate —
+    ``y' = y − θ·(x − mean(x))`` with ``θ = cov(x, y)/var(x)`` — the
+    industry-standard way to shrink A/B confidence intervals without
+    more traffic. Means are preserved (E[y'] = E[y]); variance drops
+    by the squared correlation.
+
+    θ and mean(x) come from ONE global aggregation (``covar_samp`` /
+    ``var_samp`` are algebraic — map-side partials) broadcast back as
+    a 1-row frame. Zero-variance covariates leave the metric
+    unchanged (θ = 0), not divide-by-zero.
+    """
+    stats = df.agg(
+        F.covar_samp(covariate_col, metric_col).alias("__cov"),
+        F.var_samp(covariate_col).alias("__var"),
+        F.avg(covariate_col).alias("__mx"),
+    )
+    theta = F.when(F.col("__var") > 0, F.col("__cov") / F.col("__var")).otherwise(
+        F.lit(0.0),
+    )
+    adjusted = F.col(metric_col) - theta * (F.col(covariate_col) - F.col("__mx"))
+    rnd = (lambda x: F.round(x, round_to)) if round_to is not None else (lambda x: x)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, rnd(adjusted))
+        .drop("__cov", "__var", "__mx")
     )

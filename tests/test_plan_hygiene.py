@@ -59,6 +59,8 @@ _BNLJ_OK = {
     "hard_negatives",         # broadcast query frame × corpus (exact scorer)
     "term_keyness",           # 1-row corpus-totals attach (log-odds prior)
     "label_noise",            # broadcast query frame × corpus (exact kNN)
+    "ab_click_value",         # 1x1 per-arm moment reshape
+    "cuped_values",           # 1-row theta/mean(x) attach (CUPED)
 }
 
 #: Queries allowed a single-partition global window: the window runs

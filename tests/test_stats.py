@@ -439,3 +439,49 @@ def test_grouped_bootstrap_ci_properties(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError):
         grouped_bootstrap_ci(cust, "c_nationkey", "c_acctbal", n_resamples=1)
+
+
+def test_ab_test_report_hand_computed(spark):
+    import math
+
+    from rdsa_utils_spark.operators.stats import ab_test_report
+
+    rows = [("c", v) for v in [1.0, 2.0, 3.0, 4.0]] + [("t", v) for v in [3.0, 5.0, 7.0]]
+    df = spark.createDataFrame(rows, ["arm", "y"])
+    r = ab_test_report(df, "arm", "y", "c", "t").collect()[0]
+    import statistics
+    mc, mt = 2.5, 5.0
+    vc, vt = statistics.variance([1, 2, 3, 4]), statistics.variance([3, 5, 7])
+    se2c, se2t = vc / 4, vt / 3
+    assert (r["n_c"], r["n_t"]) == (4, 3)
+    assert r["lift"] == 2.5 and r["rel_lift"] == 1.0
+    assert r["welch_t"] == round((mt - mc) / math.sqrt(se2c + se2t), 6)
+    want_dof = (se2c + se2t) ** 2 / (se2c**2 / 3 + se2t**2 / 2)
+    assert r["dof"] == round(want_dof, 6)
+
+
+def test_cuped_preserves_mean_and_reduces_variance(spark):
+    import numpy as np
+
+    from rdsa_utils_spark.operators.stats import cuped_adjust
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(10, 2, 300)
+    y = 3 * x + rng.normal(0, 1, 300)   # strongly covariate-driven
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], ["x", "y"],
+    )
+    out = cuped_adjust(df, "y", "x", round_to=None)
+    import pyspark.sql.functions as SF
+    r = out.agg(
+        SF.avg("y").alias("my"), SF.avg("metric_cuped").alias("ma"),
+        SF.var_samp("y").alias("vy"), SF.var_samp("metric_cuped").alias("va"),
+    ).collect()[0]
+    assert abs(r["my"] - r["ma"]) < 1e-9          # mean preserved
+    assert r["va"] < 0.1 * r["vy"]                # big variance cut
+    # zero-variance covariate: unchanged metric
+    flat = spark.createDataFrame([(1.0, 5.0), (1.0, 7.0)], ["x", "y"])
+    vals = sorted(
+        r["metric_cuped"] for r in cuped_adjust(flat, "y", "x", round_to=None).collect()
+    )
+    assert vals == [5.0, 7.0]
