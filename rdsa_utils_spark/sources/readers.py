@@ -359,3 +359,43 @@ def read_jsonl_corpus(
         "line", reason.alias("reason"),
     )
     return good, bad
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob_filter: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Raw-file ingest for multimodal corpora: Spark's ``binaryFile``
+    source — one row per file with (``path``, ``modificationTime``,
+    ``length``, ``content`` binary) — feeding the
+    ``operators/multimodal`` decode/featurize plumbing.
+
+    ``glob_filter`` (e.g. ``"*.jpg"``) prunes AT THE LISTING, not
+    after reading; ``max_bytes`` guards against a stray huge file
+    poisoning executor memory (filter on the ``length`` metadata
+    column — pushed down, the content of oversized files is never
+    materialized).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def load_orc(
+    spark: SparkSession,
+    filepath: str,
+    keep_columns: Optional[Sequence[str]] = None,
+    rename_columns: Optional[Mapping[str, str]] = None,
+    drop_columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """ORC → DataFrame with the same keep/drop/rename post-processing
+    as :func:`load_csv` (columnar pushdown/pruning apply as with
+    parquet)."""
+    df = spark.read.orc(filepath)
+    return _postprocess_columns(df, keep_columns, rename_columns, drop_columns)

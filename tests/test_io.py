@@ -220,3 +220,28 @@ def test_plan_tuning(spark, sf_dir):
         spark, df.limit(10), ["l_orderkey"], nullable=False, use_rdd_rebuild=True,
     )
     assert forced.schema["l_orderkey"].nullable is False
+
+
+def test_read_binary_files_and_guard(spark, tmp_path):
+    from rdsa_utils_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"\x03" * 1000)
+    (tmp_path / "c.txt").write_text("not binary")
+    df = read_binary_files(spark, str(tmp_path), glob_filter="*.bin")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == b"\x00\x01\x02"
+    assert rows["b.bin"]["length"] == 1000
+    small = read_binary_files(spark, str(tmp_path), glob_filter="*.bin", max_bytes=10)
+    assert [r["path"].split("/")[-1] for r in small.collect()] == ["a.bin"]
+
+
+def test_load_orc_roundtrip(spark, tmp_path):
+    from rdsa_utils_spark.sources.readers import load_orc
+
+    src = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    path = str(tmp_path / "orc_ds")
+    src.write.orc(path)
+    out = load_orc(spark, path, rename_columns={"v": "val"})
+    assert sorted((r["id"], r["val"]) for r in out.collect()) == [(1, "x"), (2, "y")]
