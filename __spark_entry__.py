@@ -6215,6 +6215,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_noise": q_label_noise,
         "ab_click_value": q_ab_click_value,
         "cuped_values": q_cuped_values,
+        "supplier_name_typos": q_supplier_name_typos,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -6413,6 +6415,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "label_noise": _ORACLE_LABEL_NOISE,
         "ab_click_value": _ORACLE_AB_CLICK_VALUE,
         "cuped_values": _ORACLE_CUPED_VALUES,
+        "supplier_name_typos": _ORACLE_SUPPLIER_NAME_TYPOS,
+        "funnel_latency": _ORACLE_FUNNEL_LATENCY,
     }
 
 
@@ -7492,4 +7496,71 @@ SELECT round(AVG(y), 4) AS mean_raw,
        round(AVG(y2), 4) AS mean_cuped,
        round(var_samp(y2) / var_samp(y), 4) AS var_ratio
 FROM adj
+"""
+
+
+def q_supplier_name_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 supplier-name pairs via the deletion
+    neighborhood (FastSS blocking) — one variant equi-join, exact
+    levenshtein verify on candidates only."""
+    sup = _t(spark, sf_dir, "supplier")
+    from rdsa_utils_spark.operators.linkage import edit_distance_join
+
+    return (
+        edit_distance_join(sup, "s_suppkey", "s_name")
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_SUPPLIER_NAME_TYPOS = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel transition
+    (view → click → purchase, strict order): conditional-min chain on
+    the user hash + exact percentiles per transition."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import funnel_latency
+
+    return funnel_latency(ev, ["view", "click", "purchase"])
+
+
+_ORACLE_FUNNEL_LATENCY = """
+WITH r1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), r2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN r1 ON e.user_id = r1.user_id
+  WHERE e.event_type = 'click' AND e.ts > r1.t
+  GROUP BY e.user_id
+), r3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN r2 ON e.user_id = r2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > r2.t
+  GROUP BY e.user_id
+), l1 AS (
+  SELECT epoch(r2.t) - epoch(r1.t) AS lat
+  FROM r1 JOIN r2 ON r1.user_id = r2.user_id
+), l2 AS (
+  SELECT epoch(r3.t) - epoch(r2.t) AS lat
+  FROM r2 JOIN r3 ON r2.user_id = r3.user_id
+)
+SELECT 1 AS step, 'view' AS from_step, 'click' AS to_step,
+       COUNT(*) AS n_users,
+       round(quantile_cont(lat, 0.5), 6) AS q_50,
+       round(quantile_cont(lat, 0.9), 6) AS q_90
+FROM l1
+UNION ALL
+SELECT 2, 'click', 'purchase', COUNT(*),
+       round(quantile_cont(lat, 0.5), 6), round(quantile_cont(lat, 0.9), 6)
+FROM l2
+ORDER BY step
 """

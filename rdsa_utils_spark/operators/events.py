@@ -810,3 +810,65 @@ def rolling_active_users(
         .agg(F.countDistinct("__u").alias("active_users"))
         .orderBy("day")
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    quantiles: Sequence[float] = (0.5, 0.9),
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for users
+    who reach step k+1 (same strict-order semantics as
+    :func:`funnel_counts` — each step strictly after the previous
+    reached time), the exact quantiles of ``t_{k+1} − t_k`` in
+    seconds, plus the converting-user count.
+
+    One conditional-min aggregation per step over the shared user
+    hash (the funnel chain), then one exact-percentile aggregation
+    per transition — all tiny after the per-user reduction. Returns
+    (``step``, ``from_step``, ``to_step``, ``n_users``, ``q_<q>``…).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least 2 steps")
+    events = df.select(user_col, ts_col, type_col)
+    reached: list[DataFrame] = []
+    prev = None
+    for step in steps:
+        matching = events.filter(F.col(type_col) == step)
+        if prev is None:
+            cur = matching.groupBy(user_col).agg(F.min(ts_col).alias("__t__"))
+        else:
+            cur = (
+                matching.join(prev.withColumnRenamed("__t__", "__p__"), user_col)
+                .filter(F.col(ts_col) > F.col("__p__"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t__"))
+            )
+        reached.append(cur)
+        prev = cur
+    out = None
+    for k in range(len(steps) - 1):
+        a = reached[k].withColumnRenamed("__t__", "__ta__")
+        b = reached[k + 1].withColumnRenamed("__t__", "__tb__")
+        lat = a.join(b, user_col).select(
+            (F.col("__tb__").cast("double") - F.col("__ta__").cast("double"))
+            .alias("__lat__"),
+        )
+        aggs = [F.count(F.lit(1)).alias("n_users")] + [
+            F.round(
+                F.percentile(F.col("__lat__"), F.lit(q)), round_to,
+            ).alias(f"q_{int(q * 100)}")
+            for q in quantiles
+        ]
+        row = lat.agg(
+            F.lit(k + 1).alias("step"),
+            F.lit(steps[k]).alias("from_step"),
+            F.lit(steps[k + 1]).alias("to_step"),
+            *aggs,
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step")

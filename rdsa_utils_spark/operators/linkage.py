@@ -106,3 +106,58 @@ def fuzzy_join_blocked(
     if min_ratio is not None:
         out = out.filter(F.col("ratio") >= min_ratio)
     return out
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact edit-distance-1 self-join via the deletion neighborhood
+    (FastSS / SymSpell blocking): two strings are within Levenshtein
+    distance 1 iff they share an element of
+    ``{s} ∪ {s with one char deleted}`` — so candidates come from ONE
+    equi-join on a generated variant key, never an all-pairs scan.
+    The final ``levenshtein() <= 1`` verify removes the only false
+    positives (variant collisions between distance-2 strings).
+
+    Scale: each row explodes into len+1 variants (linear); the join
+    key is a near-unique string (uniform shuffle); verification
+    touches candidates only. For distance k, apply k-deletion
+    neighborhoods — the same shape with C(len, k) variants; this
+    implementation pins k = 1, the entity-resolution workhorse.
+
+    Returns (``id_a``, ``id_b``, ``text_a``, ``text_b``, ``dist``)
+    with id_a < id_b and dist ∈ {0, 1}.
+    """
+    s = F.col(text_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, 1, i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    variants = F.array_union(F.array(s), deletions)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        s.alias("__s"),
+        F.explode(variants).alias("__v"),
+    )
+    a = exploded.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("text_a"), "__v",
+    )
+    b = exploded.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("text_b"), "__v",
+    )
+    cands = (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .distinct()
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        cands.withColumn("dist", dist)
+        .filter(F.col("dist") <= 1)
+    )

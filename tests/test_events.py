@@ -568,3 +568,23 @@ def test_rolling_active_users_window(spark):
     assert out["2020-01-05"] == 2          # u1(3rd), u3(5th)
     assert out["2020-01-07"] == 1          # u3 only
     assert "2020-01-08" not in out
+
+
+def test_funnel_latency_hand_computed(spark):
+    from rdsa_utils_spark.operators.events import funnel_latency
+
+    rows = [
+        (1, "2020-01-01 10:00:00", "view"),
+        (1, "2020-01-01 10:00:10", "click"),     # 10s
+        (1, "2020-01-01 10:01:10", "purchase"),  # 60s
+        (2, "2020-01-01 09:00:00", "view"),
+        (2, "2020-01-01 09:00:30", "click"),     # 30s, no purchase
+        (3, "2020-01-01 08:00:00", "click"),     # click w/o prior view: excluded
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type",
+    )
+    out = {r["step"]: r for r in
+           funnel_latency(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["n_users"] == 2 and out[1]["q_50"] == 20.0  # median of 10,30
+    assert out[2]["n_users"] == 1 and out[2]["q_50"] == 60.0

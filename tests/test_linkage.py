@@ -62,3 +62,39 @@ def test_no_cross_join_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # levenshtein is codegen'd, no UDF
+
+
+def test_edit_distance_join_exact_k1(spark):
+    from rdsa_utils_spark.operators.linkage import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "cat"), (2, "cta"), (3, "cut"), (4, "cart"), (5, "dog"), (6, "cat")],
+        ["id", "s"],
+    )
+    out = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s").collect()
+    )
+    # cat~cut (sub), cat~cart (ins), cat==cat; cta is distance 2 from cat
+    assert out == [(1, 3, 1), (1, 4, 1), (1, 6, 0), (3, 6, 1), (4, 6, 1)]
+
+
+def test_edit_distance_join_matches_bruteforce(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.linkage import edit_distance_join
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_join(sup, "s_suppkey", "s_name").collect()
+    }
+    a = sup.select(F.col("s_suppkey").alias("ia"), F.col("s_name").alias("na"))
+    b = sup.select(F.col("s_suppkey").alias("ib"), F.col("s_name").alias("nb"))
+    brute = {
+        (r["ia"], r["ib"])
+        for r in a.crossJoin(b)
+        .filter((F.col("ia") < F.col("ib")) & (F.levenshtein("na", "nb") <= 1))
+        .collect()
+    }
+    assert fast == brute  # deletion neighborhood is lossless at k=1
