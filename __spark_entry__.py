@@ -6217,6 +6217,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_values": q_cuped_values,
         "supplier_name_typos": q_supplier_name_typos,
         "funnel_latency": q_funnel_latency,
+        "brand_rules": q_brand_rules,
+        "value_change_points": q_value_change_points,
     }
 
 
@@ -6417,6 +6419,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "cuped_values": _ORACLE_CUPED_VALUES,
         "supplier_name_typos": _ORACLE_SUPPLIER_NAME_TYPOS,
         "funnel_latency": _ORACLE_FUNNEL_LATENCY,
+        "brand_rules": _ORACLE_BRAND_RULES,
+        "value_change_points": _ORACLE_VALUE_CHANGE_POINTS,
     }
 
 
@@ -7563,4 +7567,108 @@ SELECT 2, 'click', 'purchase', COUNT(*),
        round(quantile_cont(lat, 0.5), 6), round(quantile_cont(lat, 0.9), 6)
 FROM l2
 ORDER BY step
+"""
+
+
+def q_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over (supplier → brand) baskets:
+    support/confidence/lift from the basket self-join + item-support
+    attaches."""
+    part = _t(spark, sf_dir, "part")
+    from rdsa_utils_spark.operators.graph import association_rules
+
+    baskets = part.select(
+        (F.col("p_partkey") % 50).alias("basket"), F.col("p_brand").alias("item"),
+    )
+    return association_rules(baskets, "basket", "item", min_count=5).orderBy(
+        "antecedent", "consequent",
+    )
+
+
+_ORACLE_BRAND_RULES = """
+WITH base AS (
+  SELECT DISTINCT p_partkey % 50 AS basket, p_brand AS item FROM part
+), ic AS (
+  SELECT item, COUNT(*) AS n_item FROM base GROUP BY item
+), nb AS (
+  SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS n FROM base
+), pc AS (
+  SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS n_both
+  FROM base a JOIN base b ON a.basket = b.basket AND a.item <> b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 5
+)
+SELECT pc.antecedent, pc.consequent, pc.n_both,
+       ia.n_item AS n_antecedent,
+       round(pc.n_both / nb.n, 6) AS support,
+       round(pc.n_both / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+       round((pc.n_both / nb.n) / ((ia.n_item / nb.n) * (ic2.n_item / nb.n)), 6) AS lift
+FROM pc
+JOIN ic ia ON pc.antecedent = ia.item
+JOIN ic ic2 ON pc.consequent = ic2.item
+CROSS JOIN nb
+ORDER BY antecedent, consequent
+"""
+
+
+def q_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type change-point localization: the day where the
+    two-sided CUSUM of daily value totals peaks (earliest on ties)."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import change_points
+
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6).cast("double").alias("daily_value"))
+    )
+    means = daily.groupBy("event_type").agg(
+        F.round(F.avg("daily_value"), 6).alias("target"),
+    )
+    return change_points(
+        daily.join(means, "event_type"),
+        "event_type", "day", "daily_value", "target",
+    ).orderBy("event_type")
+
+
+_ORACLE_VALUE_CHANGE_POINTS = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS daily_value
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), m AS (
+  SELECT event_type, round(AVG(daily_value), 6) AS target
+  FROM daily GROUP BY event_type
+), p AS (
+  SELECT d.event_type, d.day, d.daily_value,
+         SUM(d.daily_value - m.target - 0.0)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_pos,
+         SUM(-(d.daily_value - m.target) - 0.0)
+           OVER (PARTITION BY d.event_type ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_neg
+  FROM daily d JOIN m ON d.event_type = m.event_type
+), s AS (
+  SELECT event_type, day,
+         round(p_pos - least(min(p_pos) OVER w, 0.0), 6) AS c_pos,
+         round(p_neg - least(min(p_neg) OVER w, 0.0), 6) AS c_neg
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), peaks AS (
+  SELECT event_type, day,
+         greatest(c_pos, c_neg) AS pk,
+         CASE WHEN c_pos >= c_neg THEN 'up' ELSE 'down' END AS dir
+  FROM s
+), mx AS (
+  SELECT event_type, MAX(pk) AS pk FROM peaks GROUP BY event_type
+)
+SELECT peaks.event_type,
+       MIN(peaks.day) AS change_at,
+       min_by(peaks.dir, peaks.day) AS direction,
+       peaks.pk AS peak_cusum
+FROM peaks JOIN mx ON peaks.event_type = mx.event_type AND peaks.pk = mx.pk
+GROUP BY peaks.event_type, peaks.pk
+ORDER BY peaks.event_type
 """

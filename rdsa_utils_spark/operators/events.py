@@ -872,3 +872,54 @@ def funnel_latency(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("step")
+
+
+def change_points(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    target_col,
+    slack: float = 0.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Most likely change point per group: the position where the
+    two-sided CUSUM (:func:`cusum_scores`) peaks — the standard
+    localization estimate for a single mean shift. Returns one row
+    per group: (group, ``change_at`` = order value of the peak,
+    ``direction`` ('up'/'down'), ``peak_cusum``); deterministic
+    tie-break on the earliest peak.
+
+    Adds one struct-max aggregation on top of the closed-form CUSUM
+    windows — still one hash shuffle end to end.
+    """
+    scored = cusum_scores(
+        df, group_col, order_col, value_col, target_col, slack, round_to,
+    )
+    peak = F.greatest(F.col("cusum_pos"), F.col("cusum_neg"))
+    direction = F.when(
+        F.col("cusum_pos") >= F.col("cusum_neg"), F.lit("up"),
+    ).otherwise(F.lit("down"))
+    # max by (peak, -order): highest peak, earliest position on ties —
+    # negate via a struct of (peak, negated rank) is awkward for
+    # arbitrary order types, so order ASCENDING on a struct of
+    # (peak, reversed marker) … simplest: take max(peak) then min
+    # order among rows achieving it (two aggregations, same shuffle).
+    peaks = scored.select(
+        group_col,
+        F.col(order_col).alias("__ord"),
+        peak.alias("__peak"),
+        direction.alias("__dir"),
+    )
+    max_peak = peaks.groupBy(group_col).agg(F.max("__peak").alias("__peak"))
+    return (
+        peaks.join(max_peak, [group_col, "__peak"])
+        .groupBy(group_col, "__peak")
+        .agg(F.min(F.struct("__ord", "__dir")).alias("__w"))
+        .select(
+            group_col,
+            F.col("__w.__ord").alias("change_at"),
+            F.col("__w.__dir").alias("direction"),
+            F.col("__peak").alias("peak_cusum"),
+        )
+    )

@@ -225,3 +225,73 @@ def connected_components(
 
     pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
     return dedup_clusters(pairs)
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise association rules from market baskets: for each
+    DIRECTED pair (a → b), ``support`` = P(a,b), ``confidence`` =
+    P(b|a), ``lift`` = P(a,b)/(P(a)·P(b)) — the Apriori layer on top
+    of :func:`cooccurrence_pairs` (pairs only: at web scale, ≥3-way
+    itemsets explode combinatorially; mine pairs first and extend the
+    shortlist if needed).
+
+    Same basket-key self-join shape as the co-occurrence operator,
+    plus item-support joins and a 1-row basket-count attach. Returns
+    (``antecedent``, ``consequent``, ``n_both``, ``n_antecedent``,
+    ``support``, ``confidence``, ``lift``) for pairs with
+    ``n_both >= min_count``, both rule directions.
+    """
+    base = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item"),
+    ).dropDuplicates(["__basket", "__item"])
+    item_counts = base.groupBy(F.col("__item")).agg(
+        F.count(F.lit(1)).alias("__n_item"),
+    )
+    n_baskets = base.agg(
+        F.countDistinct("__basket").alias("__n_baskets"),
+    )
+    left = base.select("__basket", F.col("__item").alias("antecedent"))
+    right = base.select("__basket", F.col("__item").alias("consequent"))
+    pair_counts = (
+        left.join(right, "__basket")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    ante = item_counts.select(
+        F.col("__item").alias("antecedent"), F.col("__n_item").alias("n_antecedent"),
+    )
+    cons = item_counts.select(
+        F.col("__item").alias("consequent"), F.col("__n_item").alias("__n_cons"),
+    )
+    nb = F.col("__n_baskets").cast("double")
+    return (
+        pair_counts.join(ante, "antecedent")
+        .join(cons, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            F.round(F.col("n_both") / nb, round_to).alias("support"),
+            F.round(
+                F.col("n_both") / F.col("n_antecedent").cast("double"), round_to,
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_both") / nb)
+                / (
+                    (F.col("n_antecedent") / nb)
+                    * (F.col("__n_cons") / nb)
+                ),
+                round_to,
+            ).alias("lift"),
+        )
+    )

@@ -588,3 +588,16 @@ def test_funnel_latency_hand_computed(spark):
            funnel_latency(df, ["view", "click", "purchase"]).collect()}
     assert out[1]["n_users"] == 2 and out[1]["q_50"] == 20.0  # median of 10,30
     assert out[2]["n_users"] == 1 and out[2]["q_50"] == 60.0
+
+
+def test_change_points_locates_shift(spark):
+    from rdsa_utils_spark.operators.events import change_points
+
+    # mean shifts up at i=5 (values 0 -> 10); target = overall mean 5
+    rows = [("g", i, 0.0 if i < 5 else 10.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    r = change_points(df, "g", "i", "v", 5.0).collect()[0]
+    # cusum_neg peaks at the last pre-shift point (i=4) with 25
+    assert r["change_at"] == 4
+    assert r["direction"] == "down"
+    assert r["peak_cusum"] == 25.0

@@ -87,3 +87,22 @@ def test_connected_components_alias_matches_dedup_clusters(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == got[11] == 10
     assert got[20] == 20
+
+
+def test_association_rules_hand_computed(spark):
+    from rdsa_utils_spark.operators.graph import association_rules
+
+    # baskets: {A,B}, {A,B}, {A}, {B,C}
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (4, "B"), (4, "C")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r["antecedent"], r["consequent"]): r
+           for r in association_rules(df, "basket", "item", min_count=1).collect()}
+    ab = out[("A", "B")]
+    # n_both=2, n_A=3, n_B=3, baskets=4
+    assert ab["n_both"] == 2 and ab["n_antecedent"] == 3
+    assert ab["support"] == 0.5
+    assert ab["confidence"] == round(2 / 3, 6)
+    assert ab["lift"] == round((2 / 4) / ((3 / 4) * (3 / 4)), 6)
+    ba = out[("B", "A")]
+    assert ba["confidence"] == round(2 / 3, 6) and ba["lift"] == ab["lift"]
+    assert ("C", "A") not in out  # never co-occur

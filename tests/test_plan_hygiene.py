@@ -61,6 +61,7 @@ _BNLJ_OK = {
     "label_noise",            # broadcast query frame × corpus (exact kNN)
     "ab_click_value",         # 1x1 per-arm moment reshape
     "cuped_values",           # 1-row theta/mean(x) attach (CUPED)
+    "brand_rules",            # 1-row basket-count attach (support/lift)
 }
 
 #: Queries allowed a single-partition global window: the window runs
