@@ -6219,6 +6219,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "brand_rules": q_brand_rules,
         "value_change_points": q_value_change_points,
+        "post_stratified_acctbal": q_post_stratified_acctbal,
+        "ratio_estimate_revenue": q_ratio_estimate_revenue,
+        "seasonal_adjusted_daily": q_seasonal_adjusted_daily,
     }
 
 
@@ -6421,6 +6424,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "funnel_latency": _ORACLE_FUNNEL_LATENCY,
         "brand_rules": _ORACLE_BRAND_RULES,
         "value_change_points": _ORACLE_VALUE_CHANGE_POINTS,
+        "post_stratified_acctbal": _ORACLE_POST_STRATIFIED_ACCTBAL,
+        "ratio_estimate_revenue": _ORACLE_RATIO_ESTIMATE_REVENUE,
+        "seasonal_adjusted_daily": _ORACLE_SEASONAL_ADJUSTED_DAILY,
     }
 
 
@@ -7671,4 +7677,124 @@ SELECT peaks.event_type,
 FROM peaks JOIN mx ON peaks.event_type = mx.event_type AND peaks.pk = mx.pk
 GROUP BY peaks.event_type, peaks.pk
 ORDER BY peaks.event_type
+"""
+
+
+def q_post_stratified_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified mean balance: per-segment sample means
+    re-weighted by known population shares — the survey non-response
+    correction."""
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.stats import post_stratified_mean
+
+    shares = {
+        "AUTOMOBILE": 0.3, "BUILDING": 0.3, "FURNITURE": 0.2,
+        "HOUSEHOLD": 0.1, "MACHINERY": 0.1,
+    }
+    return post_stratified_mean(cust, "c_mktsegment", "c_acctbal", shares)
+
+
+_ORACLE_POST_STRATIFIED_ACCTBAL = """
+WITH per AS (
+  SELECT c_mktsegment AS s, AVG(c_acctbal) AS m, COUNT(*) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sm
+  FROM customer GROUP BY c_mktsegment
+), w AS (
+  SELECT s, m, n,
+         CASE s WHEN 'AUTOMOBILE' THEN 0.3 WHEN 'BUILDING' THEN 0.3
+                WHEN 'FURNITURE' THEN 0.2 WHEN 'HOUSEHOLD' THEN 0.1
+                WHEN 'MACHINERY' THEN 0.1 ELSE 0 END AS wt
+  FROM per
+)
+SELECT round(SUM(m * wt) / SUM(wt), 6) AS estimate,
+       round(CAST((SELECT SUM(sm) FROM per) AS DOUBLE)
+             / (SELECT SUM(n) FROM per), 6) AS naive_mean,
+       CAST((SELECT SUM(n) FROM per) AS BIGINT) AS n,
+       '' AS missing_strata
+FROM w WHERE wt > 0
+"""
+
+
+def q_ratio_estimate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey ratio estimator: revenue total estimated through the
+    known population quantity total (Ŷ = (Σy/Σx)·X_pop) — one
+    decimal-exact aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    from rdsa_utils_spark.operators.stats import ratio_estimator
+
+    with_rev = li.withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
+    return ratio_estimator(with_rev, "revenue", "l_quantity", 1_000_000.0)
+
+
+_ORACLE_RATIO_ESTIMATE_REVENUE = """
+WITH agg AS (
+  SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+         COUNT(*) AS n
+  FROM lineitem
+)
+SELECT round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
+       round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000.0, 6) AS y_hat,
+       round(CAST(sy AS DOUBLE), 6) AS sample_y,
+       round(CAST(sx AS DOUBLE), 6) AS sample_x,
+       n
+FROM agg
+"""
+
+
+def q_seasonal_adjusted_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-moving-average seasonal adjustment of daily event
+    totals (weekly period): centered MA trend, per-weekday-position
+    indices normalized to 1, adjusted series."""
+    ev = _t(spark, sf_dir, "events")
+    from rdsa_utils_spark.operators.events import seasonal_adjust
+
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6)
+            .cast("double").alias("daily_value"),
+        )
+    )
+    out = seasonal_adjust(daily, "event_type", "day", "daily_value", period=7)
+    return out.select(
+        "event_type", "day", "daily_value", "trend", "seasonal_index", "adjusted",
+    ).orderBy("event_type", "day")
+
+
+_ORACLE_SEASONAL_ADJUSTED_DAILY = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 6) AS DOUBLE) AS daily_value
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), based AS (
+  SELECT event_type, day, daily_value,
+         (row_number() OVER w - 1) % 7 AS pos,
+         CASE WHEN COUNT(daily_value) OVER w7 = 7
+              THEN AVG(daily_value) OVER w7 END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), ratios AS (
+  SELECT event_type, pos, AVG(daily_value / trend) AS ri
+  FROM based WHERE trend IS NOT NULL AND trend <> 0
+  GROUP BY event_type, pos
+), norm AS (
+  SELECT event_type, AVG(ri) AS rbar FROM ratios GROUP BY event_type
+), idx AS (
+  SELECT r.event_type, r.pos, r.ri / n.rbar AS si
+  FROM ratios r JOIN norm n ON r.event_type = n.event_type
+)
+SELECT b.event_type, b.day, b.daily_value,
+       round(b.trend, 6) AS trend,
+       round(i.si, 6) AS seasonal_index,
+       round(CASE WHEN i.si IS NOT NULL AND i.si <> 0
+                  THEN b.daily_value / i.si END, 6) AS adjusted
+FROM based b LEFT JOIN idx i ON b.event_type = i.event_type AND b.pos = i.pos
+ORDER BY b.event_type, b.day
 """

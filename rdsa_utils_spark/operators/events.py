@@ -923,3 +923,74 @@ def change_points(
             F.col("__peak").alias("peak_cusum"),
         )
     )
+
+
+def seasonal_adjust(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Ratio-to-moving-average seasonal adjustment (the classical
+    X-11-style decomposition core, multiplicative form): per key,
+    (1) trend = centered moving average over one full ``period``
+    (even periods use the standard 2×MA half-weight endpoints),
+    (2) seasonal index = mean ratio value/trend per period position,
+    normalized to average 1, (3) ``adjusted = value / seasonal_index``.
+
+    Two keyed windows (row counter + centered average) and one
+    (key, position) aggregation joined back — all on the same key
+    hash. Rows whose centered window is incomplete have NULL trend
+    but still receive the seasonal index (computed from complete
+    windows only). Adds ``trend``, ``seasonal_index``, ``adjusted``.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    w_order = Window.partitionBy(key_col).orderBy(order_col)
+    pos = (F.row_number().over(w_order) - 1) % period
+    half = period // 2
+    if period % 2 == 0:
+        # 2×MA: full weight on 2·half−1 inner rows, half weight ends
+        w_ma = w_order.rowsBetween(-half, half)
+        cnt = F.count(value_col).over(w_ma)
+        s = F.sum(value_col).over(w_ma)
+        first = F.first(value_col).over(w_ma)
+        last = F.last(value_col).over(w_ma)
+        trend = F.when(
+            cnt == period + 1,
+            (s - (first + last) / 2) / period,
+        )
+    else:
+        w_ma = w_order.rowsBetween(-half, half)
+        cnt = F.count(value_col).over(w_ma)
+        trend = F.when(
+            cnt == period, F.avg(value_col).over(w_ma),
+        )
+    based = df.withColumn("__pos__", pos).withColumn("__trend__", trend)
+    ratios = (
+        based.filter(F.col("__trend__").isNotNull() & (F.col("__trend__") != 0))
+        .groupBy(key_col, "__pos__")
+        .agg(F.avg(F.col(value_col) / F.col("__trend__")).alias("__ri__"))
+    )
+    norm = ratios.groupBy(key_col).agg(F.avg("__ri__").alias("__rbar__"))
+    idx = ratios.join(norm, key_col).select(
+        key_col, "__pos__", (F.col("__ri__") / F.col("__rbar__")).alias("__si__"),
+    )
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return (
+        based.join(idx, [key_col, "__pos__"], "left")
+        .withColumn("trend", rnd(F.col("__trend__")))
+        .withColumn("seasonal_index", rnd(F.col("__si__")))
+        .withColumn(
+            "adjusted",
+            rnd(
+                F.when(
+                    F.col("__si__").isNotNull() & (F.col("__si__") != 0),
+                    F.col(value_col) / F.col("__si__"),
+                ),
+            ),
+        )
+        .drop("__pos__", "__trend__", "__si__")
+    )

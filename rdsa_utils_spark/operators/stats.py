@@ -45,6 +45,8 @@ __all__ = [
     "grouped_bootstrap_ci",
     "ab_test_report",
     "cuped_adjust",
+    "post_stratified_mean",
+    "ratio_estimator",
 ]
 
 
@@ -656,4 +658,93 @@ def cuped_adjust(
         df.crossJoin(F.broadcast(stats))
         .withColumn(out_col, rnd(adjusted))
         .drop("__cov", "__var", "__mx")
+    )
+
+
+def post_stratified_mean(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    population_shares: dict,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Post-stratified estimator: re-weight per-stratum sample means
+    by KNOWN population shares — the official-statistics correction
+    for a sample whose strata mix doesn't match the population
+    (survey non-response, quota drift). ``population_shares`` maps
+    stratum → share; shares are normalized over the strata actually
+    present (strata with no sample rows contribute nothing and are
+    reported via ``missing_strata``).
+
+    One aggregation + driver arithmetic over |strata| rows. Returns a
+    single row: (``estimate``, ``naive_mean``, ``n``,
+    ``missing_strata``).
+    """
+    if not population_shares:
+        raise ValueError("population_shares must be non-empty")
+    per = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.avg(value_col).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__sum"),
+    )
+    rows = per.collect()  # |strata| rows — catalog-sized, never data-sized
+    present = {r["__s"]: r for r in rows}
+    weights = {
+        s: w for s, w in population_shares.items() if s in present and w > 0
+    }
+    total_w = sum(weights.values())
+    missing = sorted(
+        str(s) for s in population_shares if s not in present
+    )
+    n = sum(r["__n"] for r in rows)
+    naive = float(sum(float(r["__sum"]) for r in rows)) / n if n else None
+    est = (
+        sum(float(present[s]["__m"]) * (w / total_w) for s, w in weights.items())
+        if total_w > 0
+        else None
+    )
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(est, naive, n, ",".join(missing))],
+        "estimate double, naive_mean double, n long, missing_strata string",
+    )
+    if round_to is not None:
+        out = out.select(
+            F.round("estimate", round_to).alias("estimate"),
+            F.round("naive_mean", round_to).alias("naive_mean"),
+            "n",
+            "missing_strata",
+        )
+    return out
+
+
+def ratio_estimator(
+    df: DataFrame,
+    y_col: str,
+    x_col: str,
+    population_x_total: float,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Survey ratio estimator: ``Ŷ = (Σy / Σx) · X_pop`` — estimate a
+    population total for ``y`` using a correlated auxiliary ``x``
+    whose POPULATION total is known (register turnover, benchmark
+    counts). The classic official-statistics estimator; more
+    efficient than expansion when y ∝ x.
+
+    One decimal-exact aggregation. Returns a single row:
+    (``ratio``, ``y_hat``, ``sample_y``, ``sample_x``, ``n``).
+    """
+    agg = df.agg(
+        F.sum(F.col(y_col).cast("decimal(38,6)")).alias("__sy"),
+        F.sum(F.col(x_col).cast("decimal(38,6)")).alias("__sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ratio = F.col("__sy").cast("double") / F.col("__sx").cast("double")
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return agg.select(
+        rnd(ratio).alias("ratio"),
+        rnd(ratio * F.lit(float(population_x_total))).alias("y_hat"),
+        rnd(F.col("__sy").cast("double")).alias("sample_y"),
+        rnd(F.col("__sx").cast("double")).alias("sample_x"),
+        "n",
     )

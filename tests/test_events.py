@@ -601,3 +601,19 @@ def test_change_points_locates_shift(spark):
     assert r["change_at"] == 4
     assert r["direction"] == "down"
     assert r["peak_cusum"] == 25.0
+
+
+def test_seasonal_adjust_recovers_flat_series(spark):
+    from rdsa_utils_spark.operators.events import seasonal_adjust
+
+    # value = 100 * seasonal factor by weekday position; period 3
+    factors = [0.5, 1.0, 1.5]
+    rows = [("g", i, 100.0 * factors[i % 3]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    out = sorted(
+        (r["i"], r["seasonal_index"], r["adjusted"])
+        for r in seasonal_adjust(df, "g", "i", "v", period=3).collect()
+    )
+    for i, si, adj in out:
+        assert si == factors[i % 3]      # exact periodic pattern recovered
+        assert adj == 100.0              # adjusted series is flat

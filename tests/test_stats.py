@@ -485,3 +485,25 @@ def test_cuped_preserves_mean_and_reduces_variance(spark):
         r["metric_cuped"] for r in cuped_adjust(flat, "y", "x", round_to=None).collect()
     )
     assert vals == [5.0, 7.0]
+
+
+def test_post_stratified_mean_reweights(spark):
+    from rdsa_utils_spark.operators.stats import post_stratified_mean
+
+    # stratum A mean 10 (3 rows), B mean 20 (1 row); population 50/50
+    df = spark.createDataFrame(
+        [("A", 10.0), ("A", 10.0), ("A", 10.0), ("B", 20.0)], ["s", "v"],
+    )
+    r = post_stratified_mean(df, "s", "v", {"A": 0.5, "B": 0.5, "C": 0.1}).collect()[0]
+    assert r["estimate"] == 15.0          # population-weighted
+    assert r["naive_mean"] == 12.5        # sample-weighted
+    assert r["n"] == 4 and r["missing_strata"] == "C"
+
+
+def test_ratio_estimator_hand_computed(spark):
+    from rdsa_utils_spark.operators.stats import ratio_estimator
+
+    df = spark.createDataFrame([(10.0, 2.0), (20.0, 3.0)], ["y", "x"])
+    r = ratio_estimator(df, "y", "x", 100.0).collect()[0]
+    assert r["ratio"] == 6.0 and r["y_hat"] == 600.0
+    assert r["sample_y"] == 30.0 and r["sample_x"] == 5.0 and r["n"] == 2
