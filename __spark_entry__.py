@@ -6222,6 +6222,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_stratified_acctbal": q_post_stratified_acctbal,
         "ratio_estimate_revenue": q_ratio_estimate_revenue,
         "seasonal_adjusted_daily": q_seasonal_adjusted_daily,
+        "price_indices": q_price_indices,
+        "acctbal_gini": q_acctbal_gini,
+        "brand_hhi": q_brand_hhi,
     }
 
 
@@ -6427,6 +6430,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "post_stratified_acctbal": _ORACLE_POST_STRATIFIED_ACCTBAL,
         "ratio_estimate_revenue": _ORACLE_RATIO_ESTIMATE_REVENUE,
         "seasonal_adjusted_daily": _ORACLE_SEASONAL_ADJUSTED_DAILY,
+        "price_indices": _ORACLE_PRICE_INDICES,
+        "acctbal_gini": _ORACLE_ACCTBAL_GINI,
+        "brand_hhi": _ORACLE_BRAND_HHI,
     }
 
 
@@ -7797,4 +7803,113 @@ SELECT b.event_type, b.day, b.daily_value,
                   THEN b.daily_value / i.si END, 6) AS adjusted
 FROM based b LEFT JOIN idx i ON b.event_type = i.event_type AND b.pos = i.pos
 ORDER BY b.event_type, b.day
+"""
+
+
+def q_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher indices of lineitem prices by order
+    year against the earliest year (matched parts only) — the
+    index-number core of an official-statistics engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    from rdsa_utils_spark.operators.stats import price_index
+
+    j = li.join(
+        orders.select("o_orderkey", F.year("o_orderdate").alias("yr")),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return price_index(
+        j, "yr", "l_partkey", "l_extendedprice", "l_quantity", 1995,
+    ).orderBy("period")
+
+
+_ORACLE_PRICE_INDICES = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS period, l.l_partkey AS item,
+         l.l_extendedprice AS p, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per AS (
+  SELECT period, item, AVG(p) AS p, SUM(CAST(q AS DECIMAL(38,6))) AS q
+  FROM j GROUP BY period, item
+), base AS (
+  SELECT item, p AS p0, q AS q0 FROM per WHERE period = 1995
+), m AS (
+  SELECT per.period, per.item, per.p, per.q, base.p0, base.q0
+  FROM per JOIN base ON per.item = base.item
+), rolled AS (
+  SELECT period, COUNT(*) AS n_items,
+         SUM(CAST(p * q0 AS DECIMAL(38,6))) AS pt_q0,
+         SUM(CAST(p0 * q0 AS DECIMAL(38,6))) AS p0_q0,
+         SUM(CAST(p * q AS DECIMAL(38,6))) AS pt_qt,
+         SUM(CAST(p0 * q AS DECIMAL(38,6))) AS p0_qt
+  FROM m GROUP BY period
+)
+SELECT period, n_items,
+       round(CAST(pt_q0 AS DOUBLE) / CAST(p0_q0 AS DOUBLE) * 100, 6) AS laspeyres,
+       round(CAST(pt_qt AS DOUBLE) / CAST(p0_qt AS DOUBLE) * 100, 6) AS paasche,
+       round(sqrt((CAST(pt_q0 AS DOUBLE) / CAST(p0_q0 AS DOUBLE) * 100)
+                  * (CAST(pt_qt AS DOUBLE) / CAST(p0_qt AS DOUBLE) * 100)), 6) AS fisher
+FROM rolled
+ORDER BY period
+"""
+
+
+def q_acctbal_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-nation Gini of positive customer balances — rank
+    window + one aggregation on the nation hash."""
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.stats import gini_coefficient
+
+    return gini_coefficient(
+        cust.filter(F.col("c_acctbal") > 0), "c_nationkey", "c_acctbal",
+    ).orderBy("c_nationkey")
+
+
+_ORACLE_ACCTBAL_GINI = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC) AS i
+  FROM customer WHERE c_acctbal > 0
+), agg AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS sx,
+         SUM(CAST(i * c_acctbal AS DECIMAL(38,6))) AS six
+  FROM ranked GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       round(CASE WHEN sx > 0 AND n > 1
+             THEN 2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                  - (n + 1.0) / n END, 6) AS gini,
+       n
+FROM agg
+ORDER BY c_nationkey
+"""
+
+
+def q_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per part brand (HHI on part counts):
+    two aggregations on the brand hash."""
+    part = _t(spark, sf_dir, "part")
+    from rdsa_utils_spark.operators.stats import hhi_concentration
+
+    with_firm = part.withColumn("supp", F.col("p_partkey") % 10)
+    return hhi_concentration(
+        with_firm, "p_brand", "supp", "p_size",
+    ).orderBy("market")
+
+
+_ORACLE_BRAND_HHI = """
+WITH firm AS (
+  SELECT p_brand AS market, p_partkey % 10 AS f,
+         SUM(CAST(p_size AS DECIMAL(38,6))) AS v
+  FROM part GROUP BY p_brand, p_partkey % 10
+), tot AS (
+  SELECT market, SUM(v) AS t FROM firm GROUP BY market
+)
+SELECT firm.market, COUNT(*) AS n_firms,
+       round(SUM((CAST(v AS DOUBLE) / CAST(t AS DOUBLE))
+                 * (CAST(v AS DOUBLE) / CAST(t AS DOUBLE))) * 10000, 6) AS hhi
+FROM firm JOIN tot ON firm.market = tot.market
+GROUP BY firm.market
+ORDER BY firm.market
 """

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -47,6 +47,9 @@ __all__ = [
     "cuped_adjust",
     "post_stratified_mean",
     "ratio_estimator",
+    "price_index",
+    "gini_coefficient",
+    "hhi_concentration",
 ]
 
 
@@ -747,4 +750,131 @@ def ratio_estimator(
         rnd(F.col("__sy").cast("double")).alias("sample_y"),
         rnd(F.col("__sx").cast("double")).alias("sample_x"),
         "n",
+    )
+
+
+def price_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+    base_period,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Bilateral price indices per period against a fixed base:
+    Laspeyres (base-quantity weights), Paasche (current-quantity
+    weights) and Fisher (their geometric mean) — the official-
+    statistics index-number core. Matched-items only: an item prices
+    into period t's index iff it exists in BOTH the base period and t
+    (the standard matched-sample rule; unmatched items are the
+    item-replacement problem, out of scope here).
+
+    Per period: ``L = Σ p_t·q_0 / Σ p_0·q_0``,
+    ``P = Σ p_t·q_t / Σ p_0·q_t``, ``F = √(L·P)``, all scaled to 100.
+    One (period, item) aggregation, one broadcast-friendly join of
+    every period against the base-period item frame (item-keyed hash
+    join), one period rollup — decimal-exact accumulation.
+
+    Returns (``period``, ``n_items``, ``laspeyres``, ``paasche``,
+    ``fisher``); the base period row is 100 by construction.
+    """
+    per = df.groupBy(
+        F.col(period_col).alias("period"), F.col(item_col).alias("__item"),
+    ).agg(
+        F.avg(price_col).alias("__p"),
+        F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
+    )
+    base = per.filter(F.col("period") == base_period).select(
+        "__item",
+        F.col("__p").alias("__p0"),
+        F.col("__q").alias("__q0"),
+    )
+    joined = per.join(base, "__item")  # matched items only
+    d = lambda c: c.cast("decimal(38,6)")
+    rolled = joined.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(d(F.col("__p") * F.col("__q0"))).alias("__pt_q0"),
+        F.sum(d(F.col("__p0") * F.col("__q0"))).alias("__p0_q0"),
+        F.sum(d(F.col("__p") * F.col("__q"))).alias("__pt_qt"),
+        F.sum(d(F.col("__p0") * F.col("__q"))).alias("__p0_qt"),
+    )
+    las = F.col("__pt_q0").cast("double") / F.col("__p0_q0").cast("double") * 100
+    paa = F.col("__pt_qt").cast("double") / F.col("__p0_qt").cast("double") * 100
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return rolled.select(
+        "period",
+        "n_items",
+        rnd(las).alias("laspeyres"),
+        rnd(paa).alias("paasche"),
+        rnd(F.sqrt(las * paa)).alias("fisher"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    value_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Exact Gini coefficient per group (non-negative values):
+    ``G = (2·Σ i·x_(i)) / (n·Σ x) − (n+1)/n`` over rank-sorted values
+    — the inequality measure of official income statistics. One
+    keyed window (rank) + one aggregation on the same hash; ties
+    break on value order only, which leaves G unchanged (the formula
+    is invariant to permutations within equal values).
+
+    Groups with ``Σx = 0`` or a single row yield NULL.
+    Returns (group…, ``gini``, ``n``).
+    """
+    keys = [group] if isinstance(group, str) else list(group)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = df.withColumn("__i__", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__sx"),
+        F.sum(
+            (F.col("__i__") * F.col(value_col)).cast("decimal(38,6)"),
+        ).alias("__six"),
+    )
+    n = F.col("n").cast("double")
+    g = (
+        2.0 * F.col("__six").cast("double") / (n * F.col("__sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return agg.select(
+        *keys,
+        rnd(
+            F.when((F.col("__sx") > 0) & (F.col("n") > 1), g),
+        ).alias("gini"),
+        "n",
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    market_col: str,
+    firm_col: str,
+    value_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market:
+    ``HHI = Σ s_f²`` over firm shares (0–10000 scale, the antitrust
+    convention). Two aggregations sharing the market hash (firm
+    totals, then squared-share sum). Returns (``market``,
+    ``n_firms``, ``hhi``)."""
+    firm = df.groupBy(
+        F.col(market_col).alias("market"), F.col(firm_col).alias("__f"),
+    ).agg(F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__v"))
+    tot = firm.groupBy("market").agg(F.sum("__v").alias("__tot"))
+    share = F.col("__v").cast("double") / F.col("__tot").cast("double")
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return (
+        firm.join(tot, "market")
+        .groupBy("market")
+        .agg(
+            F.count(F.lit(1)).alias("n_firms"),
+            rnd(F.sum(share * share) * 10_000).alias("hhi"),
+        )
     )

@@ -507,3 +507,49 @@ def test_ratio_estimator_hand_computed(spark):
     r = ratio_estimator(df, "y", "x", 100.0).collect()[0]
     assert r["ratio"] == 6.0 and r["y_hat"] == 600.0
     assert r["sample_y"] == 30.0 and r["sample_x"] == 5.0 and r["n"] == 2
+
+
+def test_price_index_hand_computed(spark):
+    from rdsa_utils_spark.operators.stats import price_index
+
+    rows = [
+        # base period 0: item A p=10 q=2, item B p=20 q=1
+        (0, "A", 10.0, 2.0), (0, "B", 20.0, 1.0),
+        # period 1: A p=20 (x2) q=1, B p=20 q=3; C unmatched (ignored)
+        (1, "A", 20.0, 1.0), (1, "B", 20.0, 3.0), (1, "C", 5.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["t", "item", "p", "q"])
+    out = {r["period"]: r for r in price_index(df, "t", "item", "p", "q", 0).collect()}
+    assert out[0]["laspeyres"] == 100.0 and out[0]["fisher"] == 100.0
+    r1 = out[1]
+    # L = (20*2 + 20*1)/(10*2 + 20*1) = 60/40 = 150
+    assert r1["laspeyres"] == 150.0
+    # P = (20*1 + 20*3)/(10*1 + 20*3) = 80/70
+    assert r1["paasche"] == round(80 / 70 * 100, 6)
+    assert r1["fisher"] == round((150 * 80 / 70 * 100) ** 0.5, 6)
+    assert r1["n_items"] == 2  # C is unmatched
+
+
+def test_gini_known_values(spark):
+    from rdsa_utils_spark.operators.stats import gini_coefficient
+
+    df = spark.createDataFrame(
+        [("eq", 5.0)] * 4 + [("uneq", 0.000001), ("uneq", 0.000001),
+                             ("uneq", 0.000001), ("uneq", 100.0)],
+        ["g", "v"],
+    )
+    out = {r["g"]: r for r in gini_coefficient(df, "g", "v").collect()}
+    assert out["eq"]["gini"] == 0.0                 # perfect equality
+    assert out["uneq"]["gini"] > 0.74               # near-max for n=4 (0.75)
+
+
+def test_hhi_monopoly_vs_even(spark):
+    from rdsa_utils_spark.operators.stats import hhi_concentration
+
+    rows = [("mono", "f1", 10.0),
+            ("even", "f1", 5.0), ("even", "f2", 5.0),
+            ("even", "f3", 5.0), ("even", "f4", 5.0)]
+    df = spark.createDataFrame(rows, ["m", "f", "v"])
+    out = {r["market"]: r for r in hhi_concentration(df, "m", "f", "v").collect()}
+    assert out["mono"]["hhi"] == 10000.0
+    assert out["even"]["hhi"] == 2500.0
