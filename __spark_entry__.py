@@ -7731,7 +7731,19 @@ def q_ratio_estimate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_rev = li.withColumn(
         "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")),
     )
-    return ratio_estimator(with_rev, "revenue", "l_quantity", 1_000_000.0)
+    est = ratio_estimator(
+        with_rev, "revenue", "l_quantity", 1_000_000.0, round_to=None,
+    )
+    # magnitude-aware rounding: ~1e9 totals at 6 dp sit AT the double
+    # precision limit (16 sig digits) and flip on engine ULP noise;
+    # 2 dp leaves 5 digits of headroom.
+    return est.select(
+        F.round("ratio", 6).alias("ratio"),
+        F.round("y_hat", 2).alias("y_hat"),
+        F.round("sample_y", 2).alias("sample_y"),
+        F.round("sample_x", 2).alias("sample_x"),
+        "n",
+    )
 
 
 _ORACLE_RATIO_ESTIMATE_REVENUE = """
@@ -7742,9 +7754,9 @@ WITH agg AS (
   FROM lineitem
 )
 SELECT round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
-       round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000.0, 6) AS y_hat,
-       round(CAST(sy AS DOUBLE), 6) AS sample_y,
-       round(CAST(sx AS DOUBLE), 6) AS sample_x,
+       round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) * 1000000.0, 2) AS y_hat,
+       round(CAST(sy AS DOUBLE), 2) AS sample_y,
+       round(CAST(sx AS DOUBLE), 2) AS sample_x,
        n
 FROM agg
 """
