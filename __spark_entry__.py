@@ -6225,6 +6225,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_indices": q_price_indices,
         "acctbal_gini": q_acctbal_gini,
         "brand_hhi": q_brand_hhi,
+        "acctbal_lorenz": q_acctbal_lorenz,
+        "chained_price_index": q_chained_price_index,
     }
 
 
@@ -6433,6 +6435,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "price_indices": _ORACLE_PRICE_INDICES,
         "acctbal_gini": _ORACLE_ACCTBAL_GINI,
         "brand_hhi": _ORACLE_BRAND_HHI,
+        "acctbal_lorenz": _ORACLE_ACCTBAL_LORENZ,
+        "chained_price_index": _ORACLE_CHAINED_PRICE_INDEX,
     }
 
 
@@ -7924,4 +7928,93 @@ SELECT firm.market, COUNT(*) AS n_firms,
 FROM firm JOIN tot ON firm.market = tot.market
 GROUP BY firm.market
 ORDER BY firm.market
+"""
+
+
+def q_acctbal_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of positive customer balances per nation
+    — the distribution behind the Gini; rank window + running
+    decimal-exact share."""
+    cust = _t(spark, sf_dir, "customer")
+    from rdsa_utils_spark.operators.stats import lorenz_points
+
+    return lorenz_points(
+        cust.filter(F.col("c_acctbal") > 0), "c_nationkey", "c_acctbal",
+    )
+
+
+_ORACLE_ACCTBAL_LORENZ = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal,
+         row_number() OVER w AS i,
+         SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+         SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+           OVER (PARTITION BY c_nationkey) AS tot
+  FROM customer WHERE c_acctbal > 0
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC)
+)
+SELECT c_nationkey, CAST(ceil(i * 10.0 / n) AS INT) AS point,
+       round(CAST(MAX(i) AS DOUBLE) / MAX(n), 6) AS pop_share,
+       round(MAX(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS value_share
+FROM ranked
+GROUP BY c_nationkey, CAST(ceil(i * 10.0 / n) AS INT)
+ORDER BY c_nationkey, point
+"""
+
+
+def q_chained_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-linked Fisher price index over order years: period-over-
+    period matched links, running product via exp(Σ ln link) — the
+    index-churn-resistant official practice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    from rdsa_utils_spark.operators.stats import chained_index
+
+    j = li.join(
+        orders.select("o_orderkey", F.year("o_orderdate").alias("yr")),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return chained_index(j, "yr", "l_partkey", "l_extendedprice", "l_quantity")
+
+
+_ORACLE_CHAINED_PRICE_INDEX = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS period, l.l_partkey AS item,
+         l.l_extendedprice AS p, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per AS (
+  SELECT period, item, AVG(p) AS p, SUM(CAST(q AS DECIMAL(38,6))) AS q
+  FROM j GROUP BY period, item
+), periods AS (
+  SELECT DISTINCT period FROM per
+), prevmap AS (
+  SELECT period, lag(period) OVER (ORDER BY period) AS prev FROM periods
+), matched AS (
+  SELECT cur.period, COUNT(*) AS n_items,
+         SUM(CAST(cur.p * pr.q AS DECIMAL(38,6))) AS pt_q0,
+         SUM(CAST(pr.p * pr.q AS DECIMAL(38,6))) AS p0_q0,
+         SUM(CAST(cur.p * cur.q AS DECIMAL(38,6))) AS pt_qt,
+         SUM(CAST(pr.p * cur.q AS DECIMAL(38,6))) AS p0_qt
+  FROM per cur
+  JOIN prevmap ON cur.period = prevmap.period
+  JOIN per pr ON pr.period = prevmap.prev AND pr.item = cur.item
+  GROUP BY cur.period
+), links AS (
+  SELECT periods.period,
+         matched.n_items,
+         sqrt((CAST(pt_q0 AS DOUBLE) / CAST(p0_q0 AS DOUBLE))
+              * (CAST(pt_qt AS DOUBLE) / CAST(p0_qt AS DOUBLE))) AS link
+  FROM periods LEFT JOIN matched ON periods.period = matched.period
+)
+SELECT period,
+       COALESCE(n_items, 0) AS n_items,
+       round(link, 6) AS link_fisher,
+       round(exp(SUM(ln(COALESCE(link, 1.0)))
+                 OVER (ORDER BY period
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0, 6)
+         AS chained_fisher
+FROM links
+ORDER BY period
 """

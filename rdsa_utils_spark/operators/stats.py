@@ -50,6 +50,8 @@ __all__ = [
     "price_index",
     "gini_coefficient",
     "hhi_concentration",
+    "lorenz_points",
+    "chained_index",
 ]
 
 
@@ -878,3 +880,125 @@ def hhi_concentration(
             rnd(F.sum(share * share) * 10_000).alias("hhi"),
         )
     )
+
+
+def lorenz_points(
+    df: DataFrame,
+    group: Sequence[str] | str,
+    value_col: str,
+    n_points: int = 10,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Lorenz-curve points per group: at each population decile (or
+    ``n_points``-ile) of units sorted by value ascending, the
+    cumulative share of total value — the distributional picture
+    behind :func:`gini_coefficient` (income statistics, market
+    concentration, corpus-contribution audits).
+
+    One keyed rank window + a running decimal-exact sum on the same
+    hash, then one row per (group, point): the point ``p`` reports
+    the largest cumulative share among the first ``⌈p·n/n_points⌉``
+    units. Returns (group…, ``point``, ``pop_share``,
+    ``value_share``).
+    """
+    keys = [group] if isinstance(group, str) else list(group)
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        df.withColumn("__i__", F.row_number().over(w))
+        .withColumn(
+            "__cum__",
+            F.sum(F.col(value_col).cast("decimal(38,6)")).over(wc),
+        )
+        .withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .withColumn(
+            "__tot__",
+            F.sum(F.col(value_col).cast("decimal(38,6)")).over(
+                Window.partitionBy(*keys),
+            ),
+        )
+    )
+    point = F.ceil(F.col("__i__") * n_points / F.col("__n__")).cast("int")
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return (
+        ranked.withColumn("__pt__", point)
+        .groupBy(*keys, F.col("__pt__").alias("point"))
+        .agg(
+            rnd(
+                F.max(F.col("__i__")).cast("double") / F.max("__n__"),
+            ).alias("pop_share"),
+            rnd(
+                F.max(F.col("__cum__").cast("double") / F.col("__tot__").cast("double")),
+            ).alias("value_share"),
+        )
+        .orderBy(*keys, "point")
+    )
+
+
+def chained_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Chain-linked Fisher price index: each period links to its
+    IMMEDIATELY PREVIOUS period (matched items per link), and the
+    index is the running product of links ×100 — the official-
+    statistics practice that keeps weights fresh and survives item
+    churn that a fixed-base index (:func:`price_index`) cannot.
+
+    The running product is ``exp`` of a window cumulative sum of
+    ``ln(link)`` — no iteration, one period-ordered window over a
+    period-cardinality frame. Link joins are item-keyed equi-joins
+    between consecutive period aggregates.
+
+    Returns (``period``, ``n_items``, ``link_fisher``,
+    ``chained_fisher``); the first period is 100 with a NULL link.
+    """
+    per = df.groupBy(
+        F.col(period_col).alias("period"), F.col(item_col).alias("__item"),
+    ).agg(
+        F.avg(price_col).alias("__p"),
+        F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
+    )
+    periods = per.select("period").distinct()
+    wp = Window.orderBy("period")
+    prev_map = periods.withColumn("__prev", F.lag("period").over(wp))
+    cur = per.join(prev_map, "period")
+    prev = per.select(
+        F.col("period").alias("__prev"),
+        F.col("__item"),
+        F.col("__p").alias("__p0"),
+        F.col("__q").alias("__q0"),
+    )
+    matched = cur.join(prev, ["__prev", "__item"])
+    d = lambda c: c.cast("decimal(38,6)")
+    links = matched.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(d(F.col("__p") * F.col("__q0"))).alias("__pt_q0"),
+        F.sum(d(F.col("__p0") * F.col("__q0"))).alias("__p0_q0"),
+        F.sum(d(F.col("__p") * F.col("__q"))).alias("__pt_qt"),
+        F.sum(d(F.col("__p0") * F.col("__q"))).alias("__p0_qt"),
+    )
+    las = F.col("__pt_q0").cast("double") / F.col("__p0_q0").cast("double")
+    paa = F.col("__pt_qt").cast("double") / F.col("__p0_qt").cast("double")
+    link = F.sqrt(las * paa)
+    with_links = periods.join(
+        links.select("period", "n_items", link.alias("__link")), "period", "left",
+    )
+    chained = F.exp(
+        F.sum(F.log(F.coalesce(F.col("__link"), F.lit(1.0)))).over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        ),
+    ) * 100.0
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
+    return with_links.select(
+        "period",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        rnd(F.col("__link")).alias("link_fisher"),
+        rnd(chained).alias("chained_fisher"),
+    ).orderBy("period")

@@ -70,6 +70,7 @@ _BNLJ_OK = {
 _GLOBAL_WINDOW_OK = {
     "cumulative_new_users",   # running sum over one row per day
     "hybrid_search",          # RRF ranks over two top-10 frames
+    "chained_price_index",    # chain product over one row per period
 }
 
 

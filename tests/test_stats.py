@@ -553,3 +553,41 @@ def test_hhi_monopoly_vs_even(spark):
     out = {r["market"]: r for r in hhi_concentration(df, "m", "f", "v").collect()}
     assert out["mono"]["hhi"] == 10000.0
     assert out["even"]["hhi"] == 2500.0
+
+
+def test_lorenz_points_perfect_equality_is_diagonal(spark):
+    from rdsa_utils_spark.operators.stats import lorenz_points
+
+    df = spark.createDataFrame([("g", 5.0)] * 10, ["g", "v"])
+    out = {r["point"]: r for r in lorenz_points(df, "g", "v", n_points=5).collect()}
+    for p, r in out.items():
+        assert r["value_share"] == r["pop_share"] == round(p / 5, 6)
+
+
+def test_lorenz_points_concentrated(spark):
+    from rdsa_utils_spark.operators.stats import lorenz_points
+
+    # 9 units of ~0, 1 unit holds everything: curve hugs 0 until the top
+    df = spark.createDataFrame(
+        [("g", 0.0)] * 9 + [("g", 100.0)], ["g", "v"],
+    )
+    out = {r["point"]: r for r in lorenz_points(df, "g", "v", n_points=10).collect()}
+    assert out[9]["value_share"] == 0.0
+    assert out[10]["value_share"] == 1.0
+
+
+def test_chained_index_equals_fixed_base_for_constant_basket(spark):
+    from rdsa_utils_spark.operators.stats import chained_index, price_index
+
+    # constant item set & quantities: chained Fisher == fixed-base Fisher
+    rows = []
+    for t, scale in [(0, 1.0), (1, 1.1), (2, 1.32)]:
+        rows += [(t, "A", 10.0 * scale, 2.0), (t, "B", 20.0 * scale, 1.0)]
+    df = spark.createDataFrame(rows, ["t", "item", "p", "q"])
+    chained = {r["period"]: r["chained_fisher"]
+               for r in chained_index(df, "t", "item", "p", "q").collect()}
+    fixed = {r["period"]: r["fisher"]
+             for r in price_index(df, "t", "item", "p", "q", 0).collect()}
+    for t in (0, 1, 2):
+        assert abs(chained[t] - fixed[t]) < 1e-6
+    assert abs(chained[2] - 132.0) < 1e-6
