@@ -1223,18 +1223,47 @@ ORDER BY l_returnflag
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches (HLL distinct + quantile sketch) — the
-    documented 100 TB fast path. Algorithms differ from DuckDB's, so
-    this is a rows-only check; exactness is covered by
-    supplier_stats_per_nation / quantiles_exact."""
+    documented 100 TB fast path — audited against their exact
+    counterparts IN the query: the output carries the exact values
+    plus bounded-error flags, so the DuckDB oracle (exact values +
+    literal TRUE flags) hash-gates both exactness of the baseline and
+    the sketches' error contract.
+
+    Bounds asserted: HLL++ (rsd=0.05) within 10% of the exact distinct
+    count; KLL-style percentile_approx (accuracy=1000 → rank error ≤
+    1/1000) between the exact 0.45/0.55 quantiles.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__hll__"),
+        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__amed__"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45__"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55__"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__hll__").cast("double") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("parts_ok"),
+        (
+            (F.col("__amed__") >= F.col("__p45__"))
+            & (F.col("__amed__") <= F.col("__p55__"))
+        ).alias("median_ok"),
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_APPROX_SKETCHES = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS parts_ok,
+       TRUE AS median_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2458,11 +2487,63 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-orthogonal) test corpus — see tests/test_recall.py — at
     # candidate volume ∝ num_tables/2^bits = 1.5 of a single full
     # bucketing, the cheapest probed config clearing the floor.
+    # plane_method="md5": Rademacher planes derived from md5 (same
+    # collision guarantee as Gaussian) so DuckDB regenerates the exact
+    # plane matrix and replays bucketing + candidates + top-k.
     return lsh_bucketed_topk(
         queries_df, emb, dim=64, k=5, bits=4, num_tables=24,
+        plane_method="md5",
     ).select(
         "query_id", "candidate_id", F.round("cosine", 6).alias("cosine"),
     ).orderBy("query_id", F.col("cosine").desc(), "candidate_id")
+
+
+def _oracle_lsh_planes_cte(bits: int, num_tables: int, dim: int, seed: int) -> str:
+    """Shared CTE text regenerating the md5-derived Rademacher planes
+    and per-(vec, table) bucket ids exactly as ``_md5_planes`` /
+    ``_bucket_udf`` do (rdsa_utils_spark/operators/similarity.py)."""
+    return f"""
+plane AS (
+  SELECT t.range AS t, b.range AS b,
+         list(CASE WHEN substr(md5('{seed}:' || t.range || ':' || b.range || ':' || d.range), 1, 1)
+                   BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END ORDER BY d.range) AS pvec
+  FROM range({num_tables}) t, range({bits}) b, range({dim}) d
+  GROUP BY t.range, b.range
+),
+sig AS (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pvec) >= 0
+                       THEN (1 << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e, plane p
+  GROUP BY e.vec_id, p.t
+)"""
+
+
+_ORACLE_LSH_COSINE_TOPK = f"""
+WITH {_oracle_lsh_planes_cte(bits=4, num_tables=24, dim=64, seed=42)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS candidate_id
+  FROM sig q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.candidate_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.candidate_id
+),
+ranked AS (
+  SELECT query_id, candidate_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, candidate_id) AS rn
+  FROM scored
+)
+SELECT query_id, candidate_id, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, cosine DESC, candidate_id
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2475,9 +2556,33 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 tables: ≥0.95 measured pair recall (tests/test_recall.py) at
     # candidate volume ∝ num_tables/2^bits = 1.0 — deeper bucketing
     # beats fewer/coarser tables on shuffle volume at scale.
+    # plane_method="md5": oracle-replayable Rademacher planes (see
+    # q_lsh_cosine_topk).
     return cosine_near_dup_pairs(
         emb, dim=64, threshold=0.35, bits=5, num_tables=32,
+        plane_method="md5",
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
+
+
+_ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH {_oracle_lsh_planes_cte(bits=5, num_tables=32, dim=64, seed=42)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.id_a, cand.id_b,
+         list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                CAST(vb.embedding AS DOUBLE[])) AS cos
+  FROM cand
+  JOIN embeddings va ON va.vec_id = cand.id_a
+  JOIN embeddings vb ON vb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+FROM scored WHERE cos >= 0.35
+ORDER BY id_a, id_b
+"""
 
 
 def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6279,17 +6384,17 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _ORACLE_SPAN_DEDUP,
         "collocations": _ORACLE_COLLOCATIONS,
         "lm2_quality": _ORACLE_LM2_QUALITY,
-        # approx_sketches: HLL/KLL sketch algorithms are engine-specific
-        # (Spark HLL++ vs DuckDB HLL) — rows-only check; the exact
-        # counterparts are oracle-verified above.
-        # ivf_topk: k-means cell assignment is not SQL-expressible —
-        # rows-only check; exact counterpart cosine_topk is verified.
-        # lsh_cosine_topk / embedding_near_dups: random-hyperplane
-        # bucketing needs float matrix products per doc — not
-        # ANSI-SQL-expressible; driver's rows-only check applies. Their
-        # exact counterparts (cosine_topk, embedding_near_dups_exact)
-        # and the MinHash-LSH text path (lsh_candidates,
-        # minhash_near_dedup) are fully oracle-verified.
+        # approx_sketches: sketch estimates themselves are
+        # engine-specific (Spark HLL++ vs DuckDB HLL), so the query
+        # emits exact values + bounded-error flags and the oracle
+        # asserts exactness + the error contract via the hash gate.
+        "approx_sketches": _ORACLE_APPROX_SKETCHES,
+        # lsh_cosine_topk / embedding_near_dups: md5-derived Rademacher
+        # planes (plane_method="md5") make the full LSH pipeline —
+        # planes, buckets, candidates, rescoring, top-k — replayable in
+        # ANSI SQL; DuckDB regenerates the exact plane matrix.
+        "lsh_cosine_topk": _ORACLE_LSH_COSINE_TOPK,
+        "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
     }
 
 

@@ -23,6 +23,7 @@ by the UDF — deterministic across runs and executors.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Sequence
 
 import numpy as np
@@ -225,14 +226,44 @@ def brute_force_topk(
     return _topk_per_query(scored, k)
 
 
-def _bucket_udf(dim: int, bits: int, num_tables: int, seed: int):
+def _md5_planes(dim: int, bits: int, num_tables: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplane matrix derived from
+    md5 — sign LSH with Rademacher projections has the same collision
+    guarantee as Gaussian planes, and any ANSI-SQL engine with ``md5``
+    can regenerate the exact matrix, making the whole bucketing
+    pipeline oracle-replayable bit-for-bit.
+
+    Entry (d, t·bits + b) is +1 when the first hex digit of
+    ``md5("{seed}:{t}:{b}:{d}")`` is in 0–7 (top bit clear), else −1
+    — in SQL: ``substr(md5(k),1,1) BETWEEN '0' AND '7'``.
+    """
+    planes = np.empty((dim, num_tables * bits), dtype=np.float64)
+    for t in range(num_tables):
+        for b in range(bits):
+            col = t * bits + b
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}:{t}:{b}:{d}".encode()).hexdigest()
+                planes[d, col] = 1.0 if h[0] in "01234567" else -1.0
+    return planes
+
+
+def _bucket_udf(
+    dim: int, bits: int, num_tables: int, seed: int,
+    plane_method: str = "gaussian",
+):
     """Pandas UDF: embedding → array of ``num_tables`` bucket ids.
 
     One numpy matmul per Arrow batch against the (dim, tables·bits)
     hyperplane matrix; sign bits pack into per-table integers.
+    ``plane_method="md5"`` swaps the Gaussian planes for the
+    md5-derived Rademacher matrix (see :func:`_md5_planes`) so an
+    external SQL oracle can replay the exact buckets.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_tables * bits))
+    if plane_method == "md5":
+        planes = _md5_planes(dim, bits, num_tables, seed)
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, num_tables * bits))
     weights = (1 << np.arange(bits, dtype=np.int64))  # bit → integer
 
     @F.pandas_udf("array<long>")
@@ -256,8 +287,9 @@ def _with_buckets(
     num_tables: int,
     seed: int,
     keep_vec: bool = True,
+    plane_method: str = "gaussian",
 ) -> DataFrame:
-    bucketize = _bucket_udf(dim, bits, num_tables, seed)
+    bucketize = _bucket_udf(dim, bits, num_tables, seed, plane_method)
     cols = [F.col(id_col).alias(out_id)]
     if keep_vec:
         cols.append(F.col(vec_col).alias(f"__{out_id}_v__"))
@@ -281,6 +313,7 @@ def lsh_bucketed_topk(
     *,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     max_broadcast_rows: int | None = None,
+    plane_method: str = "gaussian",
 ) -> DataFrame:
     """Approximate cosine top-k: score only candidates sharing an LSH
     bucket with the query in at least one of ``num_tables`` tables.
@@ -294,11 +327,11 @@ def lsh_bucketed_topk(
     # attach vector payloads to the surviving pairs and score once.
     qb = _with_buckets(
         queries, query_id, query_vec, "query_id", dim, bits, num_tables, seed,
-        keep_vec=False,
+        keep_vec=False, plane_method=plane_method,
     )
     cb = _with_buckets(
         corpus, corpus_id, corpus_vec, "candidate_id", dim, bits, num_tables, seed,
-        keep_vec=False,
+        keep_vec=False, plane_method=plane_method,
     )
     joined = qb.join(cb, ["table", "bucket"]).drop("table", "bucket")
     if exclude_self:
@@ -444,6 +477,7 @@ def cosine_near_dup_pairs(
     *,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     max_broadcast_rows: int | None = None,
+    plane_method: str = "gaussian",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), found via
     multi-table hyperplane bucketing + exact rescoring. Returns
@@ -457,7 +491,8 @@ def cosine_near_dup_pairs(
     # ContextCleaner when the frame goes out of scope — no storage
     # leak across repeated pipeline runs.
     b = _with_buckets(
-        df, id_col, vec_col, "nid", dim, bits, num_tables, seed, keep_vec=False,
+        df, id_col, vec_col, "nid", dim, bits, num_tables, seed,
+        keep_vec=False, plane_method=plane_method,
     ).localCheckpoint(eager=True)
     pairs = (
         b.select("table", "bucket", F.col("nid").alias("id_a"))

