@@ -7479,15 +7479,15 @@ WITH per AS (
          SUM(res) AS res, SUM(tot) AS tot
   FROM cur GROUP BY month
 )
-SELECT rolled.month,
-       round(CAST(nw AS DOUBLE), 6) AS new,
-       round(CAST(exp AS DOUBLE), 6) AS expansion,
-       round(CAST(con AS DOUBLE), 6) AS contraction,
-       round(CAST(res AS DOUBLE), 6) AS resurrected,
+SELECT COALESCE(rolled.month, churn.month) AS month,
+       round(CAST(COALESCE(nw, 0) AS DOUBLE), 6) AS new,
+       round(CAST(COALESCE(exp, 0) AS DOUBLE), 6) AS expansion,
+       round(CAST(COALESCE(con, 0) AS DOUBLE), 6) AS contraction,
+       round(CAST(COALESCE(res, 0) AS DOUBLE), 6) AS resurrected,
        round(CAST(COALESCE(chn, 0) AS DOUBLE), 6) AS churned,
-       round(CAST(tot AS DOUBLE), 6) AS total
-FROM rolled LEFT JOIN churn ON rolled.month = churn.month
-ORDER BY rolled.month
+       round(CAST(COALESCE(tot, 0) AS DOUBLE), 6) AS total
+FROM rolled FULL JOIN churn ON rolled.month = churn.month
+ORDER BY month
 """
 
 

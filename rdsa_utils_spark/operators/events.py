@@ -744,6 +744,10 @@ def growth_accounting(
             (-F.col("__v")).alias("__chn"),
         )
     )
+    # FULL outer join: a month can have churn but no current activity
+    # (always the month after the last active month; any mid-series
+    # dead month) — a left join from current months would silently
+    # drop its churned total from the decomposition.
     rolled = (
         cur.groupBy("month")
         .agg(
@@ -756,18 +760,19 @@ def growth_accounting(
         .join(
             churn.groupBy("month").agg(F.sum("__chn").alias("churned")),
             "month",
-            "left",
+            "full",
         )
     )
     rnd = (lambda c: F.round(c.cast("double"), round_to)) if round_to is not None else (lambda c: c.cast("double"))
+    z = lambda c: F.coalesce(c, F.lit(0))
     return rolled.select(
         "month",
-        rnd(F.col("new")).alias("new"),
-        rnd(F.col("expansion")).alias("expansion"),
-        rnd(F.col("contraction")).alias("contraction"),
-        rnd(F.col("resurrected")).alias("resurrected"),
-        rnd(F.coalesce(F.col("churned"), F.lit(0))).alias("churned"),
-        rnd(F.col("total")).alias("total"),
+        rnd(z(F.col("new"))).alias("new"),
+        rnd(z(F.col("expansion"))).alias("expansion"),
+        rnd(z(F.col("contraction"))).alias("contraction"),
+        rnd(z(F.col("resurrected"))).alias("resurrected"),
+        rnd(z(F.col("churned"))).alias("churned"),
+        rnd(z(F.col("total"))).alias("total"),
     )
 
 
@@ -834,6 +839,17 @@ def funnel_latency(
     """
     if len(steps) < 2:
         raise ValueError("funnel_latency needs at least 2 steps")
+    # Column alias per quantile: q_50 for 0.5, but sub-percent
+    # precision keeps its full decimal (0.995 → q_99_5) — truncating
+    # to int(q*100) would alias 0.995 and 0.999 to the same q_99.
+    q_aliases = [
+        f"q_{int(q * 100)}"
+        if float(q * 100).is_integer()
+        else "q_" + repr(float(q * 100)).replace(".", "_")
+        for q in quantiles
+    ]
+    if len(set(q_aliases)) != len(q_aliases):
+        raise ValueError(f"duplicate quantile aliases: {q_aliases}")
     events = df.select(user_col, ts_col, type_col)
     reached: list[DataFrame] = []
     prev = None
@@ -861,8 +877,8 @@ def funnel_latency(
         aggs = [F.count(F.lit(1)).alias("n_users")] + [
             F.round(
                 F.percentile(F.col("__lat__"), F.lit(q)), round_to,
-            ).alias(f"q_{int(q * 100)}")
-            for q in quantiles
+            ).alias(alias)
+            for q, alias in zip(quantiles, q_aliases)
         ]
         row = lat.agg(
             F.lit(k + 1).alias("step"),

@@ -506,8 +506,14 @@ def grouped_bootstrap_ci(
 
     Weights derive from ``hash48(id ':' seed ':' b)`` through the
     Poisson(1) inverse CDF (truncated at 5) — reproducible across
-    runs/engines, SQL-replayable. ``id_col`` defaults to the value
-    column itself plus the group key; pass a unique id for rigor.
+    runs/engines, SQL-replayable. Without ``id_col`` the resample id
+    is (group, value, occurrence-index): the occurrence index (one
+    row_number window on the same group hash) makes duplicate
+    (group, value) rows draw INDEPENDENT weights — a value-only id
+    would give duplicates perfectly correlated weights in every
+    resample and silently narrow the CI. Results are deterministic
+    either way (duplicates are interchangeable, so which physical row
+    gets which index cannot change any resample mean).
 
     Returns (group…, ``mean``, ``ci_lo``, ``ci_hi``, ``n``).
     """
@@ -516,10 +522,17 @@ def grouped_bootstrap_ci(
         raise ValueError(f"n_resamples must be >= 2, got {n_resamples}")
     from rdsa_utils_spark.operators.sampling import _HEX_DIGITS
 
-    rid = F.col(id_col) if id_col else F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in keys],
-        F.col(value_col).cast("string"),
-    )
+    if id_col:
+        rid = F.col(id_col)
+    else:
+        occ = F.row_number().over(
+            Window.partitionBy(*keys, value_col).orderBy(F.col(value_col)),
+        )
+        rid = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in keys],
+            F.col(value_col).cast("string"),
+            occ.cast("string"),
+        )
     exploded = df.select(
         *keys,
         F.col(value_col).alias("__v"),
@@ -613,9 +626,18 @@ def ab_test_report(
     se2_c = F.col("v_c") / F.col("n_c")
     se2_t = F.col("v_t") / F.col("n_t")
     se = F.sqrt(se2_c + se2_t)
-    welch_t = (F.col("m_t") - F.col("m_c")) / se
-    dof = (se2_c + se2_t) * (se2_c + se2_t) / (
-        se2_c * se2_c / (F.col("n_c") - 1) + se2_t * se2_t / (F.col("n_t") - 1)
+    # ANSI mode: x/0 THROWS, it does not return NULL — guard every
+    # degenerate-but-valid denominator (zero control mean for
+    # net/difference metrics; both arm variances 0 → se = 0) so such
+    # inputs yield NULL statistics instead of aborting the job.
+    welch_t = F.when(se > 0, (F.col("m_t") - F.col("m_c")) / se)
+    dof_den = F.when(
+        (F.col("n_c") > 1) & (F.col("n_t") > 1),
+        se2_c * se2_c / (F.col("n_c") - 1) + se2_t * se2_t / (F.col("n_t") - 1),
+    )
+    dof = F.when(dof_den > 0, (se2_c + se2_t) * (se2_c + se2_t) / dof_den)
+    rel_lift = F.when(
+        F.col("m_c") != 0, (F.col("m_t") - F.col("m_c")) / F.col("m_c"),
     )
     rnd = (lambda x: F.round(x, round_to)) if round_to is not None else (lambda x: x)
     return row.select(
@@ -624,7 +646,7 @@ def ab_test_report(
         rnd(F.col("m_c")).alias("mean_c"),
         rnd(F.col("m_t")).alias("mean_t"),
         rnd(F.col("m_t") - F.col("m_c")).alias("lift"),
-        rnd((F.col("m_t") - F.col("m_c")) / F.col("m_c")).alias("rel_lift"),
+        rnd(rel_lift).alias("rel_lift"),
         rnd(welch_t).alias("welch_t"),
         rnd(dof).alias("dof"),
     )
@@ -744,7 +766,12 @@ def ratio_estimator(
         F.sum(F.col(x_col).cast("decimal(38,6)")).alias("__sx"),
         F.count(F.lit(1)).alias("n"),
     )
-    ratio = F.col("__sy").cast("double") / F.col("__sx").cast("double")
+    # ANSI mode: guard Σx = 0 (a degenerate-but-valid sample) → NULL
+    # ratio/estimate rather than DIVIDE_BY_ZERO aborting the job.
+    ratio = F.when(
+        F.col("__sx") != 0,
+        F.col("__sy").cast("double") / F.col("__sx").cast("double"),
+    )
     rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
     return agg.select(
         rnd(ratio).alias("ratio"),
@@ -801,8 +828,16 @@ def price_index(
         F.sum(d(F.col("__p") * F.col("__q"))).alias("__pt_qt"),
         F.sum(d(F.col("__p0") * F.col("__q"))).alias("__p0_qt"),
     )
-    las = F.col("__pt_q0").cast("double") / F.col("__p0_q0").cast("double") * 100
-    paa = F.col("__pt_qt").cast("double") / F.col("__p0_qt").cast("double") * 100
+    # ANSI mode: a zero base-period denominator (free items, net-zero
+    # quantities) yields NULL for that period, not DIVIDE_BY_ZERO.
+    las = F.when(
+        F.col("__p0_q0") != 0,
+        F.col("__pt_q0").cast("double") / F.col("__p0_q0").cast("double") * 100,
+    )
+    paa = F.when(
+        F.col("__p0_qt") != 0,
+        F.col("__pt_qt").cast("double") / F.col("__p0_qt").cast("double") * 100,
+    )
     rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
     return rolled.select(
         "period",
@@ -870,7 +905,12 @@ def hhi_concentration(
         F.col(market_col).alias("market"), F.col(firm_col).alias("__f"),
     ).agg(F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__v"))
     tot = firm.groupBy("market").agg(F.sum("__v").alias("__tot"))
-    share = F.col("__v").cast("double") / F.col("__tot").cast("double")
+    # ANSI mode: a market whose value total is 0 gets NULL shares (→
+    # NULL hhi, since sum over all-NULL is NULL) instead of aborting.
+    share = F.when(
+        F.col("__tot") != 0,
+        F.col("__v").cast("double") / F.col("__tot").cast("double"),
+    )
     rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
     return (
         firm.join(tot, "market")
@@ -930,7 +970,13 @@ def lorenz_points(
                 F.max(F.col("__i__")).cast("double") / F.max("__n__"),
             ).alias("pop_share"),
             rnd(
-                F.max(F.col("__cum__").cast("double") / F.col("__tot__").cast("double")),
+                F.max(
+                    F.when(
+                        F.col("__tot__") != 0,
+                        F.col("__cum__").cast("double")
+                        / F.col("__tot__").cast("double"),
+                    ),
+                ),
             ).alias("value_share"),
         )
         .orderBy(*keys, "point")
@@ -984,9 +1030,17 @@ def chained_index(
         F.sum(d(F.col("__p") * F.col("__q"))).alias("__pt_qt"),
         F.sum(d(F.col("__p0") * F.col("__q"))).alias("__p0_qt"),
     )
-    las = F.col("__pt_q0").cast("double") / F.col("__p0_q0").cast("double")
-    paa = F.col("__pt_qt").cast("double") / F.col("__p0_qt").cast("double")
-    link = F.sqrt(las * paa)
+    # ANSI guards as in price_index; a degenerate link (zero
+    # denominator or non-positive product) is NULL and chains as 1.
+    las = F.when(
+        F.col("__p0_q0") != 0,
+        F.col("__pt_q0").cast("double") / F.col("__p0_q0").cast("double"),
+    )
+    paa = F.when(
+        F.col("__p0_qt") != 0,
+        F.col("__pt_qt").cast("double") / F.col("__p0_qt").cast("double"),
+    )
+    link = F.when(las * paa > 0, F.sqrt(las * paa))
     with_links = periods.join(
         links.select("period", "n_items", link.alias("__link")), "period", "left",
     )

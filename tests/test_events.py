@@ -545,9 +545,14 @@ def test_growth_accounting_decomposition(spark):
     assert feb["total"] == 27.0
     assert mar["resurrected"] == 4.0 and mar["churned"] == -22.0
     assert mar["total"] == 9.0
-    # Apr: only churn from u2(5), u4(4) -- months with no activity
-    # don't appear unless churn lands there; u3 churns in Mar.
     assert mar["new"] == 0.0
+    # Apr is a churn-only month (no current activity): u2(5) + u4(4)
+    # churn there. The full-outer month join must keep it — a left
+    # join from current-activity months would silently drop it.
+    apr = out["2020-04"]
+    assert apr["churned"] == -9.0
+    assert (apr["new"], apr["expansion"], apr["contraction"],
+            apr["resurrected"], apr["total"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
 
 
 def test_rolling_active_users_window(spark):
@@ -617,3 +622,31 @@ def test_seasonal_adjust_recovers_flat_series(spark):
     for i, si, adj in out:
         assert si == factors[i % 3]      # exact periodic pattern recovered
         assert adj == 100.0              # adjusted series is flat
+
+
+def test_funnel_latency_subpercent_quantile_aliases(spark):
+    """Regression: 0.995 and 0.999 must get DISTINCT column names
+    (q_99_5 / q_99_9), not both collapse to q_99; duplicate aliases
+    raise instead of producing ambiguous columns."""
+    import pytest
+
+    from rdsa_utils_spark.operators.events import funnel_latency
+
+    rows = [
+        (u, f"2020-01-01 10:00:{s:02d}", t)
+        for u in range(1, 4)
+        for s, t in [(0, "view"), (10 + u, "click")]
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type",
+    )
+    out = funnel_latency(
+        df, ["view", "click"], quantiles=(0.5, 0.995, 0.999),
+    )
+    assert {"q_50", "q_99_5", "q_99_9"} <= set(out.columns)
+    r = out.collect()[0]
+    assert r["q_50"] == 12.0
+    assert r["q_99_5"] <= r["q_99_9"]
+
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_latency(df, ["view", "click"], quantiles=(0.5, 0.5))

@@ -591,3 +591,114 @@ def test_chained_index_equals_fixed_base_for_constant_basket(spark):
     for t in (0, 1, 2):
         assert abs(chained[t] - fixed[t]) < 1e-6
     assert abs(chained[2] - 132.0) < 1e-6
+
+
+def test_ab_test_report_degenerate_inputs_yield_null_not_error(spark):
+    """ANSI-mode guards: zero control mean → NULL rel_lift; both arm
+    variances zero → NULL welch_t/dof; n=1 arms → NULL dof. The job
+    must complete, not throw DIVIDE_BY_ZERO."""
+    from rdsa_utils_spark.operators.stats import ab_test_report
+
+    # zero control mean (net/difference metric) — rel_lift undefined
+    rows = [("c", -1.0), ("c", 1.0), ("t", 2.0), ("t", 4.0)]
+    df = spark.createDataFrame(rows, ["arm", "y"])
+    r = ab_test_report(df, "arm", "y", "c", "t").collect()[0]
+    assert r["mean_c"] == 0.0 and r["rel_lift"] is None
+    assert r["welch_t"] is not None  # variances nonzero → t defined
+
+    # both arms constant: se = 0 → welch_t / dof NULL, lift defined
+    rows = [("c", 5.0), ("c", 5.0), ("t", 7.0), ("t", 7.0)]
+    df = spark.createDataFrame(rows, ["arm", "y"])
+    r = ab_test_report(df, "arm", "y", "c", "t").collect()[0]
+    assert r["lift"] == 2.0
+    assert r["welch_t"] is None and r["dof"] is None
+
+    # single-row arms: var_samp NULL → everything degenerate is NULL
+    rows = [("c", 5.0), ("t", 7.0)]
+    df = spark.createDataFrame(rows, ["arm", "y"])
+    r = ab_test_report(df, "arm", "y", "c", "t").collect()[0]
+    assert r["lift"] == 2.0 and r["welch_t"] is None and r["dof"] is None
+
+
+def test_ratio_estimator_zero_x_total_yields_null(spark):
+    from rdsa_utils_spark.operators.stats import ratio_estimator
+
+    df = spark.createDataFrame([(10.0, 2.0), (20.0, -2.0)], ["y", "x"])
+    r = ratio_estimator(df, "y", "x", 100.0).collect()[0]
+    assert r["ratio"] is None and r["y_hat"] is None
+    assert r["sample_y"] == 30.0 and r["sample_x"] == 0.0 and r["n"] == 2
+
+
+def test_hhi_zero_total_market_yields_null(spark):
+    from rdsa_utils_spark.operators.stats import hhi_concentration
+
+    df = spark.createDataFrame(
+        [("m1", "f1", 5.0), ("m1", "f2", -5.0), ("m2", "f1", 10.0)],
+        ["mkt", "firm", "v"],
+    )
+    out = {r["market"]: r for r in
+           hhi_concentration(df, "mkt", "firm", "v").collect()}
+    assert out["m1"]["hhi"] is None       # net-zero market → NULL, no throw
+    assert out["m2"]["hhi"] == 10000.0
+
+
+def test_lorenz_points_zero_total_group_yields_null(spark):
+    from rdsa_utils_spark.operators.stats import lorenz_points
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", -1.0), ("h", 2.0), ("h", 2.0)], ["g", "v"],
+    )
+    out = lorenz_points(df, "g", "v", n_points=2).collect()
+    g_rows = [r for r in out if r["g"] == "g"]
+    h_rows = [r for r in out if r["g"] == "h"]
+    assert g_rows and all(r["value_share"] is None for r in g_rows)
+    assert h_rows and all(r["value_share"] is not None for r in h_rows)
+
+
+def test_price_index_zero_base_denominator_yields_null(spark):
+    from rdsa_utils_spark.operators.stats import price_index
+
+    # base period: price 0 for the only item → Σp0·q0 = Σp0·qt = 0
+    rows = [(0, "A", 0.0, 2.0), (1, "A", 5.0, 2.0)]
+    df = spark.createDataFrame(rows, ["t", "item", "p", "q"])
+    out = {r["period"]: r for r in price_index(df, "t", "item", "p", "q", 0).collect()}
+    assert out[1]["laspeyres"] is None and out[1]["paasche"] is None
+    assert out[1]["fisher"] is None
+
+
+def test_chained_index_degenerate_link_chains_as_one(spark):
+    from rdsa_utils_spark.operators.stats import chained_index
+
+    # t=1's only matched item has base price 0 → NULL link, chain
+    # carries 100 forward; t=2 links normally off t=1 prices.
+    rows = [(0, "A", 0.0, 1.0), (1, "A", 5.0, 1.0), (2, "A", 10.0, 1.0)]
+    df = spark.createDataFrame(rows, ["t", "item", "p", "q"])
+    out = {r["period"]: r for r in
+           chained_index(df, "t", "item", "p", "q").collect()}
+    assert out[1]["link_fisher"] is None
+    assert out[1]["chained_fisher"] == 100.0
+    assert out[2]["link_fisher"] == 2.0
+    assert out[2]["chained_fisher"] == 200.0
+
+
+def test_grouped_bootstrap_ci_duplicates_draw_independent_weights(spark):
+    """Regression: the default resample id must be unique per ROW, not
+    per (group, value) — otherwise duplicate rows get perfectly
+    correlated Poisson weights and the CI doesn't shrink when the
+    sample doubles. With independent weights, duplicating every row 2×
+    shrinks the CI width by ≈ 1/√2 (all hash-deterministic, no flake).
+    """
+    from rdsa_utils_spark.operators.stats import grouped_bootstrap_ci
+
+    vals = [float(v % 17) for v in range(40)]
+    single = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    doubled = spark.createDataFrame([("g", v) for v in vals * 2], ["g", "v"])
+
+    def width(df):
+        r = grouped_bootstrap_ci(df, "g", "v", n_resamples=200).collect()[0]
+        return r["ci_hi"] - r["ci_lo"]
+
+    w1, w2 = width(single), width(doubled)
+    assert w2 < 0.85 * w1, f"CI width {w2} did not shrink vs {w1}"
+    # determinism: same input → same interval
+    assert width(doubled) == w2
