@@ -6332,6 +6332,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_hhi": q_brand_hhi,
         "acctbal_lorenz": q_acctbal_lorenz,
         "chained_price_index": q_chained_price_index,
+        "survival_curve": q_survival_curve,
+        "weighted_price_quantiles": q_weighted_price_quantiles,
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
+        "part_communities": q_part_communities,
     }
 
 
@@ -6542,6 +6547,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "brand_hhi": _ORACLE_BRAND_HHI,
         "acctbal_lorenz": _ORACLE_ACCTBAL_LORENZ,
         "chained_price_index": _ORACLE_CHAINED_PRICE_INDEX,
+        "survival_curve": _ORACLE_SURVIVAL_CURVE,
+        "weighted_price_quantiles": _ORACLE_WEIGHTED_PRICE_QUANTILES,
+        "url_dedup": _ORACLE_URL_DEDUP,
+        "domain_stats": _ORACLE_DOMAIN_STATS,
+        "part_communities": _oracle_part_communities(3),
     }
 
 
@@ -8122,4 +8132,293 @@ SELECT period,
          AS chained_fisher
 FROM links
 ORDER BY period
+"""
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (operators/stats.py::kaplan_meier) of
+    order age by priority: duration = days from o_orderdate to the
+    1998-12-01 censor date, event = order reached final status 'F'
+    (others right-censored). Product-limit estimate accumulates in
+    log space along the SAME t-order on any engine."""
+    from rdsa_utils_spark.operators.stats import kaplan_meier
+
+    orders = _t(spark, sf_dir, "orders")
+    prepped = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("dur"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"),
+    )
+    return kaplan_meier(prepped, ["priority"], "dur", "ev").orderBy("priority", "t")
+
+
+_ORACLE_SURVIVAL_CURVE = """
+WITH per_t AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS t,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+         COUNT(*) AS removed
+  FROM orders
+  GROUP BY 1, 2
+), cum AS (
+  SELECT priority, t, n_events, removed,
+         SUM(removed) OVER (PARTITION BY priority) AS n_total,
+         SUM(removed) OVER (PARTITION BY priority ORDER BY t) AS cum_removed
+  FROM per_t
+), risk AS (
+  SELECT priority, t, n_events,
+         CAST(n_total - cum_removed + removed AS BIGINT) AS n_risk
+  FROM cum
+), surv AS (
+  SELECT priority, t, n_risk, n_events,
+         CASE
+           WHEN MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                OVER (PARTITION BY priority ORDER BY t) = 1 THEN 0.0
+           ELSE EXP(SUM(CASE WHEN n_events < n_risk
+                             THEN LN(1.0 - CAST(n_events AS DOUBLE) / n_risk)
+                             ELSE 0.0 END)
+                    OVER (PARTITION BY priority ORDER BY t))
+         END AS survival
+  FROM risk
+)
+SELECT priority, t, n_risk, n_events, ROUND(survival, 6) AS survival
+FROM surv
+WHERE n_events > 0
+ORDER BY priority, t
+"""
+
+
+def q_weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design-weighted price quantiles
+    (operators/stats.py::weighted_quantiles): per return flag, the
+    smallest l_extendedprice whose cumulative l_quantity weight
+    reaches q of the total — one shuffle, quantile fan-out is a
+    constant-size explode over the cumulative frame."""
+    from rdsa_utils_spark.operators.stats import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9],
+    ).orderBy("l_returnflag", "q")
+
+
+_ORACLE_WEIGHTED_PRICE_QUANTILES = """
+WITH dist AS (
+  SELECT l_returnflag, l_extendedprice AS v, SUM(l_quantity) AS wsum
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v,
+         SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v) AS cumw,
+         SUM(wsum) OVER (PARTITION BY l_returnflag) AS W
+  FROM dist
+), qd AS (
+  SELECT c.*, CAST(q AS DOUBLE) AS q
+  FROM cum c CROSS JOIN (VALUES (0.25), (0.5), (0.9)) AS qs(q)
+), hit AS (
+  SELECT l_returnflag, q, v, cumw, W,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, q ORDER BY v) AS rn
+  FROM qd WHERE cumw >= q * W
+)
+SELECT l_returnflag, q,
+       ROUND(v, 6) AS weighted_quantile,
+       ROUND(cumw / W, 6) AS cum_weight_share
+FROM hit WHERE rn = 1
+ORDER BY l_returnflag, q
+"""
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic crawl URLs over documents: host / page
+    collide across doc_ids (mod classes), with tracking params, case
+    noise, fragments and trailing slashes layered on — the input
+    shape canonical_url exists to normalize. (The testdata tables
+    carry no URL column; construction is part of the query contract
+    and replayed verbatim in the oracle.)"""
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("WWW.News-Site.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("www.example.org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("Blog.Example.org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("data.gov.uk"))
+        .otherwise(F.lit("archive.example.net"))
+    )
+    page = (F.col("doc_id") % 250).cast("string")
+    q = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?utm_source=feed&utm_campaign=c"), page))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?ref=home&id="), page))
+        .otherwise(F.lit(""))
+    )
+    tail = F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 4 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"), host, F.lit("/docs/"), page, tail, q, frag,
+        ).alias("url"),
+    )
+
+
+#: SQL twin of _doc_urls — same mod-class construction.
+_SQL_DOC_URLS = """
+  SELECT doc_id,
+         'HTTPS://' ||
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN 'WWW.News-Site.com'
+           WHEN 1 THEN 'www.example.org'
+           WHEN 2 THEN 'Blog.Example.org'
+           WHEN 3 THEN 'data.gov.uk'
+           ELSE 'archive.example.net' END ||
+         '/docs/' || CAST(doc_id % 250 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 250 AS VARCHAR)
+           WHEN 1 THEN '?ref=home&id=' || CAST(doc_id % 250 AS VARCHAR)
+           ELSE '' END ||
+         CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+"""
+
+#: DuckDB replay of operators/text.py::canonical_url for the params
+#: present in _doc_urls (utm_source, utm_campaign, ref) — same RE2-safe
+#: patterns, DuckDB backref syntax (\\1 vs Spark's $1), 'g' flag to
+#: match Spark's replace-all semantics.
+_SQL_CANONICAL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace("
+    "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))"
+    " || regexp_replace(regexp_replace(url, '#.*$', '', 'g'),"
+    " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')"
+    ", '^([a-z][a-z0-9+.-]*://)www\\.', '\\1', 'g')"
+    ", '([?&])utm_source=[^&#]*&', '\\1', 'g'), '[?&]utm_source=[^&#]*$', '', 'g')"
+    ", '([?&])utm_campaign=[^&#]*&', '\\1', 'g'), '[?&]utm_campaign=[^&#]*$', '', 'g')"
+    ", '([?&])ref=[^&#]*&', '\\1', 'g'), '[?&]ref=[^&#]*$', '', 'g')"
+    ", '\\?&', '?', 'g'), '[?&]$', '', 'g')"
+    ", '(.)/\\?', '\\1?', 'g'), '(.)/$', '\\1', 'g')"
+)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/text.py::url_dedup): one surviving
+    doc per canonical URL (min doc_id tiebreak) — the zero-content-IO
+    first pass of crawl dedup. Fragment/tracking/case/slash variants
+    of the same (host, page) collapse."""
+    from rdsa_utils_spark.operators.text import url_dedup
+
+    urls = _doc_urls(spark, sf_dir)
+    return (
+        url_dedup(urls, "url", "doc_id")
+        .select("doc_id", "canonical_url")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_URL_DEDUP = f"""
+WITH urls AS ({_SQL_DOC_URLS}),
+canon AS (
+  SELECT doc_id, {_SQL_CANONICAL} AS canonical_url FROM urls
+), ranked AS (
+  SELECT doc_id, canonical_url,
+         ROW_NUMBER() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn
+  FROM canon
+)
+SELECT doc_id, canonical_url FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl accounting (operators/text.py::domain_stats):
+    pages, distinct canonical URLs and the duplicate ratio that sets
+    per-site caps / flags mirror farms."""
+    from rdsa_utils_spark.operators.text import domain_stats
+
+    urls = _doc_urls(spark, sf_dir)
+    return domain_stats(urls, "url", "doc_id").orderBy("host")
+
+
+_ORACLE_DOMAIN_STATS = f"""
+WITH urls AS ({_SQL_DOC_URLS}),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '', 'g') AS host,
+         {_SQL_CANONICAL} AS c FROM urls
+)
+SELECT host,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT c) AS n_canonical,
+       ROUND(1.0 - CAST(COUNT(DISTINCT c) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities
+    (operators/graph.py::label_propagation, 3 iterations, smallest-
+    label tie-break) over the undirected co-purchase graph (same
+    consecutive-lineitem edge derivation as pagerank_parts). Fixed
+    iterations + deterministic ties = unrolled-SQL replayable."""
+    from pyspark.sql import Window
+
+    from rdsa_utils_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "dst")
+    edges = (
+        li.select("l_orderkey", "l_linenumber", F.col("l_partkey").alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        label_propagation(edges, "src", "dst", iterations=3)
+        .select(F.col("node").alias("part"), "community")
+        .orderBy("part")
+    )
+
+
+def _oracle_part_communities(iterations: int = 3) -> str:
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""c{k} AS (
+  SELECT u.dst AS n, l.community, COUNT(*) AS cnt
+  FROM und u JOIN l{k - 1} l ON u.src = l.node
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT n, community FROM (
+    SELECT n, community,
+           ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, community ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+), l{k} AS (
+  SELECT nd.node, COALESCE(b.community, l.community) AS community
+  FROM nodes nd
+  LEFT JOIN b{k} b ON b.n = nd.node
+  JOIN l{k - 1} l ON l.node = nd.node
+)""",
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT l_orderkey, l_partkey AS dst,
+         lag(l_partkey) OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS src
+  FROM lineitem
+), e AS (
+  SELECT DISTINCT src, dst
+  FROM seq WHERE src IS NOT NULL AND src <> dst
+), und AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), nodes AS (
+  SELECT DISTINCT dst AS node FROM und
+), l0 AS (
+  SELECT node, node AS community FROM nodes
+),
+{chain}
+SELECT node AS part, community FROM l{iterations} ORDER BY part
 """

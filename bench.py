@@ -5,8 +5,9 @@ ONE compact JSON line: {"metric": ..., "value": total_sec, "unit":
 this file (the full 70+-entry map overflowed the driver's stdout
 capture buffer in round 1, leaving the headline line unparseable).
 
-Each query is executed once with a count-style action (results fully
-materialized via a noop sink; nothing collected to the driver).
+Each query is executed SPARK_GRAFT_BENCH_RUNS times (default 3, median
+kept) with results fully materialized via a noop sink; nothing is
+collected to the driver.
 """
 
 from __future__ import annotations
@@ -73,23 +74,30 @@ def main() -> None:
     # 50 so every entry gets a correctness verdict) PLUS the retired
     # extras — total timing stays comparable round over round.
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
-    # min-of-N per query: run-to-run variance on a shared box is ±20%+,
-    # and the minimum is the standard low-noise estimator of operator
-    # cost (the "true" time plus the least interference).
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # median-of-N per query: run-to-run variance on a shared box is
+    # ±20%+ (a same-code 148s→185s total swing was measured in round
+    # 4); the median of 3 rejects a single interference spike in
+    # either direction, making <5% per-query drift detectable between
+    # same-code runs.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
-        best = None
+        runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # Force full materialization of every column (count alone
             # can let Catalyst prune the plan).
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        median = runs[len(runs) // 2] if n_runs % 2 else (
+            (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
+        )
+        timings[name] = round(median, 3)
+        spreads[name] = round(runs[-1] / runs[0], 2) if runs[0] > 0 else 1.0
         total += timings[name]
 
     # Derive sf from the directory name (e.g. sf0.1 -> 0.1).
@@ -109,8 +117,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread_max_over_min": spreads,
                 "sf": sf,
                 "n_queries": len(timings),
+                "runs_per_query": n_runs,
+                "estimator": "median",
             },
             fh,
             indent=1,

@@ -90,3 +90,14 @@ from rdsa_utils_spark.operators.quality import (  # noqa: F401
     run_checks,
     unique_violations,
 )
+from rdsa_utils_spark.operators.stats import (  # noqa: F401
+    kaplan_meier,
+    weighted_quantiles,
+)
+from rdsa_utils_spark.operators.text import (  # noqa: F401
+    canonical_url,
+    domain_stats,
+    url_dedup,
+    url_host,
+)
+from rdsa_utils_spark.operators.graph import label_propagation  # noqa: F401

@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "cooccurrence_pairs", "triangle_count", "connected_components"]
+__all__ = ["pagerank", "cooccurrence_pairs", "triangle_count", "connected_components", "label_propagation"]
 
 
 def cooccurrence_pairs(
@@ -295,3 +295,70 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    max_broadcast_nodes: int = 10_000_000,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    UNDIRECTED graph induced by ``edges``: every node starts in its
+    own community, and each round adopts the most frequent label among
+    its neighbours (ties break to the smallest label — fully
+    deterministic, so a fixed ``iterations`` makes the result
+    replayable by unrolled SQL, the same stance as :func:`pagerank`).
+    Returns one row per node: (node, community).
+
+    vs :func:`connected_components`: components merge everything
+    reachable; label propagation finds DENSE regions — the right
+    granularity for "which near-dup cluster/topic neighbourhood does
+    this doc sit in" when bridges shouldn't glue clusters together.
+
+    Scale shape mirrors pagerank: the undirected edge list is
+    materialized once, pre-partitioned on the message destination and
+    persisted (loop-invariant); the label vector (O(nodes)) is
+    broadcast per round while the graph fits
+    ``max_broadcast_nodes``, so an iteration shuffles O(nodes) for
+    the per-(node, label) counts, never the edges; per-round
+    ``localCheckpoint`` keeps the DAG depth constant.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from pyspark.sql import Window
+
+    fwd = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    und = (
+        fwd.union(fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst")))
+        .distinct()
+        .repartition(F.col("__dst"))
+        .persist()
+    )
+    nodes = und.select(F.col("__dst").alias("node")).distinct().localCheckpoint(eager=True)
+    small = nodes.count() <= max_broadcast_nodes
+
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    labels = nodes.select("node", F.col("node").alias("community"))
+    w = Window.partitionBy("__n").orderBy(F.desc("__cnt"), F.asc("community"))
+    for _ in range(iterations):
+        counts = (
+            und.join(_bcast(labels), und["__src"] == labels["node"])
+            .groupBy(F.col("__dst").alias("__n"), "community")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__n").alias("node"), F.col("community").alias("__new"))
+        )
+        labels = (
+            labels.join(_bcast(best), "node", "left")
+            .select("node", F.coalesce("__new", "community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels

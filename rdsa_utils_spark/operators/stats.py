@@ -52,6 +52,8 @@ __all__ = [
     "hhi_concentration",
     "lorenz_points",
     "chained_index",
+    "kaplan_meier",
+    "weighted_quantiles",
 ]
 
 
@@ -1056,3 +1058,128 @@ def chained_index(
         rnd(F.col("__link")).alias("link_fisher"),
         rnd(chained).alias("chained_fisher"),
     ).orderBy("period")
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Per-group Kaplan-Meier survival curve: for each observed EVENT
+    time t, the number at risk just before t, the events d at t, and
+    the product-limit estimate S(t) = Π_{t_i ≤ t} (1 − d_i / n_i).
+    ``event_col`` is 1/true for an observed event, 0/false for a
+    right-censored observation (censored rows shrink the risk set but
+    never drop the curve). Output: (group, t, n_risk, n_events,
+    survival), event times only.
+
+    Time-to-event analysis is a survey/official-statistics staple
+    (business survival, benefit-spell durations, time-to-fill) the
+    reference's aggregation surface stops short of.
+
+    Plan shape: one groupBy to per-(group, t) counts — the shuffle —
+    then two window passes over the SAME partitioning (AQE reuses the
+    exchange): cumulative removals give n_risk, and the cumulative
+    sum of log(1 − d/n) gives the product limit in log space (exact
+    same accumulation order under any engine: ordered by t). A group
+    whose risk set empties (d = n at the last time) pins S = 0 from
+    there on rather than feeding log(0).
+    """
+    gcols = list(group_cols)
+    per_t = df.groupBy(
+        *gcols, F.col(duration_col).alias("t"),
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("__removed__"),
+    )
+    w_all = Window.partitionBy(*gcols)
+    w_ord = Window.partitionBy(*gcols).orderBy("t")
+    cum = (
+        per_t.withColumn("__n_total__", F.sum("__removed__").over(w_all))
+        .withColumn("__cum_removed__", F.sum("__removed__").over(w_ord))
+        .withColumn(
+            "n_risk",
+            F.col("__n_total__") - F.col("__cum_removed__") + F.col("__removed__"),
+        )
+    )
+    factor = F.lit(1.0) - F.col("n_events") / F.col("n_risk")  # n_risk ≥ 1
+    cum = cum.withColumn(
+        "__logf__", F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0)),
+    ).withColumn("__dead__", F.when(factor <= 0, F.lit(1)).otherwise(F.lit(0)))
+    surv = (
+        F.when(F.max("__dead__").over(w_ord) == 1, F.lit(0.0))
+        .otherwise(F.exp(F.sum("__logf__").over(w_ord)))
+    )
+    out = (
+        cum.withColumn("survival", surv)
+        .filter(F.col("n_events") > 0)
+        .select(*gcols, "t", "n_risk", "n_events", "survival")
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "survival", F.round("survival", round_to) + F.lit(0.0),
+        )
+    return out
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: Sequence[float] = (0.5,),
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Per-group weighted lower quantiles: for each q, the smallest
+    value v whose cumulative weight reaches q · (total weight) — the
+    design-weighted median/percentile of survey estimation, where each
+    record stands for ``weight_col`` population units. Output:
+    (group, q, weighted_quantile, cum_weight_share).
+
+    Plan shape: ONE shuffle on the group key — per-distinct-value
+    weight totals (groupBy), a cumulative-weight window ordered by
+    value (deterministic: ties pre-aggregated), then each quantile is
+    a filtered min over the same frame (quantile list explodes to a
+    tiny constant fan-out, no extra shuffle). Cross-engine exactness:
+    the cumulative sum runs in value order on both engines, so the
+    q·W threshold comparison lands on the same row.
+    """
+    if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError(f"quantiles must lie in (0, 1], got {quantiles!r}")
+    gcols = list(group_cols)
+    dist = df.groupBy(*gcols, F.col(value_col).alias("__v__")).agg(
+        F.sum(weight_col).alias("__wsum__"),
+    )
+    w_all = Window.partitionBy(*gcols)
+    w_ord = Window.partitionBy(*gcols).orderBy("__v__")
+    cum = dist.withColumn("__cumw__", F.sum("__wsum__").over(w_ord)).withColumn(
+        "__W__", F.sum("__wsum__").over(w_all),
+    )
+    qdf = cum.select(
+        *gcols, "__v__", "__cumw__", "__W__",
+        F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q"),
+    )
+    hit = qdf.filter(F.col("__cumw__") >= F.col("q") * F.col("__W__"))
+    winner = hit.groupBy(*gcols, "q").agg(
+        F.min_by(
+            F.struct(F.col("__v__"), F.col("__cumw__"), F.col("__W__")), F.col("__v__"),
+        ).alias("__win__"),
+    )
+    out = winner.select(
+        *gcols,
+        "q",
+        F.col("__win__.__v__").alias("weighted_quantile"),
+        F.when(
+            F.col("__win__.__W__") != 0,
+            F.col("__win__.__cumw__") / F.col("__win__.__W__"),
+        ).alias("cum_weight_share"),  # NULL for an all-zero-weight group (ANSI-safe)
+    )
+    if round_to is not None:
+        out = out.withColumn(
+            "cum_weight_share", F.round("cum_weight_share", round_to) + F.lit(0.0),
+        ).withColumn(
+            "weighted_quantile", F.round("weighted_quantile", round_to) + F.lit(0.0),
+        )
+    return out

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny built-in stopword lists for the language heuristic. Deliberately
@@ -835,4 +835,105 @@ def term_log_odds(
             F.round(delta, round_to).alias("log_odds"),
             F.round(z, round_to).alias("z"),
         )
+    )
+
+
+# --------------------------------------------------------------- URL curation
+
+#: Tracking params stripped by default — the set every crawl pipeline
+#: removes before URL-level dedup (Common Crawl / C4 lineage).
+_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "mc_cid", "mc_eid",
+)
+
+
+def canonical_url(
+    url_col: Column | str,
+    strip_params: Sequence[str] = _TRACKING_PARAMS,
+    strip_www: bool = True,
+) -> Column:
+    """Canonical form of a URL for dedup/grouping: lowercase scheme
+    and host, ``www.`` stripped, fragment dropped, tracking query
+    params removed, empty ``?`` and trailing slashes cleaned. Pure
+    regex column expression (codegen'd; RE2-safe syntax, so the SAME
+    patterns replay in DuckDB oracles) — URL-level dedup is the
+    cheapest, highest-precision dedup pass a web-corpus pipeline
+    runs, BEFORE any content hashing.
+
+    Keeps non-tracking params (they may address distinct content);
+    order of surviving params is preserved, not sorted — sorting
+    would need a higher-order split/sort/join round-trip that RE2
+    replay can't express; crawl pipelines accept this (same-params
+    different-order URLs are rare and caught by content dedup).
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    # 1. drop fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # 2. lowercase the scheme://host prefix (path/query case preserved)
+    prefix = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    c = F.concat(prefix, rest)
+    if strip_www:
+        c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
+    # 3. strip tracking params (each may appear at ?- or &-position)
+    for p in strip_params:
+        c = F.regexp_replace(c, r"([?&])" + p + r"=[^&#]*&", r"$1")
+        c = F.regexp_replace(c, r"[?&]" + p + r"=[^&#]*$", "")
+    # 4. clean ?& leftovers, pre-query and trailing slashes (keep root)
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]$", "")
+    c = F.regexp_replace(c, r"(.)/\?", r"$1?")
+    c = F.regexp_replace(c, r"(.)/$", r"$1")
+    return c
+
+
+def url_host(url_col: Column | str) -> Column:
+    """Registrable host of a URL (lowercased, ``www.`` stripped) —
+    the partition key for per-site quotas and blocklists."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    h = F.lower(F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    strip_params: Sequence[str] = _TRACKING_PARAMS,
+) -> DataFrame:
+    """Keep one row per canonical URL (smallest ``id_col`` wins — a
+    deterministic tiebreak, SURVEY §7.4.4). Adds ``canonical_url``.
+    One shuffle on the canonical key; at crawl scale this runs before
+    any content-based dedup because it needs no text I/O at all."""
+    out = df.withColumn("canonical_url", canonical_url(url_col, strip_params))
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    return (
+        out.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    strip_params: Sequence[str] = _TRACKING_PARAMS,
+) -> DataFrame:
+    """Per-host corpus accounting: pages, distinct canonical URLs,
+    and the duplicate ratio — the table a crawl pipeline reads to set
+    per-site caps (``operators/sampling.cap_per_key``) and spot
+    mirror/farm hosts (dup_ratio ≈ 1 means a site of tracking-param
+    aliases). Output: (host, n_pages, n_canonical, dup_ratio)."""
+    canon = df.select(
+        url_host(url_col).alias("host"),
+        canonical_url(url_col, strip_params).alias("__canon__"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("__canon__").alias("n_canonical"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__canon__") / F.count(F.lit(1)), 6,
+        ).alias("dup_ratio"),
     )

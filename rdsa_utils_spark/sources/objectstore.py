@@ -103,6 +103,11 @@ class LocalFileSystemClient:
     def list_files(self, path: str, pattern: str = "*") -> List[str]:
         return sorted(str(p) for p in Path(path).glob(pattern) if p.is_file())
 
+    def list_folders(self, path: str) -> List[str]:
+        """Immediate subdirectories (reference:
+        cdp/helpers/hdfs_utils.py:362 ``read_dir`` directory rows)."""
+        return sorted(str(p) for p in Path(path).iterdir() if p.is_dir())
+
     def walk(self, path: str) -> List[str]:
         return sorted(str(p) for p in Path(path).rglob("*") if p.is_file())
 
@@ -183,9 +188,14 @@ class HadoopFileSystemClient:
         return self._jvm.org.apache.hadoop.fs.Path(path)
 
     def file_exists(self, path: str) -> bool:
-        return bool(self._fs(path).exists(self._path(path)))
+        fs, p = self._fs(path), self._path(path)
+        return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isFile())
 
-    folder_exists = file_exists
+    def folder_exists(self, path: str) -> bool:
+        """Directory-specific existence (reference:
+        cdp/helpers/hdfs_utils.py — `hadoop fs -test -d`)."""
+        fs, p = self._fs(path), self._path(path)
+        return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
 
     def file_size(self, path: str) -> int:
         return int(self._fs(path).getFileStatus(self._path(path)).getLen())
@@ -200,7 +210,9 @@ class HadoopFileSystemClient:
         self._fs(path).delete(self._path(path), True)
 
     def move_file(self, src: str, dst: str, overwrite: bool = False) -> None:
-        if overwrite and self.file_exists(dst):
+        if self.file_exists(dst):
+            if not overwrite:
+                raise FileExistsError(dst)
             self.delete_file(dst)
         self._fs(src).rename(self._path(src), self._path(dst))
 
@@ -223,6 +235,77 @@ class HadoopFileSystemClient:
 
             names = [n for n in names if fnmatch.fnmatch(n.rsplit("/", 1)[-1], pattern)]
         return sorted(names)
+
+    def list_folders(self, path: str) -> List[str]:
+        """Immediate subdirectories (reference:
+        cdp/helpers/hdfs_utils.py:362 ``read_dir`` directory rows)."""
+        fs = self._fs(path)
+        statuses = fs.listStatus(self._path(path))
+        return sorted(s.getPath().toString() for s in statuses if s.isDirectory())
+
+    def walk(self, path: str) -> List[str]:
+        """All files under ``path``, recursively (reference:
+        cdp/helpers/hdfs_utils.py:384 ``read_dir_files_recursive``,
+        cdp/helpers/s3_utils.py:217 ``s3_walk``)."""
+        it = self._fs(path).listFiles(self._path(path), True)
+        names = []
+        while it.hasNext():
+            names.append(it.next().getPath().toString())
+        return sorted(names)
+
+    def read_text(self, path: str) -> str:
+        """File contents as a string, streamed through the JVM
+        FileSystem (reference: cdp/helpers/s3_utils.py:491
+        ``read_string_from_file``)."""
+        return bytes(self.read_bytes(path)).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs(path).open(self._path(path))
+        try:
+            out = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+            return bytes(out.toByteArray())
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str, overwrite: bool = True) -> None:
+        """String → file (reference: cdp/helpers/s3_utils.py:539
+        ``write_string_to_file``)."""
+        self.write_bytes(path, text.encode("utf-8"), overwrite=overwrite)
+
+    def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
+        if not overwrite and self.file_exists(path):
+            raise FileExistsError(path)
+        stream = self._fs(path).create(self._path(path), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def zip_folder(self, source_dir: str, output_filename: str, overwrite: bool = False) -> bool:
+        """Zip every file under ``source_dir`` into a single archive at
+        ``output_filename`` on the same (or any) Hadoop FS. Streams
+        each member through the driver one at a time — bounded memory,
+        no executor involvement (reference: cdp/helpers/hdfs_utils.py
+        zip flow; mirrors LocalFileSystemClient.zip_folder)."""
+        import io
+        import zipfile
+
+        if not overwrite and self.file_exists(output_filename):
+            raise FileExistsError(output_filename)
+        if not self.folder_exists(source_dir):
+            raise NotADirectoryError(source_dir)
+        # Normalize the base through the FS so prefix-stripping matches
+        # walk()'s URI form (Hadoop renders file:// as file:/).
+        norm = self._fs(source_dir).getFileStatus(self._path(source_dir)).getPath().toString()
+        base = norm.rstrip("/") + "/"
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for name in self.walk(source_dir):
+                arcname = name.split(base, 1)[1] if base in name else name.rsplit("/", 1)[-1]
+                zf.writestr(arcname, self.read_bytes(name))
+        self.write_bytes(output_filename, buf.getvalue(), overwrite=True)
+        return True
 
     def get_date_modified(self, path: str):
         """Last-modified time as ``datetime`` (reference:

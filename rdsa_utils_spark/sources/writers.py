@@ -257,6 +257,7 @@ def merge_upsert(
     keys: Sequence[str],
     order_col: Optional[str] = None,
     stage_suffix: str = "__stage__",
+    partition_col: Optional[str] = None,
 ) -> None:
     """Keyed upsert into a parquet path without a table format: rows in
     ``df`` replace existing rows with the same key; unmatched existing
@@ -264,6 +265,22 @@ def merge_upsert(
     ``order_col`` descending (required when the batch can contain
     them — without it the within-batch winner would be partition-order
     nondeterministic).
+
+    ``partition_col`` switches to the partition-pruned protocol: the
+    target is (or becomes) a hive-partitioned layout on that column,
+    only the partitions PRESENT IN THE BATCH are read, merged and
+    swapped — untouched partition directories are never rewritten (or
+    even listed beyond discovery), so the rewrite cost is bounded by
+    the batch's partition span, not the dataset size. This is the 100
+    TB path: a daily-corrections batch touching 3 of 3000 date
+    partitions rewrites 0.1% of the data. Constraint: a key's
+    partition value must be immutable (``partition_col`` in ``keys``
+    is the safe shape) — if a key could MOVE partitions, its old row
+    in an untouched partition would survive as a duplicate. Nulls in
+    ``partition_col`` are rejected. The per-partition swap uses the
+    same rename-aside protocol; crash-safety is per partition (a crash
+    mid-loop leaves each partition wholly old or wholly new, never
+    torn).
 
     Extension beyond the reference's append/overwrite writers
     (cdp/io/output.py:33-228): the MERGE half of incremental pipelines
@@ -296,40 +313,100 @@ def merge_upsert(
     if not keys:
         raise ValueError("keys must be non-empty")
     fs = HadoopFileSystemClient(spark)
+    if partition_col is not None and partition_col not in keys:
+        # Permitted but risky; the docstring constraint is on the caller.
+        import warnings
+
+        warnings.warn(
+            "merge_upsert(partition_col=...) with partition_col outside keys: "
+            "keys whose partition value changes will leave stale rows in "
+            "their previous partition",
+            stacklevel=2,
+        )
     if not (fs.file_exists(path) or fs.folder_exists(path)):
-        df.write.parquet(path)
+        writer = df.write
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(path)
         return
+
+    def _window_merge(existing: DataFrame, batch: DataFrame) -> DataFrame:
+        src = "__upsert_src__"
+        rank = "__upsert_rank__"
+        combined = existing.withColumn(src, F.lit(0)).unionByName(
+            batch.select(*existing.columns).withColumn(src, F.lit(1)),
+        )
+        ordering = [F.col(src).desc()]
+        if order_col is not None:
+            ordering.append(F.col(order_col).desc())
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
+        return (
+            combined.withColumn(rank, F.row_number().over(w))
+            .filter(F.col(rank) == 1)
+            .drop(src, rank)
+        )
+
     existing = read_parquet(spark, path)
     if set(existing.columns) != set(df.columns):
         raise ValueError(
             f"schema mismatch: target has {sorted(existing.columns)}, "
             f"batch has {sorted(df.columns)}",
         )
-    src = "__upsert_src__"
-    rank = "__upsert_rank__"
-    combined = existing.withColumn(src, F.lit(0)).unionByName(
-        df.select(*existing.columns).withColumn(src, F.lit(1)),
-    )
-    ordering = [F.col(src).desc()]
-    if order_col is not None:
-        ordering.append(F.col(order_col).desc())
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*ordering)
-    merged = (
-        combined.withColumn(rank, F.row_number().over(w))
-        .filter(F.col(rank) == 1)
-        .drop(src, rank)
-    )
+
+    if partition_col is None:
+        merged = _window_merge(existing, df)
+        stage = path.rstrip("/") + stage_suffix
+        old = path.rstrip("/") + "__old__"
+        if fs.folder_exists(stage):
+            fs.delete_folder(stage)
+        if fs.folder_exists(old):
+            fs.delete_folder(old)
+        merged.write.parquet(stage)
+        # Crash-safe swap: at every intermediate state a full copy exists.
+        fs.move_file(path, old)
+        fs.move_file(stage, path)
+        fs.delete_folder(old)
+        return
+
+    # ---- partition-pruned path -------------------------------------
+    if df.filter(F.col(partition_col).isNull()).limit(1).count() > 0:
+        raise ValueError(f"merge_upsert: NULL in partition column {partition_col!r}")
+    # One small driver collect: the batch's distinct partition values
+    # (bounded by the batch's partition span, e.g. a handful of dates).
+    vals = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+    ]
+    # isin on the partition column reaches the scan as a PartitionFilter
+    # — untouched partitions are pruned before any file is opened.
+    pruned = existing.filter(F.col(partition_col).isin(vals))
+    merged = _window_merge(pruned, df)
     stage = path.rstrip("/") + stage_suffix
-    old = path.rstrip("/") + "__old__"
     if fs.folder_exists(stage):
         fs.delete_folder(stage)
-    if fs.folder_exists(old):
-        fs.delete_folder(old)
-    merged.write.parquet(stage)
-    # Crash-safe swap: at every intermediate state a full copy exists.
-    fs.move_file(path, old)
-    fs.move_file(stage, path)
-    fs.delete_folder(old)
+    merged.write.partitionBy(partition_col).parquet(stage)
+    # Swap each affected partition directory individually. Directory
+    # names come from the stage listing, so hive value escaping is
+    # Spark's, never re-derived here.
+    prefix = f"{partition_col}="
+    live_root = path.rstrip("/")
+    # The aside dir lives OUTSIDE the dataset root: a crash must never
+    # leave a "<part>__old__" directory where partition discovery
+    # would parse it as a live partition value.
+    old_root = live_root + "__old__"
+    if fs.folder_exists(old_root):
+        fs.delete_folder(old_root)
+    fs.create_folder(old_root)
+    for stage_part in fs.list_folders(stage):
+        part_name = stage_part.rsplit("/", 1)[-1]
+        if not part_name.startswith(prefix):
+            continue
+        live_part = f"{live_root}/{part_name}"
+        old_part = f"{old_root}/{part_name}"
+        if fs.folder_exists(live_part):
+            fs.move_file(live_part, old_part)
+        fs.move_file(stage_part, live_part)
+    fs.delete_folder(old_root)
+    fs.delete_folder(stage)
 
 
 def write_stream_upsert(

@@ -9,11 +9,11 @@ key — the pattern scales horizontally with no driver involvement.
 - ``stateful_running_totals`` — per-key running (count, sum) emitted
   on every update; the canonical GroupState example and the template
   for richer accumulators.
-- ``stateful_session_counter`` — per-key session counting with a
-  processing-time timeout: a session closes (and its row emits) only
-  when the key stays silent past the timeout — semantics
-  ``F.session_window`` cannot express (it emits on watermark, not on
-  per-key silence).
+- ``stateful_session_counter`` — per-key session counting with an
+  event-time timeout: a session closes (and its row emits) only when
+  the watermark passes the key's last event + gap — the template for
+  per-session custom state that ``F.session_window``'s fixed
+  aggregation surface cannot express.
 """
 
 from __future__ import annotations
@@ -64,12 +64,30 @@ def stateful_running_totals(
 def stateful_session_counter(
     stream_df: DataFrame,
     key_col: str,
-    timeout_ms: int = 30_000,
+    ts_col: str,
+    gap_ms: int = 30_000,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
-    """Count events per key per session, where a session ends when the
-    key receives no data for ``timeout_ms`` of processing time. Emits
-    (key, n_events) once per CLOSED session via the state timeout
-    callback. Output is empty until sessions actually time out."""
+    """Count events per key per session, where a session CLOSES (and
+    its single row emits) once the event-time watermark passes the
+    key's last event + ``gap_ms`` — i.e. the key stayed silent for a
+    gap of event time. Output schema:
+    (key, n_events, session_end timestamp).
+
+    Event-time, not processing-time, on purpose: the close condition
+    is a property of the DATA (watermark vs last-event gap), so a
+    replay of the same input produces byte-identical sessions —
+    testable, recoverable, and immune to executor wall clocks. (A
+    processing-time variant additionally trips a Spark 4.1 planner
+    bug: timeout-driven no-data micro-batches re-plan
+    FlatMapGroupsInPandasWithStateExec with a null thread-local
+    session and NPE in PythonSQLMetrics.)
+
+    vs ``F.session_window``: same gap semantics, but the state hook
+    supports arbitrary accumulators and mid-session logic (e.g. caps,
+    sampling, early emit) that a windowed agg cannot express; this
+    counter is the template.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
@@ -78,23 +96,42 @@ def stateful_session_counter(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            (cnt,) = state.get
+            cnt, last_ms = state.get
             state.remove()
-            yield pd.DataFrame({"key": [key[0]], "n_events": [cnt]})
+            yield pd.DataFrame(
+                {
+                    "key": pd.array([key[0]], dtype="int64"),
+                    "n_events": pd.array([cnt], dtype="int64"),
+                    "session_end": pd.to_datetime([(last_ms + gap_ms) * 1_000_000]),
+                },
+            )
         else:
-            cnt = state.get[0] if state.exists else 0
+            cnt, last_ms = state.get if state.exists else (0, 0)
             for pdf in pdfs:
                 cnt += len(pdf)
-            state.update((cnt,))
-            state.setTimeoutDuration(timeout_ms)
-            yield pd.DataFrame({"key": [], "n_events": []})
+                batch_max = pdf[ts_col].max()
+                if pd.notna(batch_max):
+                    last_ms = max(last_ms, int(pd.Timestamp(batch_max).value // 1_000_000))
+            state.update((cnt, last_ms))
+            # Close when the watermark passes last event + gap. Spark
+            # requires the timeout timestamp to sit beyond the current
+            # watermark — a key whose gap has ALREADY elapsed when its
+            # late data arrives closes one watermark tick later.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + gap_ms, wm + 1))
+            # Nothing emits while the session is open. (Returning
+            # without yielding is the supported empty-output path; an
+            # empty object-dtype frame would crash Arrow conversion.)
+            return
 
-    return stream_df.groupBy(key_col).applyInPandasWithState(
+    return stream_df.withWatermark(ts_col, watermark_delay).groupBy(
+        key_col,
+    ).applyInPandasWithState(
         update,
-        outputStructType="key long, n_events long",
-        stateStructType="cnt long",
+        outputStructType="key long, n_events long, session_end timestamp",
+        stateStructType="cnt long, last_ms long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

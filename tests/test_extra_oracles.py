@@ -101,3 +101,57 @@ def test_extra_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows)
     assert _rows_key(spark_rows, spark_cols) == _rows_key(duck_rows, duck_cols)
+
+
+def test_parity_rows_stay_oracle_checked():
+    """Window-rotation invariant: every query name cited in PARITY.md's
+    Query column must still resolve in queries() or extra_queries(),
+    and must be oracle-backed in its tier unless PARITY explicitly
+    marks it *rows-only* (in which case it must be a documented
+    rows-only entry, not a silently orphaned one). A driver-window
+    rotation that drops or un-verifies an operator's query fails here."""
+    import re
+    from pathlib import Path
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    extras = entrymod.extra_queries()
+    extra_oracles = entrymod.extra_oracle_sql()
+    all_names = set(qs) | set(extras)
+    oracle_backed = set(oracles) | set(extra_oracles)
+    declared_rows_only = set(qs) - set(oracles)
+
+    text = Path(__file__).resolve().parent.parent.joinpath("PARITY.md").read_text()
+    problems = []
+    cited = set()
+    in_query_table = False
+    for line in text.splitlines():
+        if not line.startswith("|"):
+            in_query_table = False
+            continue
+        if line.startswith("|---"):
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) < 2:
+            continue
+        if cells[-1] == "Query":  # header row
+            in_query_table = True
+            continue
+        if not in_query_table:
+            continue
+        qcell = cells[-1]
+        if qcell in ("—", ""):
+            continue
+        rows_only_marked = "rows-only" in qcell
+        for name in re.findall(r"`([a-z0-9_]+)`", qcell):
+            cited.add(name)
+            if name not in all_names:
+                problems.append(f"{name}: cited in PARITY.md but in neither tier")
+            elif name not in oracle_backed:
+                if not (rows_only_marked or name in ROWS_ONLY_EXTRAS
+                        or name in declared_rows_only):
+                    problems.append(
+                        f"{name}: lost its oracle without a rows-only marker",
+                    )
+    assert len(cited) > 50, "PARITY.md Query column parse found too few names"
+    assert not problems, "\n".join(problems)

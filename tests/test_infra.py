@@ -245,6 +245,74 @@ def test_local_fs_client(tmp_path):
     assert not fs.folder_exists(str(src_dir))
 
 
+def test_fs_protocol_conformance(spark, tmp_path):
+    """Every FileSystemClient verb behaves identically on both
+    implementations (Local on plain paths, Hadoop on file:// URIs) —
+    the guarantee that lets pipeline code swap s3a://hdfs:// for
+    local paths without behavioural drift (reference scope: the
+    parallel s3/gcs/hdfs helper suites expose one verb set)."""
+    from rdsa_utils_spark.sources.objectstore import (
+        HadoopFileSystemClient,
+        LocalFileSystemClient,
+    )
+
+    def run_verbs(fs, root: str, strips):
+        def clean(p):
+            for s in strips:  # Hadoop normalizes file:// to file:/
+                p = p.replace(s, "")
+            return p
+
+        out = {}
+        fs.create_folder(f"{root}/d/sub")
+        fs.write_text(f"{root}/d/a.txt", "alpha")
+        fs.write_text(f"{root}/d/b.log", "beta")
+        fs.write_text(f"{root}/d/sub/c.txt", "gamma")
+        with pytest.raises(FileExistsError):
+            fs.write_text(f"{root}/d/a.txt", "clobber", overwrite=False)
+        out["read"] = fs.read_text(f"{root}/d/a.txt")
+        out["file_exists"] = fs.file_exists(f"{root}/d/a.txt")
+        out["file_on_dir"] = fs.file_exists(f"{root}/d")
+        out["folder_exists"] = fs.folder_exists(f"{root}/d")
+        out["folder_on_file"] = fs.folder_exists(f"{root}/d/a.txt")
+        out["size"] = fs.file_size(f"{root}/d/a.txt")
+        out["list"] = [clean(p) for p in fs.list_files(f"{root}/d", "*.txt")]
+        out["walk"] = [clean(p) for p in fs.walk(f"{root}/d")]
+        fs.copy_file(f"{root}/d/a.txt", f"{root}/d/a2.txt")
+        with pytest.raises(Exception):
+            fs.copy_file(f"{root}/d/a.txt", f"{root}/d/a2.txt")  # no overwrite
+        fs.move_file(f"{root}/d/a2.txt", f"{root}/d/a3.txt")
+        with pytest.raises(FileExistsError):
+            fs.move_file(f"{root}/d/a.txt", f"{root}/d/a3.txt")
+        fs.rename_file(f"{root}/d/a.txt", f"{root}/d/a3.txt", overwrite=True)
+        out["after_rename"] = [clean(p) for p in fs.walk(f"{root}/d")]
+        out["folders"] = [clean(p) for p in fs.list_folders(f"{root}/d")]
+        assert fs.zip_folder(f"{root}/d", f"{root}/d.zip")
+        out["zip_nonempty"] = fs.file_size(f"{root}/d.zip") > 0
+        fs.delete_file(f"{root}/d/b.log")
+        fs.delete_folder(f"{root}/d")
+        out["gone"] = fs.folder_exists(f"{root}/d")
+        return out
+
+    local_root = tmp_path / "local"
+    hadoop_root = tmp_path / "hadoop"
+    local_root.mkdir()
+    hadoop_root.mkdir()
+    got_local = run_verbs(LocalFileSystemClient(), str(local_root), [str(local_root)])
+    got_hadoop = run_verbs(
+        HadoopFileSystemClient(spark), f"file://{hadoop_root}",
+        [f"file://{hadoop_root}", f"file:{hadoop_root}"],
+    )
+    assert got_local == got_hadoop
+    # zip archives hold the same members under the same arcnames
+    import zipfile
+
+    with zipfile.ZipFile(local_root / "d.zip") as z:
+        local_members = sorted(z.namelist())
+    with zipfile.ZipFile(hadoop_root / "d.zip") as z:
+        hadoop_members = sorted(z.namelist())
+    assert local_members == hadoop_members == ["a3.txt", "b.log", "sub/c.txt"]
+
+
 def test_hadoop_fs_client(spark, tmp_path):
     from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
 

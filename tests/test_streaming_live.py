@@ -533,3 +533,63 @@ def test_new_keys_per_window_streaming(spark, events_stream):
         total_streamed += r["n_new"]
     # sanity: closed windows never over-count distinct users
     assert total_streamed <= batch_df.select("user_id").distinct().count()
+
+
+def test_stateful_session_counter_closes_on_silence(spark, tmp_path):
+    """A session emits ONLY after the event-time watermark passes its
+    key's last event + gap: events accumulate across micro-batches
+    while the key is active (no output), then a later event that
+    advances the watermark closes the silent sessions — each emits
+    exactly once, deterministically, with its session_end stamp."""
+    import datetime
+    import time
+
+    from rdsa_utils_spark.streaming.stateful import stateful_session_counter
+
+    def T(sec):
+        return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=sec)
+
+    src = str(tmp_path / "session_src")
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(
+        [(1, T(0)), (1, T(10)), (2, T(5))], schema,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful_session_counter(stream, "user_id", "ts", gap_ms=60_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_counter_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # both keys are inside their gap: nothing may emit yet
+        assert spark.table("session_counter_out").count() == 0, (
+            "no session may emit before the watermark passes its gap"
+        )
+        # key 1's session extends across micro-batches
+        spark.createDataFrame([(1, T(20))], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert spark.table("session_counter_out").count() == 0
+        # a far-future event pushes the watermark past both gaps
+        spark.createDataFrame([(99, T(3600))], schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("session_counter_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+        got = {r.key: (r.n_events, str(r.session_end)) for r in rows}
+        assert got == {
+            1: (3, "2024-01-01 00:01:20"),  # last event T(20) + 60 s gap
+            2: (1, "2024-01-01 00:01:05"),
+        }, f"closed sessions wrong: {got}"
+        # key 99's session is still open — it must NOT have emitted
+        assert 99 not in got
+        assert q.exception() is None
+    finally:
+        q.stop()

@@ -142,3 +142,70 @@ def test_compact_dataset_reduces_files_keeps_rows(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         compact_dataset(spark, str(tmp_path / "missing"))
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """partition_col path: untouched partition directories keep their
+    file mtimes (never rewritten), touched ones carry the merge."""
+    import os
+
+    path = str(tmp_path / "ptarget")
+    base = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", 10, 100), (3, "c", 20, 100), (4, "d", 30, 100)],
+        "k long, v string, day long, ts long",
+    )
+    merge_upsert(spark, base, path, keys=["k", "day"], partition_col="day")
+    parts = sorted(p for p in os.listdir(path) if p.startswith("day="))
+    assert parts == ["day=10", "day=20", "day=30"]
+
+    def mtimes(part):
+        d = os.path.join(path, part)
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before_20 = mtimes("day=20")
+    before_30 = mtimes("day=30")
+
+    batch = spark.createDataFrame(
+        [(2, "B", 10, 200), (5, "e", 40, 200)], "k long, v string, day long, ts long",
+    )
+    merge_upsert(spark, batch, path, keys=["k", "day"], partition_col="day")
+
+    got = {r.k: (r.v, r.day, r.ts) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 10, 100), 2: ("B", 10, 200), 3: ("c", 20, 100),
+        4: ("d", 30, 100), 5: ("e", 40, 200),
+    }
+    # untouched partitions: identical files, identical mtimes
+    assert mtimes("day=20") == before_20
+    assert mtimes("day=30") == before_30
+    # no stage/aside leftovers
+    leftovers = [p for p in os.listdir(tmp_path) if "__old__" in p or "__stage__" in p]
+    assert leftovers == []
+
+
+def test_merge_upsert_partition_pruned_scan_is_pruned(spark, tmp_path):
+    """The existing-side scan must carry a PartitionFilter — untouched
+    partitions are pruned before any parquet file is opened."""
+    path = str(tmp_path / "ptarget2")
+    base = spark.createDataFrame(
+        [(i, "x", i % 5, 1) for i in range(50)], "k long, v string, day long, ts long",
+    )
+    merge_upsert(spark, base, path, keys=["k", "day"], partition_col="day")
+    pruned = spark.read.parquet(path).filter(F.col("day").isin([1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_merge_upsert_partition_pruned_guards(spark, tmp_path):
+    path = str(tmp_path / "ptarget3")
+    base = spark.createDataFrame([(1, "a", 10, 1)], "k long, v string, day long, ts long")
+    merge_upsert(spark, base, path, keys=["k", "day"], partition_col="day")
+    null_batch = spark.createDataFrame(
+        [(2, "b", None, 1)], "k long, v string, day long, ts long",
+    )
+    with pytest.raises(ValueError, match="NULL in partition column"):
+        merge_upsert(spark, null_batch, path, keys=["k", "day"], partition_col="day")
+    # partition_col outside keys: allowed, but warns about stale rows
+    batch = spark.createDataFrame([(1, "A", 10, 2)], "k long, v string, day long, ts long")
+    with pytest.warns(UserWarning, match="outside keys"):
+        merge_upsert(spark, batch, path, keys=["k"], partition_col="day")
