@@ -2552,14 +2552,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Testdata embeddings are random (max pairwise cosine ≈0.51), so a
     # production-style 0.9 threshold finds nothing; 0.35 exercises the
-    # bucketing + rescoring path on real candidate volume. bits=5 ×
-    # 32 tables: ≥0.95 measured pair recall (tests/test_recall.py) at
-    # candidate volume ∝ num_tables/2^bits = 1.0 — deeper bucketing
-    # beats fewer/coarser tables on shuffle volume at scale.
+    # bucketing + rescoring path on real candidate volume. bits=None →
+    # auto_lsh_bits: occupancy-constant depth keeps the bucketed
+    # self-join LINEAR in corpus size (round-5 scale probe: pinned
+    # bits=5 hit exponent 1.67 / 137 s at sf1). At the oracle surfaces
+    # (sf0.001 and sf0.01, both N=500) auto_lsh_bits(500) == 5, which
+    # the baked plane CTE below assumes — test_auto_bits_oracle_anchor
+    # pins that equality so parity can't silently drift. 32 tables at
+    # bits=5: ≥0.95 measured pair recall (tests/test_recall.py).
     # plane_method="md5": oracle-replayable Rademacher planes (see
     # q_lsh_cosine_topk).
     return cosine_near_dup_pairs(
-        emb, dim=64, threshold=0.35, bits=5, num_tables=32,
+        emb, dim=64, threshold=0.35, bits=None, num_tables=32,
         plane_method="md5",
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).orderBy("id_a", "id_b")
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import tokens
 
-__all__ = ["train_naive_bayes", "naive_bayes_score"]
+__all__ = ["train_naive_bayes", "naive_bayes_score", "target_encode_kfold"]
 
 
 def train_naive_bayes(
@@ -199,4 +199,92 @@ def calibration_bins(
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("bin")
+    )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    smoothing: float = 20.0,
+    seed: str = "te",
+    fold_col: str = "fold",
+    out_col: str | None = None,
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Out-of-fold target (mean) encoding with additive smoothing —
+    the standard leakage-safe way to turn a high-cardinality
+    categorical into a numeric feature: each row's encoding is the
+    smoothed mean of ``label_col`` over rows of the SAME key in the
+    OTHER folds, so a row never sees its own label.
+
+    Fold assignment hashes ``id_col`` (md5, partition-independent —
+    same engine-portable recipe as :func:`~rdsa_utils_spark.operators.
+    sampling.hash_uniform`), so folds are reproducible across runs and
+    engines. Encoding::
+
+        te = (oof_sum + prior * smoothing) / (oof_cnt + smoothing)
+
+    where ``prior`` is itself out-of-fold (global mean excluding the
+    row's fold) — keys entirely contained in one fold degrade to the
+    prior rather than leaking (oof_cnt = 0 is well-defined for
+    smoothing > 0).
+
+    100 TB posture: one (key, fold) aggregation with map-side combine
+    (≤ keys × n_folds rows), a per-key rollup of that small frame, one
+    fold-level rollup, then broadcast joins back — the corpus itself
+    is never shuffled.
+    """
+    if n_folds < 2:
+        raise ValueError("target_encode_kfold: n_folds must be >= 2")
+    if smoothing <= 0:
+        raise ValueError("target_encode_kfold: smoothing must be > 0")
+    out_col = out_col or f"te_{key_col}"
+    fold = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))), 1, 12),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_folds),
+    ).cast("int")
+    with_fold = df.withColumn(fold_col, fold)
+    kf = with_fold.groupBy(key_col, fold_col).agg(
+        F.sum(F.col(label_col).cast("double")).alias("__s__"),
+        F.count(F.lit(1)).alias("__c__"),
+    )
+    # per-key totals over the small (key, fold) frame, then OOF by
+    # subtraction; same for the global prior at fold level.
+    key_tot = kf.groupBy(key_col).agg(
+        F.sum("__s__").alias("__ks__"), F.sum("__c__").alias("__kc__"),
+    )
+    fold_tot = kf.groupBy(fold_col).agg(
+        F.sum("__s__").alias("__fs__"), F.sum("__c__").alias("__fc__"),
+    )
+    grand = kf.agg(F.sum("__s__").alias("__gs__"), F.sum("__c__").alias("__gc__"))
+    oof = (
+        kf.join(key_tot, key_col)
+        .join(fold_tot, fold_col)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            key_col,
+            fold_col,
+            (F.col("__ks__") - F.col("__s__")).alias("__oof_s__"),
+            (F.col("__kc__") - F.col("__c__")).alias("__oof_c__"),
+            F.when(
+                F.col("__gc__") > F.col("__fc__"),
+                (F.col("__gs__") - F.col("__fs__")) / (F.col("__gc__") - F.col("__fc__")),
+            ).alias("__prior__"),
+        )
+    )
+    enc = (F.col("__oof_s__") + F.col("__prior__") * F.lit(smoothing)) / (
+        F.col("__oof_c__") + F.lit(smoothing)
+    )
+    enc = F.round(enc, round_to) if round_to is not None else enc
+    return (
+        with_fold.join(F.broadcast(oof), [key_col, fold_col], "left")
+        .withColumn(out_col, enc)
+        .drop("__oof_s__", "__oof_c__", "__prior__")
     )

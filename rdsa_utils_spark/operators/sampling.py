@@ -40,6 +40,8 @@ __all__ = [
     "mix_corpora",
     "weighted_sample",
     "negative_sample",
+    "temperature_resample",
+    "temporal_split",
 ]
 
 _HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
@@ -484,3 +486,116 @@ def negative_sample(
         )
     )
     return picked
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    seed: str = "",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: resample so each group's
+    share of the output follows ``n_g^alpha`` (normalized) instead of
+    its raw share — the standard multilingual/multi-domain LLM recipe
+    (alpha=1 keeps natural proportions, alpha=0 equalizes groups,
+    alpha≈0.3–0.7 up-weights the tail without flattening the head).
+
+    Rows whose group is under-represented are REPLICATED (integer
+    copies + one fractional copy kept with probability ``frac``), so
+    per-group expected output count = ``rate_g · n_g = p_g · T`` where
+    ``T = target_total or count(df)``. Selection uses
+    :func:`hash_uniform` over ``id_col || copy_idx`` — deterministic,
+    partition-independent, engine-portable (SQL-replayable). The
+    ``copy_col`` output column (0-based replica index) keeps replicas
+    distinguishable for downstream shuffling/packing.
+
+    100 TB posture: one map-side-combinable groupBy over
+    ``group_col`` (domain-cardinality rows) broadcast back onto the
+    corpus, then a generator expression per row — no wide shuffle of
+    the corpus itself; replication factor is bounded by
+    ``ceil(max_g rate_g)``.
+    """
+    if alpha < 0:
+        raise ValueError("temperature_resample: alpha must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n__"))
+    # normalizer and total on the driver-free path: a 1-row aggregate
+    # broadcast-attached (same stat-attach shape as tfidf/pagerank).
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n__").cast("double"), F.lit(alpha))).alias("__z__"),
+        F.sum("__n__").alias("__N__"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__rate__",
+            F.pow(F.col("__n__").cast("double"), F.lit(alpha))
+            / F.col("__z__")
+            * (F.lit(target_total).cast("double") if target_total is not None else F.col("__N__").cast("double"))
+            / F.col("__n__").cast("double"),
+        )
+        .select(group_col, "__rate__")
+    )
+    out = (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.ceil(F.col("__rate__")).cast("int") - 1)),
+        )
+        .filter(
+            (F.col(copy_col) < F.floor("__rate__"))
+            | (
+                hash_uniform(
+                    F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col(copy_col).cast("string")),
+                    seed,
+                )
+                < F.col("__rate__") - F.floor("__rate__")
+            )
+        )
+        .drop("__rate__")
+    )
+    return out
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_frac: float = 0.9,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/validation split: the train set is the
+    smallest time-prefix holding at least ``train_frac`` of the rows
+    — i.e. the boundary is the ``ceil(frac·n)``-th smallest timestamp
+    and ``split = 'train'`` iff ``ts <= boundary`` (ties at the
+    boundary all land in train, so the cut is a pure time predicate —
+    no row of a given instant is ever split across sets, the property
+    that prevents leakage through co-timestamped records).
+
+    The boundary rank is found on a single-column projection (sort of
+    one ts column, then a broadcast 1-row attach) — at corpus scale
+    swap in ``percentile_approx`` for the boundary if an approximate
+    frontier is acceptable.
+    """
+    if not 0 < train_frac < 1:
+        raise ValueError("temporal_split: train_frac must be in (0, 1)")
+    w = Window.orderBy(F.col(ts_col))
+    ranked = df.select(F.col(ts_col).alias("__ts__")).withColumn(
+        "__rn__", F.row_number().over(w),
+    )
+    import math
+
+    n = df.count()
+    k = max(1, math.ceil(train_frac * n))
+    boundary = ranked.filter(F.col("__rn__") == F.lit(k)).select(
+        F.col("__ts__").alias("__boundary__"),
+    )
+    return (
+        df.crossJoin(F.broadcast(boundary))
+        .withColumn(
+            split_col,
+            F.when(F.col(ts_col) <= F.col("__boundary__"), F.lit("train")).otherwise(F.lit("valid")),
+        )
+        .drop("__boundary__")
+    )

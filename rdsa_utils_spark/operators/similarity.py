@@ -37,6 +37,38 @@ from pyspark.sql import functions as F
 #: 768 dims — past this the shuffle-safe join-attach plan is used.
 DEFAULT_MAX_BROADCAST_BYTES = 512 * 1024 * 1024
 
+#: Bucket-occupancy target for auto-derived LSH depth. 16 rows/bucket
+#: keeps self-join candidate volume ≈ num_tables · N · 16 / 2 — linear
+#: in corpus size — while staying coarse enough that high-threshold
+#: near-dups (the dedup-pipeline case) still collide: at cos ≥ 0.9 a
+#: 10-bit table collides with p ≈ 0.86^10 ≈ 0.21, so 32 tables give
+#: ≈ 0.9995 pair recall.
+AUTO_BITS_TARGET_ROWS = 16
+
+
+def auto_lsh_bits(
+    n_rows: int,
+    target_rows_per_bucket: int = AUTO_BITS_TARGET_ROWS,
+    min_bits: int = 5,
+    max_bits: int = 20,
+) -> int:
+    """LSH depth that holds per-bucket occupancy ~constant as the
+    corpus grows: ``round(log2(n / target))`` clamped to
+    [min_bits, max_bits]. With fixed ``bits`` a bucketed SELF-join is
+    quadratic in N (measured: the round-5 scale probe put the pinned
+    bits=5 `embedding_near_dups` config at exponent 1.67, 137 s at
+    sf1); with occupancy-constant depth the candidate volume — and the
+    probe-measured runtime — grows linearly. Deeper tables lower
+    per-table collision probability, so LOW-threshold mining
+    (cos < ~0.5) should pin ``bits`` explicitly or raise
+    ``num_tables``; at production dedup thresholds (≥0.9) recall holds
+    (see AUTO_BITS_TARGET_ROWS note).
+    """
+    import math
+
+    raw = round(math.log2(max(n_rows, 1) / target_rows_per_bucket))
+    return max(min_bits, min(max_bits, raw))
+
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst plan-statistics size estimate for ``df`` — read from the
@@ -471,7 +503,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bits: int = 10,
+    bits: int | None = None,
     num_tables: int = 6,
     seed: int = 42,
     *,
@@ -481,7 +513,17 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), found via
     multi-table hyperplane bucketing + exact rescoring. Returns
-    (id_a, id_b, cosine) with id_a < id_b."""
+    (id_a, id_b, cosine) with id_a < id_b.
+
+    ``bits=None`` (default) derives the LSH depth from the corpus size
+    via :func:`auto_lsh_bits` — one ``df.count()`` action, the price of
+    keeping the bucketed self-join linear in N instead of quadratic
+    (any LSH index needs corpus stats to parameterize; IVF pays the
+    same for k-means). Pin ``bits`` explicitly for low-threshold
+    mining or to avoid the count on an expensive upstream frame.
+    """
+    if bits is None:
+        bits = auto_lsh_bits(df.count())
     # Bucket-join and dedup on BARE ids — (table, bucket, id) is three
     # longs per row, so the candidate-pair explosion and the
     # dropDuplicates shuffle stay narrow. Vector payloads are attached

@@ -54,6 +54,8 @@ __all__ = [
     "chained_index",
     "kaplan_meier",
     "weighted_quantiles",
+    "cohens_kappa",
+    "ks_statistic",
 ]
 
 
@@ -1183,3 +1185,131 @@ def weighted_quantiles(
             "weighted_quantile", F.round("weighted_quantile", round_to) + F.lit(0.0),
         )
     return out
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_by: Optional[Sequence[str]] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    label columns (two annotators, or model-vs-gold): ``(po - pe) /
+    (1 - pe)`` with ``po`` the observed agreement rate and ``pe`` the
+    agreement expected from each side's label marginals. The
+    labeled-data QA metric: raw agreement over-credits skewed label
+    distributions; kappa doesn't.
+
+    Returns one row per group: ``(…group, n, po, pe, kappa)``;
+    ``kappa`` is NULL when ``pe = 1`` (both sides constant — chance
+    agreement saturates and kappa is undefined).
+
+    100 TB posture: two map-side-combinable aggregations — one over
+    (group, label_a, label_b) cells, one rollup of those cells (the
+    marginal products reduce to a sum over the label-pair grid, which
+    is label-cardinality-sized, not data-sized).
+    """
+    keys = list(group_by) if group_by else []
+    cells = df.groupBy(*keys, F.col(rater_a).alias("__la__"), F.col(rater_b).alias("__lb__")).agg(
+        F.count(F.lit(1)).alias("__c__"),
+    )
+    # per-group marginals attached onto each cell via window sums over
+    # the cell grid (cells per group = |labels_a| x |labels_b| — tiny).
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    wa = (Window.partitionBy(*keys, "__la__") if keys else Window.partitionBy("__la__"))
+    wb = (Window.partitionBy(*keys, "__lb__") if keys else Window.partitionBy("__lb__"))
+    enriched = (
+        cells.withColumn("__n__", F.sum("__c__").over(wg))
+        .withColumn("__ma__", F.sum("__c__").over(wa))
+        .withColumn("__mb__", F.sum("__c__").over(wb))
+    )
+    agg = enriched.groupBy(*keys).agg(
+        F.first("__n__").alias("n"),
+        (
+            F.sum(F.when(F.col("__la__") == F.col("__lb__"), F.col("__c__")).otherwise(F.lit(0)))
+            / F.first("__n__")
+        ).alias("__po__"),
+        (
+            F.sum(
+                F.when(
+                    F.col("__la__") == F.col("__lb__"),
+                    F.col("__ma__").cast("double") * F.col("__mb__"),
+                ).otherwise(F.lit(0.0)),
+            )
+            / (F.first("__n__").cast("double") * F.first("__n__"))
+        ).alias("__pe__"),
+    )
+    kappa = F.when(
+        F.col("__pe__") < 1.0,
+        (F.col("__po__") - F.col("__pe__")) / (F.lit(1.0) - F.col("__pe__")),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        _maybe_round(F.col("__po__"), round_to).alias("po"),
+        _maybe_round(F.col("__pe__"), round_to).alias("pe"),
+        _maybe_round(kappa, round_to).alias("kappa"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    left: str,
+    right: str,
+    group_by: Optional[Sequence[str]] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic ``D = sup_x |F_left(x)
+    - F_right(x)|`` between the ``value_col`` distributions of the two
+    named samples — the distribution-drift gate (train-vs-serve
+    feature drift, corpus-vs-corpus quality-score shift) that, unlike
+    binned chi-square/JS, needs no binning choice.
+
+    ECDFs use RANGE window frames (ties collapse to a single step, as
+    the ECDF definition requires). Returns one row per group:
+    ``(…group, n_left, n_right, ks)``.
+
+    100 TB posture: one hash shuffle on the group key with a sort on
+    (value) inside each group — the same shape as any grouped window;
+    ungrouped calls sort a single 2-column projection, so at corpus
+    scale pass a binning/group key or pre-sample. The marginal counts
+    ride the same window pass; no second scan.
+    """
+    keys = list(group_by) if group_by else []
+    base = df.filter(F.col(sample_col).isin([left, right])).select(
+        *keys,
+        F.col(value_col).cast("double").alias("__v__"),
+        F.when(F.col(sample_col) == F.lit(left), F.lit(1)).otherwise(F.lit(0)).alias("__il__"),
+        F.when(F.col(sample_col) == F.lit(right), F.lit(1)).otherwise(F.lit(0)).alias("__ir__"),
+    )
+    wkeys = keys if keys else [F.lit(1)]
+    cume = Window.partitionBy(*wkeys).orderBy("__v__").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow,
+    )
+    tot = Window.partitionBy(*wkeys)
+    stepped = (
+        base.withColumn("__cl__", F.sum("__il__").over(cume))
+        .withColumn("__cr__", F.sum("__ir__").over(cume))
+        .withColumn("__nl__", F.sum("__il__").over(tot))
+        .withColumn("__nr__", F.sum("__ir__").over(tot))
+    )
+    # ANSI guard: a group missing one sample entirely has n=0 — yield
+    # NULL ks for it rather than aborting the job (DIVIDE_BY_ZERO).
+    diff = F.when(
+        (F.col("__nl__") > 0) & (F.col("__nr__") > 0),
+        F.abs(
+            F.col("__cl__").cast("double") / F.col("__nl__")
+            - F.col("__cr__").cast("double") / F.col("__nr__"),
+        ),
+    )
+    agg = stepped.groupBy(*keys).agg(
+        F.first("__nl__").alias("n_left"),
+        F.first("__nr__").alias("n_right"),
+        F.max(diff).alias("__ks__"),
+    )
+    return agg.select(
+        *keys, "n_left", "n_right", _maybe_round(F.col("__ks__"), round_to).alias("ks"),
+    )

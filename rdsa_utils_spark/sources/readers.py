@@ -94,11 +94,21 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
         if _os.path.isdir(path):
             files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
             probe = files[0] if files else path
-        schema = _pq.read_schema(probe)
+        pf = _pq.ParquetFile(probe)
+        # pyarrow reports BOTH real TIMESTAMP(NANOS) and legacy INT96
+        # timestamps as timestamp[ns]. Spark reads INT96 natively —
+        # only INT64-backed NANOS columns need the nanosAsLong detour
+        # (converting an INT96 column would hit a TIMESTAMP div BIGINT
+        # type error).
+        phys = {
+            pf.schema.column(i).name: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
+        schema = pf.schema_arrow
         nano_cols = [
             name
             for name, typ in zip(schema.names, schema.types)
-            if str(typ).startswith("timestamp[ns")
+            if str(typ).startswith("timestamp[ns") and phys.get(name) == "INT64"
         ]
     except Exception:  # pragma: no cover — remote path: let Spark try/raise
         nano_cols = []

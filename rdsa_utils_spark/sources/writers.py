@@ -581,3 +581,47 @@ def write_stream_additive_rollup(
         query_name=query_name,
         trigger_available_now=trigger_available_now,
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    rows_per_shard: int,
+    seed: str = "shard",
+    fmt: str = "parquet",
+    **options,
+) -> None:
+    """Write a globally-shuffled corpus as size-bounded training
+    shards: rows are deterministically shuffled (md5-hash order on
+    ``id_col`` — reproducible across runs/partitionings, per
+    ``operators.sampling.deterministic_shuffle``) and emitted so every
+    file holds at most ``rows_per_shard`` rows. Training loaders
+    stream shards round-robin, so shard-level randomness IS the
+    dataset-level randomness — and byte-identical reruns make data
+    ablations comparable.
+
+    Mechanics: repartition to ``ceil(n / rows_per_shard)`` partitions
+    BY the hash key (each shard is a random slice, not a contiguous
+    id range), sort within partitions by the same key for rerun
+    stability, and pin ``maxRecordsPerFile`` as a belt-and-braces cap
+    (skewed hash buckets split rather than overflow). One shuffle
+    total; no driver-side materialization.
+    """
+    from rdsa_utils_spark.operators.sampling import hash_uniform
+
+    if rows_per_shard < 1:
+        raise ValueError("write_training_shards: rows_per_shard must be >= 1")
+    n = df.count()
+    n_shards = max(1, -(-n // rows_per_shard))
+    keyed = df.withColumn("__shuffle_key__", hash_uniform(id_col, seed))
+    (
+        keyed.repartitionByRange(n_shards, "__shuffle_key__")
+        .sortWithinPartitions("__shuffle_key__")
+        .drop("__shuffle_key__")
+        .write.format(fmt)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .mode("overwrite")
+        .options(**options)
+        .save(path)
+    )

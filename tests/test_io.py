@@ -245,3 +245,25 @@ def test_load_orc_roundtrip(spark, tmp_path):
     src.write.orc(path)
     out = load_orc(spark, path, rename_columns={"v": "val"})
     assert sorted((r["id"], r["val"]) for r in out.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_read_parquet_handles_int96_timestamps(spark, tmp_path):
+    """Spark-written INT96 timestamps look like timestamp[ns] to
+    pyarrow; the nanos-safe reader must NOT apply the INT64-NANOS
+    detour to them (regression: TIMESTAMP div BIGINT type error)."""
+    import datetime
+
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    path = str(tmp_path / "int96")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 3, 1, 12, 30, 15, 123456))],
+            "id long, ts timestamp",
+        ).write.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    got = read_parquet(spark, path).collect()
+    assert got[0].ts == datetime.datetime(2024, 3, 1, 12, 30, 15, 123456)

@@ -181,3 +181,31 @@ def test_pq_topk_recall_at_10(spark, emb):
     )
     r = _recall(approx, exact)
     assert r >= 0.9, f"pq_topk recall@{K} = {r:.3f} < 0.9"
+
+
+def test_auto_lsh_bits_scaling():
+    """Occupancy-constant depth: linear candidate volume as N grows,
+    clamped at both ends, and — load-bearing for oracle parity — the
+    declared `embedding_near_dups` config (bits=None) must resolve to
+    the 5 bits baked into its DuckDB plane CTE at the oracle corpus
+    size (N=500 at sf0.001 AND sf0.01)."""
+    from rdsa_utils_spark.operators.similarity import auto_lsh_bits
+
+    assert auto_lsh_bits(500) == 5  # oracle anchor — do not change
+    assert auto_lsh_bits(0) == 5
+    assert auto_lsh_bits(2_000) == 7
+    assert auto_lsh_bits(20_000) == 10
+    assert auto_lsh_bits(1_000_000_000) == 20  # max clamp
+    # per-bucket occupancy N/2^bits stays ~constant across 1000x
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
+        occ = n / 2 ** auto_lsh_bits(n)
+        assert 8 <= occ <= 32, (n, occ)
+
+
+def test_auto_bits_near_dup_matches_pinned_at_oracle_n(spark, emb):
+    """bits=None and bits=5 must produce identical pairs on the
+    N=500 oracle corpus (auto resolves to 5 there)."""
+    kw = dict(dim=64, threshold=0.35, num_tables=32, plane_method="md5")
+    auto = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, bits=None, **kw).collect()}
+    pinned = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, bits=5, **kw).collect()}
+    assert auto == pinned and auto

@@ -75,12 +75,18 @@ def replicate(spark, k: int, out_dir: str) -> None:
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_LOCAL_DRIVER_MEM", "48g")
     from rdsa_utils_spark.session import create_spark_session
 
     factors = [int(a) for a in sys.argv[1:]] or [2, 5, 10]
     spark = create_spark_session(
         "scale-data-gen", size="local",
-        extra_configs={"spark.ui.showConsoleProgress": "false"},
+        extra_configs={
+            "spark.ui.showConsoleProgress": "false",
+            # micros on disk: portable to any engine without the INT96
+            # legacy-type special cases
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        },
     )
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
     for k in factors:

@@ -25,6 +25,10 @@ def main() -> None:
     n_top = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
+    # local mode runs everything in ONE JVM: size it for the probe's
+    # 10x data (Spark's default 1g driver heap OOMs at sf0.5).
+    os.environ.setdefault("SPARK_LOCAL_DRIVER_MEM", "48g")
+
     import __spark_entry__ as entrymod
     from rdsa_utils_spark.session import create_spark_session
 
