@@ -525,7 +525,7 @@ def temperature_resample(
     # broadcast-attached (same stat-attach shape as tfidf/pagerank).
     tot = counts.agg(
         F.sum(F.pow(F.col("__n__").cast("double"), F.lit(alpha))).alias("__z__"),
-        F.sum("__n__").alias("__N__"),
+        F.sum("__n__").alias("__ntot__"),
     )
     rates = (
         counts.crossJoin(F.broadcast(tot))
@@ -533,7 +533,7 @@ def temperature_resample(
             "__rate__",
             F.pow(F.col("__n__").cast("double"), F.lit(alpha))
             / F.col("__z__")
-            * (F.lit(target_total).cast("double") if target_total is not None else F.col("__N__").cast("double"))
+            * (F.lit(target_total).cast("double") if target_total is not None else F.col("__ntot__").cast("double"))
             / F.col("__n__").cast("double"),
         )
         .select(group_col, "__rate__")
@@ -580,7 +580,7 @@ def temporal_split(
     """
     if not 0 < train_frac < 1:
         raise ValueError("temporal_split: train_frac must be in (0, 1)")
-    w = Window.orderBy(F.col(ts_col))
+    w = Window.orderBy(F.col("__ts__"))
     ranked = df.select(F.col(ts_col).alias("__ts__")).withColumn(
         "__rn__", F.row_number().over(w),
     )

@@ -86,8 +86,15 @@ class LocalFileSystemClient:
         shutil.copy2(src, dst)
 
     def move_file(self, src: str, dst: str, overwrite: bool = False) -> None:
-        if Path(dst).exists() and not overwrite:
-            raise FileExistsError(dst)
+        # An existing dst directory would make shutil.move nest src
+        # INSIDE it rather than replace it — remove any target first.
+        if Path(dst).exists():
+            if not overwrite:
+                raise FileExistsError(dst)
+            if Path(dst).is_dir():
+                shutil.rmtree(dst)
+            else:
+                Path(dst).unlink()
         Path(dst).parent.mkdir(parents=True, exist_ok=True)
         shutil.move(src, dst)
 
@@ -210,10 +217,15 @@ class HadoopFileSystemClient:
         self._fs(path).delete(self._path(path), True)
 
     def move_file(self, src: str, dst: str, overwrite: bool = False) -> None:
-        if self.file_exists(dst):
+        # Check any existing target (file OR directory): Hadoop's
+        # rename silently nests src INSIDE an existing dst directory
+        # instead of replacing it, so a dir target must be detected
+        # and either rejected or recursively removed first.
+        fs, p = self._fs(dst), self._path(dst)
+        if bool(fs.exists(p)):
             if not overwrite:
                 raise FileExistsError(dst)
-            self.delete_file(dst)
+            fs.delete(p, True)
         self._fs(src).rename(self._path(src), self._path(dst))
 
     rename_file = move_file
@@ -284,11 +296,13 @@ class HadoopFileSystemClient:
 
     def zip_folder(self, source_dir: str, output_filename: str, overwrite: bool = False) -> bool:
         """Zip every file under ``source_dir`` into a single archive at
-        ``output_filename`` on the same (or any) Hadoop FS. Streams
-        each member through the driver one at a time — bounded memory,
-        no executor involvement (reference: cdp/helpers/hdfs_utils.py
-        zip flow; mirrors LocalFileSystemClient.zip_folder)."""
-        import io
+        ``output_filename`` on the same (or any) Hadoop FS. The archive
+        is STREAMED straight into the output FSDataOutputStream (the
+        zip container is never buffered whole); driver memory is
+        bounded by the largest single member, which is materialized
+        once per file via :meth:`read_bytes`. No executor involvement
+        (reference: cdp/helpers/hdfs_utils.py zip flow; mirrors
+        LocalFileSystemClient.zip_folder)."""
         import zipfile
 
         if not overwrite and self.file_exists(output_filename):
@@ -299,12 +313,39 @@ class HadoopFileSystemClient:
         # walk()'s URI form (Hadoop renders file:// as file:/).
         norm = self._fs(source_dir).getFileStatus(self._path(source_dir)).getPath().toString()
         base = norm.rstrip("/") + "/"
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-            for name in self.walk(source_dir):
-                arcname = name.split(base, 1)[1] if base in name else name.rsplit("/", 1)[-1]
-                zf.writestr(arcname, self.read_bytes(name))
-        self.write_bytes(output_filename, buf.getvalue(), overwrite=True)
+
+        class _JvmSink:
+            """Unseekable write-only adapter over FSDataOutputStream —
+            zipfile detects seekable()=False and emits data
+            descriptors, so no rewind is ever needed."""
+
+            def __init__(self, stream):
+                self._stream = stream
+                self._pos = 0
+
+            def write(self, b):
+                if b:
+                    self._stream.write(bytearray(b))
+                    self._pos += len(b)
+                return len(b)
+
+            def tell(self):
+                return self._pos
+
+            def flush(self):
+                self._stream.flush()
+
+            def seekable(self):
+                return False
+
+        out = self._fs(output_filename).create(self._path(output_filename), True)
+        try:
+            with zipfile.ZipFile(_JvmSink(out), "w", zipfile.ZIP_DEFLATED) as zf:
+                for name in self.walk(source_dir):
+                    arcname = name.split(base, 1)[1] if base in name else name.rsplit("/", 1)[-1]
+                    zf.writestr(arcname, self.read_bytes(name))
+        finally:
+            out.close()
         return True
 
     def get_date_modified(self, path: str):

@@ -23,7 +23,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-from typing import Optional, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -280,7 +280,15 @@ def merge_upsert(
     ``partition_col`` are rejected. The per-partition swap uses the
     same rename-aside protocol; crash-safety is per partition (a crash
     mid-loop leaves each partition wholly old or wholly new, never
-    torn).
+    torn). CRASH WINDOW: between moving a live partition aside and
+    moving its staged replacement in, that partition is ABSENT from
+    the live dataset (old copy stranded under ``<path>__old__/``, new
+    copy still under the stage dir), and concurrent readers mid-loop
+    can observe a dataset with partitions missing. No copy is ever
+    lost — aside and stage dirs are kept until every swap completes —
+    and :func:`recover_merge_upsert` rolls the dataset forward
+    (preferring staged new data) or back from those dirs after a
+    crash.
 
     Extension beyond the reference's append/overwrite writers
     (cdp/io/output.py:33-228): the MERGE half of incremental pipelines
@@ -407,6 +415,59 @@ def merge_upsert(
         fs.move_file(stage_part, live_part)
     fs.delete_folder(old_root)
     fs.delete_folder(stage)
+
+
+def recover_merge_upsert(
+    spark: SparkSession,
+    path: str,
+    stage_suffix: str = "__stage__",
+) -> List[str]:
+    """Repair a :func:`merge_upsert` target after a crash mid-swap.
+
+    Covers both protocols. Whole-dataset swap: if the live path is
+    missing, restore it from the stage dir (roll FORWARD — the merge
+    already completed) or, failing that, from ``<path>__old__`` (roll
+    back). Partition-pruned swap: for every partition stranded under
+    ``<path>__old__/`` whose live directory is missing, move the
+    staged replacement in if it exists (forward), else move the old
+    copy back. Leftover aside/stage dirs are then removed. Idempotent
+    and safe to run unconditionally at pipeline start — a clean
+    target is a no-op. Returns the partition names (or ``['<root>']``
+    for the whole-dataset case) that were restored.
+    """
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+    fs = HadoopFileSystemClient(spark)
+    live_root = path.rstrip("/")
+    old_root = live_root + "__old__"
+    stage = live_root + stage_suffix
+    restored: List[str] = []
+
+    if not (fs.folder_exists(live_root) or fs.file_exists(live_root)):
+        # Whole-dataset swap crashed between aside and stage-in.
+        if fs.folder_exists(stage):
+            fs.move_file(stage, live_root)
+            restored.append("<root>")
+        elif fs.folder_exists(old_root):
+            fs.move_file(old_root, live_root)
+            restored.append("<root>")
+
+    if fs.folder_exists(old_root):
+        for old_part in fs.list_folders(old_root):
+            part_name = old_part.rsplit("/", 1)[-1]
+            live_part = f"{live_root}/{part_name}"
+            stage_part = f"{stage}/{part_name}"
+            if fs.folder_exists(live_part):
+                continue  # this partition's swap completed
+            if fs.folder_exists(stage_part):
+                fs.move_file(stage_part, live_part)
+            else:
+                fs.move_file(old_part, live_part)
+            restored.append(part_name)
+        fs.delete_folder(old_root)
+    if fs.folder_exists(stage):
+        fs.delete_folder(stage)
+    return restored
 
 
 def write_stream_upsert(
