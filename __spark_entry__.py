@@ -6341,6 +6341,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
         "part_communities": q_part_communities,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -6556,6 +6559,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "url_dedup": _ORACLE_URL_DEDUP,
         "domain_stats": _ORACLE_DOMAIN_STATS,
         "part_communities": _oracle_part_communities(3),
+        "dsir_weights": _ORACLE_DSIR_WEIGHTS,
+        "dsir_select": _ORACLE_DSIR_SELECT,
+        "gopher_rules": _ORACLE_GOPHER_RULES,
     }
 
 
@@ -8425,4 +8431,182 @@ WITH seq AS (
 ),
 {chain}
 SELECT node AS part, community FROM l{iterations} ORDER BY part
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/curation.py::
+    dsir_log_weights, Xie et al. 2023): hashed unigram+bigram bucket
+    counts (512 buckets, 5-hex-digit md5), per-bucket add-1 smoothed
+    log-likelihood ratio of target (lang='en') vs raw corpus, per-doc
+    sum in integer µ-nats — exact and engine-order-independent."""
+    from rdsa_utils_spark.operators.curation import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (
+        dsir_log_weights(docs, target, "doc_id")
+        .select("doc_id", "lang", "dsir_logw")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dsir_common() -> str:
+    """Shared CTE chain replaying the DSIR featurizer + ratio table:
+    tokens → unigrams+bigrams → 5-hex md5 bucket → per-corpus counts
+    → add-1 smoothed log ratio in integer µ-nats → per-doc sums."""
+    return r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), terms AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END)) AS term
+  FROM tok
+), b AS (
+  SELECT doc_id, lang,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 6), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1)
+                    * CAST(power(16, 5 - i) AS BIGINT) AS BIGINT))),
+           (a, c) -> a + c) % 512 AS INT) AS bucket
+  FROM terms
+), tcnt AS (
+  SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket
+), rcnt AS (
+  SELECT bucket, count(*) AS rc FROM b GROUP BY bucket
+), grid AS (
+  SELECT CAST(range AS INT) AS bucket FROM range(512)
+), j AS (
+  SELECT g.bucket, COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+  FROM grid g LEFT JOIN tcnt USING (bucket) LEFT JOIN rcnt USING (bucket)
+), tot AS (
+  SELECT sum(tc) AS ttot, sum(rc) AS rtot FROM j
+), ratio AS (
+  SELECT bucket,
+         CAST(round((ln((tc + 1.0) / (ttot + 512.0))
+                   - ln((rc + 1.0) / (rtot + 512.0))) * 1000000) AS BIGINT) AS ru
+  FROM j CROSS JOIN tot
+), perdoc AS (
+  SELECT b.doc_id, sum(ru) AS unats
+  FROM b JOIN ratio USING (bucket)
+  GROUP BY b.doc_id
+)"""
+
+
+_ORACLE_DSIR_WEIGHTS = _oracle_dsir_common() + r"""
+SELECT d.doc_id, d.lang,
+       round(COALESCE(p.unats, 0) / 1000000.0, 6) AS dsir_logw
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k selection (operators/curation.py::
+    dsir_select): sample 50 documents w/o replacement with
+    probability ∝ exp(logw) — score = logw + Gumbel(md5-uniform(id)),
+    TakeOrderedAndProject top-50 (never a full sort)."""
+    from rdsa_utils_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return (
+        dsir_select(docs, target, 50, "doc_id")
+        .select("doc_id", "lang", "dsir_logw", "dsir_score")
+        .orderBy(F.col("dsir_score").desc(), F.col("doc_id"))
+    )
+
+
+_ORACLE_DSIR_SELECT = _oracle_dsir_common() + r"""
+, scored AS (
+  SELECT d.doc_id, d.lang,
+         round(COALESCE(p.unats, 0) / 1000000.0, 6) AS dsir_logw,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 13), i ->
+                CAST((strpos('0123456789abcdef',
+                       substr(md5(CAST(d.doc_id AS VARCHAR) || ':dsir'), i, 1)) - 1)
+                     * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+            (a, c) -> a + c) + 0.5) / power(16.0, 12) AS u
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+)
+SELECT doc_id, lang, dsir_logw,
+       round(dsir_logw - ln(-ln(u)), 6) AS dsir_score
+FROM scored
+ORDER BY dsir_score DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule set (operators/curation.py::gopher_rules,
+    Rae et al. 2021 §A1.1) with min_words lowered to 20 for the
+    synthetic corpus' length profile — per-rule flags plus the
+    conjunction, all pure per-row projections."""
+    from rdsa_utils_spark.operators.curation import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules(docs, min_words=20)
+    flags = [
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_ratio", "rule_ellipsis_ratio", "rule_alpha_words",
+        "rule_stop_words", "gopher_pass",
+    ]
+    return g.select(
+        "doc_id", *[F.col(c).cast("int").alias(c) for c in flags],
+    ).orderBy("doc_id")
+
+
+_ORACLE_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                (a, c) -> a + c) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST((len(string_split(text, '#')) - 1)
+              + (len(string_split(text, '...')) - 1) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS alpha_frac,
+         len(list_filter(toks, t -> list_contains(
+           ['the','be','to','of','and','that','have','with'], lower(t)))) AS n_stop
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS rule_word_count,
+       CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS rule_mean_word_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS rule_symbol_ratio,
+       CAST(bullet_ratio <= 0.9 AS INT) AS rule_bullet_ratio,
+       CAST(ellipsis_ratio <= 0.3 AS INT) AS rule_ellipsis_ratio,
+       CAST(alpha_frac >= 0.8 AS INT) AS rule_alpha_words,
+       CAST(n_stop >= 2 AS INT) AS rule_stop_words,
+       CAST(n_words >= 20 AND n_words <= 100000
+            AND mean_len >= 3.0 AND mean_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+            AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
+            AND n_stop >= 2 AS INT) AS gopher_pass
+FROM m
+ORDER BY doc_id
 """

@@ -1,0 +1,357 @@
+"""Corpus-curation operators: importance resampling and rule filters.
+
+No reference equivalent (extension surface, SURVEY.md §0/§7): the
+data-selection layer of an LLM training pipeline, built on public
+recipes —
+
+- ``dsir_log_weights`` / ``dsir_select`` — Data Selection via
+  Importance Resampling (Xie et al. 2023, arXiv:2302.03169): hashed
+  n-gram bag features, per-bucket log-likelihood ratio between a
+  target corpus and the raw corpus, Gumbel top-k resampling.
+- ``gopher_rules`` — the Gopher paper's repetition-free quality rule
+  set (Rae et al. 2021, arXiv:2112.11446 §A1.1): word-count bounds,
+  mean-word-length bounds, symbol-to-word ratio, bullet/ellipsis line
+  ratios, alphabetic-word fraction, stop-word presence.
+- ``c4_line_filter`` — C4-style line-level cleaning (Raffel et al.
+  2020, arXiv:1910.10683 §2.2): drop lines that are too short, lack
+  terminal punctuation, or contain blocklisted fragments; then drop
+  documents left with too few lines.
+
+Everything is native Spark SQL expressions (JVM-side, codegen'd) with
+md5-derived hashing so an ANSI-SQL engine replays results
+bit-for-bit; per-document log-weight sums are accumulated in SCALED
+INTEGER space (µ-nats) so they are exact and order-independent across
+engines.
+
+100 TB posture: DSIR is two token-explode → groupBy(bucket) passes
+(output = n_buckets rows each, map-side combined), one broadcast of
+the n_buckets-row ratio table, and one groupBy(doc) — no wide
+corpus-vs-corpus join anywhere; selection is a TakeOrderedAndProject,
+never a full sort. Rule filters are pure per-row projections.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdsa_utils_spark.operators.text import tokens
+
+# Gumbel scoring uses the same 12-hex-digit md5 uniform as
+# sampling.hash_uniform; re-derived here against (id, seed) so the
+# whole score is one SQL-replayable expression.
+_HEX_DIGITS = 12
+
+# Short English stop list for the Gopher "contains ≥2 stop words"
+# rule (paper uses: the, be, to, of, and, that, have, with).
+_GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+_LOGW_SCALE = 1_000_000  # µ-nat fixed-point for order-independent sums
+
+
+def _bucket(term: Column, n_buckets: int) -> Column:
+    """md5-derived feature bucket: first 5 hex digits (20 bits, well
+    above any sane n_buckets) parsed base-16, mod n_buckets."""
+    h = F.conv(F.substring(F.md5(term), 1, 5), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str, use_bigrams: bool) -> DataFrame:
+    """Long form (id, term): whitespace unigrams plus (optionally)
+    space-joined bigrams — the DSIR feature vocabulary. The token
+    array is bound to a column BEFORE any slice/zip so Spark never
+    re-evaluates the split per element (no-CSE-in-lambda trap)."""
+    d = df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    if use_bigrams:
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("__toks", F.lit(1), n - 1),
+                F.slice("__toks", F.lit(2), n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        terms = F.concat(F.col("__toks"), bigrams)
+    else:
+        terms = F.col("__toks")
+    return d.select("__id", F.explode(terms).alias("__term"))
+
+
+def dsir_bucket_ratios(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Per-bucket DSIR log-likelihood ratio table: ``(bucket,
+    ratio_unats)`` where ratio = ln p_target(bucket) − ln p_raw(bucket)
+    under add-``smoothing`` estimates, scaled to integer µ-nats
+    (round(ratio·1e6)) so downstream per-document sums are EXACT and
+    engine/order-independent.
+
+    Two corpus scans (one per side), each collapsing to ``n_buckets``
+    rows via map-side-combinable groupBy; totals are 1-row aggregates
+    broadcast-attached (the tfidf/pagerank stat-attach shape). Output
+    is always exactly ``n_buckets`` rows (unseen buckets get the
+    smoothed floor), tiny enough to broadcast anywhere.
+    """
+    if n_buckets < 2 or n_buckets > 1048576:
+        raise ValueError(f"n_buckets must be in [2, 16^5], got {n_buckets}")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (unsmoothed ratios are undefined on unseen buckets)")
+
+    def _counts(df: DataFrame, cnt_name: str) -> DataFrame:
+        t = _doc_terms(df.select(F.lit(0).alias("__rid"), F.col(text_col)), "__rid", text_col, use_bigrams)
+        return (
+            t.select(_bucket(F.col("__term"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    spark = raw_df.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    tc = _counts(target_df, "__tc")
+    rc = _counts(raw_df, "__rc")
+    joined = (
+        grid.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .na.fill({"__tc": 0, "__rc": 0})
+    )
+    tot = joined.agg(
+        F.sum("__tc").alias("__ttot"), F.sum("__rc").alias("__rtot"),
+    )
+    a = float(smoothing)
+    ab = a * n_buckets
+    ratio = (
+        F.log((F.col("__tc").cast("double") + F.lit(a)) / (F.col("__ttot").cast("double") + F.lit(ab)))
+        - F.log((F.col("__rc").cast("double") + F.lit(a)) / (F.col("__rtot").cast("double") + F.lit(ab)))
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(ratio * F.lit(_LOGW_SCALE)).cast("long").alias("ratio_unats"),
+        )
+    )
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+    use_bigrams: bool = True,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Attach the DSIR importance log-weight to every raw document:
+    ``logw(doc) = Σ_terms [ln p_target(bucket(term)) − ln
+    p_raw(bucket(term))]`` — high where the document's hashed n-gram
+    profile looks like the target corpus. The sum runs in integer
+    µ-nats (exact, order-independent) and is exposed as a double in
+    nats, rounded to 6 dp. Documents with no tokens get 0.0.
+
+    Plan: ratio table (``n_buckets`` rows) broadcast onto the raw
+    side's term explode, then one groupBy(doc) with map-side combine —
+    the corpus is shuffled once, keyed by document id.
+    """
+    ratios = dsir_bucket_ratios(
+        raw_df, target_df, text_col=text_col, n_buckets=n_buckets,
+        smoothing=smoothing, use_bigrams=use_bigrams,
+    )
+    terms = _doc_terms(raw_df, id_col, text_col, use_bigrams)
+    per_doc = (
+        terms.select("__id", _bucket(F.col("__term"), n_buckets).alias("bucket"))
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("__id")
+        .agg(F.sum("ratio_unats").alias("__unats"))
+    )
+    return (
+        raw_df.join(per_doc, raw_df[id_col] == per_doc["__id"], "left")
+        .drop("__id")
+        .withColumn(
+            out_col,
+            F.round(
+                F.coalesce(F.col("__unats"), F.lit(0)).cast("double") / F.lit(float(_LOGW_SCALE)),
+                6,
+            ),
+        )
+        .drop("__unats")
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    k: int,
+    id_col: str,
+    text_col: str = "text",
+    n_buckets: int = 512,
+    smoothing: float = 1.0,
+    use_bigrams: bool = True,
+    seed: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR selection: sample ``k`` raw documents without replacement
+    with probability ∝ exp(logw/temperature), via the Gumbel top-k
+    trick — score = logw/temperature + Gumbel(id), take the k largest.
+    The Gumbel variate is md5-derived from (id, seed): deterministic,
+    partition-independent, SQL-replayable. Scores are rounded to 6 dp
+    with ``id_col`` as the unique tiebreak, so the selected set is
+    bit-stable across engines.
+
+    Selection is ``orderBy(...).limit(k)`` — Spark plans a
+    TakeOrderedAndProject (per-partition top-k then a k-row merge on
+    the driver), never a full sort of the corpus.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    scored = dsir_log_weights(
+        raw_df, target_df, id_col, text_col=text_col, n_buckets=n_buckets,
+        smoothing=smoothing, use_bigrams=use_bigrams,
+    )
+    digits = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed))), 1, _HEX_DIGITS,
+    )
+    # (h + 0.5) / 16^12 keeps u strictly inside (0, 1) so both log()s
+    # are finite.
+    u = (F.conv(digits, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(16 ** _HEX_DIGITS))
+    gumbel = -F.log(-F.log(u))
+    score = F.round(F.col("dsir_logw") / F.lit(float(temperature)) + gumbel, 6)
+    return (
+        scored.withColumn("dsir_score", score)
+        .orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+    stopwords: Optional[Sequence[str]] = None,
+    out_col: str = "gopher_pass",
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as one projection:
+    boolean column per rule plus the conjunction in ``out_col``.
+
+    Rules — word count within [min, max]; mean word length within
+    [min, max]; '#'/'...' symbols per word ≤ max_symbol_ratio; ≤ 90%
+    of lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
+    words contain an alphabetic character; ≥ 2 stop words present.
+    All thresholds parameterized (the paper's defaults). Pure per-row
+    integer/boolean arithmetic over the token and line arrays — no
+    aggregation, no shuffle, embarrassingly parallel at any scale.
+    """
+    stops = tuple(stopwords) if stopwords is not None else _GOPHER_STOPWORDS
+    d = df.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+        "__lines", F.split(F.col(text_col), "\n"),
+    )
+    n_words = F.size("__toks")
+    n_lines = F.size("__lines")
+    total_chars = F.aggregate(
+        "__toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t),
+    )
+    mean_len = F.when(
+        n_words > 0, total_chars.cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_bullet = F.size(
+        F.filter("__lines", lambda ln: F.trim(ln).rlike(r"^([-*•])")),
+    )
+    n_ell_end = F.size(F.filter("__lines", lambda ln: F.trim(ln).rlike(r"\.\.\.$")))
+    bullet_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        n_lines > 0, n_ell_end.cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter("__toks", lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    n_stop = F.size(
+        F.filter("__toks", lambda t: F.array_contains(stop_arr, F.lower(t))),
+    )
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_bullet_ratio": bullet_ratio <= max_bullet_ratio,
+        "rule_ellipsis_ratio": ellipsis_ratio <= max_ellipsis_ratio,
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stop_words": n_stop >= min_stop_words,
+    }
+    for name, expr in rules.items():
+        d = d.withColumn(name, expr)
+    all_pass = F.lit(True)
+    for name in rules:
+        all_pass = all_pass & F.col(name)
+    return d.withColumn(out_col, all_pass).drop("__toks", "__lines")
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 1,
+    require_terminal_punct: bool = True,
+    blocklist: Sequence[str] = ("lorem ipsum", "javascript", "{"),
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep a
+    line only if it has ≥ ``min_words_per_line`` words, (optionally)
+    ends in terminal punctuation (. ! ? "), and contains no blocklist
+    fragment (case-insensitive); then DROP documents with fewer than
+    ``min_lines`` surviving lines. Adds ``out_col`` (the re-joined
+    cleaned text), ``n_lines_kept`` and ``n_lines_dropped``.
+
+    One filter over each row's line array — per-row projection, no
+    shuffle; the document drop is an ordinary pushdown-able filter.
+    """
+    if min_words_per_line < 1:
+        raise ValueError("min_words_per_line must be >= 1")
+
+    def _keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        cond = F.size(tokens(t)) >= min_words_per_line
+        if require_terminal_punct:
+            cond = cond & t.rlike(r'[.!?"]$')
+        low = F.lower(t)
+        for frag in blocklist:
+            cond = cond & ~low.contains(frag.lower())
+        return cond
+
+    d = df.withColumn("__lines", F.split(F.col(text_col), "\n"))
+    kept = F.filter("__lines", _keep)
+    return (
+        d.withColumn("__kept", kept)
+        .withColumn(out_col, F.array_join("__kept", "\n"))
+        .withColumn("n_lines_kept", F.size("__kept"))
+        .withColumn("n_lines_dropped", F.size("__lines") - F.size("__kept"))
+        .filter(F.col("n_lines_kept") >= min_lines)
+        .drop("__lines", "__kept")
+    )

@@ -152,3 +152,105 @@ def test_hadoop_zip_folder_streamed_archive_is_valid(spark, tmp_path):
         assert zf.read("a.txt") == b"alpha"
         assert zf.read("sub/b.txt") == b"beta"
         assert zf.testzip() is None
+
+
+# ---------------------------------------------------------------------------
+# Curation operators: DSIR, Gopher rules, C4 line filter.
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.curation import dsir_log_weights
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog", "en") for i in range(20)]
+    rows += [(100 + i, "der schnelle braune fuchs springt über den hund", "de") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    target = df.filter(F.col("lang") == "en")
+    w = dsir_log_weights(df, target, "doc_id")
+    means = {
+        r.lang: r.m
+        for r in w.groupBy("lang").agg(F.avg("dsir_logw").alias("m")).collect()
+    }
+    assert means["en"] > means["de"]
+
+
+def test_dsir_empty_doc_gets_zero_weight(spark):
+    from rdsa_utils_spark.operators.curation import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(1, "some words here"), (2, ""), (3, "   ")], "doc_id int, text string",
+    )
+    w = dsir_log_weights(df, df.filter("doc_id = 1"), "doc_id")
+    got = {r.doc_id: r.dsir_logw for r in w.collect()}
+    assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_dsir_select_deterministic_and_guards(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.curation import dsir_select
+
+    rows = [(i, f"token{i % 7} filler words {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    target = df.filter("doc_id < 10")
+    a = [r.doc_id for r in dsir_select(df, target, 10, "doc_id").collect()]
+    b = [r.doc_id for r in dsir_select(df, target, 10, "doc_id").collect()]
+    assert a == b and len(a) == 10
+    with _pytest.raises(ValueError):
+        dsir_select(df, target, 0, "doc_id")
+    with _pytest.raises(ValueError):
+        dsir_select(df, target, 5, "doc_id", temperature=0)
+
+
+def test_gopher_rules_flags(spark):
+    from rdsa_utils_spark.operators.curation import gopher_rules
+
+    good = "the cat and the dog have fun with all of their friends in the sunny park today"
+    bullets = "- one two three four five six\n- seven eight nine ten the of"
+    symbols = "the of " + "# " * 20
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, "")],
+        "doc_id int, text string",
+    )
+    g = {r.doc_id: r for r in gopher_rules(df, min_words=5).collect()}
+    assert g[1].gopher_pass
+    assert not g[2].rule_bullet_ratio and not g[2].gopher_pass
+    assert not g[3].rule_symbol_ratio and not g[3].gopher_pass
+    assert not g[4].rule_word_count and not g[4].gopher_pass
+
+
+def test_c4_line_filter_rules(spark):
+    from rdsa_utils_spark.operators.curation import c4_line_filter
+
+    text = (
+        "This line is long enough and ends well.\n"
+        "too short.\n"
+        "No terminal punctuation on this line\n"
+        "Enable javascript to view this page.\n"
+        "Lorem Ipsum dolor sit amet here.\n"
+        'A quoted line also counts as terminal."'
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, "nothing survives here")], "doc_id int, text string",
+    )
+    out = c4_line_filter(df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 2 not in rows  # zero kept lines -> document dropped
+    kept = rows[1].clean_text.split("\n")
+    assert kept == [
+        "This line is long enough and ends well.",
+        'A quoted line also counts as terminal."',
+    ]
+    assert rows[1].n_lines_kept == 2 and rows[1].n_lines_dropped == 4
+
+
+def test_c4_line_filter_no_terminal_punct_mode(spark):
+    from rdsa_utils_spark.operators.curation import c4_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "plain line with enough words here")], "doc_id int, text string",
+    )
+    out = c4_line_filter(df, require_terminal_punct=False)
+    assert out.count() == 1
