@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_top = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # Any further args force-include named queries (e.g. a previously
+    # super-linear query that is now fast enough to drop out of the
+    # top-N but whose scaling should stay measured).
+    forced = list(sys.argv[3:])
 
     # local mode runs everything in ONE JVM: size it for the probe's
     # 10x data (Spark's default 1g driver heap OOMs at sf0.5).
@@ -35,6 +39,7 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     detail = json.load(open(os.path.join(repo, "BENCH_DETAIL.json")))
     top = [k for k, _ in sorted(detail["queries"].items(), key=lambda kv: -kv[1])][:n_top]
+    top += [f for f in forced if f not in top]
 
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
     points = [("/root/testdata/sf0.1", 0.1)]
