@@ -6344,6 +6344,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
+        "logreg_token_classifier": q_logreg_token_classifier,
     }
 
 
@@ -6562,6 +6563,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dsir_weights": _ORACLE_DSIR_WEIGHTS,
         "dsir_select": _ORACLE_DSIR_SELECT,
         "gopher_rules": _ORACLE_GOPHER_RULES,
+        "logreg_token_classifier": _oracle_logreg_token_classifier(256, 8, 1.0),
     }
 
 
@@ -8608,5 +8610,116 @@ SELECT doc_id,
             AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
             AND n_stop >= 2 AS INT) AS gopher_pass
 FROM m
+ORDER BY doc_id
+"""
+
+
+def q_logreg_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training REPLAYED END-TO-END
+    (operators/classify.py::train_logreg_hashed + logreg_score_hashed
+    — the DCLM/fasttext-style quality-classifier recipe as pure
+    DataFrame aggregations): label = document contains token 'spark',
+    features = 256-bucket hashed presence, 8 full-batch GD iterations
+    at lr=1.0 with prior-logit bias init and per-iteration 9 dp weight
+    quantization (the training contract that makes the whole
+    optimization engine-replayable). Emits per-doc probabilities; the
+    oracle re-runs all 8 iterations as unrolled SQL, so a single
+    weight divergence anywhere in training flips the hash."""
+    from rdsa_utils_spark.operators.classify import (
+        logreg_score_hashed,
+        train_logreg_hashed,
+    )
+    from rdsa_utils_spark.operators.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_spark", F.array_contains(_tok("text"), "spark").cast("int"),
+    )
+    w = train_logreg_hashed(
+        docs, "is_spark", "text", "doc_id",
+        n_features=256, iterations=8, lr=1.0,
+    )
+    return (
+        logreg_score_hashed(docs, w, "text", "doc_id", n_features=256)
+        .select("doc_id", "is_spark", "prob")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_logreg_token_classifier(
+    n_features: int = 256, iterations: int = 8, lr: float = 1.0,
+) -> str:
+    """Unrolls the exact GD iterations: presence features from the
+    8-hex md5 bucket fold, prior-logit bias init, per-iteration
+    round(w - lr·g, 9), sigmoid scoring rounded to 6 dp."""
+    lr_lit = repr(float(lr))
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""z{k} AS MATERIALIZED (
+  SELECT b.doc, b.y,
+         (SELECT weight FROM w{k - 1} WHERE feature = -1)
+         + COALESCE(s.dot, 0.0) AS z
+  FROM base b
+  LEFT JOIN (
+    SELECT f.doc, sum(w.weight) AS dot
+    FROM feats f JOIN w{k - 1} w ON w.feature = f.feature
+    GROUP BY f.doc
+  ) s ON s.doc = b.doc
+), r{k} AS MATERIALIZED (
+  SELECT doc, 1.0 / (1.0 + exp(-z)) - y AS r FROM z{k}
+), g{k} AS MATERIALIZED (
+  SELECT f.feature, sum(r.r) * (SELECT inv_n FROM consts) AS g
+  FROM feats f JOIN r{k} r ON r.doc = f.doc
+  GROUP BY f.feature
+  UNION ALL
+  SELECT -1, sum(r) * (SELECT inv_n FROM consts) FROM r{k}
+), w{k} AS MATERIALIZED (
+  SELECT w.feature,
+         round(w.weight - {lr_lit} * COALESCE(g.g, 0.0), 9) AS weight
+  FROM w{k - 1} w LEFT JOIN g{k} g ON g.feature = w.feature
+)""",
+        )
+    chain = ",\n".join(steps)
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         CAST(CAST(list_contains(toks, 'spark') AS INT) AS DOUBLE) AS y
+  FROM tok
+), feats AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS doc,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 9), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1)
+                    * CAST(power(16, 8 - i) AS BIGINT) AS BIGINT))),
+           (a, c) -> a + c) % {n_features} AS INT) AS feature
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+), consts AS MATERIALIZED (
+  SELECT 1.0 / CAST(count(*) AS DOUBLE) AS inv_n,
+         round(ln(sum(y) / (count(*) - sum(y))), 9) AS b0
+  FROM base
+), grid AS MATERIALIZED (
+  SELECT CAST(range AS INT) AS feature FROM range(-1, {n_features})
+), w0 AS MATERIALIZED (
+  SELECT feature,
+         CASE WHEN feature = -1 THEN (SELECT b0 FROM consts) ELSE 0.0 END AS weight
+  FROM grid
+),
+{chain}
+SELECT b.doc AS doc_id,
+       CAST(b.y AS INT) AS is_spark,
+       round(1.0 / (1.0 + exp(-(
+         (SELECT weight FROM w{iterations} WHERE feature = -1)
+         + COALESCE(s.dot, 0.0)))), 6) AS prob
+FROM base b
+LEFT JOIN (
+  SELECT f.doc, sum(w.weight) AS dot
+  FROM feats f JOIN w{iterations} w ON w.feature = f.feature
+  GROUP BY f.doc
+) s ON s.doc = b.doc
 ORDER BY doc_id
 """

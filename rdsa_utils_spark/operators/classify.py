@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import tokens
 
-__all__ = ["train_naive_bayes", "naive_bayes_score", "target_encode_kfold"]
+__all__ = [
+    "train_naive_bayes",
+    "naive_bayes_score",
+    "target_encode_kfold",
+    "train_logreg_hashed",
+    "logreg_score_hashed",
+]
 
 
 def train_naive_bayes(
@@ -287,4 +293,211 @@ def target_encode_kfold(
         with_fold.join(F.broadcast(oof), [key_col, fold_col], "left")
         .withColumn(out_col, enc)
         .drop("__oof_s__", "__oof_c__", "__prior__")
+    )
+
+
+def train_logreg_hashed(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    id_col: str,
+    n_features: int = 256,
+    iterations: int = 5,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    weight_round: int = 9,
+    feature_mode: str = "presence",
+) -> DataFrame:
+    """Binary logistic regression over hashed token-count features,
+    trained with full-batch gradient descent — the fasttext-style
+    quality-classifier recipe (DCLM, Li et al. 2024) reduced to pure
+    DataFrame aggregations: NO parameter server, NO MLlib, no Python
+    in the hot path. Returns the model as a tiny DataFrame
+    ``(feature, weight)`` with the bias at ``feature = -1``
+    (``n_features + 1`` rows — broadcastable anywhere).
+
+    Per iteration (weights start at 0):
+    ``z_i = b + Σ_f x_if·w_f`` (broadcast model join + groupBy(doc)),
+    ``p_i = sigmoid(z_i)``, gradient ``g_f = Σ_i x_if·(p_i − y_i)/n +
+    l2·w_f`` (one groupBy(feature), at most ``n_features`` rows), then
+    ``w ← round(w − lr·g, weight_round)``. The EXPLICIT per-iteration
+    rounding is part of the training contract: both this engine and an
+    ANSI-SQL replay iterate from identical quantized weights, so the
+    fixed-iteration unroll is oracle-checkable bit-for-bit (same
+    device as the PageRank oracle) and the result is independent of
+    partitioning/accumulation order to the quantization step.
+
+    100 TB posture: each iteration is one broadcast join of the
+    (n_features+1)-row model, one groupBy(doc) and one
+    groupBy(feature) — both map-side combinable; the feature explode
+    is re-derived per iteration (a deliberate scan-vs-cache trade at
+    corpus scale — persist ``feats`` upstream if memory allows).
+    Labels must be 0/1.
+
+    ``feature_mode`` sets the feature encoding (scoring must match):
+    ``"presence"`` (default) — 1.0 per active bucket, the robust
+    bag-of-words encoding (bounded ``|z| <= n_features·max|w|``,
+    gradients at unit scale, converges in a handful of full-batch
+    steps); ``"tf"`` — L1-normalized term frequencies (length-
+    invariant but gradients shrink with document length — needs a
+    much larger ``lr``); ``"count"`` — raw counts (long documents
+    saturate the sigmoid; only for short, similar-length texts).
+    """
+    from rdsa_utils_spark.operators.text import hashed_token_features
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    base = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.col(text_col).alias("__text"),
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        raise ValueError("train_logreg_hashed: empty training frame")
+    feats = _encode_features(
+        hashed_token_features(
+            base, "__doc", "__text", n_features=n_features, signed=False,
+        ).select(F.col("__doc"), "feature", "value"),
+        feature_mode,
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    grid = spark.range(-1, n_features).select(
+        F.col("id").cast("int").alias("feature"),
+    )
+    # Prior-logit bias init: starting b at logit(positive rate) puts
+    # the model at the all-bias optimum immediately, so every gradient
+    # step is spent on DISCRIMINATIVE feature weights instead of
+    # re-learning the base rate (full-batch GD wastes most of its
+    # early steps there otherwise). The count is exact and the logit
+    # is rounded like every other weight, so replay stays bit-exact.
+    n_pos = base.filter(F.col("__y") == 1.0).count()
+    if 0 < n_pos < n:
+        import math
+
+        b0 = round(math.log(n_pos / float(n - n_pos)), weight_round)
+    else:
+        b0 = 0.0  # degenerate single-class frame: sigmoid(0) start
+    weights = grid.select(
+        "feature",
+        F.when(F.col("feature") == -1, F.lit(b0)).otherwise(F.lit(0.0)).alias("weight"),
+    )
+    inv_n = 1.0 / float(n)
+    for _ in range(iterations):
+        wf = weights.filter(F.col("feature") >= 0)
+        bias = weights.filter(F.col("feature") == -1).select(
+            F.col("weight").alias("__b"),
+        )
+        z = (
+            base.join(
+                feats.join(F.broadcast(wf), "feature")
+                .groupBy("__doc")
+                .agg(F.sum(F.col("value") * F.col("weight")).alias("__dot")),
+                "__doc",
+                "left",
+            )
+            .crossJoin(F.broadcast(bias))
+            .select(
+                "__doc", "__y",
+                (F.coalesce(F.col("__dot"), F.lit(0.0)) + F.col("__b")).alias("__z"),
+            )
+        )
+        resid = z.select(
+            "__doc",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))) - F.col("__y")).alias("__r"),
+        )
+        grad_f = (
+            feats.join(resid, "__doc")
+            .groupBy("feature")
+            .agg((F.sum(F.col("value") * F.col("__r")) * F.lit(inv_n)).alias("__g"))
+        )
+        grad_b = resid.agg(
+            (F.sum("__r") * F.lit(inv_n)).alias("__g"),
+        ).select(F.lit(-1).alias("feature"), "__g")
+        grad = grad_f.unionByName(grad_b)
+        weights = (
+            grid.join(weights, "feature")
+            .join(grad, "feature", "left")
+            .select(
+                "feature",
+                F.round(
+                    F.col("weight")
+                    - F.lit(lr)
+                    * (F.coalesce(F.col("__g"), F.lit(0.0)) + F.lit(l2) * F.col("weight")),
+                    weight_round,
+                ).alias("weight"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return weights
+
+
+def _encode_features(feats: DataFrame, feature_mode: str) -> DataFrame:
+    """Re-encode sparse (doc, feature, value) counts per
+    ``feature_mode``: presence → 1.0, tf → value/Σ_doc value (one
+    map-side-combinable groupBy(doc) joined back; the division is a
+    single IEEE op on identical operands, engine-exact), count → as
+    is."""
+    if feature_mode == "count":
+        return feats
+    if feature_mode == "presence":
+        return feats.select("__doc", "feature", F.lit(1.0).alias("value"))
+    if feature_mode == "tf":
+        totals = feats.groupBy("__doc").agg(F.sum("value").alias("__tot"))
+        return (
+            feats.join(totals, "__doc")
+            .select(
+                "__doc", "feature",
+                (F.col("value") / F.col("__tot")).alias("value"),
+            )
+        )
+    raise ValueError(f"unknown feature_mode {feature_mode!r}")
+
+
+def logreg_score_hashed(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_features: int = 256,
+    out_col: str = "prob",
+    prob_round: int = 6,
+    feature_mode: str = "presence",
+) -> DataFrame:
+    """Score documents with a :func:`train_logreg_hashed` model:
+    hashed features → broadcast model join → per-doc dot product +
+    bias → sigmoid, rounded to ``prob_round`` dp at the edge. One
+    explode + one broadcast join + one groupBy(doc)."""
+    from rdsa_utils_spark.operators.text import hashed_token_features
+
+    feats = hashed_token_features(
+        df.select(F.col(id_col).alias("__doc"), F.col(text_col).alias("__text")),
+        "__doc", "__text", n_features=n_features, signed=False,
+    )
+    feats = _encode_features(feats, feature_mode)
+    wf = weights.filter(F.col("feature") >= 0)
+    bias = weights.filter(F.col("feature") == -1).select(
+        F.col("weight").alias("__b"),
+    )
+    dots = (
+        feats.join(F.broadcast(wf), "feature")
+        .groupBy("__doc")
+        .agg(F.sum(F.col("value") * F.col("weight")).alias("__dot"))
+    )
+    return (
+        df.join(dots, df[id_col] == dots["__doc"], "left")
+        .drop("__doc")
+        .crossJoin(F.broadcast(bias))
+        .withColumn(
+            out_col,
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("__dot"), F.lit(0.0)) + F.col("__b")))),
+                prob_round,
+            ),
+        )
+        .drop("__dot", "__b")
     )

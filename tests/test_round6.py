@@ -254,3 +254,82 @@ def test_c4_line_filter_no_terminal_punct_mode(spark):
     )
     out = c4_line_filter(df, require_terminal_punct=False)
     assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression over hashed features (classify.py).
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_learns_separable_data(spark):
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.classify import (
+        logreg_score_hashed,
+        train_logreg_hashed,
+    )
+
+    rows = [(i, "good clean prose sentence here", 1) for i in range(30)]
+    rows += [(100 + i, "zzgarbage qqnoise xxjunk tokens", 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    w = train_logreg_hashed(df, "y", "text", "doc_id", n_features=64, iterations=8, lr=1.0)
+    s = logreg_score_hashed(df, w, "text", "doc_id", n_features=64)
+    means = {r.y: r.m for r in s.groupBy("y").agg(F.avg("prob").alias("m")).collect()}
+    assert means[1] > 0.9 and means[0] < 0.1
+    acc = (
+        s.withColumn("pred", (F.col("prob") >= 0.5).cast("int"))
+        .filter(F.col("pred") == F.col("y"))
+        .count()
+    )
+    assert acc == 60
+
+
+def test_logreg_deterministic_across_partitionings(spark):
+    from rdsa_utils_spark.operators.classify import train_logreg_hashed
+
+    rows = [(i, f"tok{i % 5} common words {i % 3}", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    w1 = train_logreg_hashed(df.repartition(1), "y", "text", "doc_id", n_features=32, iterations=4)
+    w8 = train_logreg_hashed(df.repartition(8), "y", "text", "doc_id", n_features=32, iterations=4)
+    assert w1.orderBy("feature").collect() == w8.orderBy("feature").collect()
+
+
+def test_logreg_single_class_and_guards(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.classify import (
+        logreg_score_hashed,
+        train_logreg_hashed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "all positive here", 1), (2, "also positive text", 1)],
+        "doc_id int, text string, y int",
+    )
+    w = train_logreg_hashed(df, "y", "text", "doc_id", n_features=16, iterations=2)
+    s = logreg_score_hashed(df, w, "text", "doc_id", n_features=16)
+    assert all(r.prob > 0.5 for r in s.collect())
+    with _pytest.raises(ValueError):
+        train_logreg_hashed(df, "y", "text", "doc_id", iterations=0)
+    with _pytest.raises(ValueError):
+        train_logreg_hashed(df, "y", "text", "doc_id", lr=-1)
+    with _pytest.raises(ValueError):
+        train_logreg_hashed(df.filter("doc_id > 99"), "y", "text", "doc_id")
+
+
+def test_logreg_feature_modes(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.classify import train_logreg_hashed
+
+    df = spark.createDataFrame(
+        [(1, "a a a b", 1), (2, "c d", 0)], "doc_id int, text string, y int",
+    )
+    for mode in ("presence", "tf", "count"):
+        w = train_logreg_hashed(
+            df, "y", "text", "doc_id", n_features=8, iterations=1, feature_mode=mode,
+        )
+        assert w.count() == 9
+    with _pytest.raises(ValueError):
+        train_logreg_hashed(df, "y", "text", "doc_id", feature_mode="nope")
