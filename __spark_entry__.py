@@ -6345,6 +6345,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
         "logreg_token_classifier": q_logreg_token_classifier,
+        "token_budget_mix": q_token_budget_mix,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -6564,6 +6566,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "dsir_select": _ORACLE_DSIR_SELECT,
         "gopher_rules": _ORACLE_GOPHER_RULES,
         "logreg_token_classifier": _oracle_logreg_token_classifier(256, 8, 1.0),
+        "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
+        "leakage_safe_split": _ORACLE_LEAKAGE_SAFE_SPLIT,
     }
 
 
@@ -8721,5 +8725,106 @@ LEFT JOIN (
   FROM feats f JOIN w{iterations} w ON w.feature = f.feature
   GROUP BY f.doc
 ) s ON s.doc = b.doc
+ORDER BY doc_id
+"""
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture assembly (operators/sampling.py::
+    token_budget_mix): per-source deterministic-random document prefix
+    within a TOKEN budget, computed with the two-tier bucket
+    refinement (whole buckets kept windowless; the exact window runs
+    only inside each source's boundary bucket) — output proven
+    identical to the naive per-source window, which is what the
+    oracle replays."""
+    from rdsa_utils_spark.operators.sampling import token_budget_mix
+    from rdsa_utils_spark.operators.text import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"), "text")
+    out = token_budget_mix(
+        docs, "source", "doc_id", "n_tokens",
+        budgets={"src0": 400, "src1": 700, "src2": 150},
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens").orderBy("doc_id")
+
+
+_ORACLE_TOKEN_BUDGET_MIX = r"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END AS n_tokens,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 13), i ->
+               CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), i, 1)) - 1)
+                    * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+           (a, c) -> a + c)) / power(16.0, 12) AS u,
+         CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700 WHEN 'src2' THEN 150 END AS budget
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+), cum AS (
+  SELECT doc_id, source, n_tokens, budget,
+         sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY u ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum
+WHERE cum_tokens <= budget
+ORDER BY doc_id
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid split (operators/sampling.py::
+    cluster_safe_split): exact-duplicate clusters (same whitespace-
+    normalized md5 fingerprint, cluster id = min doc_id) hash as ONE
+    unit, so no validation document has an exact copy in train;
+    singletons hash by their own id."""
+    from rdsa_utils_spark.operators.sampling import cluster_safe_split
+    from rdsa_utils_spark.operators.text import with_fingerprint
+
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"), "text")
+    groups = (
+        docs.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("cluster_id"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    clusters = docs.join(F.broadcast(groups), "fingerprint").select(
+        F.col("doc_id").alias("id"), "cluster_id",
+    )
+    return (
+        cluster_safe_split(docs, "doc_id", clusters, {"train": 0.8, "valid": 0.2})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_LEAKAGE_SAFE_SPLIT = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), g AS (
+  SELECT fingerprint, min(doc_id) AS cluster_id, count(*) AS n
+  FROM fp GROUP BY fingerprint
+), keyed AS (
+  SELECT f.doc_id,
+         CASE WHEN g.n >= 2 THEN CAST(g.cluster_id AS VARCHAR)
+              ELSE CAST(f.doc_id AS VARCHAR) END AS skey
+  FROM fp f JOIN g USING (fingerprint)
+), u AS (
+  SELECT doc_id,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 13), i ->
+               CAST((strpos('0123456789abcdef',
+                      substr(md5(skey || ':split'), i, 1)) - 1)
+                    * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+           (a, c) -> a + c)) / power(16.0, 12) AS u
+  FROM keyed
+)
+SELECT doc_id, CASE WHEN u < 0.8 THEN 'train' ELSE 'valid' END AS split
+FROM u
 ORDER BY doc_id
 """

@@ -24,6 +24,7 @@ terms per partition.
 
 from __future__ import annotations
 
+from itertools import chain
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -42,6 +43,8 @@ __all__ = [
     "negative_sample",
     "temperature_resample",
     "temporal_split",
+    "cluster_safe_split",
+    "token_budget_mix",
 ]
 
 _HEX_DIGITS = 12  # 48 bits: exact in a double, cheap to mirror in SQL
@@ -598,4 +601,149 @@ def temporal_split(
             F.when(F.col(ts_col) <= F.col("__boundary__"), F.lit("train")).otherwise(F.lit("valid")),
         )
         .drop("__boundary__")
+    )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    weights: Mapping[str, float],
+    cluster_id_col: str = "cluster_id",
+    cluster_member_col: str = "id",
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a
+    near-duplicate cluster lands in the SAME split, so a validation
+    document can never have a near-copy in train — the standard
+    eval-decontamination requirement that a plain per-document hash
+    split violates.
+
+    ``clusters`` is a (member, cluster_id) frame — e.g. the output of
+    :func:`rdsa_utils_spark.operators.dedup.dedup_clusters` over a
+    near-dup pair graph; it only needs rows for documents that ARE in
+    some cluster (singletons may be absent). The split key is
+    ``coalesce(cluster_id, id)``: clustered documents hash by their
+    cluster representative, singletons by their own id, then
+    :func:`deterministic_split` assigns names — reproducible,
+    partition-independent, stable under corpus growth.
+
+    One broadcast-or-shuffle left equi-join on the id (the cluster
+    frame is |clustered docs| rows, typically ≪ corpus) plus the
+    stateless hash projection — no extra shuffle beyond the join.
+    """
+    c = clusters.select(
+        F.col(cluster_member_col).alias("__cs_member"),
+        F.col(cluster_id_col).alias("__cs_cluster"),
+    )
+    joined = df.join(c, df[id_col] == F.col("__cs_member"), "left")
+    keyed = joined.withColumn(
+        "__cs_key",
+        F.coalesce(F.col("__cs_cluster").cast("string"), F.col(id_col).cast("string")),
+    ).drop("__cs_member", "__cs_cluster")
+    return deterministic_split(keyed, "__cs_key", weights, seed=seed, split_col=split_col).drop(
+        "__cs_key",
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col: str,
+    budgets: Mapping[str, int],
+    seed: str = "mix",
+    n_buckets: int = 1024,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Token-budgeted mixture assembly: for each source named in
+    ``budgets``, keep a deterministic random prefix of its documents
+    whose cumulative token count stays within the source's budget —
+    the "2B tokens of code, 1B of books" step of training-set
+    assembly, where budgets are TOKENS, not document counts (doc-count
+    mixing over-weights long-document sources). Sources not named are
+    dropped. Greedy-prefix semantics: documents are ordered by
+    ``hash_uniform(id)`` (ties by id), and a document is kept iff the
+    running total INCLUDING it is ≤ budget; output carries that
+    running total in ``cum_col``.
+
+    100 TB posture — the naive form (one window per source over the
+    whole corpus) funnels each source through a single partition.
+    Instead the hash order is refined in two tiers: documents land in
+    ``floor(u·n_buckets)`` buckets (bucket order IS a prefix of the
+    hash order), per-(source, bucket) token sums make a tiny frame
+    whose running total locates the BOUNDARY bucket per source; whole
+    buckets strictly before it are kept without any window, the empty
+    tail after it is dropped by a pushdown-able filter, and the exact
+    per-document window runs only INSIDE each boundary bucket
+    (≈ corpus_tokens/n_buckets rows per source). Identical output to
+    the naive window, engine-replayable bit-for-bit.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError(f"budgets must be >= 0, got {dict(budgets)}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+
+    budget_expr = F.create_map(
+        *chain.from_iterable(
+            (F.lit(s), F.lit(int(b))) for s, b in budgets.items()
+        ),
+    )
+    d = (
+        df.filter(F.col(source_col).isin(list(budgets)))
+        .withColumn("__u", hash_uniform(F.col(id_col), seed))
+        .withColumn("__tok", F.col(token_count_col).cast("long"))
+        .withColumn("__budget", budget_expr[F.col(source_col)])
+        .withColumn(
+            "__bkt", F.least(F.floor(F.col("__u") * n_buckets).cast("int"), F.lit(n_buckets - 1)),
+        )
+    )
+    # Tier 1: per-(source, bucket) token totals — at most
+    # |sources|·n_buckets rows; the running total over buckets (tiny
+    # window) gives each bucket's cumulative offset and finds the
+    # boundary bucket (first bucket whose running total exceeds the
+    # budget).
+    bw = Window.partitionBy(source_col).orderBy("__bkt")
+    buckets = (
+        d.groupBy(source_col, "__bkt")
+        .agg(F.sum("__tok").alias("__bt"))
+        .withColumn("__cum_end", F.sum("__bt").over(bw))
+        .withColumn("__offset", F.col("__cum_end") - F.col("__bt"))
+        .select(source_col, "__bkt", "__offset", "__cum_end")
+    )
+    staged = d.join(F.broadcast(buckets), [source_col, "__bkt"])
+    whole = staged.filter(F.col("__cum_end") <= F.col("__budget")).withColumn(
+        "__partial", F.lit(False),
+    )
+    # Tier 2: the exact per-document window ONLY inside boundary
+    # buckets (offset below budget, bucket total crossing it).
+    boundary = staged.filter(
+        (F.col("__offset") < F.col("__budget")) & (F.col("__cum_end") > F.col("__budget")),
+    )
+    dw = (
+        Window.partitionBy(source_col, "__bkt")
+        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        boundary.withColumn("__cum_in", F.sum("__tok").over(dw))
+        .filter(F.col("__offset") + F.col("__cum_in") <= F.col("__budget"))
+        .withColumn("__partial", F.lit(True))
+        .drop("__cum_in")
+    )
+    # cum_col: whole buckets need their in-bucket running total too —
+    # compute it per kept row (the kept set is final, so the window
+    # here is over kept rows of whole buckets only; cheap and exact).
+    out = whole.unionByName(partial, allowMissingColumns=True)
+    ow = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn(cum_col, F.sum("__tok").over(ow))
+        .drop("__u", "__tok", "__budget", "__bkt", "__offset", "__cum_end", "__partial")
     )

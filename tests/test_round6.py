@@ -333,3 +333,83 @@ def test_logreg_feature_modes(spark):
         assert w.count() == 9
     with _pytest.raises(ValueError):
         train_logreg_hashed(df, "y", "text", "doc_id", feature_mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixing and leakage-safe splits (sampling.py).
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_mix_equals_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.sampling import hash_uniform, token_budget_mix
+
+    rows = [(i, f"s{i % 3}", (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, src string, ntok int")
+    budgets = {"s0": 50, "s1": 120, "s2": 3}
+    # tiny n_buckets forces multiple boundary-bucket code paths
+    out = token_budget_mix(df, "src", "doc_id", "ntok", budgets, n_buckets=4)
+    w = Window.partitionBy("src").orderBy(
+        F.col("__u"), F.col("doc_id"),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bmap = F.create_map(
+        F.lit("s0"), F.lit(50), F.lit("s1"), F.lit(120), F.lit("s2"), F.lit(3),
+    )
+    naive = (
+        df.withColumn("__u", hash_uniform(F.col("doc_id"), "mix"))
+        .withColumn("cum", F.sum(F.col("ntok").cast("long")).over(w))
+        .filter(F.col("cum") <= bmap[F.col("src")])
+    )
+    a = sorted((r.doc_id, r.cum_tokens) for r in out.select("doc_id", "cum_tokens").collect())
+    b = sorted((r.doc_id, r.cum) for r in naive.select("doc_id", "cum").collect())
+    assert a == b and len(a) > 0
+    # budgets are hard ceilings per source
+    per_src = {
+        r.src: r.t
+        for r in out.groupBy("src").agg(F.sum("ntok").alias("t")).collect()
+    }
+    for s, b_ in budgets.items():
+        assert per_src.get(s, 0) <= b_
+
+
+def test_token_budget_mix_guards(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame([(1, "a", 5)], "doc_id int, src string, ntok int")
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, "src", "doc_id", "ntok", {})
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, "src", "doc_id", "ntok", {"a": -1})
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, "src", "doc_id", "ntok", {"a": 10}, n_buckets=0)
+    # unnamed sources dropped, zero budget keeps nothing
+    assert token_budget_mix(df, "src", "doc_id", "ntok", {"b": 10}).count() == 0
+    assert token_budget_mix(df, "src", "doc_id", "ntok", {"a": 0}).count() == 0
+
+
+def test_cluster_safe_split_property(spark):
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id int, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(i, (i // 5) * 5) for i in range(40)], "id int, cluster_id int",
+    )
+    out = cluster_safe_split(docs, "doc_id", clusters, {"train": 0.7, "valid": 0.3})
+    # every cluster maps to exactly one split
+    viol = (
+        out.join(clusters, out["doc_id"] == clusters["id"])
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert viol == 0
+    assert out.count() == 100 and "split" in out.columns
