@@ -25,6 +25,7 @@ __all__ = [
     "target_encode_kfold",
     "train_logreg_hashed",
     "logreg_score_hashed",
+    "logreg_score_expr",
 ]
 
 
@@ -500,4 +501,56 @@ def logreg_score_hashed(
             ),
         )
         .drop("__dot", "__b")
+    )
+
+
+def logreg_score_expr(
+    weights_rows,
+    text_col: Column | str,
+    n_features: int = 256,
+    prob_round: int = 6,
+) -> Column:
+    """STATELESS logistic-regression scoring expression for a
+    :func:`train_logreg_hashed` model (presence features): the
+    (n_features+1)-row model is inlined as a literal map, the
+    document's distinct hashed buckets come from higher-order array
+    functions, and the probability is one ``aggregate`` fold — a pure
+    per-row projection with NO join and NO aggregation, so it runs
+    in Structured Streaming append mode (the per-doc groupBy in
+    :func:`logreg_score_hashed` is a stateful op under streaming) and
+    costs nothing at any batch scale.
+
+    ``weights_rows``: the collected model — an iterable of
+    (feature, weight) rows/tuples, or a mapping. Inlining is the
+    right call here BECAUSE the model is bounded at n_features+1
+    entries — this is model broadcast by literal, not a driver-side
+    data collect.
+    """
+    if hasattr(weights_rows, "items"):
+        wmap = {int(k): float(v) for k, v in weights_rows.items()}
+    else:
+        wmap = {int(r[0]): float(r[1]) for r in weights_rows}
+    bias = wmap.get(-1, 0.0)
+    entries = []
+    for f_, w_ in sorted(wmap.items()):
+        if f_ >= 0 and w_ != 0.0:
+            entries.extend([F.lit(f_), F.lit(w_)])
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    bucket = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        F.lit(n_features),
+    ).cast("int")
+    buckets = F.array_distinct(F.transform(toks, bucket))
+    if entries:
+        wlit = F.create_map(*entries)
+        dot = F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, b: acc + F.coalesce(wlit[b], F.lit(0.0)),
+        )
+    else:
+        dot = F.lit(0.0)
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(bias)))), prob_round,
     )

@@ -413,3 +413,27 @@ def test_cluster_safe_split_property(spark):
     )
     assert viol == 0
     assert out.count() == 100 and "split" in out.columns
+
+
+def test_logreg_score_expr_matches_hashed_scorer(spark):
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.operators.classify import (
+        logreg_score_expr,
+        logreg_score_hashed,
+        train_logreg_hashed,
+    )
+
+    rows = [(i, f"alpha beta{i % 4} gamma common", i % 2) for i in range(30)]
+    rows.append((99, "", 0))  # empty doc: bias-only score on both paths
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    w = train_logreg_hashed(df, "y", "text", "doc_id", n_features=32, iterations=3)
+    a = {
+        r.doc_id: r.prob
+        for r in logreg_score_hashed(df, w, "text", "doc_id", n_features=32)
+        .select("doc_id", "prob")
+        .collect()
+    }
+    expr = logreg_score_expr(w.collect(), "text", n_features=32)
+    b = {r.doc_id: r.p for r in df.select("doc_id", expr.alias("p")).collect()}
+    assert a == b and len(a) == 31

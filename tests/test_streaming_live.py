@@ -593,3 +593,54 @@ def test_stateful_session_counter_closes_on_silence(spark, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_quality_filter_pipeline_streaming(spark, sf_dir, tmp_path):
+    """The round-6 curation layer under readStream: Gopher rules
+    (stateless projection) + a PRE-TRAINED logreg classifier applied
+    via stream-static joins — the shape of a production quality gate
+    on an ingest stream. Streamed results must equal the batch run."""
+    from rdsa_utils_spark.operators.classify import (
+        logreg_score_expr,
+        train_logreg_hashed,
+    )
+    from rdsa_utils_spark.operators.curation import gopher_rules
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").withColumn(
+        "is_spark",
+        F.array_contains(F.split(F.trim("text"), r"\s+"), "spark").cast("int"),
+    )
+    # Train offline (batch), freeze the model into a literal-map
+    # scoring expression (stateless: streams in append mode, where the
+    # per-doc groupBy of logreg_score_hashed would be a stateful agg).
+    weights = train_logreg_hashed(
+        docs, "is_spark", "text", "doc_id", n_features=64, iterations=3,
+    )
+    score = logreg_score_expr(weights.collect(), "text", n_features=64)
+
+    def pipeline(frame):
+        gated = gopher_rules(frame, min_words=20).filter(F.col("gopher_pass"))
+        return gated.select("doc_id", score.alias("prob"))
+
+    batch_out = {(r.doc_id, r.prob) for r in pipeline(docs).collect()}
+
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("quality_gate_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.prob)
+            for r in spark.sql("select * from quality_gate_live").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch_out and len(got) > 0
