@@ -655,7 +655,7 @@ def token_budget_mix(
     budgets: Mapping[str, int],
     seed: str = "mix",
     n_buckets: int = 1024,
-    cum_col: str = "cum_tokens",
+    cum_col: str | None = "cum_tokens",
 ) -> DataFrame:
     """Token-budgeted mixture assembly: for each source named in
     ``budgets``, keep a deterministic random prefix of its documents
@@ -679,6 +679,13 @@ def token_budget_mix(
     per-document window runs only INSIDE each boundary bucket
     (≈ corpus_tokens/n_buckets rows per source). Identical output to
     the naive window, engine-replayable bit-for-bit.
+
+    ``cum_col`` adds the per-source running token total over the KEPT
+    rows — that window is bounded by the budget (≤ budget documents
+    per source), not the corpus, but a budget comparable to the whole
+    source still funnels that source's kept rows through one
+    partition; pass ``cum_col=None`` to skip it when only membership
+    is needed (the selection tiers never window a whole source).
     """
     if not budgets:
         raise ValueError("budgets must be non-empty")
@@ -738,12 +745,13 @@ def token_budget_mix(
     # compute it per kept row (the kept set is final, so the window
     # here is over kept rows of whole buckets only; cheap and exact).
     out = whole.unionByName(partial, allowMissingColumns=True)
-    ow = (
-        Window.partitionBy(source_col)
-        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        out.withColumn(cum_col, F.sum("__tok").over(ow))
-        .drop("__u", "__tok", "__budget", "__bkt", "__offset", "__cum_end", "__partial")
+    if cum_col is not None:
+        ow = (
+            Window.partitionBy(source_col)
+            .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(cum_col, F.sum("__tok").over(ow))
+    return out.drop(
+        "__u", "__tok", "__budget", "__bkt", "__offset", "__cum_end", "__partial",
     )

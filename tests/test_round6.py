@@ -437,3 +437,13 @@ def test_logreg_score_expr_matches_hashed_scorer(spark):
     expr = logreg_score_expr(w.collect(), "text", n_features=32)
     b = {r.doc_id: r.p for r in df.select("doc_id", expr.alias("p")).collect()}
     assert a == b and len(a) == 31
+
+
+def test_token_budget_mix_without_cum_col(spark):
+    from rdsa_utils_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "s0", 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, src string, ntok int")
+    out = token_budget_mix(df, "src", "doc_id", "ntok", {"s0": 12}, cum_col=None)
+    assert "cum_tokens" not in out.columns
+    assert out.count() == 4  # 4 docs x 3 tokens = 12 <= budget, 5th would exceed
