@@ -6347,6 +6347,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_token_classifier": q_logreg_token_classifier,
         "token_budget_mix": q_token_budget_mix,
         "leakage_safe_split": q_leakage_safe_split,
+        "normalized_text": q_normalized_text,
     }
 
 
@@ -6568,6 +6569,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "logreg_token_classifier": _oracle_logreg_token_classifier(256, 8, 1.0),
         "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
         "leakage_safe_split": _ORACLE_LEAKAGE_SAFE_SPLIT,
+        "normalized_text": _ORACLE_NORMALIZED_TEXT,
     }
 
 
@@ -8826,5 +8828,67 @@ WITH fp AS (
 )
 SELECT doc_id, CASE WHEN u < 0.8 THEN 'train' ELSE 'valid' END AS split
 FROM u
+ORDER BY doc_id
+"""
+
+
+def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization chain (operators/text.py::normalize_text)
+    exercised end-to-end: each document is deterministically wrapped
+    in crawl residue (curly quotes, zero-width space, em-dash, an
+    HTML tag, &amp; entity, ellipsis char, NBSP) and the full cleanup
+    chain — tag strip, entity decode, control/zero-width removal,
+    unicode-space folding, punctuation unification, whitespace
+    collapse, lowercase — must recover a canonical form the oracle
+    reproduces byte-for-byte."""
+    from rdsa_utils_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“"), F.col("text"),
+        F.lit("”​ — <i>Tag</i> &amp; co… END"),
+    )
+    out = normalize_text(
+        docs.withColumn("messy", messy), "messy",
+        out_col="clean_text", strip_html=True, lowercase=True,
+    )
+    return out.select("doc_id", "clean_text").orderBy("doc_id")
+
+
+_ORACLE_NORMALIZED_TEXT = r"""
+WITH m AS (
+  SELECT doc_id,
+         chr(8220) || text || chr(8221) || chr(8203) || ' ' || chr(8212)
+           || ' <i>Tag</i> &amp; co' || chr(8230) || chr(160) || 'END' AS messy
+  FROM documents
+), s1 AS (  -- strip tags, decode the five entities (amp last)
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(
+           regexp_replace(messy, '<[^>]*>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+  FROM m
+), s2 AS (  -- control chars, zero-width chars, unicode spaces
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             '[\x{200b}\x{200c}\x{200d}\x{feff}\x{00ad}]', '', 'g'),
+           '[\x{00a0}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]', ' ', 'g') AS t
+  FROM s1
+), s3 AS (  -- punctuation unification
+  SELECT doc_id,
+         replace(
+           replace(replace(replace(replace(
+           replace(replace(replace(replace(t,
+             chr(8216), ''''), chr(8217), ''''),
+             chr(8220), '"'), chr(8221), '"'),
+             chr(8211), '-'), chr(8212), '-'),
+             chr(8213), '-'), chr(8722), '-'),
+           chr(8230), '...') AS t
+  FROM s2
+)
+SELECT doc_id,
+       lower(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS clean_text
+FROM s3
 ORDER BY doc_id
 """

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -937,3 +938,81 @@ def domain_stats(
             F.lit(1.0) - F.countDistinct("__canon__") / F.count(F.lit(1)), 6,
         ).alias("dup_ratio"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    lowercase: bool = False,
+    strip_html: bool = False,
+    unify_punct: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Deterministic text cleanup as one pure-JVM expression chain —
+    the normalize step every corpus pipeline runs before
+    tokenization/dedup (fingerprints over un-normalized text treat
+    'a b' and 'a b' as different documents):
+
+    1. control characters (C0 except \\t \\n, DEL) removed;
+    2. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphen
+       removed; NBSP and unicode space separators → ASCII space;
+    3. ``unify_punct``: curly single/double quotes → ' / ", unicode
+       dashes (en/em/horizontal bar/minus) → '-', ellipsis char →
+       '...';
+    4. ``strip_html``: tags dropped, the five standard entities
+       (&amp;lt; &amp;gt; &amp;amp; &amp;quot; &amp;#39;) decoded —
+       regex-grade stripping for crawl residue, not an HTML parser;
+    5. ``collapse_whitespace``: runs of whitespace → one space,
+       trimmed; ``lowercase`` last.
+
+    Every rewrite is ``regexp_replace``/``translate``/``lower`` —
+    codegen'd, shuffle-free, and replayable in any ANSI-SQL engine
+    with RE2-style regexes (the ``normalized_text`` oracle replays the
+    full chain in DuckDB). Canonical-equivalence normalization (NFC/
+    NFKC) needs ICU tables — that lives in
+    :func:`unicode_normalize_text` as an Arrow-vectorized UDF.
+    """
+    c = F.col(text_col)
+    if strip_html:
+        c = F.regexp_replace(c, r"<[^>]*>", " ")
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+            c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+    c = F.regexp_replace(c, "[\u00a0\u2000-\u200a\u202f\u205f\u3000]", " ")
+    if unify_punct:
+        c = F.translate(c, "‘’“”–—―−", "''\"\"----")
+        c = F.regexp_replace(c, "…", "...")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out_col or text_col, c)
+
+
+def unicode_normalize_text(
+    df: DataFrame,
+    text_col: str,
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode canonical/compatibility normalization (NFC/NFD/NFKC/
+    NFKD) via an Arrow-vectorized pandas UDF — the one normalize step
+    that genuinely needs ICU/UCD tables and therefore Python (the
+    documented exception to the no-Python rule; batch-columnar, never
+    per-row). Combining-character sequences, full-width forms and
+    compatibility ligatures fold to their canonical encodings, which
+    is what makes md5 fingerprints and shingle hashes agree across
+    crawl sources that encode the same glyphs differently."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None,
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -447,3 +447,45 @@ def test_token_budget_mix_without_cum_col(spark):
     out = token_budget_mix(df, "src", "doc_id", "ntok", {"s0": 12}, cum_col=None)
     assert "cum_tokens" not in out.columns
     assert out.count() == 4  # 4 docs x 3 tokens = 12 <= budget, 5th would exceed
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (text.py).
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_full_chain(spark):
+    from rdsa_utils_spark.operators.text import normalize_text
+
+    raw = 'He said “hello” — twice…​ and <b>left</b> fast &amp; early\x07 café now'
+    df = spark.createDataFrame([(1, raw)], "id int, text string")
+    out = normalize_text(df, "text", out_col="clean", strip_html=True).first()
+    assert out.clean == 'He said "hello" - twice... and left fast & early café now'
+    # defaults: no html stripping, no lowercasing, original column replaced
+    kept = normalize_text(df, "text").first()
+    assert "<b>" in kept.text and "“" not in kept.text
+
+
+def test_normalize_text_lowercase_and_entity_order(spark):
+    from rdsa_utils_spark.operators.text import normalize_text
+
+    # '&amp;lt;' must decode to '&lt;' (amp decoded LAST), not '<'
+    df = spark.createDataFrame([(1, "A &amp;lt; B")], "id int, text string")
+    out = normalize_text(df, "text", strip_html=True, lowercase=True).first()
+    assert out.text == "a &lt; b"
+
+
+def test_unicode_normalize_text_forms(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.text import unicode_normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "café fullｗidth"), (2, None)], "id int, text string",
+    )
+    nfc = {r.id: r.text for r in unicode_normalize_text(df, "text", "NFC").collect()}
+    assert nfc[1] == "café fullｗidth" and nfc[2] is None
+    nfkc = {r.id: r.text for r in unicode_normalize_text(df, "text", "NFKC").collect()}
+    assert nfkc[1] == "café fullwidth"
+    with _pytest.raises(ValueError):
+        unicode_normalize_text(df, "text", "NFX")
