@@ -6570,6 +6570,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
         "leakage_safe_split": _ORACLE_LEAKAGE_SAFE_SPLIT,
         "normalized_text": _ORACLE_NORMALIZED_TEXT,
+        "bpe_merges": _oracle_bpe_merges(20),
     }
 
 
@@ -6704,9 +6705,12 @@ ORDER BY pmi DESC, pc.w1, pc.w2
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-corpus BPE tokenizer training (20 merges): per-round one
-    vocab aggregation + 1-row driver argmax + JVM fold merge. Not
-    SQL-expressible (iterative argmax); exact semantics verified
-    against a pure-Python reference in tests/test_tokenize.py."""
+    vocab aggregation + 1-row driver argmax + JVM fold merge. The
+    oracle unrolls all 20 rounds in SQL — the greedy left-to-right
+    non-overlapping merge fold is exactly string ``replace()`` on a
+    separator-delimited symbol string — so every learned rule and its
+    pair count hash-match an independent reimplementation; a
+    pure-Python reference replay also runs in tests/test_tokenize.py."""
     docs = _t(spark, sf_dir, "documents")
     from rdsa_utils_spark.operators.tokenize import bpe_merge_table, bpe_train
 
@@ -8891,4 +8895,66 @@ SELECT doc_id,
        lower(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS clean_text
 FROM s3
 ORDER BY doc_id
+"""
+
+
+def _oracle_bpe_merges(num_merges: int = 20) -> str:
+    """Unrolls BPE merge learning round by round: the vocab is a
+    separator-delimited symbol string (chr(31) around every symbol),
+    so the greedy left-to-right non-overlapping merge IS SQL
+    ``replace(s, sep||L||sep||R||sep, sep||L||R||sep)`` — replace
+    scans left-to-right and resumes AFTER each substitution, exactly
+    the Spark-side array-fold semantics. Each round: adjacent-pair
+    counts weighted by word count, argmax with the total (count desc,
+    left asc, right asc) tie-break — binary string order in both
+    engines. Assumes corpus tokens never contain chr(31) (true of
+    whitespace tokenization by construction: chr(31) is ASCII
+    whitespace-adjacent control, stripped upstream)."""
+    steps = []
+    for k in range(1, num_merges + 1):
+        steps.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT (pr).l AS l, (pr).r AS r, sum(cnt) AS pair_count
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(li)),
+                  i -> struct_pack(l := li[i], r := li[i + 1]))) AS pr
+    FROM (
+      SELECT cnt, string_split(trim(s, chr(31)), chr(31)) AS li
+      FROM v{k - 1}
+    )
+  )
+  GROUP BY (pr).l, (pr).r
+), m{k} AS MATERIALIZED (
+  SELECT l, r, pair_count FROM p{k}
+  ORDER BY pair_count DESC, l ASC, r ASC
+  LIMIT 1
+), v{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+           chr(31) || (SELECT l FROM m{k}) || chr(31) || (SELECT r FROM m{k}) || chr(31),
+           chr(31) || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || chr(31)) AS s
+  FROM v{k - 1}
+)""",
+        )
+    chain = ",\n".join(steps)
+    final = "\nUNION ALL\n".join(
+        f"SELECT {k - 1} AS rank, l AS left, r AS right, CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), v0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt,
+         chr(31) || array_to_string(
+           list_concat(string_split(word, ''), ['</w>']), chr(31)) || chr(31) AS s
+  FROM (SELECT unnest(toks) AS word FROM tok)
+  GROUP BY word
+),
+{chain}
+SELECT * FROM ({final})
+ORDER BY rank
 """

@@ -26,9 +26,9 @@ ROWS_ONLY_EXTRAS = {
     # eigendecomposition; projected-variance == eigenvalue identity +
     # numpy replay asserted in tests/test_round4_third.py
     "embedding_pca",
-    # iterative argmax (BPE merge learning); exact-semantics replay vs
-    # a pure-Python reference asserted in tests/test_tokenize.py
-    "bpe_merges",
+    # bpe_merges left this tier in round 6: its oracle unrolls all 20
+    # merge rounds in SQL (greedy fold == string replace on a
+    # separator-delimited symbol string).
 }
 
 
