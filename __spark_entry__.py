@@ -6348,6 +6348,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "leakage_safe_split": q_leakage_safe_split,
         "normalized_text": q_normalized_text,
+        "pca_power_replay": q_pca_power_replay,
     }
 
 
@@ -6571,6 +6572,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _ORACLE_LEAKAGE_SAFE_SPLIT,
         "normalized_text": _ORACLE_NORMALIZED_TEXT,
         "bpe_merges": _oracle_bpe_merges(20),
+        "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
     }
 
 
@@ -8957,4 +8959,111 @@ WITH tok AS MATERIALIZED (
 {chain}
 SELECT * FROM ({final})
 ORDER BY rank
+"""
+
+
+def q_pca_power_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA with training replayed end-to-end
+    (operators/similarity.py::pca_power_train): covariance from O(d²)
+    moment partials, then QUANTIZED power iteration with deflation
+    (12 iterations, k=2, every intermediate rounded to 6 dp) — the
+    oracle recomputes the covariance and unrolls the identical
+    recurrence in SQL, so loadings and eigenvalues hash-match an
+    independent engine; the LAPACK-eigh sibling (`embedding_pca`)
+    stays the library default."""
+    from rdsa_utils_spark.operators.similarity import pca_power_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eigenvalues, components = pca_power_train(
+        emb, "embedding", k=2, iterations=12,
+    )
+    rows = [
+        (c, d, components[c][d], eigenvalues[c])
+        for c in range(len(components))
+        for d in range(len(components[c]))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, dim int, loading double, eigenvalue double",
+    ).orderBy("component", "dim")
+
+
+def _oracle_pca_power_replay(
+    dim: int = 64, k: int = 2, iterations: int = 12, r: int = 6,
+) -> str:
+    """Replays pca_power_train: covariance via an (i, j) coordinate
+    self-join, then the quantized power-iteration recurrence unrolled
+    — every CTE materialized (vectors are d rows, matrices d²)."""
+    steps = []
+    for c in range(k):
+        cm = f"c{c}"  # current (deflated) covariance
+        steps.append(
+            f"""vv{c}_0 AS MATERIALIZED (
+  SELECT CAST(range AS INT) AS i, round(1.0 / sqrt({dim}.0), {r}) AS v
+  FROM range({dim})
+)""",
+        )
+        for t in range(1, iterations + 1):
+            steps.append(
+                f"""w{c}_{t} AS MATERIALIZED (
+  SELECT m.i, sum(m.c * v.v) AS w
+  FROM {cm} m JOIN vv{c}_{t - 1} v ON v.i = m.j
+  GROUP BY m.i
+), vv{c}_{t} AS MATERIALIZED (
+  SELECT i, round(w / (SELECT sqrt(sum(w * w)) FROM w{c}_{t}), {r}) AS v
+  FROM w{c}_{t}
+)""",
+            )
+        steps.append(
+            f"""u{c} AS MATERIALIZED (
+  SELECT m.i, sum(m.c * v.v) AS u
+  FROM {cm} m JOIN vv{c}_{iterations} v ON v.i = m.j
+  GROUP BY m.i
+), lam{c} AS MATERIALIZED (
+  SELECT round(sum(v.v * u.u), {r}) AS lam
+  FROM vv{c}_{iterations} v JOIN u{c} u ON u.i = v.i
+)""",
+        )
+        if c + 1 < k:
+            steps.append(
+                f"""c{c + 1} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         round(m.c - (SELECT lam FROM lam{c}) * a.v * b.v, {r}) AS c
+  FROM {cm} m
+  JOIN vv{c}_{iterations} a ON a.i = m.i
+  JOIN vv{c}_{iterations} b ON b.i = m.j
+)""",
+            )
+    chain = ",\n".join(steps)
+    final = "\nUNION ALL\n".join(
+        f"SELECT {c} AS component, i AS dim, v AS loading, (SELECT lam FROM lam{c}) AS eigenvalue FROM vv{c}_{iterations}"
+        for c in range(k)
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, (u).i AS i, (u).x AS x
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, {dim + 1}),
+                  j -> struct_pack(i := j - 1, x := CAST(embedding[j] AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+), nn AS MATERIALIZED (
+  SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM ex
+), mu AS MATERIALIZED (
+  SELECT i, sum(x) / (SELECT n FROM nn) AS m FROM ex GROUP BY i
+), gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+), c0 AS MATERIALIZED (
+  SELECT g.i, g.j,
+         round((g.g - (SELECT n FROM nn) * ma.m * mb.m)
+               / ((SELECT n FROM nn) - 1), {r}) AS c
+  FROM gram g
+  JOIN mu ma ON ma.i = g.i
+  JOIN mu mb ON mb.i = g.j
+),
+{chain}
+SELECT * FROM ({final})
+ORDER BY component, dim
 """

@@ -1560,3 +1560,102 @@ def label_noise_scores(
             ).alias("disagreement"),
         )
     )
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Round half away from zero — the SQL ROUND convention (Python's
+    built-in round is banker's/half-even, which would diverge from the
+    DuckDB/Spark replay on exact ties)."""
+    import math
+
+    scale = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def pca_power_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+    iterations: int = 12,
+    round_to: int = 6,
+):
+    """Top-k principal components by QUANTIZED power iteration with
+    deflation — the oracle-replayable sibling of :func:`pca_train`
+    (whose LAPACK ``eigh`` cannot be reproduced in an ANSI-SQL
+    engine). The covariance comes from the same O(d²)-per-partition
+    moment partials (mapInPandas Gram accumulation; driver traffic is
+    d², never corpus-sized); it is then rounded to ``round_to`` dp
+    entrywise and the fixed-iteration recurrence
+
+        w = C·v;  v = round(w / ||w||, r)
+
+    runs per component, with λ = round(vᵀ(C·v), r) and deflation
+    C ← round(C − λ·v·vᵀ, r). Every intermediate is quantized, so an
+    independent engine running the same recurrence reproduces every
+    loading and eigenvalue BIT-FOR-BIT regardless of summation order
+    (the 6 dp default quantum sits ~6 orders of magnitude above the
+    cross-engine accumulation-order error of the covariance sums.
+    The raw matvec ``w`` is deliberately NOT rounded: quantized C
+    times a quantized v makes every w a multiple of the quantum's
+    square, so sums land EXACTLY on half-quantum rounding boundaries
+    and the two engines' last-ulp differences flip them — dividing by
+    the irrational norm first destroys that tie structure)
+    — convergence quality depends on ``iterations`` (eigengap), but
+    replay equality does not. Start vector is the uniform unit vector.
+
+    Returns ``(eigenvalues, components)``: list of k floats and a
+    k×d list-of-lists. Driver cost: k·iterations d×d matvecs — d ≤ a
+    few thousand, microseconds next to the scan.
+    """
+    if k < 1 or iterations < 1:
+        raise ValueError("pca_power_train: k and iterations must be >= 1")
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_power_train: input frame is empty")
+    dim = len(first[0])
+
+    partial_schema = "n long, s array<double>, g array<double>"
+
+    def partials(batches):
+        n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+        for pdf in batches:
+            mat = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+            g += mat.T @ mat
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]},
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, partial_schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]) for r in rows], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    r = round_to
+    C = [[_round_half_up(cov[i][j], r) for j in range(dim)] for i in range(dim)]
+
+    import math
+
+    eigenvalues: list[float] = []
+    components: list[list[float]] = []
+    v0 = _round_half_up(1.0 / math.sqrt(dim), r)
+    for _ in range(k):
+        v = [v0] * dim
+        for _t in range(iterations):
+            w = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            if nrm < 1e-30:
+                break
+            v = [_round_half_up(x / nrm, r) for x in w]
+        u = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        lam = _round_half_up(sum(v[i] * u[i] for i in range(dim)), r)
+        eigenvalues.append(lam)
+        components.append(v)
+        C = [
+            [_round_half_up(C[i][j] - lam * v[i] * v[j], r) for j in range(dim)]
+            for i in range(dim)
+        ]
+    return eigenvalues, components

@@ -489,3 +489,62 @@ def test_unicode_normalize_text_forms(spark):
     assert nfkc[1] == "café fullwidth"
     with _pytest.raises(ValueError):
         unicode_normalize_text(df, "text", "NFX")
+
+
+# ---------------------------------------------------------------------------
+# Quantized power-iteration PCA (similarity.py).
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_converges_on_planted_spectrum(spark):
+    import numpy as np
+
+    from rdsa_utils_spark.operators.similarity import pca_power_train, pca_train
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    # strong spectral decay: dominant direction 10x the noise floor
+    u1 = np.zeros(d); u1[0] = 1.0
+    u2 = np.zeros(d); u2[1] = 1.0
+    x = (
+        rng.normal(size=(n, 1)) * 10.0 @ u1[None, :]
+        + rng.normal(size=(n, 1)) * 4.0 @ u2[None, :]
+        + rng.normal(size=(n, d)) * 0.5
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id int, embedding array<double>",
+    )
+    evs, comps = pca_power_train(df, "embedding", k=2, iterations=12)
+    model = pca_train(df, "embedding", k=2)
+    for c in range(2):
+        cos = abs(float(np.dot(model["components"][c], np.asarray(comps[c]))))
+        assert cos > 0.999, f"component {c} |cos|={cos}"
+        assert abs(evs[c] - model["explained_variance"][c]) < 0.05 * model[
+            "explained_variance"
+        ][c]
+    assert evs[0] > evs[1]
+
+
+def test_pca_power_deterministic_across_partitionings(spark):
+    from rdsa_utils_spark.operators.similarity import pca_power_train
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    a = pca_power_train(emb.repartition(1), "embedding", k=1, iterations=4)
+    b = pca_power_train(emb.repartition(16), "embedding", k=1, iterations=4)
+    assert a == b
+
+
+def test_pca_power_guards(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.similarity import pca_power_train
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pca_power_train(df, "embedding", k=0)
+    with _pytest.raises(ValueError):
+        pca_power_train(df, "embedding", iterations=0)
+    with _pytest.raises(ValueError):
+        pca_power_train(df.filter("vec_id > 5"), "embedding")
