@@ -6349,6 +6349,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "normalized_text": q_normalized_text,
         "pca_power_replay": q_pca_power_replay,
+        "jl_projection": q_jl_projection,
     }
 
 
@@ -6573,6 +6574,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "normalized_text": _ORACLE_NORMALIZED_TEXT,
         "bpe_merges": _oracle_bpe_merges(20),
         "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
+        "jl_projection": _ORACLE_JL_PROJECTION,
     }
 
 
@@ -9066,4 +9068,43 @@ WITH ex AS MATERIALIZED (
 {chain}
 SELECT * FROM ({final})
 ORDER BY component, dim
+"""
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection (operators/similarity.py::
+    random_projection): 64-d embeddings to 16-d via the md5-derived
+    Rademacher matrix, one GEMM per Arrow batch — the oracle
+    regenerates the plane matrix from md5 and replays every projected
+    component (out_dim=16 makes 1/sqrt(k)=0.25 exact, so the scale
+    step is bitwise identical across engines)."""
+    from rdsa_utils_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "embedding", out_dim=16, seed=0)
+    return (
+        proj.select("vec_id", F.posexplode("projected").alias("comp", "value"))
+        .orderBy("vec_id", "comp")
+    )
+
+
+_ORACLE_JL_PROJECTION = r"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, (u).d AS d, (u).x AS x
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, 65),
+                  j -> struct_pack(d := j - 1, x := CAST(embedding[j] AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+), comps AS (
+  SELECT CAST(range AS INT) AS comp FROM range(16)
+)
+SELECT e.vec_id, c.comp,
+       round(sum(CASE WHEN substr(md5('0:0:' || c.comp || ':' || e.d), 1, 1)
+                      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END * e.x)
+             / sqrt(16.0), 6) AS value
+FROM ex e CROSS JOIN comps c
+GROUP BY e.vec_id, c.comp
+ORDER BY vec_id, comp
 """

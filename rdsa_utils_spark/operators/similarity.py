@@ -1659,3 +1659,45 @@ def pca_power_train(
             for i in range(dim)
         ]
     return eigenvalues, components
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 0,
+    out_col: str = "projected",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with the
+    md5-derived ±1 Rademacher matrix (Achlioptas 2003: database-
+    friendly random projections — Rademacher entries carry the same
+    distance-preservation guarantee as Gaussian): ``y = R'x /
+    sqrt(out_dim)``. The SAME plane generator as the LSH family
+    (:func:`_md5_planes`), so any ANSI-SQL engine regenerates R
+    bit-for-bit and the whole projection is oracle-replayable.
+
+    The d×out_dim matrix rides the closure of one Arrow-vectorized
+    pandas UDF (one GEMM per batch — kilobytes of closure, no join,
+    no shuffle); output components round to ``round_to`` dp so
+    cross-engine accumulation order can't flip a value. Use ahead of
+    ANN/near-dup when d is large: distances are preserved within
+    ±ε at out_dim = O(log n / ε²), and the follow-on LSH/IVF stages
+    cost out_dim/d of the original arithmetic.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("random_projection: input frame is empty")
+    dim = len(first[0])
+    planes = _md5_planes(dim, out_dim, 1, seed)  # (dim, out_dim)
+    inv = 1.0 / float(np.sqrt(out_dim))
+
+    @F.pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.round((mat @ planes) * inv, round_to)
+        return pd.Series(list(out))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -548,3 +548,42 @@ def test_pca_power_guards(spark):
         pca_power_train(df, "embedding", iterations=0)
     with _pytest.raises(ValueError):
         pca_power_train(df.filter("vec_id > 5"), "embedding")
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+
+    from rdsa_utils_spark.operators.similarity import random_projection
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    out = random_projection(emb, "embedding", out_dim=32, seed=3).collect()
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in out}
+    proj = {r.vec_id: np.asarray(r.projected, dtype=float) for r in out}
+    ids = sorted(orig)
+    ratios = []
+    for a in ids[:10]:
+        for b in ids[10:20]:
+            d0 = float(np.linalg.norm(orig[a] - orig[b]))
+            d1 = float(np.linalg.norm(proj[a] - proj[b]))
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    # JL at k=32: pairwise distances preserved within a loose band
+    assert 0.5 < min(ratios) and max(ratios) < 1.6
+    # deterministic across calls
+    again = random_projection(emb, "embedding", out_dim=32, seed=3).collect()
+    assert sorted((r.vec_id, tuple(r.projected)) for r in again) == sorted(
+        (r.vec_id, tuple(r.projected)) for r in out
+    )
+
+
+def test_random_projection_guards(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<double>")
+    with _pytest.raises(ValueError):
+        random_projection(df, "embedding", out_dim=0)
+    with _pytest.raises(ValueError):
+        random_projection(df.filter("vec_id > 5"), "embedding")
