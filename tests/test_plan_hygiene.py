@@ -62,6 +62,9 @@ _BNLJ_OK = {
     "ab_click_value",         # 1x1 per-arm moment reshape
     "cuped_values",           # 1-row theta/mean(x) attach (CUPED)
     "brand_rules",            # 1-row basket-count attach (support/lift)
+    "dsir_weights",           # 1-row (Z, N) totals attach (DSIR ratios)
+    "dsir_select",            # same DSIR 1-row totals attach
+    "logreg_token_classifier",  # 1-row bias-weight attach per GD iteration
 }
 
 #: Queries allowed a single-partition global window: the window runs
