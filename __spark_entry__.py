@@ -6350,6 +6350,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_text": q_normalized_text,
         "pca_power_replay": q_pca_power_replay,
         "jl_projection": q_jl_projection,
+        "auc_discount_returns": q_auc_discount_returns,
+        "brier_orders": q_brier_orders,
+        "ndcg_termscan": q_ndcg_termscan,
+        "silhouette_labels": q_silhouette_labels,
     }
 
 
@@ -6575,6 +6579,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_merges": _oracle_bpe_merges(20),
         "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
         "jl_projection": _ORACLE_JL_PROJECTION,
+        "auc_discount_returns": _ORACLE_AUC_DISCOUNT_RETURNS,
+        "brier_orders": _ORACLE_BRIER_ORDERS,
+        "ndcg_termscan": _ORACLE_NDCG_TERMSCAN,
+        "silhouette_labels": _ORACLE_SILHOUETTE_LABELS,
     }
 
 
@@ -9107,4 +9115,236 @@ SELECT e.vec_id, c.comp,
 FROM ex e CROSS JOIN comps c
 GROUP BY e.vec_id, c.comp
 ORDER BY vec_id, comp
+"""
+
+
+def q_auc_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Mann-Whitney AUC (operators/evaluate.py::binary_auc):
+    does the (heavily tied, 11-value) discount grid "predict" a
+    returned line? Per l_linestatus group. The statistic assembles in
+    pure integers over the distinct-score aggregate (the x2 trick), so
+    the only FP step is the final division — the oracle replays the
+    identical cumulative formula."""
+    from rdsa_utils_spark.operators.evaluate import binary_auc
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.round("l_discount", 2).alias("score"),
+        (F.col("l_returnflag") == "R").alias("label"),
+    )
+    return binary_auc(li, "score", "label", by=["l_linestatus"]).orderBy(
+        "l_linestatus",
+    )
+
+
+_ORACLE_AUC_DISCOUNT_RETURNS = """
+WITH d AS (
+  SELECT l_linestatus,
+         ROUND(l_discount, 2) AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), g AS (
+  SELECT l_linestatus, score, SUM(y) AS pos, SUM(1 - y) AS neg
+  FROM d GROUP BY l_linestatus, score
+), c AS (
+  SELECT l_linestatus, pos, neg,
+         COALESCE(SUM(neg) OVER (
+             PARTITION BY l_linestatus ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM g
+), t AS (
+  SELECT l_linestatus,
+         SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+         SUM(pos * (2 * below + neg)) AS u2
+  FROM c GROUP BY l_linestatus
+)
+SELECT l_linestatus,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6)
+       END AS auc
+FROM t
+ORDER BY l_linestatus
+"""
+
+
+def q_brier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (operators/evaluate.py::brier_score) of a rational
+    price-based probability (least(totalprice/500000, 1)) against
+    order finality, per priority band. Per-row squared errors quantize
+    to 12 dp before a decimal-exact mean (quantize-then-sum), so the
+    scalar replays bit-identically."""
+    from rdsa_utils_spark.operators.evaluate import brier_score
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.least(F.col("o_totalprice") / 500000.0, F.lit(1.0)).alias("score"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return brier_score(o, "score", "label", by=["o_orderpriority"]).orderBy(
+        "o_orderpriority",
+    )
+
+
+_ORACLE_BRIER_ORDERS = """
+WITH d AS (
+  SELECT o_orderpriority,
+         ROUND((LEAST(o_totalprice / 500000.0, 1.0)
+                - CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)
+               * (LEAST(o_totalprice / 500000.0, 1.0)
+                - CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END),
+               12) AS e2
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(e2 AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS brier
+FROM d
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_ndcg_termscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 (operators/evaluate.py::ndcg_at_k) of a term-frequency
+    ranker against length-graded relevance: runs rank docs by tf of
+    the query term (tiebreak doc_id), qrels grade matching docs 2 when
+    n_chars >= 300 else 1 — rankers and judges disagree, so ndcg lands
+    strictly inside (0, 1). Per-row Burges gains round to 9 dp before
+    the decimal-exact sum; windows partition per query."""
+    from rdsa_utils_spark.operators.evaluate import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    qtab = spark.createDataFrame(
+        [(1, "join"), (2, "stream"), (3, "vector")], ["query_id", "term"]
+    )
+    from pyspark.sql import Window
+
+    lowered = docs.select(
+        "doc_id", "n_chars", F.lower(F.col("text")).alias("__t__")
+    )
+    tf = (
+        lowered.join(F.broadcast(qtab))
+        .select(
+            "query_id",
+            "doc_id",
+            "n_chars",
+            (
+                (F.length("__t__") - F.length(F.replace(F.col("__t__"), F.col("term"))))
+                / F.length("term")
+            ).cast("long").alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    runs = tf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    qrels = tf.select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("n_chars") >= 300, F.lit(2)).otherwise(F.lit(1)).alias("rel"),
+    )
+    return ndcg_at_k(runs, qrels, k=10).orderBy("query_id")
+
+
+_ORACLE_NDCG_TERMSCAN = """
+WITH q(query_id, term) AS (VALUES (1, 'join'), (2, 'stream'), (3, 'vector')),
+tf AS MATERIALIZED (
+  SELECT q.query_id, d.doc_id, d.n_chars,
+         CAST((length(lower(d.text))
+               - length(replace(lower(d.text), q.term, '')))
+              / length(q.term) AS BIGINT) AS tf
+  FROM q CROSS JOIN documents d
+  WHERE (length(lower(d.text))
+         - length(replace(lower(d.text), q.term, ''))) > 0
+), runs AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+), qrels AS (
+  SELECT query_id, doc_id,
+         CASE WHEN n_chars >= 300 THEN 2 ELSE 1 END AS rel
+  FROM tf
+), hits AS (
+  SELECT r.query_id,
+         CAST(ROUND((POW(2.0, COALESCE(qr.rel, 0)) - 1.0)
+                    / LOG2(r.rank + 1.0), 9) AS DECIMAL(38,9)) AS g
+  FROM runs r
+  LEFT JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+  WHERE r.rank <= 10
+), dcg AS (
+  SELECT query_id, CAST(SUM(g) AS DOUBLE) AS dcg FROM hits GROUP BY query_id
+), iw AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS irk
+  FROM qrels WHERE rel > 0
+), idcg AS (
+  SELECT query_id,
+         CAST(SUM(CAST(ROUND((POW(2.0, rel) - 1.0) / LOG2(irk + 1.0), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS idcg
+  FROM iw WHERE irk <= 10 GROUP BY query_id
+)
+SELECT d.query_id,
+       ROUND(d.dcg, 6) AS dcg,
+       ROUND(COALESCE(i.idcg, 0.0), 6) AS idcg,
+       CASE WHEN COALESCE(i.idcg, 0.0) > 0
+            THEN ROUND(d.dcg / i.idcg, 6) ELSE 0.0 END AS ndcg
+FROM dcg d LEFT JOIN idcg i USING (query_id)
+ORDER BY d.query_id
+"""
+
+
+def q_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette (operators/evaluate.py::
+    silhouette_simplified) over the embedding corpus — the O(n·k)
+    cluster-quality diagnostic (centroid distances, not pairwise).
+    Centroid coordinates round to 9 dp (the label_centroid recipe);
+    per-row distances are identical left folds in both engines; s
+    quantizes to 6 dp before the decimal-exact per-cluster mean."""
+    from rdsa_utils_spark.operators.evaluate import silhouette_simplified
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return silhouette_simplified(emb, "vec_id", "embedding", "label")
+
+
+_ORACLE_SILHOUETTE_LABELS = """
+WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), m AS (
+  SELECT label, pos, ROUND(AVG(x), 9) AS mu
+  FROM e GROUP BY label, pos
+), cents AS (
+  SELECT label AS cl, list(mu ORDER BY pos) AS c
+  FROM m GROUP BY label
+), d AS (
+  SELECT r.vec_id, r.label AS rcl, k.cl,
+         sqrt(list_reduce(
+             list_transform(range(1, len(r.embedding) + 1),
+                 i -> (CAST(r.embedding[i] AS DOUBLE) - k.c[i])
+                      * (CAST(r.embedding[i] AS DOUBLE) - k.c[i])),
+             (a, b) -> a + b)) AS dist
+  FROM embeddings r CROSS JOIN cents k
+), ab AS (
+  SELECT vec_id, rcl,
+         MIN(CASE WHEN cl = rcl THEN dist END) AS a,
+         MIN(CASE WHEN cl <> rcl THEN dist END) AS b
+  FROM d GROUP BY vec_id, rcl
+), s AS (
+  SELECT rcl,
+         CASE WHEN b IS NULL OR GREATEST(a, b) = 0 THEN 0.0
+              ELSE ROUND((b - a) / GREATEST(a, b), 6) END AS sv
+  FROM ab
+)
+SELECT rcl AS cluster,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(sv AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_silhouette
+FROM s
+GROUP BY rcl
+ORDER BY cluster
 """

@@ -1,0 +1,346 @@
+"""Model / retrieval / clustering evaluation metrics.
+
+No reference equivalent (extension surface — the counterpart to the
+training-side operators in ``operators/classify.py``,
+``operators/search.py`` and ``operators/similarity.py``: once a
+quality classifier, a retrieval stack, or a clustering exists, the
+pipeline needs distributed, engine-replayable metrics to gate it).
+
+Every metric here is a pure DataFrame aggregation with an exact
+cross-engine contract:
+
+- ``binary_auc`` — tie-aware Mann-Whitney AUC computed over the
+  DISTINCT-SCORE aggregate, never over raw rows: the only window runs
+  on |distinct scores| rows per group (a quantized classifier emits a
+  bounded score alphabet), and the statistic is assembled in exact
+  integer arithmetic (the ×2 trick), so the result is
+  order-independent to the last bit.
+- ``brier_score`` — the proper-scoring-rule scalar companion to the
+  reliability table (``operators/classify.calibration_bins``);
+  decimal-exact accumulation.
+- ``ndcg_at_k`` — graded-relevance NDCG with per-row gains quantized
+  before the sum (the established quantize-then-sum recipe for FP
+  folds).
+- ``silhouette_simplified`` — per-cluster mean silhouette against
+  cluster centroids (the scalable a/b variant: distance to OWN
+  centroid vs nearest OTHER centroid — O(n·k) instead of O(n²)).
+
+Scale posture at 100 TB: ``binary_auc`` shuffles once to the
+(group, score) aggregate (map-side combined) and windows only the
+tiny distinct-score table; ``brier_score`` is a single
+map-side-combinable aggregation; ``ndcg_at_k`` windows
+per query id (embarrassingly partitioned) and broadcasts nothing
+bigger than the qrels for its join when qrels are dimension-sized;
+``silhouette_simplified`` broadcasts the k-row centroid table and
+touches the corpus exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exact_avg(col: Column, alias: str, round_to: int = 6) -> Column:
+    """Order-independent mean: exact decimal(38,12) sum → double →
+    ``/ count`` → round (the repo-wide ``CAST(SUM(CAST(…)) AS
+    DOUBLE) / COUNT(*)`` replay idiom)."""
+    return F.round(
+        F.sum(col.cast("decimal(38,12)")).cast("double") / F.count(col),
+        round_to,
+    ).alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Binary classification: AUC, calibration, Brier
+# --------------------------------------------------------------------------
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tie-aware ROC AUC (Mann-Whitney U / (P·N)) per group.
+
+    ``label_col`` must be boolean-like (cast to int 0/1); ``score_col``
+    is any orderable numeric — quantize it upstream if the producer is
+    FP-noisy (a 6-dp-rounded classifier probability keeps the distinct
+    alphabet small AND the statistic reproducible).
+
+    Algorithm: aggregate to one row per (group, distinct score) with
+    positive/negative counts, then a cumulative window ORDERED BY
+    SCORE over that aggregate. With ties averaged,
+
+        U = Σ_s  pos_s · (cum_neg_below_s + neg_s / 2)
+
+    computed as ``2U = Σ pos_s · (2·cum_below + neg_s)`` in pure
+    integers, so the division at the end is the only FP step:
+    ``auc = 2U / (2·P·N)``.
+
+    Shuffle shape: ONE shuffle to (group, score) counts (map-side
+    combined — raw rows never move twice), a window over the distinct
+    scores of each group, and a final per-group aggregate. With
+    ``by=None`` the window is global but still only |distinct scores|
+    rows — document the score alphabet, not the row count, as the
+    bound.
+
+    Returns one row per group: ``by… , n_pos, n_neg, auc`` (auc NULL
+    when a group lacks both classes).
+    """
+    by = list(by or [])
+    lab = F.col(label_col).cast("int")
+    g = (
+        df.groupBy(*by, F.col(score_col).alias("__score__"))
+        .agg(
+            F.sum(lab).alias("__pos__"),
+            F.sum(1 - lab).alias("__neg__"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy("__score__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = g.withColumn(
+        "__below__", F.coalesce(F.sum("__neg__").over(w), F.lit(0))
+    ).withColumn(
+        "__u2__", F.col("__pos__") * (2 * F.col("__below__") + F.col("__neg__"))
+    )
+    out = contrib.groupBy(*by).agg(
+        F.sum("__pos__").alias("n_pos"),
+        F.sum("__neg__").alias("n_neg"),
+        F.sum("__u2__").alias("__u2t__"),
+    )
+    return out.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("__u2t__") / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                round_to,
+            ),
+        ).alias("auc"),
+    )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean squared error of the predicted probability — the proper
+    scoring rule companion to :func:`calibration_bins`.
+
+    Per-row ``(score − label)²`` is quantized to 12 dp and summed in
+    decimal (quantize-then-sum — exact, order-independent). Returns
+    ``by… , n, brier``.
+    """
+    by = list(by or [])
+    lab = F.col(label_col).cast("int").cast("double")
+    err2 = F.round(
+        (F.col(score_col).cast("double") - lab)
+        * (F.col(score_col).cast("double") - lab),
+        12,
+    )
+    return (
+        df.select(*by, err2.alias("__e2__"))
+        .groupBy(*by)
+        .agg(F.count("*").alias("n"), _exact_avg(F.col("__e2__"), "brier", round_to))
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval: NDCG@k
+# --------------------------------------------------------------------------
+
+
+def ndcg_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_to: int = 6,
+    broadcast_qrels: bool = True,
+) -> DataFrame:
+    """Graded-relevance NDCG@k per query.
+
+    ``runs``: one row per (query, doc) with an explicit 1-based
+    ``rank_col`` (make the producer emit a deterministic rank — every
+    retrieval operator in this engine already tie-breaks on the doc
+    id). ``qrels``: (query, doc, graded relevance ≥ 0); pairs absent
+    from qrels count as relevance 0.
+
+    DCG uses the burges gain ``(2^rel − 1) / log2(rank + 1)``; IDCG
+    re-ranks each query's qrels by (rel DESC, doc ASC) and applies the
+    same discount to the top ``k``. Per-row gains are rounded to 9 dp
+    before a decimal-exact sum (quantize-then-sum): ``log2`` of an
+    integer ≥ 3 is irrational, so gains never sit on the half-quantum
+    boundary and both engines round identically.
+
+    Windows partition by query id — embarrassingly parallel; qrels
+    join is broadcast by default (qrels are dimension-sized in every
+    evaluation pipeline; disable for corpus-scale qrels).
+
+    Returns ``query_col, dcg, idcg, ndcg`` (ndcg 0.0 when a query has
+    no relevant documents).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _gain(rel: Column, rank: Column) -> Column:
+        return F.round(
+            (F.pow(F.lit(2.0), rel.cast("double")) - 1.0)
+            / F.log2(rank.cast("double") + 1.0),
+            9,
+        ).cast("decimal(38,9)")
+
+    qr = qrels.select(
+        F.col(query_col).alias("__q__"),
+        F.col(doc_col).alias("__d__"),
+        F.col(rel_col).alias("__rel__"),
+    )
+    qr_j = F.broadcast(qr) if broadcast_qrels else qr
+
+    hits = (
+        runs.filter(F.col(rank_col) <= k)
+        .join(
+            qr_j,
+            (F.col(query_col) == F.col("__q__"))
+            & (F.col(doc_col) == F.col("__d__")),
+            "left",
+        )
+        .select(
+            F.col(query_col).alias("__qq__"),
+            _gain(
+                F.coalesce(F.col("__rel__"), F.lit(0)), F.col(rank_col)
+            ).alias("__g__"),
+        )
+    )
+    dcg = hits.groupBy(F.col("__qq__").alias(query_col)).agg(
+        F.sum("__g__").cast("double").alias("dcg")
+    )
+
+    iw = Window.partitionBy("__q__").orderBy(F.col("__rel__").desc(), F.col("__d__"))
+    ideal = (
+        qr.filter(F.col("__rel__") > 0)
+        .withColumn("__irk__", F.row_number().over(iw))
+        .filter(F.col("__irk__") <= k)
+        .select("__q__", _gain(F.col("__rel__"), F.col("__irk__")).alias("__g__"))
+        .groupBy(F.col("__q__").alias(query_col))
+        .agg(F.sum("__g__").cast("double").alias("idcg"))
+    )
+
+    joined = dcg.join(ideal, query_col, "left")
+    return joined.select(
+        query_col,
+        F.round("dcg", round_to).alias("dcg"),
+        F.round(F.coalesce(F.col("idcg"), F.lit(0.0)), round_to).alias("idcg"),
+        F.when(F.coalesce(F.col("idcg"), F.lit(0.0)) > 0, F.round(F.col("dcg") / F.col("idcg"), round_to))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Clustering: simplified silhouette
+# --------------------------------------------------------------------------
+
+
+def silhouette_simplified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    moment_round: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cluster mean simplified silhouette.
+
+    The simplified silhouette replaces mean pairwise distances with
+    centroid distances: per row, ``a`` = Euclidean distance to the OWN
+    cluster centroid, ``b`` = min distance to any OTHER centroid,
+    ``s = (b − a) / max(a, b)`` (0.0 for a degenerate single-cluster
+    input). O(n·k) — the only formulation that survives 100 TB; the
+    O(n²) exact silhouette is not offered.
+
+    Shuffle shape: centroids via ``posexplode`` → (cluster, pos) mean
+    (map-side combined, rounded to ``moment_round`` for cross-engine
+    replay — same recipe as ``label_centroid_similarity``,
+    operators/similarity.py) → k-row centroid table broadcast back —
+    the corpus is scanned once for moments and once for scoring.
+    Per-row ``s`` quantizes to 6 dp before the decimal-exact per-
+    cluster mean (quantize-then-sum); distances to DISTINCT centroids
+    can never tie at the half-quantum (coordinates differ in ≥ 1
+    dimension ⇒ the sums differ by ≥ a full quantum of the squared
+    grid), so the rounding is engine-stable.
+
+    Returns ``cluster, n, mean_silhouette`` sorted by cluster.
+    """
+    e = df.select(
+        F.col(cluster_col).alias("__cl__"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    cents = (
+        e.groupBy("__cl__", "__pos")
+        .agg(F.round(F.avg("__x"), moment_round).alias("__mu"))
+        .groupBy("__cl__")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__mu"))),
+                lambda s: s["__mu"],
+            ).alias("__c"),
+        )
+    )
+
+    def _dist2(v: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, m: (x - m) * (x - m)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    rows = df.select(
+        F.col(id_col).alias("__id__"),
+        F.col(cluster_col).alias("__rcl__"),
+        F.col(vec_col).alias("__v__"),
+    )
+    scored = (
+        rows.join(F.broadcast(cents))
+        .withColumn("__d__", F.sqrt(_dist2(F.col("__v__"), F.col("__c"))))
+        .groupBy("__id__", "__rcl__")
+        .agg(
+            F.min(F.when(F.col("__cl__") == F.col("__rcl__"), F.col("__d__"))).alias(
+                "__a__"
+            ),
+            F.min(F.when(F.col("__cl__") != F.col("__rcl__"), F.col("__d__"))).alias(
+                "__b__"
+            ),
+        )
+    )
+    s = scored.withColumn(
+        "__s__",
+        F.when(
+            F.col("__b__").isNull() | (F.greatest("__a__", "__b__") == 0.0),
+            F.lit(0.0),
+        ).otherwise(
+            F.round(
+                (F.col("__b__") - F.col("__a__")) / F.greatest("__a__", "__b__"),
+                round_to,
+            )
+        ),
+    )
+    return (
+        s.groupBy(F.col("__rcl__").alias("cluster"))
+        .agg(F.count("*").alias("n"), _exact_avg(F.col("__s__"), "mean_silhouette", round_to))
+        .orderBy("cluster")
+    )

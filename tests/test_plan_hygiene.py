@@ -65,6 +65,8 @@ _BNLJ_OK = {
     "dsir_weights",           # 1-row (Z, N) totals attach (DSIR ratios)
     "dsir_select",            # same DSIR 1-row totals attach
     "logreg_token_classifier",  # 1-row bias-weight attach per GD iteration
+    "ndcg_termscan",          # 3-row literal query-term table attach
+    "silhouette_labels",      # k-row (10) centroid table attach
 }
 
 #: Queries allowed a single-partition global window: the window runs
