@@ -6354,6 +6354,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_orders": q_brier_orders,
         "ndcg_termscan": q_ndcg_termscan,
         "silhouette_labels": q_silhouette_labels,
+        "ks_returned_price": q_ks_returned_price,
+        "psi_weekend_value": q_psi_weekend_value,
+        "chi2_qty_returns": q_chi2_qty_returns,
+        "mrr_termscan": q_mrr_termscan,
+        "map_termscan": q_map_termscan,
+        "kappa_order_flags": q_kappa_order_flags,
+        "kmv_users": q_kmv_users,
+        "decayed_event_value": q_decayed_event_value,
     }
 
 
@@ -6583,6 +6591,14 @@ def extra_oracle_sql() -> dict[str, str]:
         "brier_orders": _ORACLE_BRIER_ORDERS,
         "ndcg_termscan": _ORACLE_NDCG_TERMSCAN,
         "silhouette_labels": _ORACLE_SILHOUETTE_LABELS,
+        "ks_returned_price": _ORACLE_KS_RETURNED_PRICE,
+        "psi_weekend_value": _ORACLE_PSI_WEEKEND_VALUE,
+        "chi2_qty_returns": _ORACLE_CHI2_QTY_RETURNS,
+        "mrr_termscan": _ORACLE_MRR_TERMSCAN,
+        "map_termscan": _ORACLE_MAP_TERMSCAN,
+        "kappa_order_flags": _ORACLE_KAPPA_ORDER_FLAGS,
+        "kmv_users": _ORACLE_KMV_USERS,
+        "decayed_event_value": _ORACLE_DECAYED_EVENT_VALUE,
     }
 
 
@@ -9347,4 +9363,460 @@ SELECT rcl AS cluster,
 FROM s
 GROUP BY rcl
 ORDER BY cluster
+"""
+
+
+def q_ks_returned_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test
+    (operators/drift.py::ks_2sample): does the price distribution of
+    RETURNED lineitems differ from the rest, per l_linestatus? Values
+    pre-quantize to 100-currency bands (floor(price/100)) so the
+    per-group window runs over the bounded band alphabet, not every
+    distinct double — the documented 100 TB discipline. The statistic
+    is exact integer arithmetic until one final division."""
+    from rdsa_utils_spark.operators.drift import ks_2sample
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") / 100.0).alias("band"),
+        (F.col("l_returnflag") == "R").alias("is_ret"),
+    )
+    return ks_2sample(li, "band", "is_ret", by=["l_linestatus"]).orderBy(
+        "l_linestatus",
+    )
+
+
+_ORACLE_KS_RETURNED_PRICE = """
+WITH d AS (
+  SELECT l_linestatus,
+         CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), g AS (
+  SELECT l_linestatus, v, SUM(s) AS a, SUM(1 - s) AS b
+  FROM d GROUP BY l_linestatus, v
+), c AS (
+  SELECT l_linestatus,
+         SUM(a) OVER (PARTITION BY l_linestatus ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(b) OVER (PARTITION BY l_linestatus ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         SUM(a) OVER (PARTITION BY l_linestatus) AS ta,
+         SUM(b) OVER (PARTITION BY l_linestatus) AS tb
+  FROM g
+), t AS (
+  SELECT l_linestatus, MAX(ta) AS ta, MAX(tb) AS tb,
+         MAX(ABS(CAST(ca AS DOUBLE) * CAST(tb AS DOUBLE)
+                 - CAST(cb AS DOUBLE) * CAST(ta AS DOUBLE))) AS dnum
+  FROM c GROUP BY l_linestatus
+)
+SELECT l_linestatus,
+       CAST(ta AS BIGINT) AS n_a,
+       CAST(tb AS BIGINT) AS n_b,
+       CASE WHEN ta > 0 AND tb > 0
+            THEN ROUND(dnum / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6)
+       END AS ks
+FROM t
+ORDER BY l_linestatus
+"""
+
+
+def q_psi_weekend_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/drift.py::psi) of the
+    event value distribution, weekday (reference) vs weekend (actual),
+    per event_type, on a fixed 20-bin grid over [0, 500). Laplace-
+    smoothed proportions; per-bin terms quantize to 9 dp before the
+    decimal-exact fold."""
+    from rdsa_utils_spark.operators.drift import psi
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (~F.dayofweek("ts").isin(1, 7)).alias("is_weekday"),
+    )
+    return psi(
+        ev, "value", "is_weekday", n_bins=20, lo=0.0, hi=500.0,
+        by=["event_type"],
+    ).orderBy("event_type")
+
+
+_ORACLE_PSI_WEEKEND_VALUE = """
+WITH d AS (
+  SELECT event_type, value,
+         CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END AS s
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19)
+           AS bin,
+         SUM(s) AS a, SUM(1 - s) AS bq
+  FROM d GROUP BY event_type, bin
+), w AS (
+  SELECT event_type, a, bq,
+         SUM(a) OVER (PARTITION BY event_type) AS na,
+         SUM(bq) OVER (PARTITION BY event_type) AS nb
+  FROM b
+), t AS (
+  SELECT event_type, na, nb,
+         ROUND(((CAST(bq AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 10.0)
+                 - (CAST(a AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 10.0))
+               * LN(((CAST(bq AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 10.0))
+                    / ((CAST(a AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 10.0))),
+               9) AS term
+  FROM w
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+FROM t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_chi2_qty_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of homogeneity
+    (operators/drift.py::chi2_homogeneity): is the integer quantity
+    mix (a bounded 1..50 alphabet) of returned lineitems the same as
+    the rest, per l_linestatus? All cell terms are one double division
+    over integer-exact products, quantized to 9 dp before the
+    decimal-exact sum."""
+    from rdsa_utils_spark.operators.drift import chi2_homogeneity
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_returnflag") == "R").alias("is_ret"),
+    )
+    return chi2_homogeneity(li, "qty", "is_ret", by=["l_linestatus"]).orderBy(
+        "l_linestatus",
+    )
+
+
+_ORACLE_CHI2_QTY_RETURNS = """
+WITH d AS (
+  SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS c,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS s
+  FROM lineitem WHERE l_quantity IS NOT NULL
+), g AS (
+  SELECT l_linestatus, c, SUM(s) AS a, SUM(1 - s) AS b
+  FROM d GROUP BY l_linestatus, c
+), w AS (
+  SELECT l_linestatus, a, b, a + b AS m,
+         SUM(a) OVER (PARTITION BY l_linestatus) AS na,
+         SUM(b) OVER (PARTITION BY l_linestatus) AS nb,
+         COUNT(*) OVER (PARTITION BY l_linestatus) AS k
+  FROM g
+), t AS (
+  SELECT l_linestatus, na, nb, k,
+         (CASE WHEN na > 0 AND m > 0 THEN
+            ROUND(((CAST(a AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                    - CAST(na AS DOUBLE) * CAST(m AS DOUBLE))
+                   * (CAST(a AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                      - CAST(na AS DOUBLE) * CAST(m AS DOUBLE)))
+                  / (CAST(na + nb AS DOUBLE) * CAST(na AS DOUBLE)
+                     * CAST(m AS DOUBLE)), 9)
+          ELSE 0.0 END
+          + CASE WHEN nb > 0 AND m > 0 THEN
+            ROUND(((CAST(b AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                    - CAST(nb AS DOUBLE) * CAST(m AS DOUBLE))
+                   * (CAST(b AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                      - CAST(nb AS DOUBLE) * CAST(m AS DOUBLE)))
+                  / (CAST(na + nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                     * CAST(m AS DOUBLE)), 9)
+          ELSE 0.0 END) AS t2
+  FROM w
+)
+SELECT l_linestatus,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(MAX(k) AS BIGINT) - 1 AS dof,
+       ROUND(CAST(SUM(CAST(t2 AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+FROM t
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def _termscan_runs_qrels(spark: SparkSession, sf_dir: str):
+    """Shared ranker for the retrieval-metric queries: rank documents
+    per query term by term frequency (tiebreak doc_id); binary qrels
+    mark long matching docs (n_chars >= 300) relevant — ranker and
+    judge disagree, so the metrics land strictly inside (0, 1)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    qtab = spark.createDataFrame(
+        [(1, "join"), (2, "stream"), (3, "vector")], ["query_id", "term"]
+    )
+    lowered = docs.select(
+        "doc_id", "n_chars", F.lower(F.col("text")).alias("__t__")
+    )
+    tf = (
+        lowered.join(F.broadcast(qtab))
+        .select(
+            "query_id",
+            "doc_id",
+            "n_chars",
+            (
+                (F.length("__t__") - F.length(F.replace(F.col("__t__"), F.col("term"))))
+                / F.length("term")
+            ).cast("long").alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    runs = tf.withColumn("rank", F.row_number().over(w))
+    qrels = tf.filter(F.col("n_chars") >= 300).select(
+        "query_id", "doc_id", F.lit(1).alias("rel"),
+    )
+    return runs, qrels
+
+
+_ORACLE_TERMSCAN_PREFIX = """
+WITH q(query_id, term) AS (VALUES (1, 'join'), (2, 'stream'), (3, 'vector')),
+tf AS MATERIALIZED (
+  SELECT q.query_id, d.doc_id, d.n_chars,
+         CAST((length(lower(d.text))
+               - length(replace(lower(d.text), q.term, '')))
+              / length(q.term) AS BIGINT) AS tf
+  FROM q CROSS JOIN documents d
+  WHERE (length(lower(d.text))
+         - length(replace(lower(d.text), q.term, ''))) > 0
+), runs AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf DESC, doc_id) AS rank
+  FROM tf
+), rel AS (
+  SELECT DISTINCT query_id, doc_id FROM tf WHERE n_chars >= 300
+)"""
+
+
+def q_mrr_termscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 (operators/evaluate.py::mrr_at_k) of the term-frequency
+    ranker against binary length-relevance. Reciprocal ranks round to
+    9 dp before the decimal-exact mean."""
+    from rdsa_utils_spark.operators.evaluate import mrr_at_k
+
+    runs, qrels = _termscan_runs_qrels(spark, sf_dir)
+    return mrr_at_k(runs, qrels, 10)
+
+
+_ORACLE_MRR_TERMSCAN = _ORACLE_TERMSCAN_PREFIX + """,
+topk AS (SELECT * FROM runs WHERE rank <= 10),
+fr AS (
+  SELECT t.query_id, MIN(t.rank) AS r1
+  FROM topk t JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY t.query_id
+), qs AS (SELECT DISTINCT query_id FROM runs),
+rr AS (
+  SELECT ROUND(COALESCE(1.0 / r1, 0.0), 9) AS rr
+  FROM qs LEFT JOIN fr USING (query_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(CAST(rr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS mrr
+FROM rr
+"""
+
+
+def q_map_termscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 per query (operators/evaluate.py::map_at_k): average
+    precision of the term-frequency ranker against binary
+    length-relevance; precision@hit terms round to 9 dp before the
+    decimal-exact per-query fold."""
+    from rdsa_utils_spark.operators.evaluate import map_at_k
+
+    runs, qrels = _termscan_runs_qrels(spark, sf_dir)
+    return map_at_k(runs, qrels, 10).orderBy("query_id")
+
+
+_ORACLE_MAP_TERMSCAN = _ORACLE_TERMSCAN_PREFIX + """,
+marked AS (
+  SELECT t.query_id, t.rank,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM (SELECT * FROM runs WHERE rank <= 10) t
+  LEFT JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+), cum AS (
+  SELECT query_id, rank, hit,
+         SUM(hit) OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM marked
+), ap AS (
+  SELECT query_id,
+         SUM(CAST(CASE WHEN hit = 1
+                       THEN ROUND(CAST(c AS DOUBLE) / CAST(rank AS DOUBLE), 9)
+                       ELSE 0.0 END AS DECIMAL(38,12))) AS sp
+  FROM cum GROUP BY query_id
+), nrel AS (
+  SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id
+)
+SELECT a.query_id,
+       CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+       CASE WHEN COALESCE(n.n_rel, 0) > 0
+            THEN ROUND(CAST(a.sp AS DOUBLE)
+                       / CAST(LEAST(n.n_rel, 10) AS DOUBLE), 6)
+            ELSE 0.0 END AS ap
+FROM ap a LEFT JOIN nrel n USING (query_id)
+ORDER BY a.query_id
+"""
+
+
+def q_kappa_order_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/evaluate.py::cohens_kappa) between two
+    cheap 'annotators' of order importance — priority-based vs
+    price-based hi/lo flags — per order status. Integer contingency
+    arithmetic with one final double division."""
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("hi")
+        ).otherwise(F.lit("lo")).alias("r1"),
+        F.when(F.col("o_totalprice") > 150000, F.lit("hi"))
+        .otherwise(F.lit("lo"))
+        .alias("r2"),
+    )
+    return cohens_kappa(o, "r1", "r2", by=["o_orderstatus"]).orderBy(
+        "o_orderstatus",
+    )
+
+
+_ORACLE_KAPPA_ORDER_FLAGS = """
+WITH d AS (
+  SELECT o_orderstatus AS g,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'hi' ELSE 'lo' END AS r1,
+         CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS r2
+  FROM orders
+), cells AS (
+  SELECT g, r1, r2, COUNT(*) AS m FROM d GROUP BY g, r1, r2
+), agg AS (
+  SELECT g, SUM(m) AS n,
+         SUM(CASE WHEN r1 = r2 THEN m ELSE 0 END) AS agree
+  FROM cells GROUP BY g
+), r1m AS (
+  SELECT g, r1 AS k, SUM(m) AS r FROM cells GROUP BY g, r1
+), r2m AS (
+  SELECT g, r2 AS k, SUM(m) AS c FROM cells GROUP BY g, r2
+), rc AS (
+  SELECT g, SUM(COALESCE(r, 0) * COALESCE(c, 0)) AS src
+  FROM r1m FULL JOIN r2m USING (g, k)
+  GROUP BY g
+)
+SELECT a.g AS o_orderstatus,
+       CAST(a.n AS BIGINT) AS n,
+       CASE WHEN CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+                 <> CAST(rc.src AS DOUBLE)
+            THEN ROUND((CAST(a.n AS DOUBLE) * CAST(a.agree AS DOUBLE)
+                        - CAST(rc.src AS DOUBLE))
+                       / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+                          - CAST(rc.src AS DOUBLE)), 6)
+       END AS kappa
+FROM agg a JOIN rc ON a.g = rc.g
+ORDER BY o_orderstatus
+"""
+
+
+def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketches.py::kmv_sketch): the
+    engine-replayable distinct-count sketch — state is the 64 smallest
+    48-bit md5 hashes per event_type, so DuckDB recomputes the
+    ESTIMATE bit-for-bit (no tolerance band), checked here against the
+    exact distinct user count."""
+    from rdsa_utils_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_estimate(
+        kmv_sketch(ev, "user_id", k=64, group_cols=["event_type"]), k=64,
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return exact.join(
+        sk.select("event_type", F.col("n_distinct_est").alias("kmv_est")),
+        "event_type",
+    ).orderBy("event_type")
+
+
+_ORACLE_KMV_USERS = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 13), i ->
+               CAST((strpos('0123456789abcdef',
+                            substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                    * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+           (acc, x) -> acc + x) AS hv
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+), s AS (
+  SELECT event_type, COUNT(*) AS sz,
+         MAX(CASE WHEN rk = 64 THEN hv END) AS h64
+  FROM r WHERE rk <= 64 GROUP BY event_type
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       ROUND(CASE WHEN s.sz < 64 THEN CAST(s.sz AS DOUBLE)
+                  ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                       / CAST(s.h64 AS DOUBLE)
+             END, 6) AS kmv_est
+FROM ex e JOIN s USING (event_type)
+ORDER BY event_type
+"""
+
+
+def q_decayed_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event value
+    (operators/events.py::time_decayed_agg): freshness-weighted
+    count/sum/mean of event values per event_type with a 7-day
+    half-life against the corpus max timestamp (1-row broadcast
+    attach). Per-row 2^(−Δ/h) weights quantize to 9 dp before the
+    decimal-exact fold."""
+    from rdsa_utils_spark.operators.events import time_decayed_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_decayed_agg(
+        ev, "ts", 7.0, by=["event_type"], value_col="value",
+    ).orderBy("event_type")
+
+
+_ORACLE_DECAYED_EVENT_VALUE = """
+WITH b AS (
+  SELECT event_type, value, epoch(ts) AS t,
+         MAX(epoch(ts)) OVER () AS ref
+  FROM events WHERE ts IS NOT NULL
+), w AS (
+  SELECT event_type, value,
+         ROUND(POWER(2.0, -((ref - t) / 86400.0) / 7.0), 9) AS w
+  FROM b
+), a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS decayed_count,
+         ROUND(CAST(SUM(CAST(ROUND(w * CAST(value AS DOUBLE), 9)
+                             AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS decayed_sum
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_rows, decayed_count, decayed_sum,
+       CASE WHEN decayed_count > 0
+            THEN ROUND(decayed_sum / decayed_count, 6)
+       END AS decayed_mean
+FROM a
+ORDER BY event_type
 """

@@ -100,11 +100,17 @@ def ks_2sample(
         F.sum("__a__").over(wg).alias("__ta__"),
         F.sum("__b__").over(wg).alias("__tb__"),
     )
+    # Products run in double: exact below 2^53 (a 9·10^15-row group), and
+    # past that still deterministic — the oracle mirrors the same IEEE
+    # expression shape. Long×long would THROW on overflow under ANSI.
     tot = cum.groupBy(*by).agg(
         F.max("__ta__").alias("n_a"),
         F.max("__tb__").alias("n_b"),
         F.max(
-            F.abs(F.col("__ca__") * F.col("__tb__") - F.col("__cb__") * F.col("__ta__")),
+            F.abs(
+                F.col("__ca__").cast("double") * F.col("__tb__").cast("double")
+                - F.col("__cb__").cast("double") * F.col("__ta__").cast("double"),
+            ),
         ).alias("__dnum__"),
     )
     return tot.select(
@@ -113,7 +119,11 @@ def ks_2sample(
         "n_b",
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
-            F.round(F.col("__dnum__") / (F.col("n_a") * F.col("n_b")).cast("double"), round_to),
+            F.round(
+                F.col("__dnum__")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                round_to,
+            ),
         ).alias("ks"),
     )
 
@@ -239,14 +249,19 @@ def chi2_homogeneity(
         F.sum("__b__").over(wg).alias("__nb__"),
         F.count(F.lit(1)).over(wg).alias("__k__"),
     )
-    n = F.col("__na__") + F.col("__nb__")
+    n = (F.col("__na__") + F.col("__nb__")).cast("double")
 
     def _term(obs: Column, rowtot: Column) -> Column:
-        num = obs * n - rowtot * F.col("__m__")
+        # All products in double (exact < 2^53, ANSI-safe, oracle mirrors
+        # the identical left-associated expression shape).
+        num = obs.cast("double") * n - rowtot.cast("double") * F.col("__m__").cast(
+            "double",
+        )
         return F.when(
             (rowtot > 0) & (F.col("__m__") > 0),
             F.round(
-                (num * num).cast("double") / (n * rowtot * F.col("__m__")).cast("double"),
+                (num * num)
+                / (n * rowtot.cast("double") * F.col("__m__").cast("double")),
                 9,
             ),
         ).otherwise(F.lit(0.0))

@@ -21,6 +21,13 @@ cross-engine contract:
 - ``ndcg_at_k`` — graded-relevance NDCG with per-row gains quantized
   before the sum (the established quantize-then-sum recipe for FP
   folds).
+- ``mrr_at_k`` / ``map_at_k`` — binary-relevance MRR and MAP: rank
+  joins against a (broadcast by default) deduplicated qrels frame,
+  reciprocal-rank / precision terms quantized to 9 dp before the
+  decimal-exact fold.
+- ``cohens_kappa`` — inter-annotator agreement from the (group,
+  rating-pair) contingency counts: integer marginal products up to
+  one final double division (the LLM-judge / double-annotation gate).
 - ``silhouette_simplified`` — per-cluster mean silhouette against
   cluster centroids (the scalable a/b variant: distance to OWN
   centroid vs nearest OTHER centroid — O(n·k) instead of O(n²)).
@@ -248,6 +255,215 @@ def ndcg_at_k(
         F.when(F.coalesce(F.col("idcg"), F.lit(0.0)) > 0, F.round(F.col("dcg") / F.col("idcg"), round_to))
         .otherwise(F.lit(0.0))
         .alias("ndcg"),
+    )
+
+
+def mrr_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 6,
+    broadcast_qrels: bool = True,
+) -> DataFrame:
+    """Mean Reciprocal Rank @ k over all queries (binary relevance:
+    any qrels row with positive relevance counts as relevant; queries
+    with no relevant doc in the top ``k`` contribute 0).
+
+    Returns a single row ``n_queries, mrr``. Reciprocal ranks are
+    exact dyadic-free rationals 1/r — rounded to 9 dp per query before
+    the decimal-exact mean, so the scalar replays cross-engine.
+
+    ``n_queries`` counts DISTINCT query ids present in ``runs`` —
+    queries the ranker returned nothing for are invisible to it, by
+    construction; feed an explicit empty-run row if they must count.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qr = qrels.filter(F.col("rel") > 0) if "rel" in qrels.columns else qrels
+    qr = qr.select(
+        F.col(query_col).alias("__q__"), F.col(doc_col).alias("__d__")
+    ).distinct()
+    qr_j = F.broadcast(qr) if broadcast_qrels else qr
+    first_rel = (
+        runs.filter(F.col(rank_col) <= k)
+        .join(
+            qr_j,
+            (F.col(query_col) == F.col("__q__"))
+            & (F.col(doc_col) == F.col("__d__")),
+            "left_semi",
+        )
+        .groupBy(query_col)
+        .agg(F.min(rank_col).alias("__r1__"))
+    )
+    per_q = (
+        runs.select(query_col)
+        .distinct()
+        .join(first_rel, query_col, "left")
+        .select(
+            F.round(
+                F.coalesce(1.0 / F.col("__r1__"), F.lit(0.0)), 9
+            ).alias("__rr__"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"), _exact_avg(F.col("__rr__"), "mrr", round_to)
+    )
+
+
+def map_at_k(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 6,
+    broadcast_qrels: bool = True,
+) -> DataFrame:
+    """Mean Average Precision @ k (binary relevance), one row per
+    query: ``AP = (Σ_{hit at rank r} precision@r) / min(|rel|, k)``.
+
+    Precision@r terms are rationals hits/r — each rounded to 9 dp,
+    then a decimal-exact per-query sum and one final division.
+    Windows partition per query (embarrassingly parallel); qrels
+    broadcast by default. Returns ``query_col, n_rel, ap`` (queries
+    with no relevant docs get ap = 0.0).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qr = qrels.filter(F.col("rel") > 0) if "rel" in qrels.columns else qrels
+    qr = qr.select(
+        F.col(query_col).alias("__q__"), F.col(doc_col).alias("__d__")
+    ).distinct()
+    qr_j = F.broadcast(qr) if broadcast_qrels else qr
+    marked = (
+        runs.filter(F.col(rank_col) <= k)
+        .join(
+            qr_j,
+            (F.col(query_col) == F.col("__q__"))
+            & (F.col(doc_col) == F.col("__d__")),
+            "left",
+        )
+        .select(
+            F.col(query_col).alias("__qq__"),
+            F.col(rank_col).alias("__rk__"),
+            F.col("__d__").isNotNull().cast("int").alias("__hit__"),
+        )
+    )
+    w = (
+        Window.partitionBy("__qq__")
+        .orderBy("__rk__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ap = (
+        marked.withColumn("__cum__", F.sum("__hit__").over(w))
+        .withColumn(
+            "__p__",
+            F.when(
+                F.col("__hit__") == 1,
+                F.round(F.col("__cum__") / F.col("__rk__").cast("double"), 9),
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy(F.col("__qq__").alias(query_col))
+        .agg(F.sum(F.col("__p__").cast("decimal(38,12)")).alias("__sp__"))
+    )
+    nrel = qr.groupBy(F.col("__q__").alias(query_col)).agg(
+        F.count("*").alias("n_rel")
+    )
+    return (
+        ap.join(nrel, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("n_rel"), F.lit(0)).alias("n_rel"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.round(
+                    F.col("__sp__").cast("double")
+                    / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                    round_to,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ap"),
+        )
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater1_col: str,
+    rater2_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement per group — the gate
+    statistic for LLM-judge / human-label double-annotation runs
+    before a label set is trusted for classifier training.
+
+    With per-category contingency counts n_{ij}, row marginals r_i,
+    column marginals c_j and total n:
+
+        kappa = (n·Σ n_kk − Σ r_k·c_k) / (n² − Σ r_k·c_k)
+
+    — integers all the way to one final division (rows where either
+    rating is NULL are excluded; a degenerate group where the
+    marginals fully determine agreement, n² = Σ r·c, returns NULL).
+
+    One shuffle to (group, rating-pair) counts, then |categories|²-row
+    arithmetic per group. Returns ``by… , n, kappa``.
+    """
+    by = list(by or [])
+    g = (
+        df.filter(F.col(rater1_col).isNotNull() & F.col(rater2_col).isNotNull())
+        .groupBy(
+            *by,
+            F.col(rater1_col).cast("string").alias("__r1__"),
+            F.col(rater2_col).cast("string").alias("__r2__"),
+        )
+        .agg(F.count("*").alias("__m__"))
+    )
+    agg = g.groupBy(*by).agg(
+        F.sum("__m__").alias("n"),
+        F.sum(
+            F.when(F.col("__r1__") == F.col("__r2__"), F.col("__m__")).otherwise(0)
+        ).alias("__agree__"),
+    )
+    r1m = g.groupBy(*by, F.col("__r1__").alias("__k__")).agg(
+        F.sum("__m__").alias("__r__")
+    )
+    r2m = g.groupBy(*by, F.col("__r2__").alias("__k__")).agg(
+        F.sum("__m__").alias("__c__")
+    )
+    rc = (
+        r1m.join(r2m, [*by, "__k__"], "full")
+        .select(
+            *by,
+            (
+                F.coalesce(F.col("__r__"), F.lit(0))
+                * F.coalesce(F.col("__c__"), F.lit(0))
+            ).alias("__rc__"),
+        )
+        .groupBy(*by)
+        .agg(F.sum("__rc__").alias("__src__"))
+    )
+    out = agg.join(rc, by) if by else agg.crossJoin(rc)
+    # Products in double: exact below 2^53 and ANSI-overflow-safe; the
+    # oracle mirrors the identical expression shape.
+    nd = F.col("n").cast("double")
+    srcd = F.col("__src__").cast("double")
+    return out.select(
+        *by,
+        "n",
+        F.when(
+            nd * nd != srcd,
+            F.round(
+                (nd * F.col("__agree__").cast("double") - srcd) / (nd * nd - srcd),
+                round_to,
+            ),
+        ).alias("kappa"),
     )
 
 

@@ -1010,3 +1010,88 @@ def seasonal_adjust(
         )
         .drop("__pos__", "__trend__", "__si__")
     )
+
+
+def time_decayed_agg(
+    df: DataFrame,
+    ts_col: str,
+    half_life_days: float,
+    by: Sequence[str] = (),
+    value_col: str | None = None,
+    ref_ts: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially time-decayed count (and optionally sum / mean)
+    per group — the freshness-weighting primitive: a row observed
+    ``half_life_days`` before the reference instant counts as half a
+    row, two half-lives as a quarter, so a continuously re-ingested
+    corpus can weight recent slices without ever rewriting history.
+
+    ``weight = 2^(−Δdays / half_life_days)`` with ``Δdays = (ref − t)
+    / 86400`` in epoch seconds. ``ref_ts`` pins the reference instant
+    (ISO string, for replayable pipelines); when None, the global max
+    of ``ts_col`` is attached as a broadcast 1-row aggregate (rows
+    after a pinned ``ref_ts`` get weights > 1 — callers wanting a
+    hard cutoff should filter first).
+
+    Cross-engine contract: per-row weights quantize to 9 dp before
+    the decimal-exact fold (the repo-wide quantize-then-sum idiom for
+    irrational terms — ``2^x`` here), so results replay on any engine
+    and partitioning. NULL timestamps are excluded; NULL values decay
+    the count but are skipped by the sum (SQL SUM semantics — an
+    all-NULL group's ``decayed_sum`` is NULL, not 0).
+
+    Scale posture: one map-side-combinable aggregation over the
+    projected frame; the only extra exchange is the 1-row broadcast
+    max when ``ref_ts`` is None. Returns ``by… , n_rows,
+    decayed_count`` (+ ``decayed_sum, decayed_mean`` when
+    ``value_col`` is given).
+    """
+    from rdsa_utils_spark.functions.columns import epoch_double
+
+    if half_life_days <= 0:
+        raise ValueError("time_decayed_agg: half_life_days must be > 0")
+    by = list(by)
+    base = df.filter(F.col(ts_col).isNotNull())
+    t = epoch_double(base, ts_col)
+    if ref_ts is not None:
+        ref = F.lit(ref_ts).cast("timestamp").cast("double")
+        src = base.select(*by, t.alias("__t__"), *( [value_col] if value_col else [] ))
+        src = src.withColumn("__ref__", ref)
+    else:
+        mx = base.agg(F.max(t).alias("__ref__"))
+        src = base.select(
+            *by, t.alias("__t__"), *( [value_col] if value_col else [] ),
+        ).crossJoin(F.broadcast(mx))
+    w = F.round(
+        F.pow(
+            F.lit(2.0),
+            -((F.col("__ref__") - F.col("__t__")) / F.lit(86400.0))
+            / F.lit(float(half_life_days)),
+        ),
+        9,
+    )
+    src = src.withColumn("__w__", w)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col("__w__").cast("decimal(38,12)")).cast("double"), round_to,
+        ).alias("decayed_count"),
+    ]
+    if value_col is not None:
+        term = F.round(F.col("__w__") * F.col(value_col).cast("double"), 9)
+        aggs.append(
+            F.round(
+                F.sum(term.cast("decimal(38,12)")).cast("double"), round_to,
+            ).alias("decayed_sum"),
+        )
+    out = src.groupBy(*by).agg(*aggs)
+    if value_col is not None:
+        out = out.withColumn(
+            "decayed_mean",
+            F.when(
+                F.col("decayed_count") > 0,
+                F.round(F.col("decayed_sum") / F.col("decayed_count"), round_to),
+            ),
+        )
+    return out

@@ -244,3 +244,113 @@ def histogram_quantiles(
         "p",
         F.round(est, round_to).alias("quantile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — deterministic, engine-replayable
+# ---------------------------------------------------------------------------
+#
+# The HLL path above is the production default, but its binary state is
+# opaque to any other engine. KMV is the complement: the state is just
+# the k SMALLEST distinct 48-bit md5 hash values per group — a plain
+# bigint array any SQL engine can recompute bit-for-bit, so estimates
+# cross-check against DuckDB exactly (no tolerance band needed), and the
+# sketch doubles as a uniform distinct-value sample (hashes are a
+# uniform draw from the value universe — the classic KMV bonus).
+#
+#   build  — distinct (group, hash) aggregate (map-side combined: raw
+#            rows collapse before the shuffle), then a per-group window
+#            over DISTINCT hashes keeps rank ≤ k. The window input is
+#            |distinct values| rows per group, not |rows|.
+#   merge  — k smallest of the union of member arrays: explode, dedup,
+#            re-rank. Lossless w.r.t. KMV semantics: merge(sketch(A),
+#            sketch(B)) == sketch(A ∪ B), asserted in tests.
+#   est    — |arr| < k → |arr| is the EXACT distinct count (every hash
+#            seen is in the sketch); else (k−1)·M/h_(k) with M = 16^12.
+#            Relative error ≈ 1/√(k−2) (k=256 → ~6%).
+#
+# 48-bit hashes collide two distinct values with probability ~d²/2^49 —
+# negligible to beyond 10^6 distincts per group and exactly mirrored by
+# the oracle (both engines hash identically, so even a collision
+# reproduces). Estimator output is deterministic: integer inputs, one
+# double division, round once.
+
+_KMV_HEX = 12  # 48-bit hash: exact in a double, foldable in DuckDB SQL
+_KMV_M = float(16**_KMV_HEX)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """One KMV sketch row per group: the ascending array of the ``k``
+    smallest distinct 48-bit hashes of ``value_col`` (NULLs excluded,
+    they carry no identity)."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("kmv_sketch: k must be >= 2")
+    groups = [F.col(g) for g in group_cols]
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, _KMV_HEX), 16, 10
+    ).cast("long")
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, h.alias("__h__"))
+        .distinct()
+    )
+    w = Window.partitionBy(*groups).orderBy("__h__") if group_cols else (
+        Window.partitionBy(F.lit(1)).orderBy("__h__")
+    )
+    return (
+        distinct.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .groupBy(*groups)
+        .agg(F.array_sort(F.collect_list("__h__")).alias(sketch_col))
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    k: int = 256,
+    sketch_col: str = "kmv",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Union member sketches up to coarser groups (or one global row):
+    k smallest of the deduplicated union of the input arrays."""
+    from pyspark.sql import Window
+
+    groups = [F.col(g) for g in group_cols]
+    exploded = (
+        df.select(*groups, F.explode(F.col(sketch_col)).alias("__h__")).distinct()
+    )
+    w = Window.partitionBy(*groups).orderBy("__h__") if group_cols else (
+        Window.partitionBy(F.lit(1)).orderBy("__h__")
+    )
+    return (
+        exploded.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .groupBy(*groups)
+        .agg(F.array_sort(F.collect_list("__h__")).alias(sketch_col))
+    )
+
+
+def kmv_estimate(
+    df: DataFrame,
+    k: int = 256,
+    sketch_col: str = "kmv",
+    out_col: str = "n_distinct_est",
+    round_to: int = 6,
+) -> DataFrame:
+    """Attach the KMV distinct-count estimate: exact ``|arr|`` while
+    the sketch is unsaturated, else ``(k−1)·M / h_(k)``."""
+    arr = F.col(sketch_col)
+    est = F.when(
+        F.size(arr) < k, F.size(arr).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_M) / F.element_at(arr, k).cast("double")
+    )
+    return df.withColumn(out_col, F.round(est, round_to))

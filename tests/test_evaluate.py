@@ -228,3 +228,147 @@ def test_silhouette_matches_numpy_replay(spark):
         assert got[c] == pytest.approx(np.mean(svals[c]), abs=1e-6)
     # points drawn around distinct centers should separate clearly
     assert all(v > 0.5 for v in got.values())
+
+
+# --------------------------------------------------------------------------
+# mrr_at_k / map_at_k
+# --------------------------------------------------------------------------
+
+
+def _runs_qrels(spark):
+    # q1: rel doc at rank 1; q2: first rel at rank 3; q3: no rel in top-k.
+    runs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "c", 1), (2, "d", 2), (2, "a", 3),
+         (3, "e", 1), (3, "f", 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (2, "z", 1), (3, "zz", 1)],
+        ["query_id", "doc_id", "rel"],
+    )
+    return runs, qrels
+
+
+def test_mrr_hand_computed(spark):
+    from rdsa_utils_spark.operators.evaluate import mrr_at_k
+
+    runs, qrels = _runs_qrels(spark)
+    out = mrr_at_k(runs, qrels, 10).collect()
+    assert len(out) == 1
+    assert out[0].n_queries == 3
+    assert out[0].mrr == pytest.approx((1.0 + 1.0 / 3.0 + 0.0) / 3.0, abs=1e-6)
+
+
+def test_mrr_respects_k_cutoff(spark):
+    from rdsa_utils_spark.operators.evaluate import mrr_at_k
+
+    runs, qrels = _runs_qrels(spark)
+    # k=2 hides q2's rank-3 hit -> only q1 contributes.
+    out = mrr_at_k(runs, qrels, 2).collect()[0]
+    assert out.mrr == pytest.approx(1.0 / 3.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        mrr_at_k(runs, qrels, 0)
+
+
+def test_mrr_zero_relevance_rows_ignored(spark):
+    from rdsa_utils_spark.operators.evaluate import mrr_at_k
+
+    runs, _ = _runs_qrels(spark)
+    qrels = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 1)], ["query_id", "doc_id", "rel"],
+    )
+    out = mrr_at_k(runs, qrels, 10).collect()[0]
+    # q1's only qrel has rel=0 -> not relevant; q2 hits at rank 3.
+    assert out.mrr == pytest.approx((0.0 + 1.0 / 3.0 + 0.0) / 3.0, abs=1e-6)
+
+
+def test_map_hand_computed(spark):
+    from rdsa_utils_spark.operators.evaluate import map_at_k
+
+    # q1 ranking: rel, non, rel, non -> AP = (1/1 + 2/3) / 2
+    runs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 1), (1, "c", 1)], ["query_id", "doc_id", "rel"],
+    )
+    out = map_at_k(runs, qrels, 10).collect()
+    assert len(out) == 1
+    assert out[0].n_rel == 2
+    assert out[0].ap == pytest.approx((1.0 + 2.0 / 3.0) / 2.0, abs=1e-6)
+
+
+def test_map_denominator_is_min_nrel_k(spark):
+    from rdsa_utils_spark.operators.evaluate import map_at_k
+
+    # 3 relevant docs but k=2: denominator min(3, 2) = 2.
+    runs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1), (1, "c", 1)],
+        ["query_id", "doc_id", "rel"],
+    )
+    out = map_at_k(runs, qrels, 2).collect()[0]
+    assert out.ap == pytest.approx((1.0 + 1.0) / 2.0, abs=1e-6)
+
+
+def test_map_no_relevant_docs_zero(spark):
+    from rdsa_utils_spark.operators.evaluate import map_at_k
+
+    runs = spark.createDataFrame([(1, "a", 1)], ["query_id", "doc_id", "rank"])
+    qrels = spark.createDataFrame(
+        [(9, "zz", 1)], ["query_id", "doc_id", "rel"],
+    )
+    out = map_at_k(runs, qrels, 5).collect()[0]
+    assert out.n_rel == 0 and out.ap == 0.0
+
+
+# --------------------------------------------------------------------------
+# cohens_kappa
+# --------------------------------------------------------------------------
+
+
+def test_kappa_hand_computed_2x2(spark):
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa
+
+    # Classic 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no.
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, ["r1", "r2"])
+    out = cohens_kappa(df, "r1", "r2").collect()
+    assert len(out) == 1
+    assert out[0].n == 50
+    # po = 0.7, pe = 0.5 -> kappa = 0.4
+    assert out[0].kappa == pytest.approx(0.4, abs=1e-6)
+
+
+def test_kappa_perfect_and_degenerate(spark):
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c"), ("a", "a")], ["r1", "r2"],
+    )
+    assert cohens_kappa(perfect, "r1", "r2").collect()[0].kappa == pytest.approx(1.0)
+    # Both raters constant: pe = 1, undefined -> NULL.
+    degen = spark.createDataFrame([("x", "x")] * 5, ["r1", "r2"])
+    assert cohens_kappa(degen, "r1", "r2").collect()[0].kappa is None
+
+
+def test_kappa_grouped_and_null_excluded(spark):
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa
+
+    rows = (
+        [("g1", "y", "y")] * 20 + [("g1", "y", "n")] * 5
+        + [("g1", "n", "y")] * 10 + [("g1", "n", "n")] * 15
+        + [("g2", "y", "y"), ("g2", "n", "n")]
+        + [("g1", None, "y"), ("g1", "y", None)]
+    )
+    df = spark.createDataFrame(rows, ["g", "r1", "r2"])
+    out = {r.g: r for r in cohens_kappa(df, "r1", "r2", by=["g"]).collect()}
+    assert out["g1"].n == 50  # NULL-rated rows excluded
+    assert out["g1"].kappa == pytest.approx(0.4, abs=1e-6)
+    assert out["g2"].kappa == pytest.approx(1.0)

@@ -650,3 +650,64 @@ def test_funnel_latency_subpercent_quantile_aliases(spark):
 
     with pytest.raises(ValueError, match="duplicate"):
         funnel_latency(df, ["view", "click"], quantiles=(0.5, 0.5))
+
+
+# --------------------------------------------------------------------------
+# time_decayed_agg
+# --------------------------------------------------------------------------
+
+
+def test_time_decayed_hand_computed(spark):
+    from rdsa_utils_spark.operators.events import time_decayed_agg
+
+    # ref pinned; rows at 0, 1 and 2 half-lives before it.
+    rows = [
+        ("a", "2024-01-15 00:00:00", 10.0),
+        ("a", "2024-01-08 00:00:00", 10.0),   # 1 half-life: w = 0.5
+        ("a", "2024-01-01 00:00:00", 10.0),   # 2 half-lives: w = 0.25
+        ("b", "2024-01-15 00:00:00", None),   # decays count, not sum
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts_s", "v"]).select(
+        "g", F.col("ts_s").cast("timestamp").alias("ts"), "v",
+    )
+    out = {
+        r.g: r
+        for r in time_decayed_agg(
+            df, "ts", 7.0, by=["g"], value_col="v",
+            ref_ts="2024-01-15 00:00:00",
+        ).collect()
+    }
+    assert out["a"].n_rows == 3
+    assert out["a"].decayed_count == pytest.approx(1.75, abs=1e-6)
+    assert out["a"].decayed_sum == pytest.approx(17.5, abs=1e-6)
+    assert out["a"].decayed_mean == pytest.approx(10.0, abs=1e-6)
+    # All-NULL-value group: count decays, sum is NULL (SQL SUM semantics).
+    assert out["b"].decayed_count == 1.0 and out["b"].decayed_sum is None
+
+
+def test_time_decayed_default_ref_is_global_max(spark):
+    from rdsa_utils_spark.operators.events import time_decayed_agg
+
+    rows = [
+        ("a", "2024-01-15 00:00:00"),
+        ("b", "2024-01-08 00:00:00"),  # one half-life before the max
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts_s"]).select(
+        "g", F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    out = {r.g: r for r in time_decayed_agg(df, "ts", 7.0, by=["g"]).collect()}
+    assert out["a"].decayed_count == pytest.approx(1.0, abs=1e-9)
+    assert out["b"].decayed_count == pytest.approx(0.5, abs=1e-9)
+
+
+def test_time_decayed_validates_and_excludes_null_ts(spark):
+    from rdsa_utils_spark.operators.events import time_decayed_agg
+
+    rows = [("a", "2024-01-15 00:00:00"), ("a", None)]
+    df = spark.createDataFrame(rows, ["g", "ts_s"]).select(
+        "g", F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    out = time_decayed_agg(df, "ts", 7.0, by=["g"]).collect()[0]
+    assert out.n_rows == 1
+    with pytest.raises(ValueError):
+        time_decayed_agg(df, "ts", 0.0)

@@ -66,6 +66,9 @@ _BNLJ_OK = {
     "dsir_select",            # same DSIR 1-row totals attach
     "logreg_token_classifier",  # 1-row bias-weight attach per GD iteration
     "ndcg_termscan",          # 3-row literal query-term table attach
+    "mrr_termscan",           # same 3-row literal query-term attach
+    "map_termscan",           # same 3-row literal query-term attach
+    "decayed_event_value",    # 1-row global-max-timestamp attach
     "silhouette_labels",      # k-row (10) centroid table attach
 }
 

@@ -157,3 +157,69 @@ def test_histogram_quantiles_error_bounded_and_mergeable(spark):
         histogram_quantiles(hist, [])
     with pytest.raises(ValueError):
         histogram_quantiles(hist, [1.5])
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# --------------------------------------------------------------------------
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    """While |distinct| < k the sketch holds EVERY distinct hash, so
+    the estimate is the exact distinct count."""
+    from rdsa_utils_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(500)], ["v"],
+    )
+    out = kmv_estimate(kmv_sketch(df, "v", k=64), k=64).collect()
+    assert len(out) == 1
+    assert out[0].n_distinct_est == 37.0
+    assert len(out[0].kmv) == 37
+    assert out[0].kmv == sorted(out[0].kmv)
+
+
+def test_kmv_merge_equals_union_sketch(spark, events):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) — the KMV merge
+    law, bit-exact (same k smallest hashes either way)."""
+    from rdsa_utils_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    parts = kmv_sketch(a, "user_id", k=128).unionByName(
+        kmv_sketch(b, "user_id", k=128),
+    )
+    merged = kmv_merge(parts, k=128).collect()[0].kmv
+    whole = kmv_sketch(events, "user_id", k=128).collect()[0].kmv
+    assert merged == whole
+
+
+def test_kmv_estimate_error_bound(spark):
+    """Saturated estimate lands within ~4 standard errors of the
+    exact distinct count (se ≈ 1/sqrt(k−2))."""
+    from rdsa_utils_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    exact = 20_000
+    df = spark.range(exact).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("v"),
+    )
+    k = 256
+    est = kmv_estimate(kmv_sketch(df, "v", k=k), k=k).collect()[0]
+    rel = abs(est.n_distinct_est - exact) / exact
+    assert rel < 4.0 / (k - 2) ** 0.5, (est.n_distinct_est, exact, rel)
+
+
+def test_kmv_grouped_and_validation(spark, events):
+    from rdsa_utils_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    sk = kmv_estimate(
+        kmv_sketch(events, "user_id", k=64, group_cols=["event_type"]), k=64,
+    )
+    rows = sk.collect()
+    assert len(rows) == events.select("event_type").distinct().count()
+    for r in rows:
+        assert len(r.kmv) <= 64 and r.n_distinct_est > 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmv_sketch(events, "user_id", k=1)
