@@ -398,6 +398,7 @@ def cohens_kappa(
     rater2_col: str,
     by: list[str] | None = None,
     round_to: int = 6,
+    include_rates: bool = False,
 ) -> DataFrame:
     """Cohen's kappa inter-annotator agreement per group — the gate
     statistic for LLM-judge / human-label double-annotation runs
@@ -413,7 +414,11 @@ def cohens_kappa(
     marginals fully determine agreement, n² = Σ r·c, returns NULL).
 
     One shuffle to (group, rating-pair) counts, then |categories|²-row
-    arithmetic per group. Returns ``by… , n, kappa``.
+    arithmetic per group. Returns ``by… , n, kappa`` — plus ``po``
+    (observed agreement rate) and ``pe`` (chance agreement rate)
+    before ``kappa`` when ``include_rates`` is set. This is the one
+    canonical kappa in the engine; ``operators/stats.cohens_kappa``
+    is a façade over it.
     """
     by = list(by or [])
     g = (
@@ -454,9 +459,18 @@ def cohens_kappa(
     # oracle mirrors the identical expression shape.
     nd = F.col("n").cast("double")
     srcd = F.col("__src__").cast("double")
+    rates = (
+        [
+            F.round(F.col("__agree__").cast("double") / nd, round_to).alias("po"),
+            F.round(srcd / (nd * nd), round_to).alias("pe"),
+        ]
+        if include_rates
+        else []
+    )
     return out.select(
         *by,
         "n",
+        *rates,
         F.when(
             nd * nd != srcd,
             F.round(

@@ -1205,51 +1205,20 @@ def cohens_kappa(
     ``kappa`` is NULL when ``pe = 1`` (both sides constant — chance
     agreement saturates and kappa is undefined).
 
-    100 TB posture: two map-side-combinable aggregations — one over
-    (group, label_a, label_b) cells, one rollup of those cells (the
-    marginal products reduce to a sum over the label-pair grid, which
-    is label-cardinality-sized, not data-sized).
+    Façade over the canonical integer-exact implementation in
+    :func:`rdsa_utils_spark.operators.evaluate.cohens_kappa` (kept
+    here for the stats-namespace signature and the ``po``/``pe``
+    columns; one kappa algorithm lives in the engine, not two).
     """
-    keys = list(group_by) if group_by else []
-    cells = df.groupBy(*keys, F.col(rater_a).alias("__la__"), F.col(rater_b).alias("__lb__")).agg(
-        F.count(F.lit(1)).alias("__c__"),
-    )
-    # per-group marginals attached onto each cell via window sums over
-    # the cell grid (cells per group = |labels_a| x |labels_b| — tiny).
-    wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    wa = (Window.partitionBy(*keys, "__la__") if keys else Window.partitionBy("__la__"))
-    wb = (Window.partitionBy(*keys, "__lb__") if keys else Window.partitionBy("__lb__"))
-    enriched = (
-        cells.withColumn("__n__", F.sum("__c__").over(wg))
-        .withColumn("__ma__", F.sum("__c__").over(wa))
-        .withColumn("__mb__", F.sum("__c__").over(wb))
-    )
-    agg = enriched.groupBy(*keys).agg(
-        F.first("__n__").alias("n"),
-        (
-            F.sum(F.when(F.col("__la__") == F.col("__lb__"), F.col("__c__")).otherwise(F.lit(0)))
-            / F.first("__n__")
-        ).alias("__po__"),
-        (
-            F.sum(
-                F.when(
-                    F.col("__la__") == F.col("__lb__"),
-                    F.col("__ma__").cast("double") * F.col("__mb__"),
-                ).otherwise(F.lit(0.0)),
-            )
-            / (F.first("__n__").cast("double") * F.first("__n__"))
-        ).alias("__pe__"),
-    )
-    kappa = F.when(
-        F.col("__pe__") < 1.0,
-        (F.col("__po__") - F.col("__pe__")) / (F.lit(1.0) - F.col("__pe__")),
-    )
-    return agg.select(
-        *keys,
-        "n",
-        _maybe_round(F.col("__po__"), round_to).alias("po"),
-        _maybe_round(F.col("__pe__"), round_to).alias("pe"),
-        _maybe_round(kappa, round_to).alias("kappa"),
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa as _kappa
+
+    return _kappa(
+        df,
+        rater_a,
+        rater_b,
+        by=list(group_by) if group_by else None,
+        round_to=6 if round_to is None else round_to,
+        include_rates=True,
     )
 
 
@@ -1272,44 +1241,30 @@ def ks_statistic(
     the ECDF definition requires). Returns one row per group:
     ``(…group, n_left, n_right, ks)``.
 
-    100 TB posture: one hash shuffle on the group key with a sort on
-    (value) inside each group — the same shape as any grouped window;
-    ungrouped calls sort a single 2-column projection, so at corpus
-    scale pass a binning/group key or pre-sample. The marginal counts
-    ride the same window pass; no second scan.
+    Façade over the canonical integer-exact implementation in
+    :func:`rdsa_utils_spark.operators.drift.ks_2sample` (label-pair
+    signature and ``n_left``/``n_right`` names kept; the D statistic
+    there is computed over the DISTINCT-value aggregate in pure
+    integer arithmetic — same ECDF, bounded window input, replayable
+    to the last bit). Rows whose ``sample_col`` is neither ``left``
+    nor ``right`` are excluded, as before.
     """
+    from rdsa_utils_spark.operators.drift import ks_2sample as _ks
+
     keys = list(group_by) if group_by else []
-    base = df.filter(F.col(sample_col).isin([left, right])).select(
+    base = df.filter(F.col(sample_col).isin([left, right])).withColumn(
+        "__is_left__", F.col(sample_col) == F.lit(left),
+    )
+    out = _ks(
+        base,
+        value_col,
+        "__is_left__",
+        by=keys,
+        round_to=6 if round_to is None else round_to,
+    )
+    return out.select(
         *keys,
-        F.col(value_col).cast("double").alias("__v__"),
-        F.when(F.col(sample_col) == F.lit(left), F.lit(1)).otherwise(F.lit(0)).alias("__il__"),
-        F.when(F.col(sample_col) == F.lit(right), F.lit(1)).otherwise(F.lit(0)).alias("__ir__"),
-    )
-    wkeys = keys if keys else [F.lit(1)]
-    cume = Window.partitionBy(*wkeys).orderBy("__v__").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow,
-    )
-    tot = Window.partitionBy(*wkeys)
-    stepped = (
-        base.withColumn("__cl__", F.sum("__il__").over(cume))
-        .withColumn("__cr__", F.sum("__ir__").over(cume))
-        .withColumn("__nl__", F.sum("__il__").over(tot))
-        .withColumn("__nr__", F.sum("__ir__").over(tot))
-    )
-    # ANSI guard: a group missing one sample entirely has n=0 — yield
-    # NULL ks for it rather than aborting the job (DIVIDE_BY_ZERO).
-    diff = F.when(
-        (F.col("__nl__") > 0) & (F.col("__nr__") > 0),
-        F.abs(
-            F.col("__cl__").cast("double") / F.col("__nl__")
-            - F.col("__cr__").cast("double") / F.col("__nr__"),
-        ),
-    )
-    agg = stepped.groupBy(*keys).agg(
-        F.first("__nl__").alias("n_left"),
-        F.first("__nr__").alias("n_right"),
-        F.max(diff).alias("__ks__"),
-    )
-    return agg.select(
-        *keys, "n_left", "n_right", _maybe_round(F.col("__ks__"), round_to).alias("ks"),
+        F.col("n_a").alias("n_left"),
+        F.col("n_b").alias("n_right"),
+        "ks",
     )
