@@ -6362,6 +6362,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kappa_order_flags": q_kappa_order_flags,
         "kmv_users": q_kmv_users,
         "decayed_event_value": q_decayed_event_value,
+        "kmv_overlap_types": q_kmv_overlap_types,
     }
 
 
@@ -6599,6 +6600,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kappa_order_flags": _ORACLE_KAPPA_ORDER_FLAGS,
         "kmv_users": _ORACLE_KMV_USERS,
         "decayed_event_value": _ORACLE_DECAYED_EVENT_VALUE,
+        "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
     }
 
 
@@ -9819,4 +9821,147 @@ SELECT event_type, n_rows, decayed_count, decayed_sum,
        END AS decayed_mean
 FROM a
 ORDER BY event_type
+"""
+
+
+def q_kmv_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap estimation (operators/sketches.py::kmv_jaccard):
+    for every pair of event types, the Jaccard / union / intersection
+    of their user populations estimated from two 64-hash KMV sketches,
+    next to the exact values — the corpus-overlap question answered
+    from sketch state instead of a full self-join. The pair grid is a
+    |types|² broadcast nested-loop (5 rows a side); the exact columns
+    are one distinct-projection self-equi-join on user_id."""
+    from rdsa_utils_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    sk = kmv_sketch(ev, "user_id", k=64, group_cols=["event_type"])
+    pairs = kmv_jaccard(
+        sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("__ka__"))
+        .join(
+            sk.select(
+                F.col("event_type").alias("type_b"), F.col("kmv").alias("__kb__"),
+            ),
+            F.col("type_a") < F.col("type_b"),
+        ),
+        "__ka__",
+        "__kb__",
+        k=64,
+    ).drop("__ka__", "__kb__")
+    eu = ev.distinct()
+    sizes = eu.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n__"))
+    inter = (
+        eu.alias("x")
+        .join(
+            eu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("event_type").alias("type_a"), F.col("__n__").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("type_b"), F.col("__n__").alias("n_b")),
+            "type_b",
+        )
+        .join(inter, ["type_a", "type_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "jaccard_exact",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_inter", "jaccard_exact",
+            "jaccard_est", "union_est", "intersection_est",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_ORACLE_KMV_OVERLAP_TYPES = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 13), i ->
+               CAST((strpos('0123456789abcdef',
+                            substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+                    * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+           (acc, x) -> acc + x) AS hv
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+), su AS (
+  SELECT event_type, hv FROM r WHERE rk <= 64
+), tp AS (SELECT DISTINCT event_type FROM su),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM tp a JOIN tp b ON a.event_type < b.event_type
+), u AS (
+  SELECT p.ta, p.tb, s.hv,
+         MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS ina,
+         MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS inb
+  FROM pairs p JOIN su s ON s.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, s.hv
+), rk2 AS (
+  SELECT ta, tb, hv, ina, inb,
+         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rk,
+         COUNT(*) OVER (PARTITION BY ta, tb) AS usz
+  FROM u
+), m AS (
+  SELECT ta, tb, MAX(usz) AS usz, COUNT(*) AS msz,
+         SUM(ina * inb) AS nboth,
+         MAX(CASE WHEN rk = 64 THEN hv END) AS h64
+  FROM rk2 WHERE rk <= 64 GROUP BY ta, tb
+), est AS (
+  SELECT ta, tb,
+         ROUND(CAST(nboth AS DOUBLE) / CAST(msz AS DOUBLE), 6) AS jaccard_est,
+         ROUND(CASE WHEN usz < 64 THEN CAST(usz AS DOUBLE)
+                    ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                         / CAST(h64 AS DOUBLE)
+               END, 6) AS union_est
+  FROM m
+), eu AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+), szs AS (
+  SELECT event_type, COUNT(*) AS n FROM eu GROUP BY event_type
+), ex AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_inter
+  FROM eu x JOIN eu y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY ta, tb
+)
+SELECT e.ta AS type_a, e.tb AS type_b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(COALESCE(ex.n_inter, 0) AS BIGINT) AS n_inter,
+       ROUND(CAST(COALESCE(ex.n_inter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(ex.n_inter, 0) AS DOUBLE), 6)
+         AS jaccard_exact,
+       e.jaccard_est,
+       e.union_est,
+       ROUND(e.jaccard_est * e.union_est, 6) AS intersection_est
+FROM est e
+JOIN szs sa ON sa.event_type = e.ta
+JOIN szs sb ON sb.event_type = e.tb
+LEFT JOIN ex ON ex.ta = e.ta AND ex.tb = e.tb
+ORDER BY type_a, type_b
 """

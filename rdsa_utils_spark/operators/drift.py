@@ -20,7 +20,9 @@ Three complementary tests, each a pure DataFrame aggregation:
   0.1-0.25 moderate, > 0.25 major shift).
 - ``chi2_homogeneity`` — Pearson chi-squared test of homogeneity for
   CATEGORICAL columns (the KS test is for ordered values; event types
-  / languages / sources need this one).
+  / languages / sources need this one). The per-category
+  decomposition view (which categories moved, expected counts) is
+  ``operators/stats.chi_square_drift``; this one is the scalar gate.
 
 Scale posture at 100 TB: all three shuffle ONCE to a (group, value)
 or (group, bin) count aggregate — map-side combined, so raw rows

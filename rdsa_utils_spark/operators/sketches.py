@@ -354,3 +354,53 @@ def kmv_estimate(
         F.lit(float(k - 1)) * F.lit(_KMV_M) / F.element_at(arr, k).cast("double")
     )
     return df.withColumn(out_col, F.round(est, round_to))
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Estimate set overlap between two KMV sketch columns — the
+    corpus-vs-corpus question ("how much does the new crawl overlap
+    what we already have?") answered from two sketch rows instead of
+    a full anti-join.
+
+    The classic KMV combination: with ``M`` = the ``k`` smallest of
+    the union of the two sketch arrays, the fraction of ``M``'s
+    members present in BOTH sketches is an unbiased Jaccard estimate
+    (``M`` is a uniform size-k sample of the union, and membership in
+    both sketches decides intersection membership EXACTLY for any
+    hash ≤ both sketches' k-th minima — which every element of ``M``
+    satisfies). Then ``union_est`` comes from ``M``'s k-th value
+    (exact when the union is unsaturated) and ``intersection_est =
+    jaccard_est · union_est``.
+
+    Everything is integer array arithmetic over ≤ 2k-element arrays
+    (JVM higher-order functions, no shuffle, no UDF) plus one final
+    division — deterministic and engine-replayable like the sketches
+    themselves. Appends ``jaccard_est, union_est, intersection_est``.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    uni = F.array_sort(F.array_union(a, b))
+    m = F.slice(uni, 1, F.least(F.size(uni), F.lit(k)))
+    both = F.array_intersect(m, F.array_intersect(a, b))
+    jac = F.when(
+        F.size(m) > 0,
+        F.size(both).cast("double") / F.size(m).cast("double"),
+    ).otherwise(F.lit(0.0))
+    union_est = F.when(
+        F.size(uni) < k, F.size(uni).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_M) / F.element_at(m, k).cast("double")
+    )
+    return (
+        df.withColumn("jaccard_est", F.round(jac, round_to))
+        .withColumn("union_est", F.round(union_est, round_to))
+        .withColumn(
+            "intersection_est",
+            F.round(F.col("jaccard_est") * F.col("union_est"), round_to),
+        )
+    )

@@ -136,7 +136,11 @@ def chi_square_drift(
     category with observed counts, expected counts under the pooled
     distribution, and the category's additive contribution to the
     chi-square statistic (``SUM(chi2_contrib)`` over the result is
-    the test statistic with k-1 degrees of freedom).
+    the test statistic with k-1 degrees of freedom). For the scalar
+    per-group gate over a single tagged frame, use
+    :func:`rdsa_utils_spark.operators.drift.chi2_homogeneity` — this
+    operator is the diagnostic view (WHICH categories moved), that
+    one the admission test.
 
     Shuffle shape: each side is one ``groupBy(category)`` count
     (map-side combined), the category tables are outer-merged by

@@ -69,6 +69,7 @@ _BNLJ_OK = {
     "mrr_termscan",           # same 3-row literal query-term attach
     "map_termscan",           # same 3-row literal query-term attach
     "decayed_event_value",    # 1-row global-max-timestamp attach
+    "kmv_overlap_types",      # |types|² pair grid over the 5-row sketch table
     "silhouette_labels",      # k-row (10) centroid table attach
 }
 

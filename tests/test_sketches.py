@@ -223,3 +223,43 @@ def test_kmv_grouped_and_validation(spark, events):
 
     with _pt.raises(ValueError):
         kmv_sketch(events, "user_id", k=1)
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    from rdsa_utils_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    df = spark.createDataFrame([(i % 30,) for i in range(200)], ["v"])
+    sk = kmv_sketch(df, "v", k=64).collect()[0].kmv
+    same = spark.createDataFrame([(sk, sk)], ["a", "b"])
+    r = kmv_jaccard(same, "a", "b", k=64).collect()[0]
+    # Unsaturated identical sketches: everything is exact.
+    assert r.jaccard_est == 1.0 and r.union_est == 30.0
+    assert r.intersection_est == 30.0
+    # Disjoint sets with |union| = 50 < k: still exact, Jaccard 0.
+    other = kmv_sketch(
+        spark.createDataFrame([(1000 + i,) for i in range(20)], ["v"]), "v", k=64,
+    ).collect()[0].kmv
+    disj = spark.createDataFrame([(sk, other)], ["a", "b"])
+    r2 = kmv_jaccard(disj, "a", "b", k=64).collect()[0]
+    assert r2.jaccard_est == 0.0 and r2.union_est == 50.0
+    assert r2.intersection_est == 0.0
+
+
+def test_kmv_jaccard_estimate_accuracy(spark):
+    """Planted 1/3 Jaccard (two 20k sets sharing 10k elements):
+    the k=256 estimate lands within a few standard errors."""
+    from rdsa_utils_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    a = spark.range(0, 20_000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(10_000, 30_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"),
+    )
+    k = 256
+    ska = kmv_sketch(a, "v", k=k).collect()[0].kmv
+    skb = kmv_sketch(b, "v", k=k).collect()[0].kmv
+    r = kmv_jaccard(
+        spark.createDataFrame([(ska, skb)], ["a", "b"]), "a", "b", k=k,
+    ).collect()[0]
+    assert abs(r.jaccard_est - 1.0 / 3.0) < 0.12, r.jaccard_est
+    assert abs(r.union_est - 30_000) / 30_000 < 0.25, r.union_est
+    assert abs(r.intersection_est - 10_000) / 10_000 < 0.45, r.intersection_est
