@@ -6363,6 +6363,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_users": q_kmv_users,
         "decayed_event_value": q_decayed_event_value,
         "kmv_overlap_types": q_kmv_overlap_types,
+        "psi_daily_value": q_psi_daily_value,
     }
 
 
@@ -6601,6 +6602,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kmv_users": _ORACLE_KMV_USERS,
         "decayed_event_value": _ORACLE_DECAYED_EVENT_VALUE,
         "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
+        "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
     }
 
 
@@ -9447,12 +9449,20 @@ WITH d AS (
   SELECT event_type, value,
          CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END AS s
   FROM events WHERE value IS NOT NULL
-), b AS (
+), b0 AS (
   SELECT event_type,
          LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT), 0), 19)
            AS bin,
          SUM(s) AS a, SUM(1 - s) AS bq
   FROM d GROUP BY event_type, bin
+), grid AS (
+  SELECT g.event_type, t.i AS bin
+  FROM (SELECT DISTINCT event_type FROM b0) g, range(0, 20) t(i)
+), b AS (
+  SELECT grid.event_type, grid.bin,
+         COALESCE(b0.a, 0) AS a, COALESCE(b0.bq, 0) AS bq
+  FROM grid LEFT JOIN b0
+    ON b0.event_type = grid.event_type AND b0.bin = grid.bin
 ), w AS (
   SELECT event_type, a, bq,
          SUM(a) OVER (PARTITION BY event_type) AS na,
@@ -9964,4 +9974,73 @@ JOIN szs sa ON sa.event_type = e.ta
 JOIN szs sb ON sb.event_type = e.tb
 LEFT JOIN ex ON ex.ta = e.ta AND ex.tb = e.tb
 ORDER BY type_a, type_b
+"""
+
+
+def q_psi_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed drift gate (streaming/drift.py::psi_vs_reference over
+    windowed_bin_counts): PSI of each DAY's event-value distribution
+    against the pooled reference on a shared fixed 10-bin grid — the
+    batch replay of the streaming admission monitor (the same code
+    path runs under readStream in tests/test_streaming_live.py). The
+    per-window grid is completed before the reference join so empty
+    bins carry their smoothing terms."""
+    from rdsa_utils_spark.streaming.drift import (
+        psi_vs_reference,
+        reference_bin_counts,
+        windowed_bin_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    wc = windowed_bin_counts(ev, "ts", "1 day", "value", n_bins=10, lo=0.0, hi=500.0)
+    ref = reference_bin_counts(ev, "value", 10, 0.0, 500.0)
+    return psi_vs_reference(wc, ref, n_bins=10).orderBy("window_start")
+
+
+_ORACLE_PSI_DAILY_VALUE = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), b0 AS (
+  SELECT ws,
+         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), 0), 9)
+           AS bin,
+         COUNT(*) AS n
+  FROM d GROUP BY ws, bin
+), grid AS (
+  SELECT g.ws, t.i AS bin
+  FROM (SELECT DISTINCT ws FROM b0) g, range(0, 10) t(i)
+), act AS (
+  SELECT grid.ws, grid.bin, COALESCE(b0.n, 0) AS b
+  FROM grid LEFT JOIN b0 ON b0.ws = grid.ws AND b0.bin = grid.bin
+), ref AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), 0), 9)
+           AS bin,
+         COUNT(*) AS a
+  FROM events WHERE value IS NOT NULL GROUP BY bin
+), j AS (
+  SELECT act.ws, act.bin, COALESCE(ref.a, 0) AS a, act.b
+  FROM act LEFT JOIN ref ON ref.bin = act.bin
+), w AS (
+  SELECT ws, a, b,
+         SUM(a) OVER (PARTITION BY ws) AS na,
+         SUM(b) OVER (PARTITION BY ws) AS nb
+  FROM j
+), t AS (
+  SELECT ws, na, nb,
+         ROUND(((CAST(b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0)
+                 - (CAST(a AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+               * LN(((CAST(b AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+                    / ((CAST(a AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 5.0))),
+               9) AS term
+  FROM w
+)
+SELECT ws AS window_start,
+       ws + INTERVAL 1 DAY AS window_end,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+FROM t
+GROUP BY ws
+ORDER BY window_start
 """

@@ -130,6 +130,92 @@ def ks_2sample(
     )
 
 
+def fixed_bin(value_col: str, n_bins: int, lo: float, hi: float) -> Column:
+    """The shared fixed-grid binning expression: ``floor((x − lo) /
+    width)`` clamped to ``[0, n_bins−1]``. Exposed so batch PSI and
+    the streaming window counts bin IDENTICALLY — a drift monitor
+    whose reference and actual sides disagree on edges is noise."""
+    width = (hi - lo) / n_bins
+    return F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    bin_col: str,
+    a_col: str,
+    b_col: str,
+    n_bins: int,
+    by: list[str] | None = None,
+    smoothing: float = 0.5,
+    round_to: int = 6,
+    complete_grid: bool = True,
+) -> DataFrame:
+    """PSI from pre-aggregated (group…, bin, count_a, count_b) rows —
+    the batch half of the streaming drift monitor (persisted
+    per-window bin counts in, one PSI row per group out) and the
+    shared core of :func:`psi`.
+
+    With Laplace smoothing a bin absent from BOTH samples still
+    contributes a term whenever the sample sizes differ, so the sum
+    must run over the full ``n_bins`` grid: ``complete_grid`` fills
+    missing (group, bin) rows with (0, 0) counts (the completion
+    frame is |groups|·n_bins rows — metadata-sized). Pass False only
+    when the caller already completed the grid.
+    """
+    by = list(by or [])
+    src = counts.select(
+        *by,
+        F.col(bin_col).cast("long").alias("__bin__"),
+        F.col(a_col).cast("long").alias("__a__"),
+        F.col(b_col).cast("long").alias("__b__"),
+    )
+    if complete_grid:
+        bins = F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__bin__")
+        grid = (
+            src.select(*by).distinct().select(*by, bins)
+            if by
+            else src.sparkSession.range(1).select(bins)
+        )
+        src = (
+            grid.join(src, [*by, "__bin__"], "left")
+            .select(
+                *by,
+                "__bin__",
+                F.coalesce(F.col("__a__"), F.lit(0)).alias("__a__"),
+                F.coalesce(F.col("__b__"), F.lit(0)).alias("__b__"),
+            )
+        )
+    wg = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy(
+        F.lit(1),
+    )
+    withn = src.select(
+        *by,
+        "__a__",
+        "__b__",
+        F.sum("__a__").over(wg).alias("__na__"),
+        F.sum("__b__").over(wg).alias("__nb__"),
+    )
+    s = float(smoothing)
+    pa = (F.col("__a__") + F.lit(s)) / (F.col("__na__") + F.lit(s * n_bins))
+    pb = (F.col("__b__") + F.lit(s)) / (F.col("__nb__") + F.lit(s * n_bins))
+    term = F.round((pb - pa) * F.log(pb / pa), 9)
+    return (
+        withn.groupBy(*by)
+        .agg(
+            F.max("__na__").alias("n_a"),
+            F.max("__nb__").alias("n_b"),
+            _dec_sum(term, "psi", round_to),
+        )
+        .select(*by, "n_a", "n_b", "psi")
+    )
+
+
 def psi(
     df: DataFrame,
     value_col: str,
@@ -153,7 +239,10 @@ def psi(
     (n + smoothing·n_bins)`` — so empty bins contribute a finite
     term instead of ±inf; per-bin terms ``(pB − pA)·ln(pB/pA)``
     quantize to 9 dp before the decimal-exact sum (``ln`` of the
-    smoothed ratio is irrational, so the rounding is engine-stable).
+    smoothed ratio is irrational, so the rounding is engine-stable),
+    and the sum runs over the FULL n_bins grid (a bin empty in both
+    samples still carries a smoothing term when the sample sizes
+    differ — see :func:`psi_from_counts`, which this delegates to).
 
     One shuffle to (group, bin) counts, then ``n_bins`` rows per
     group. Returns ``by… , n_a, n_b, psi``.
@@ -163,43 +252,18 @@ def psi(
     if not hi > lo:
         raise ValueError("psi: hi must be > lo")
     by = list(by or [])
-    width = (hi - lo) / n_bins
     flag = F.col(sample_col).cast("boolean")
-    binned = F.least(
-        F.greatest(
-            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
-    )
     g = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(*by, binned.alias("__bin__"))
+        .groupBy(*by, fixed_bin(value_col, n_bins, lo, hi).alias("__bin__"))
         .agg(
             F.sum(F.when(flag, 1).otherwise(0)).alias("__a__"),
             F.sum(F.when(flag, 0).otherwise(1)).alias("__b__"),
         )
     )
-    wg = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy(F.lit(1))
-    withn = g.select(
-        *by,
-        "__a__",
-        "__b__",
-        F.sum("__a__").over(wg).alias("__na__"),
-        F.sum("__b__").over(wg).alias("__nb__"),
-    )
-    s = float(smoothing)
-    pa = (F.col("__a__") + F.lit(s)) / (F.col("__na__") + F.lit(s * n_bins))
-    pb = (F.col("__b__") + F.lit(s)) / (F.col("__nb__") + F.lit(s * n_bins))
-    term = F.round((pb - pa) * F.log(pb / pa), 9)
-    return (
-        withn.groupBy(*by)
-        .agg(
-            F.max("__na__").alias("n_a"),
-            F.max("__nb__").alias("n_b"),
-            _dec_sum(term, "psi", round_to),
-        )
-        .select(*by, "n_a", "n_b", "psi")
+    return psi_from_counts(
+        g, "__bin__", "__a__", "__b__", n_bins,
+        by=by, smoothing=smoothing, round_to=round_to,
     )
 
 

@@ -174,3 +174,89 @@ def test_chi2_grouped_and_empty_sample(spark):
     # g2 has an empty B sample: every B term is gated off -> chi2 = 0,
     # and the n_b column exposes the degeneracy to the caller.
     assert out["g2"].n_b == 0 and out["g2"].chi2 == 0.0
+
+
+# --------------------------------------------------------------------------
+# psi_from_counts / grid completion
+# --------------------------------------------------------------------------
+
+
+def test_psi_from_counts_matches_psi(spark):
+    from rdsa_utils_spark.operators.drift import fixed_bin, psi_from_counts
+
+    rows = [(float(v), v % 3 == 0) for v in range(60)]
+    df = spark.createDataFrame(rows, ["v", "s"])
+    direct = psi(df, "v", "s", n_bins=6, lo=0.0, hi=60.0).collect()[0]
+    counts = (
+        df.groupBy(fixed_bin("v", 6, 0.0, 60.0).alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("s"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("s"), 0).otherwise(1)).alias("b"),
+        )
+    )
+    via_counts = psi_from_counts(counts, "bin", "a", "b", 6).collect()[0]
+    assert (direct.n_a, direct.n_b, direct.psi) == (
+        via_counts.n_a, via_counts.n_b, via_counts.psi,
+    )
+
+
+def test_psi_grid_completion_counts_empty_bins(spark):
+    """A bin empty in BOTH samples still carries its smoothing term
+    when the sample sizes differ — the full-grid definition."""
+    from rdsa_utils_spark.operators.drift import psi_from_counts
+
+    # bins 0,1 occupied; bins 2,3 fully absent; n_a=30 != n_b=3.
+    counts = spark.createDataFrame(
+        [(0, 20, 2), (1, 10, 1)], ["bin", "a", "b"],
+    )
+    got = psi_from_counts(counts, "bin", "a", "b", 4).collect()[0]
+    want = _psi_expected([20, 10, 0, 0], [2, 1, 0, 0], 4)
+    assert got.psi == pytest.approx(want, abs=1e-6)
+    # Without the (0,0) bins the sum would differ:
+    partial = _psi_expected([20, 10], [2, 1], 4)
+    assert abs(want - partial) > 1e-9
+
+
+# --------------------------------------------------------------------------
+# streaming drift: windowed bin counts + PSI vs reference
+# --------------------------------------------------------------------------
+
+
+def test_psi_vs_reference_hand_computed(spark):
+    from rdsa_utils_spark.streaming.drift import psi_vs_reference
+
+    ref = spark.createDataFrame(
+        [(0, 6), (1, 2)], ["bin", "n_ref"],
+    )
+    wc = spark.createDataFrame(
+        [("w1", "x", 0, 3), ("w1", "x", 1, 1),   # same mix as reference
+         ("w2", "x", 1, 4)],                      # all mass moved to bin 1
+        ["window_start", "window_end", "bin", "n"],
+    )
+    out = {
+        r.window_start: r
+        for r in psi_vs_reference(wc, ref, n_bins=2).collect()
+    }
+    assert out["w1"].n_a == 8 and out["w1"].n_b == 4
+    w1 = _psi_expected([6, 2], [3, 1], 2)
+    assert out["w1"].psi == pytest.approx(w1, abs=1e-6)
+    w2 = _psi_expected([6, 2], [0, 4], 2)
+    assert out["w2"].psi == pytest.approx(w2, abs=1e-6)
+    assert out["w2"].psi > out["w1"].psi
+
+
+def test_windowed_bin_counts_batch_matches_reference_grid(spark):
+    from rdsa_utils_spark.streaming.drift import (
+        reference_bin_counts,
+        windowed_bin_counts,
+    )
+
+    rows = [("2024-01-01 00:%02d:00" % m, float(m)) for m in range(40)]
+    df = spark.createDataFrame(rows, ["ts_s", "v"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v",
+    )
+    wc = windowed_bin_counts(df, "ts", "1 hour", "v", n_bins=4, lo=0.0, hi=40.0)
+    got = {(r.bin): r.n for r in wc.collect()}
+    assert got == {0: 10, 1: 10, 2: 10, 3: 10}
+    ref = reference_bin_counts(df, "v", 4, 0.0, 40.0)
+    assert {r.bin: r.n_ref for r in ref.collect()} == got

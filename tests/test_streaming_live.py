@@ -644,3 +644,60 @@ def test_quality_filter_pipeline_streaming(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == batch_out and len(got) > 0
+
+
+def test_windowed_bin_counts_streaming_and_psi_gate(spark, events_stream):
+    """The streaming drift pipeline end-to-end: per-window bin counts
+    under readStream + watermark match the batch build, and the
+    persisted rows turn into PSI-per-window against a pinned
+    reference via the batch-side gate."""
+    from rdsa_utils_spark.streaming.drift import (
+        psi_vs_reference,
+        reference_bin_counts,
+        windowed_bin_counts,
+    )
+
+    stream_df, batch_df = events_stream
+    agg = windowed_bin_counts(
+        stream_df, "ts", "1 day", "value",
+        n_bins=10, lo=0.0, hi=500.0,
+        keys=[], watermark="2 days",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bins_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT window_start, window_end, bin, n FROM bins_out")
+    batch = windowed_bin_counts(
+        batch_df, "ts", "1 day", "value", n_bins=10, lo=0.0, hi=500.0,
+    )
+    key = lambda rows: {
+        (str(r.window_start), r.bin): r.n for r in rows
+    }
+    got_rows = got.collect()
+    assert len(got_rows) > 0
+    batch_map = key(batch.collect())
+    # Append mode withholds the trailing not-yet-closed window(s);
+    # every emitted row must match the batch build exactly.
+    for (w, b), n in key(got_rows).items():
+        assert batch_map[(w, b)] == n, (w, b)
+
+    # Batch-side PSI gate over the emitted rows, reference = whole table.
+    ref = reference_bin_counts(batch_df, "value", 10, 0.0, 500.0)
+    out = psi_vs_reference(got, ref, n_bins=10)
+    rows = out.collect()
+    assert len(rows) == got.select("window_start").distinct().count()
+    for r in rows:
+        # Same-generator daily slices vs the pooled reference: PSI is
+        # finite, non-negative and of sane magnitude. (The tiny sf0.001
+        # windows — tens of rows against a 10-bin grid — carry real
+        # Laplace-smoothing noise, so no tight stability bound here;
+        # the hand-computed gate values live in tests/test_drift.py.)
+        assert r.psi is not None and -1e-9 <= r.psi < 1.0, (r.window_start, r.psi)
