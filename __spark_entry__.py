@@ -6364,6 +6364,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_event_value": q_decayed_event_value,
         "kmv_overlap_types": q_kmv_overlap_types,
         "psi_daily_value": q_psi_daily_value,
+        "entropy_daily_types": q_entropy_daily_types,
+        "mi_priority_status": q_mi_priority_status,
     }
 
 
@@ -6603,6 +6605,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "decayed_event_value": _ORACLE_DECAYED_EVENT_VALUE,
         "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
         "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
+        "entropy_daily_types": _ORACLE_ENTROPY_DAILY_TYPES,
+        "mi_priority_status": _ORACLE_MI_PRIORITY_STATUS,
     }
 
 
@@ -10043,4 +10047,90 @@ SELECT ws AS window_start,
 FROM t
 GROUP BY ws
 ORDER BY window_start
+"""
+
+
+def q_entropy_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical entropy (operators/stats.py::categorical_entropy):
+    Shannon entropy (bits) and normalized entropy of the daily
+    event-type mix — the diversity monitor that flags a day whose
+    traffic collapses into one event type. Per-category terms
+    quantize to 9 dp before the decimal-exact fold."""
+    from rdsa_utils_spark.operators.stats import categorical_entropy
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type",
+    )
+    return categorical_entropy(ev, "event_type", group_by=["day"]).orderBy("day")
+
+
+_ORACLE_ENTROPY_DAILY_TYPES = """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type
+  FROM events
+), cells AS (
+  SELECT day, event_type, COUNT(*) AS m FROM d GROUP BY day, event_type
+), w AS (
+  SELECT day, m, SUM(m) OVER (PARTITION BY day) AS n FROM cells
+), t AS (
+  SELECT day, n,
+         ROUND(-((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LOG2(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS term
+  FROM w
+), a AS (
+  SELECT day, CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy
+  FROM t GROUP BY day
+)
+SELECT day, n, k, entropy,
+       CASE WHEN k > 1
+            THEN ROUND(entropy / LOG2(CAST(k AS DOUBLE)), 6)
+       END AS entropy_norm
+FROM a
+ORDER BY day
+"""
+
+
+def q_mi_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/stats.py::mutual_information):
+    association (bits) between order priority and order status per
+    order year — the model-free dependence gauge. Marginals attach by
+    window sums over the |priorities|×|statuses| cell grid, never the
+    data; per-cell terms quantize to 9 dp before the decimal-exact
+    fold."""
+    from rdsa_utils_spark.operators.stats import mutual_information
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("year"), "o_orderpriority", "o_orderstatus",
+    )
+    return mutual_information(
+        o, "o_orderpriority", "o_orderstatus", group_by=["year"],
+    ).orderBy("year")
+
+
+_ORACLE_MI_PRIORITY_STATUS = """
+WITH d AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS year,
+         o_orderpriority AS x, o_orderstatus AS y
+  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+), cells AS (
+  SELECT year, x, y, COUNT(*) AS m FROM d GROUP BY year, x, y
+), w AS (
+  SELECT year, m,
+         SUM(m) OVER (PARTITION BY year) AS n,
+         SUM(m) OVER (PARTITION BY year, x) AS mx,
+         SUM(m) OVER (PARTITION BY year, y) AS my
+  FROM cells
+), t AS (
+  SELECT year, n,
+         ROUND((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+               * LOG2(CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(mx AS DOUBLE) * CAST(my AS DOUBLE))), 9) AS term
+  FROM w
+)
+SELECT year, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS mi
+FROM t
+GROUP BY year
+ORDER BY year
 """

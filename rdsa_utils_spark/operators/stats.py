@@ -56,6 +56,8 @@ __all__ = [
     "weighted_quantiles",
     "cohens_kappa",
     "ks_statistic",
+    "categorical_entropy",
+    "mutual_information",
 ]
 
 
@@ -1271,4 +1273,112 @@ def ks_statistic(
         F.col("n_a").alias("n_left"),
         F.col("n_b").alias("n_right"),
         "ks",
+    )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    cat_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Shannon entropy (bits) of a categorical column per group — the
+    diversity gauge for source / language / label mixes: entropy
+    collapsing toward 0 means the mix is degenerating into one
+    category, and the normalized form (``H / log2(k)``, in [0, 1])
+    compares groups with different category counts.
+
+    ``H = −Σ p·log2(p)`` over the per-group category proportions
+    (NULL categories count as a real category, matching SQL GROUP
+    BY). Per-category terms quantize to 9 dp before the decimal-exact
+    sum — the repo-wide recipe for irrational folds, so the scalar
+    replays cross-engine.
+
+    One map-side-combinable shuffle to (group, category) counts, then
+    |categories| rows per group. Returns ``…group, n, k,
+    entropy, entropy_norm`` (``entropy_norm`` NULL when k = 1 —
+    nothing to normalize by).
+    """
+    keys = list(group_by) if group_by else []
+    cells = df.groupBy(*keys, F.col(cat_col).alias("__c__")).agg(
+        F.count(F.lit(1)).alias("__m__"),
+    )
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    withn = cells.withColumn("__n__", F.sum("__m__").over(wg))
+    p = F.col("__m__").cast("double") / F.col("__n__").cast("double")
+    term = F.round(-(p * F.log2(p)), 9)
+    agg = withn.groupBy(*keys).agg(
+        F.max("__n__").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"),
+            round_to if round_to is not None else 9,
+        ).alias("entropy"),
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "k",
+        "entropy",
+        F.when(
+            F.col("k") > 1,
+            F.round(
+                F.col("entropy") / F.log2(F.col("k").cast("double")),
+                round_to if round_to is not None else 9,
+            ),
+        ).alias("entropy_norm"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_by: Optional[Sequence[str]] = None,
+    round_to: Optional[int] = 6,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns per
+    group — the model-free association gauge for curation features
+    ("does source predict language?", "is the quality label
+    independent of the domain?"): 0 means independent, and MI is
+    bounded by min(H_x, H_y).
+
+    ``MI = Σ_{x,y} p_xy · log2(p_xy / (p_x·p_y))`` computed from the
+    joint (group, x, y) count cells with marginals attached by window
+    sums OVER THE CELL GRID (|x-categories|·|y-categories| rows per
+    group — metadata-sized, never the data). Integer counts stay
+    exact in doubles below 2^53; per-cell terms quantize to 9 dp
+    before the decimal-exact sum. Rows where either column is NULL
+    are excluded (a NULL carries no category identity for
+    association). Returns ``…group, n, mi``.
+    """
+    keys = list(group_by) if group_by else []
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*keys, F.col(x_col).alias("__x__"), F.col(y_col).alias("__y__"))
+        .agg(F.count(F.lit(1)).alias("__m__"))
+    )
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    wx = Window.partitionBy(*keys, "__x__")
+    wy = Window.partitionBy(*keys, "__y__")
+    withm = (
+        cells.withColumn("__n__", F.sum("__m__").over(wg))
+        .withColumn("__mx__", F.sum("__m__").over(wx))
+        .withColumn("__my__", F.sum("__m__").over(wy))
+    )
+    c = F.col("__m__").cast("double")
+    n = F.col("__n__").cast("double")
+    mx = F.col("__mx__").cast("double")
+    my = F.col("__my__").cast("double")
+    term = F.round((c / n) * F.log2(c * n / (mx * my)), 9)
+    return (
+        withm.groupBy(*keys)
+        .agg(
+            F.max("__n__").alias("n"),
+            F.round(
+                F.sum(term.cast("decimal(38,12)")).cast("double"),
+                round_to if round_to is not None else 9,
+            ).alias("mi"),
+        )
+        .select(*keys, "n", "mi")
     )

@@ -702,3 +702,99 @@ def test_grouped_bootstrap_ci_duplicates_draw_independent_weights(spark):
     assert w2 < 0.85 * w1, f"CI width {w2} did not shrink vs {w1}"
     # determinism: same input → same interval
     assert width(doubled) == w2
+
+
+# --------------------------------------------------------------------------
+# categorical_entropy / mutual_information
+# --------------------------------------------------------------------------
+
+
+def test_entropy_hand_computed(spark):
+    import math
+
+    from rdsa_utils_spark.operators.stats import categorical_entropy
+
+    # p = [1/2, 1/4, 1/4] -> H = 1.5 bits exactly; k=3.
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, ["c"])
+    r = categorical_entropy(df, "c").collect()[0]
+    assert (r.n, r.k) == (8, 3)
+    assert r.entropy == pytest.approx(1.5, abs=1e-6)
+    assert r.entropy_norm == pytest.approx(1.5 / math.log2(3), abs=1e-6)
+
+
+def test_entropy_uniform_is_log2k_and_constant_is_zero(spark):
+    from rdsa_utils_spark.operators.stats import categorical_entropy
+
+    uni = spark.createDataFrame([(str(i % 8),) for i in range(64)], ["c"])
+    r = categorical_entropy(uni, "c").collect()[0]
+    assert r.entropy == pytest.approx(3.0, abs=1e-6)
+    assert r.entropy_norm == pytest.approx(1.0, abs=1e-6)
+    const = spark.createDataFrame([("x",)] * 5, ["c"])
+    r2 = categorical_entropy(const, "c").collect()[0]
+    assert r2.entropy == 0.0 and r2.k == 1 and r2.entropy_norm is None
+
+
+def test_entropy_grouped_null_is_category(spark):
+    from rdsa_utils_spark.operators.stats import categorical_entropy
+
+    rows = [("g1", "a"), ("g1", None), ("g2", "a"), ("g2", "a")]
+    df = spark.createDataFrame(rows, ["g", "c"])
+    out = {r.g: r for r in categorical_entropy(df, "c", group_by=["g"]).collect()}
+    assert out["g1"].k == 2 and out["g1"].entropy == pytest.approx(1.0, abs=1e-6)
+    assert out["g2"].k == 1 and out["g2"].entropy == 0.0
+
+
+def test_mutual_information_hand_computed(spark):
+    from rdsa_utils_spark.operators.stats import mutual_information
+
+    # Perfectly dependent binary pair: MI = H(X) = 1 bit.
+    dep = spark.createDataFrame(
+        [("a", "u")] * 5 + [("b", "v")] * 5, ["x", "y"],
+    )
+    assert mutual_information(dep, "x", "y").collect()[0].mi == pytest.approx(
+        1.0, abs=1e-6,
+    )
+    # Independent uniform pair: MI = 0.
+    ind = spark.createDataFrame(
+        [(a, b) for a in ("a", "b") for b in ("u", "v") for _ in range(3)],
+        ["x", "y"],
+    )
+    assert mutual_information(ind, "x", "y").collect()[0].mi == pytest.approx(
+        0.0, abs=1e-9,
+    )
+
+
+def test_mutual_information_numpy_replay_and_nulls(spark):
+    import math
+
+    from rdsa_utils_spark.operators.stats import mutual_information
+
+    # Skewed joint distribution; replay MI in pure python.
+    joint = {("a", "u"): 10, ("a", "v"): 2, ("b", "u"): 3, ("b", "v"): 15}
+    rows = [(x, y) for (x, y), m in joint.items() for _ in range(m)]
+    df = spark.createDataFrame(rows + [(None, "u"), ("a", None)], ["x", "y"])
+    n = sum(joint.values())
+    mx = {"a": 12, "b": 18}
+    my = {"u": 13, "v": 17}
+    want = round(
+        sum(
+            round((m / n) * math.log2(m * n / (mx[x] * my[y])), 9)
+            for (x, y), m in joint.items()
+        ),
+        6,
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r.n == n  # NULL-bearing rows excluded
+    assert r.mi == pytest.approx(want, abs=1e-6)
+
+
+def test_mutual_information_grouped(spark):
+    from rdsa_utils_spark.operators.stats import mutual_information
+
+    rows = [("g1", "a", "u")] * 3 + [("g1", "b", "v")] * 3
+    rows += [("g2", x, y) for x in ("a", "b") for y in ("u", "v")]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r.mi for r in mutual_information(df, "x", "y", group_by=["g"]).collect()}
+    assert out["g1"] == pytest.approx(1.0, abs=1e-6)
+    assert out["g2"] == pytest.approx(0.0, abs=1e-9)
