@@ -6366,6 +6366,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_daily_value": q_psi_daily_value,
         "entropy_daily_types": q_entropy_daily_types,
         "mi_priority_status": q_mi_priority_status,
+        "attribution_purchases": q_attribution_purchases,
     }
 
 
@@ -6607,6 +6608,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
         "entropy_daily_types": _ORACLE_ENTROPY_DAILY_TYPES,
         "mi_priority_status": _ORACLE_MI_PRIORITY_STATUS,
+        "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
     }
 
 
@@ -10133,4 +10135,53 @@ SELECT year, CAST(MAX(n) AS BIGINT) AS n,
 FROM t
 GROUP BY year
 ORDER BY year
+"""
+
+
+def q_attribution_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution
+    (operators/events.py::attribute_conversions): every purchase
+    attributed to the user's last click/view in the preceding 7 days
+    (strictly earlier, microsecond-exact integer range frame), or
+    NULL touch columns when organic. One per-user window — no join in
+    the engine path; the oracle replays the same frame plus the
+    max-id tiebreak at the winning microsecond."""
+    from rdsa_utils_spark.operators.events import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        touch_types=["click", "view"],
+        conversion_type="purchase",
+        lookback_s=7 * 86400,
+    ).orderBy("user", "conversion_id")
+
+
+_ORACLE_ATTRIBUTION_PURCHASES = """
+WITH e AS (
+  SELECT user_id AS usr, event_id AS id, event_type AS typ, ts,
+         CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'view', 'purchase')
+), t AS (
+  SELECT *,
+         MAX(CASE WHEN typ IN ('click', 'view') THEN us END)
+           OVER (PARTITION BY usr ORDER BY us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+           AS touch_us
+  FROM e
+), tmax AS (
+  SELECT usr, us, MAX(id) AS id
+  FROM e WHERE typ IN ('click', 'view') GROUP BY usr, us
+), tb AS (
+  SELECT m.usr, m.us, m.id, e2.typ, e2.ts
+  FROM tmax m JOIN e e2 ON e2.usr = m.usr AND e2.id = m.id
+)
+SELECT c.usr AS user, c.id AS conversion_id, c.ts AS conversion_ts,
+       tb.id AS touch_id, tb.typ AS touch_type, tb.ts AS touch_ts,
+       ROUND(CAST(c.us - c.touch_us AS DOUBLE) / 1000000.0, 6) AS gap_s
+FROM t c
+LEFT JOIN tb ON tb.usr = c.usr AND tb.us = c.touch_us
+WHERE c.typ = 'purchase'
+ORDER BY "user", conversion_id
 """

@@ -1095,3 +1095,86 @@ def time_decayed_agg(
             ),
         )
     return out
+
+
+def attribute_conversions(
+    df: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    model: str = "last",
+    lookback_s: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Marketing-style conversion attribution: one row per conversion
+    event, carrying the touch event it attributes to — ``model =
+    'last'`` (last touch strictly before the conversion) or
+    ``'first'`` (earliest touch inside the lookback) — or NULL touch
+    columns for an unattributed (organic) conversion.
+
+    The whole thing is ONE range-frame window per user ordered by
+    epoch MICROSECONDS (exact integer arithmetic — no float range
+    bounds): ``max``/``min`` over ``struct(ts_us, id, type)`` of the
+    touch rows in ``[ts − lookback, ts)``. Struct ordering makes the
+    tie-break explicit: same-microsecond touches resolve to the
+    larger ``id_col`` for ``last``, the smaller for ``first`` — a
+    pure function of the data, engine-replayable. Events at the
+    conversion's exact microsecond are NOT eligible (strictly
+    earlier; frame upper bound −1 µs).
+
+    Scale posture: one shuffle on ``user_col`` and one sort per
+    partition — identical to any per-user window; no join, no second
+    scan. Returns ``user, conversion_id, conversion_ts, touch_id,
+    touch_type, touch_ts, gap_s``.
+    """
+    from rdsa_utils_spark.functions.columns import epoch_double
+
+    if model not in ("first", "last"):
+        raise ValueError(f"model must be 'first' or 'last', got {model!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in set(touch_types):
+        raise ValueError("conversion_type must not also be a touch type")
+    ts_us = (epoch_double(df, ts_col) * F.lit(1_000_000.0)).cast("long")
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(type_col).isin([*touch_types, conversion_type]),
+    ).select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("__id__"),
+        F.col(type_col).alias("__type__"),
+        F.col(ts_col).alias("__ts__"),
+        ts_us.alias("__us__"),
+    )
+    lo = -int(lookback_s * 1_000_000) if lookback_s is not None else Window.unboundedPreceding
+    w = Window.partitionBy("user").orderBy("__us__").rangeBetween(lo, -1)
+    touch_struct = F.when(
+        F.col("__type__").isin(list(touch_types)),
+        F.struct(
+            F.col("__us__").alias("us"),
+            F.col("__id__").alias("id"),
+            F.col("__type__").alias("typ"),
+            F.col("__ts__").alias("ts"),
+        ),
+    )
+    pick = (F.max if model == "last" else F.min)(touch_struct).over(w)
+    return (
+        base.withColumn("__touch__", pick)
+        .filter(F.col("__type__") == conversion_type)
+        .select(
+            "user",
+            F.col("__id__").alias("conversion_id"),
+            F.col("__ts__").alias("conversion_ts"),
+            F.col("__touch__.id").alias("touch_id"),
+            F.col("__touch__.typ").alias("touch_type"),
+            F.col("__touch__.ts").alias("touch_ts"),
+            F.round(
+                (F.col("__us__") - F.col("__touch__.us")).cast("double")
+                / F.lit(1_000_000.0),
+                round_to,
+            ).alias("gap_s"),
+        )
+    )

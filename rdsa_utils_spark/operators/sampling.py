@@ -40,6 +40,7 @@ __all__ = [
     "pack_sequences",
     "mix_corpora",
     "weighted_sample",
+    "weighted_sample_per_group",
     "negative_sample",
     "temperature_resample",
     "temporal_split",
@@ -754,4 +755,42 @@ def token_budget_mix(
         out = out.withColumn(cum_col, F.sum("__tok").over(ow))
     return out.drop(
         "__u", "__tok", "__budget", "__bkt", "__offset", "__cum_end", "__partial",
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str],
+    seed: str = "wsample",
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement: ``k`` rows per
+    group, inclusion probability proportional to weight — the grouped
+    form of :func:`weighted_sample` (same Efraimidis–Spirakis
+    ``u^(1/w)`` key, same md5 variate) with the global top-k swapped
+    for a per-group rank window, so a stratified corpus can be
+    down-weighted group-by-group in one pass.
+
+    One shuffle on ``group_cols``; the window ranks only rows that
+    survive the positive-weight filter. Ties break by ``id_col`` —
+    a pure function of the data, reproducible across engines and
+    partitionings.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use weighted_sample)")
+    w = F.col(weight_col).cast("double")
+    key = F.pow(hash_uniform(id_col, seed), F.lit(1.0) / w)
+    win = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy(
+        F.desc("__wkey"), F.asc(id_col),
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__wkey", key)
+        .withColumn("__wrn", F.row_number().over(win))
+        .filter(F.col("__wrn") <= k)
+        .drop("__wkey", "__wrn")
     )

@@ -711,3 +711,84 @@ def test_time_decayed_validates_and_excludes_null_ts(spark):
     assert out.n_rows == 1
     with pytest.raises(ValueError):
         time_decayed_agg(df, "ts", 0.0)
+
+
+# --------------------------------------------------------------------------
+# attribute_conversions
+# --------------------------------------------------------------------------
+
+
+def _attr_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_s"],
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+
+
+def test_attribution_last_and_first_touch(spark):
+    from rdsa_utils_spark.operators.events import attribute_conversions
+
+    df = _attr_frame(spark, [
+        (1, 10, "click", "2024-01-01 00:00:00"),
+        (1, 11, "view",  "2024-01-02 00:00:00"),
+        (1, 12, "purchase", "2024-01-03 00:00:00"),
+    ])
+    last = attribute_conversions(df, ["click", "view"], "purchase").collect()[0]
+    assert (last.touch_id, last.touch_type) == (11, "view")
+    assert last.gap_s == pytest.approx(86400.0)
+    first = attribute_conversions(
+        df, ["click", "view"], "purchase", model="first",
+    ).collect()[0]
+    assert (first.touch_id, first.touch_type) == (10, "click")
+    assert first.gap_s == pytest.approx(2 * 86400.0)
+
+
+def test_attribution_lookback_and_organic(spark):
+    from rdsa_utils_spark.operators.events import attribute_conversions
+
+    df = _attr_frame(spark, [
+        (1, 10, "click", "2024-01-01 00:00:00"),
+        (1, 12, "purchase", "2024-01-09 00:00:00"),   # click 8 days old
+        (2, 20, "purchase", "2024-01-05 00:00:00"),   # no touch at all
+    ])
+    out = {
+        r.conversion_id: r
+        for r in attribute_conversions(
+            df, ["click", "view"], "purchase", lookback_s=7 * 86400,
+        ).collect()
+    }
+    assert out[12].touch_id is None and out[12].gap_s is None
+    assert out[20].touch_id is None
+    # Without the lookback the old click attributes.
+    no_lb = attribute_conversions(df, ["click"], "purchase").collect()
+    got = {r.conversion_id: r.touch_id for r in no_lb}
+    assert got[12] == 10 and got[20] is None
+
+
+def test_attribution_same_instant_excluded_and_tiebreak(spark):
+    from rdsa_utils_spark.operators.events import attribute_conversions
+
+    df = _attr_frame(spark, [
+        (1, 10, "click", "2024-01-01 00:00:00"),
+        (1, 11, "view",  "2024-01-01 00:00:00"),      # same µs as 10
+        (1, 12, "click", "2024-01-02 00:00:00"),      # same µs as purchase
+        (1, 13, "purchase", "2024-01-02 00:00:00"),
+    ])
+    r = attribute_conversions(df, ["click", "view"], "purchase").collect()[0]
+    # The same-microsecond click (id 12) is NOT eligible (strictly
+    # earlier only); among the two day-1 touches the larger id wins.
+    assert (r.touch_id, r.touch_type) == (11, "view")
+
+
+def test_attribution_validates(spark):
+    from rdsa_utils_spark.operators.events import attribute_conversions
+
+    df = _attr_frame(spark, [(1, 1, "click", "2024-01-01 00:00:00")])
+    with pytest.raises(ValueError):
+        attribute_conversions(df, [], "purchase")
+    with pytest.raises(ValueError):
+        attribute_conversions(df, ["click"], "click")
+    with pytest.raises(ValueError):
+        attribute_conversions(df, ["click"], "purchase", model="linear")

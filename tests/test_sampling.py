@@ -274,3 +274,37 @@ def test_split_leakage_report_counts(spark):
     assert out[("train", "val")] == (1, 1)    # digest S; val has 1 S-row
     assert out[("test", "train")] == (1, 2)   # digest S; train has 2 S-rows
     assert out[("test", "val")] == (2, 2)     # digests S+V; val rows 1+1
+
+
+def test_weighted_sample_per_group(spark):
+    from rdsa_utils_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    rows = [(g, i, float(1 + i % 7)) for g in ("a", "b", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    out = weighted_sample_per_group(df, "id", "w", 5, ["g"])
+    got = out.groupBy("g").count().collect()
+    assert {r.g: r["count"] for r in got} == {"a": 5, "b": 5, "c": 5}
+    # Per-group result == global weighted_sample run on that group alone
+    # (same key, same tiebreak) — the grouped form is a pure refinement.
+    one = sorted(
+        r.id for r in out.filter(F.col("g") == "a").collect()
+    )
+    solo = sorted(
+        r.id
+        for r in weighted_sample(
+            df.filter(F.col("g") == "a"), "id", "w", 5,
+        ).collect()
+    )
+    assert one == solo
+    # Zero/negative weights excluded entirely.
+    z = spark.createDataFrame([("a", 1, 0.0), ("a", 2, -3.0)], ["g", "id", "w"])
+    assert weighted_sample_per_group(z, "id", "w", 3, ["g"]).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_sample_per_group(df, "id", "w", 0, ["g"])
+    with _pt.raises(ValueError):
+        weighted_sample_per_group(df, "id", "w", 3, [])
