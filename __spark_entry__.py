@@ -6367,6 +6367,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_daily_types": q_entropy_daily_types,
         "mi_priority_status": q_mi_priority_status,
         "attribution_purchases": q_attribution_purchases,
+        "embedding_drift_labels": q_embedding_drift_labels,
     }
 
 
@@ -6609,6 +6610,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "entropy_daily_types": _ORACLE_ENTROPY_DAILY_TYPES,
         "mi_priority_status": _ORACLE_MI_PRIORITY_STATUS,
         "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
+        "embedding_drift_labels": _ORACLE_EMBEDDING_DRIFT_LABELS,
     }
 
 
@@ -10184,4 +10186,79 @@ FROM t c
 LEFT JOIN tb ON tb.usr = c.usr AND tb.us = c.touch_us
 WHERE c.typ = 'purchase'
 ORDER BY "user", conversion_id
+"""
+
+
+def q_embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (operators/similarity.py::
+    embedding_drift): per label, direction (centroid cosine) and
+    magnitude (mean-norm ratio) shift between the even-id half
+    (reference) and the odd-id half of the corpus. One posexplode
+    scan; mean coordinates quantize to 9 dp before the cosine so
+    DuckDB replays both statistics bit-for-bit."""
+    from rdsa_utils_spark.operators.similarity import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", "embedding", (F.col("vec_id") % 2 == 0).alias("is_ref"),
+    )
+    return embedding_drift(emb, "embedding", "is_ref", by=["label"]).orderBy(
+        "label",
+    )
+
+
+_ORACLE_EMBEDDING_DRIFT_LABELS = """
+WITH base AS (
+  SELECT label, embedding,
+         CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS s
+  FROM embeddings WHERE embedding IS NOT NULL
+), nr AS (
+  SELECT label, s,
+         ROUND(sqrt(list_reduce(
+           list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)),
+           (x, y) -> x + y)), 9) AS nrm
+  FROM base
+), scalars AS (
+  SELECT label, s, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+           AS mnorm
+  FROM nr GROUP BY label, s
+), e AS (
+  SELECT label, s, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM base
+), m AS (
+  SELECT label, s, pos, ROUND(AVG(x), 9) AS mu
+  FROM e GROUP BY label, s, pos
+), cents AS (
+  SELECT label, s, list(mu ORDER BY pos) AS c
+  FROM m GROUP BY label, s
+), sides AS (
+  SELECT sc.label, sc.s, sc.n, sc.mnorm, ce.c
+  FROM scalars sc JOIN cents ce ON ce.label = sc.label AND ce.s = sc.s
+), j AS (
+  SELECT COALESCE(a.label, b.label) AS label,
+         a.n AS n_a, b.n AS n_b,
+         a.mnorm AS mean_norm_a, b.mnorm AS mean_norm_b,
+         a.c AS ca, b.c AS cb
+  FROM (SELECT * FROM sides WHERE s = 1) a
+  FULL JOIN (SELECT * FROM sides WHERE s = 0) b ON b.label = a.label
+), d AS (
+  SELECT label, n_a, n_b, mean_norm_a, mean_norm_b,
+         list_reduce(list_transform(range(1, len(ca) + 1), i -> ca[i] * cb[i]),
+                     (x, y) -> x + y) AS ab,
+         list_reduce(list_transform(range(1, len(ca) + 1), i -> ca[i] * ca[i]),
+                     (x, y) -> x + y) AS aa,
+         list_reduce(list_transform(range(1, len(cb) + 1), i -> cb[i] * cb[i]),
+                     (x, y) -> x + y) AS bb
+  FROM j
+)
+SELECT label, n_a, n_b, mean_norm_a, mean_norm_b,
+       ROUND(ab / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cos,
+       CASE WHEN mean_norm_a > 0
+            THEN ROUND(mean_norm_b / mean_norm_a, 6)
+       END AS norm_ratio
+FROM d
+ORDER BY label
 """

@@ -1701,3 +1701,92 @@ def random_projection(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    sample_col: str,
+    by: list[str] | None = None,
+    moment_round: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift between two samples per group — the
+    vector-corpus companion to the scalar tests in
+    ``operators/drift``: "did the new crawl's embedding distribution
+    move?" answered by (a) the cosine between the two samples' MEAN
+    vectors (directional shift; 1.0 = same direction) and (b) the
+    ratio of their mean L2 norms (magnitude shift; 1.0 = same scale).
+
+    ``sample_col`` boolean-like: true = sample A (reference), false =
+    sample B (new). Mean-vector coordinates quantize to
+    ``moment_round`` dp and per-row norms to 9 dp before their
+    decimal-exact means (the repo-wide quantize-then-sum recipe), so
+    both statistics replay bit-identically cross-engine.
+
+    Shuffle shape at 100 TB: one ``posexplode`` → (group, sample,
+    pos) mean — map-side combined, groups × 2 × dim cells — plus one
+    (group, sample) scalar aggregate; the corpus is scanned once and
+    only the tiny per-group centroid rows are joined. Groups where a
+    side is empty surface NULL statistics via the full-outer join
+    (one-sided data is a pipeline bug worth seeing, not dropping).
+    Returns ``by… , n_a, n_b, mean_norm_a, mean_norm_b,
+    centroid_cos, norm_ratio``.
+    """
+    by = list(by or [])
+    flag = F.col(sample_col).cast("boolean")
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        *by, flag.alias("__s__"), F.col(vec_col).alias("__v__"),
+    )
+    scalars = (
+        base.withColumn("__nrm__", F.round(_norm(F.col("__v__")), 9))
+        .groupBy(*by, "__s__")
+        .agg(
+            F.count(F.lit(1)).alias("__n__"),
+            F.round(
+                F.sum(F.col("__nrm__").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("__mnorm__"),
+        )
+    )
+    coords = (
+        base.select(*by, "__s__", F.posexplode(F.col("__v__")).alias("__pos", "__x"))
+        .groupBy(*by, "__s__", "__pos")
+        .agg(F.round(F.avg("__x"), moment_round).alias("__mu"))
+        .groupBy(*by, "__s__")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__mu"))),
+                lambda s: s["__mu"],
+            ).alias("__c"),
+        )
+    )
+    sides = scalars.join(coords, [*by, "__s__"])
+    a = sides.filter(F.col("__s__")).select(
+        *by,
+        F.col("__n__").alias("n_a"),
+        F.col("__mnorm__").alias("mean_norm_a"),
+        F.col("__c").alias("__ca__"),
+    )
+    b = sides.filter(~F.col("__s__")).select(
+        *by,
+        F.col("__n__").alias("n_b"),
+        F.col("__mnorm__").alias("mean_norm_b"),
+        F.col("__c").alias("__cb__"),
+    )
+    joined = a.join(b, by, "full") if by else a.crossJoin(b)
+    return joined.select(
+        *by,
+        "n_a",
+        "n_b",
+        "mean_norm_a",
+        "mean_norm_b",
+        F.round(cosine(F.col("__ca__"), F.col("__cb__")), round_to).alias(
+            "centroid_cos",
+        ),
+        F.when(
+            F.col("mean_norm_a") > 0,
+            F.round(F.col("mean_norm_b") / F.col("mean_norm_a"), round_to),
+        ).alias("norm_ratio"),
+    )

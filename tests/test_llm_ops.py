@@ -773,3 +773,55 @@ def test_containment_asymmetry_quote_in_page(spark):
     assert r["containment_a_in_b"] == 1.0
     assert r["containment_b_in_a"] < 0.1
     assert r["jaccard"] < 0.1
+
+
+# --------------------------------------------------------------------------
+# embedding_drift
+# --------------------------------------------------------------------------
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    from rdsa_utils_spark.operators.similarity import embedding_drift
+
+    same = spark.createDataFrame(
+        [([1.0, 0.0], s) for s in (True, False) for _ in range(3)],
+        ["v", "s"],
+    )
+    r = embedding_drift(same, "v", "s").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.centroid_cos == pytest.approx(1.0, abs=1e-6)
+    assert r.norm_ratio == pytest.approx(1.0, abs=1e-6)
+    # B rotated 90° and doubled: cosine 0, norm ratio 2.
+    rot = spark.createDataFrame(
+        [([1.0, 0.0], True)] * 3 + [([0.0, 2.0], False)] * 3, ["v", "s"],
+    )
+    r2 = embedding_drift(rot, "v", "s").collect()[0]
+    assert r2.centroid_cos == pytest.approx(0.0, abs=1e-6)
+    assert r2.norm_ratio == pytest.approx(2.0, abs=1e-6)
+
+
+def test_embedding_drift_hand_computed_means(spark):
+    from rdsa_utils_spark.operators.similarity import embedding_drift
+
+    # A mean = (1, 1)/... rows (2,0),(0,2) -> mean (1,1); B rows (3,3).
+    df = spark.createDataFrame(
+        [([2.0, 0.0], True), ([0.0, 2.0], True), ([3.0, 3.0], False)],
+        ["v", "s"],
+    )
+    r = embedding_drift(df, "v", "s").collect()[0]
+    assert r.centroid_cos == pytest.approx(1.0, abs=1e-6)  # both along (1,1)
+    # mean norms: A = (2 + 2)/2 = 2, B = sqrt(18)
+    assert r.mean_norm_a == pytest.approx(2.0, abs=1e-6)
+    assert r.mean_norm_b == pytest.approx(18 ** 0.5, abs=1e-6)
+    assert r.norm_ratio == pytest.approx(18 ** 0.5 / 2.0, abs=1e-6)
+
+
+def test_embedding_drift_grouped_one_sided(spark):
+    from rdsa_utils_spark.operators.similarity import embedding_drift
+
+    rows = [("g1", [1.0, 0.0], True), ("g1", [1.0, 0.0], False),
+            ("g2", [1.0, 0.0], True)]  # g2 has no B sample
+    df = spark.createDataFrame(rows, ["g", "v", "s"])
+    out = {r.g: r for r in embedding_drift(df, "v", "s", by=["g"]).collect()}
+    assert out["g1"].centroid_cos == pytest.approx(1.0, abs=1e-6)
+    assert out["g2"].n_b is None and out["g2"].centroid_cos is None
