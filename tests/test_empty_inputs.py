@@ -244,3 +244,71 @@ def test_round4_fourth_wave_ops_on_empty(spark, empty_docs):
     idx = add_row_index(empty_docs, ["doc_id"])
     assert idx.count() == 0
     assert "row_index" in idx.columns
+
+
+def test_round6_drift_ops_on_empty(spark):
+    from rdsa_utils_spark.operators.drift import (
+        chi2_homogeneity,
+        ks_2sample,
+        psi,
+        psi_from_counts,
+    )
+
+    empty = spark.createDataFrame([], "g string, v double, s boolean")
+    assert ks_2sample(empty, "v", "s", by=["g"]).count() == 0
+    assert psi(empty, "v", "s", n_bins=4, lo=0.0, hi=1.0, by=["g"]).count() == 0
+    assert chi2_homogeneity(empty, "v", "s", by=["g"]).count() == 0
+    ec = spark.createDataFrame([], "g string, bin long, a long, b long")
+    assert psi_from_counts(ec, "bin", "a", "b", 4, by=["g"]).count() == 0
+    # Ungrouped empty PSI: the completion grid still emits the n_bins
+    # rows but with all-zero counts the smoothed terms cancel -> one
+    # row with psi = 0 and zero sizes... or no row; either way no raise.
+    out = psi(empty.drop("g"), "v", "s", n_bins=4, lo=0.0, hi=1.0).collect()
+    assert len(out) <= 1
+
+
+def test_round6_metric_ops_on_empty(spark):
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa, map_at_k, mrr_at_k
+    from rdsa_utils_spark.operators.stats import (
+        categorical_entropy,
+        mutual_information,
+    )
+
+    runs = spark.createDataFrame([], "query_id long, doc_id string, rank long")
+    qrels = spark.createDataFrame([], "query_id long, doc_id string, rel long")
+    mrr = mrr_at_k(runs, qrels, 10).collect()
+    assert len(mrr) == 1 and mrr[0].n_queries == 0
+    assert map_at_k(runs, qrels, 10).count() == 0
+    raters = spark.createDataFrame([], "g string, r1 string, r2 string")
+    assert cohens_kappa(raters, "r1", "r2", by=["g"]).count() == 0
+    cats = spark.createDataFrame([], "g string, c string")
+    assert categorical_entropy(cats, "c", group_by=["g"]).count() == 0
+    pairs = spark.createDataFrame([], "g string, x string, y string")
+    assert mutual_information(pairs, "x", "y", group_by=["g"]).count() == 0
+
+
+def test_round6_sketch_and_event_ops_on_empty(spark):
+    from rdsa_utils_spark.operators.events import (
+        attribute_conversions,
+        time_decayed_agg,
+    )
+    from rdsa_utils_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    assert attribute_conversions(ev, ["click"], "purchase").count() == 0
+    tsf = spark.createDataFrame([], "g string, ts timestamp, v double")
+    assert time_decayed_agg(tsf, "ts", 7.0, by=["g"], value_col="v").count() == 0
+    vals = spark.createDataFrame([], "g string, v long")
+    sk = kmv_sketch(vals, "v", k=16, group_cols=["g"])
+    assert sk.count() == 0
+    assert kmv_merge(sk, k=16, group_cols=["g"]).count() == 0
+    assert kmv_estimate(sk, k=16).count() == 0
+    ab = spark.createDataFrame([], "a array<bigint>, b array<bigint>")
+    assert kmv_jaccard(ab, "a", "b", k=16).count() == 0

@@ -445,3 +445,90 @@ def test_jaccard_join_matches_brute_force(spark, docs, threshold):
                 if j >= threshold:
                     want[(a, b)] = j
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# round-6 drift / information invariants
+# --------------------------------------------------------------------------
+
+drift_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),   # value
+        st.booleans(),                           # sample flag
+    ),
+    min_size=2,
+    max_size=16,
+).filter(lambda rs: any(s for _, s in rs) and any(not s for _, s in rs))
+
+
+@given(rows=drift_rows)
+@settings(**SETTINGS)
+def test_ks_bounds_and_symmetry(spark, rows):
+    from rdsa_utils_spark.operators.drift import ks_2sample
+
+    df = spark.createDataFrame(rows, "v long, s boolean")
+    ks = ks_2sample(df, "v", "s").collect()[0].ks
+    assert 0.0 <= ks <= 1.0
+    # Swapping the samples leaves D unchanged (|F_A - F_B| symmetry).
+    swapped = df.select("v", (~F.col("s")).alias("s"))
+    assert ks_2sample(swapped, "v", "s").collect()[0].ks == ks
+
+
+@given(rows=drift_rows)
+@settings(**SETTINGS)
+def test_psi_nonnegative_and_zero_on_identity(spark, rows):
+    from rdsa_utils_spark.operators.drift import psi
+
+    df = spark.createDataFrame(rows, "v long, s boolean")
+    out = psi(df, "v", "s", n_bins=4, lo=0.0, hi=8.0).collect()[0]
+    # Every (pb-pa)·ln(pb/pa) term is >= 0, so PSI >= 0 (9-dp term
+    # rounding can leave a -0.0-magnitude residue at worst).
+    assert out.psi >= -1e-8
+    # A frame where B duplicates A exactly gives PSI 0.
+    dup = df.filter("s").select("v")
+    both = dup.withColumn("s", F.lit(True)).unionByName(
+        dup.withColumn("s", F.lit(False)),
+    )
+    assert abs(psi(both, "v", "s", n_bins=4, lo=0.0, hi=8.0).collect()[0].psi) < 1e-9
+
+
+cat_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y", "z"]),
+        st.sampled_from(["u", "v"]),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(rows=cat_rows)
+@settings(**SETTINGS)
+def test_entropy_and_mi_information_bounds(spark, rows):
+    import math
+
+    from rdsa_utils_spark.operators.stats import (
+        categorical_entropy,
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(rows, "x string, y string")
+    hx = categorical_entropy(df, "x").collect()[0]
+    hy = categorical_entropy(df, "y").collect()[0]
+    assert -1e-9 <= hx.entropy <= math.log2(hx.k) + 1e-6
+    mi = mutual_information(df, "x", "y").collect()[0].mi
+    # 0 <= MI <= min(H(X), H(Y)) up to the 9-dp term quantization.
+    assert mi >= -1e-6
+    assert mi <= min(hx.entropy, hy.entropy) + 1e-6
+
+
+@given(rows=cat_rows)
+@settings(**SETTINGS)
+def test_mi_symmetry(spark, rows):
+    from rdsa_utils_spark.operators.stats import mutual_information
+
+    df = spark.createDataFrame(rows, "x string, y string")
+    assert (
+        mutual_information(df, "x", "y").collect()[0].mi
+        == mutual_information(df, "y", "x").collect()[0].mi
+    )
