@@ -1,0 +1,192 @@
+"""Manifest-based snapshot versioning for parquet datasets: time
+travel, rollback and vacuum with no table-format dependency.
+
+Extension surface (no reference equivalent; complements
+``sources/writers.merge_upsert`` the way a table format's log
+complements its file layout): a training-data pipeline re-materializes
+curated corpora continuously, and every downstream consumer needs to
+(a) pin the exact snapshot a model was trained on, (b) roll the
+"current" pointer back when a bad refresh ships, and (c) reclaim
+superseded files — without adopting a full lakehouse format.
+
+Layout::
+
+    <root>/v00001/          one complete parquet dataset per version
+    <root>/v00002/
+    <root>/_manifest.json   {"current": 2, "versions": [...]}
+
+Commit protocol (single-writer, like ``merge_upsert``): the version
+directory is fully written FIRST, and only then does the manifest swap
+via write-temp + atomic rename. Readers resolve data exclusively
+through the manifest, so a writer crash strands an orphan directory —
+invisible to every reader, reclaimed by :func:`vacuum_snapshots` —
+and can never produce a torn table. Version history lives in the
+manifest even after rollback, so "what did v3 contain and when" stays
+answerable until vacuumed.
+
+At 100 TB each snapshot is an ordinary parquet directory: partitioned,
+bucketed and pruned exactly like any other write — the versioning
+layer adds one small JSON read per query planning step and nothing on
+the data path.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+def _default_client():
+    from rdsa_utils_spark.sources.objectstore import LocalFileSystemClient
+
+    return LocalFileSystemClient()
+
+
+def _read_manifest(root: str, client) -> dict:
+    path = f"{root}/{_MANIFEST}"
+    if not client.file_exists(path):
+        return {"current": None, "versions": []}
+    return json.loads(client.read_text(path))
+
+
+def _write_manifest(root: str, manifest: dict, client) -> None:
+    tmp = f"{root}/{_MANIFEST}.tmp"
+    client.write_text(tmp, json.dumps(manifest, indent=1), overwrite=True)
+    client.rename_file(tmp, f"{root}/{_MANIFEST}", overwrite=True)
+
+
+def _dir_name(version: int) -> str:
+    return f"v{version:05d}"
+
+
+def write_snapshot(
+    df: DataFrame,
+    root: str,
+    note: str = "",
+    partition_by: Optional[list[str]] = None,
+    client=None,
+) -> int:
+    """Materialize ``df`` as the next snapshot version of ``root`` and
+    point ``current`` at it. Returns the new version number.
+
+    The parquet write completes before the manifest moves, so a crash
+    mid-write leaves the previous version live and an orphan directory
+    behind (see module docstring). ``n_rows`` is recorded in the
+    manifest from the written files, making the manifest double as a
+    cheap row-count audit trail.
+    """
+    client = client or _default_client()
+    client.create_folder(root)
+    manifest = _read_manifest(root, client)
+    version = max((v["version"] for v in manifest["versions"]), default=0) + 1
+    data_dir = f"{root}/{_dir_name(version)}"
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    n_rows = df.sparkSession.read.parquet(data_dir).count()
+    manifest["versions"].append(
+        {
+            "version": version,
+            "dir": _dir_name(version),
+            "n_rows": n_rows,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "note": note,
+        },
+    )
+    manifest["current"] = version
+    _write_manifest(root, manifest, client)
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: Optional[int] = None,
+    client=None,
+) -> DataFrame:
+    """The dataset at ``version`` (default: the ``current`` pointer).
+    Raises ``FileNotFoundError`` for an empty root and ``ValueError``
+    for an unknown version — a pinned training run must fail loudly,
+    never silently read a different snapshot."""
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    client = client or _default_client()
+    manifest = _read_manifest(root, client)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    target = version if version is not None else manifest["current"]
+    entry = next(
+        (v for v in manifest["versions"] if v["version"] == target), None,
+    )
+    if entry is None:
+        known = [v["version"] for v in manifest["versions"]]
+        raise ValueError(f"version {target} not in manifest (have {known})")
+    return read_parquet(spark, f"{root}/{entry['dir']}")
+
+
+def snapshot_history(root: str, client=None) -> list[dict]:
+    """Manifest entries oldest-first, each tagged ``is_current``."""
+    client = client or _default_client()
+    manifest = _read_manifest(root, client)
+    return [
+        {**v, "is_current": v["version"] == manifest["current"]}
+        for v in manifest["versions"]
+    ]
+
+
+def rollback_snapshot(root: str, version: int, client=None) -> int:
+    """Point ``current`` back at an earlier version (data untouched —
+    later versions stay readable by pin until vacuumed). Returns the
+    new current version."""
+    client = client or _default_client()
+    manifest = _read_manifest(root, client)
+    if all(v["version"] != version for v in manifest["versions"]):
+        known = [v["version"] for v in manifest["versions"]]
+        raise ValueError(f"version {version} not in manifest (have {known})")
+    manifest["current"] = version
+    _write_manifest(root, manifest, client)
+    return version
+
+
+def vacuum_snapshots(
+    root: str,
+    keep_last: int = 1,
+    client=None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Reclaim storage: drop every version directory except the
+    newest ``keep_last`` manifest entries and the ``current`` version
+    (always kept, even if old), plus any ORPHAN directory a crashed
+    writer left that the manifest never admitted. Returns the deleted
+    (or, with ``dry_run``, deletable) directory paths; the manifest
+    keeps only surviving versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    client = client or _default_client()
+    manifest = _read_manifest(root, client)
+    versions = sorted(manifest["versions"], key=lambda v: v["version"])
+    keep_nums = {v["version"] for v in versions[-keep_last:]}
+    if manifest["current"] is not None:
+        keep_nums.add(manifest["current"])
+    keep_dirs = {
+        v["dir"] for v in versions if v["version"] in keep_nums
+    }
+    doomed = []
+    for d in client.list_folders(root):
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("v") and name not in keep_dirs:
+            doomed.append(d)
+    if not dry_run:
+        for d in doomed:
+            client.delete_folder(d)
+        manifest["versions"] = [
+            v for v in versions if v["version"] in keep_nums
+        ]
+        _write_manifest(root, manifest, client)
+    return sorted(doomed)

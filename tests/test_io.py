@@ -267,3 +267,92 @@ def test_read_parquet_handles_int96_timestamps(spark, tmp_path):
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     got = read_parquet(spark, path).collect()
     assert got[0].ts == datetime.datetime(2024, 3, 1, 12, 30, 15, 123456)
+
+
+# --------------------------------------------------------------------------
+# versioned snapshots
+# --------------------------------------------------------------------------
+
+
+class TestVersionedSnapshots:
+    def _roots(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import write_snapshot
+
+        root = str(tmp_path / "ds")
+        v1 = write_snapshot(
+            spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+            root, note="first",
+        )
+        v2 = write_snapshot(
+            spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["id", "v"]),
+            root, note="second",
+        )
+        return root, v1, v2
+
+    def test_write_read_latest_and_pinned(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import (
+            read_snapshot,
+            snapshot_history,
+        )
+
+        root, v1, v2 = self._roots(spark, tmp_path)
+        assert (v1, v2) == (1, 2)
+        assert read_snapshot(spark, root).count() == 3
+        assert read_snapshot(spark, root, version=1).count() == 2
+        hist = snapshot_history(root)
+        assert [h["version"] for h in hist] == [1, 2]
+        assert [h["is_current"] for h in hist] == [False, True]
+        assert [h["n_rows"] for h in hist] == [2, 3]
+        with pytest.raises(ValueError, match="not in manifest"):
+            read_snapshot(spark, root, version=9)
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, str(tmp_path / "nothing"))
+
+    def test_rollback_then_new_write_continues_numbering(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import (
+            read_snapshot,
+            rollback_snapshot,
+            write_snapshot,
+        )
+
+        root, v1, v2 = self._roots(spark, tmp_path)
+        assert rollback_snapshot(root, 1) == 1
+        assert read_snapshot(spark, root).count() == 2   # current = v1
+        assert read_snapshot(spark, root, version=2).count() == 3  # still pinnable
+        v3 = write_snapshot(
+            spark.createDataFrame([(9, "z")], ["id", "v"]), root,
+        )
+        assert v3 == 3  # numbering never reuses a rolled-back version
+        assert read_snapshot(spark, root).count() == 1
+        with pytest.raises(ValueError):
+            rollback_snapshot(root, 7)
+
+    def test_vacuum_keeps_current_and_reclaims_orphans(self, spark, tmp_path):
+        import os
+
+        from rdsa_utils_spark.sources.versioned import (
+            read_snapshot,
+            rollback_snapshot,
+            snapshot_history,
+            vacuum_snapshots,
+        )
+
+        root, v1, v2 = self._roots(spark, tmp_path)
+        rollback_snapshot(root, 1)
+        # Orphan dir from a "crashed writer": never entered the manifest.
+        os.makedirs(f"{root}/v00099")
+        doomed = vacuum_snapshots(root, keep_last=1, dry_run=True)
+        assert doomed and all("v00001" not in d for d in doomed)
+        removed = vacuum_snapshots(root, keep_last=1)
+        # current (v1) survives even though only v2 is the newest entry;
+        # the orphan goes.
+        names = {d.rsplit("/", 1)[-1] for d in removed}
+        assert names == {"v00099"}
+        assert read_snapshot(spark, root).count() == 2
+        # Drop current forward again and vacuum v1 away.
+        rollback_snapshot(root, 2)
+        removed2 = vacuum_snapshots(root, keep_last=1)
+        assert {d.rsplit("/", 1)[-1] for d in removed2} == {"v00001"}
+        assert [h["version"] for h in snapshot_history(root)] == [2]
+        with pytest.raises(ValueError):
+            vacuum_snapshots(root, keep_last=0)
