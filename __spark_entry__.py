@@ -6368,6 +6368,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_priority_status": q_mi_priority_status,
         "attribution_purchases": q_attribution_purchases,
         "embedding_drift_labels": q_embedding_drift_labels,
+        "weighted_docs_per_lang": q_weighted_docs_per_lang,
     }
 
 
@@ -6611,6 +6612,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "mi_priority_status": _ORACLE_MI_PRIORITY_STATUS,
         "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
         "embedding_drift_labels": _ORACLE_EMBEDDING_DRIFT_LABELS,
+        "weighted_docs_per_lang": _ORACLE_WEIGHTED_DOCS_PER_LANG,
     }
 
 
@@ -10261,4 +10263,41 @@ SELECT label, n_a, n_b, mean_norm_a, mean_norm_b,
        END AS norm_ratio
 FROM d
 ORDER BY label
+"""
+
+
+def q_weighted_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling (operators/sampling.py::
+    weighted_sample_per_group): 3 documents per language, inclusion
+    probability proportional to length — the grouped A-ES rank window
+    over the same deterministic md5 variate as the global sampler."""
+    from rdsa_utils_spark.operators.sampling import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(docs, "doc_id", "n_chars", 3, ["lang"])
+    return out.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
+
+
+_ORACLE_WEIGHTED_DOCS_PER_LANG = """
+WITH u AS (
+  SELECT lang, doc_id, n_chars,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM documents
+  WHERE CAST(n_chars AS DOUBLE) > 0
+), keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY POWER(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id ASC
+         ) AS rn
+  FROM u
+)
+SELECT lang, doc_id, n_chars
+FROM keyed WHERE rn <= 3
+ORDER BY lang, doc_id
 """

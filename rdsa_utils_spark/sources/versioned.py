@@ -190,3 +190,43 @@ def vacuum_snapshots(
         ]
         _write_manifest(root, manifest, client)
     return sorted(doomed)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    keys,
+    v_from: Optional[int] = None,
+    v_to: Optional[int] = None,
+    compare_cols: Optional[list[str]] = None,
+    client=None,
+) -> DataFrame:
+    """Keyed row diff between two snapshot versions — "what changed in
+    this refresh?" as a frame: one row per key present in either
+    version with ``diff_status`` in {added, removed, changed,
+    unchanged} (null-safe compare; see
+    :func:`rdsa_utils_spark.operators.quality.frame_diff`).
+
+    Defaults compare the version immediately BEFORE ``v_to`` in the
+    manifest (not current-1 numerically — rollbacks leave gaps)
+    against ``current``. One full-outer co-shuffle on the keys.
+    """
+    from rdsa_utils_spark.operators.quality import frame_diff
+
+    client = client or _default_client()
+    manifest = _read_manifest(root, client)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    ordered = sorted(v["version"] for v in manifest["versions"])
+    to = v_to if v_to is not None else manifest["current"]
+    if v_from is None:
+        earlier = [v for v in ordered if v < to]
+        if not earlier:
+            raise ValueError(f"version {to} has no predecessor to diff against")
+        v_from = earlier[-1]
+    return frame_diff(
+        read_snapshot(spark, root, v_from, client=client),
+        read_snapshot(spark, root, to, client=client),
+        keys,
+        compare_cols=compare_cols,
+    )

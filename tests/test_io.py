@@ -356,3 +356,19 @@ class TestVersionedSnapshots:
         assert [h["version"] for h in snapshot_history(root)] == [2]
         with pytest.raises(ValueError):
             vacuum_snapshots(root, keep_last=0)
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    from rdsa_utils_spark.sources.versioned import snapshot_diff, write_snapshot
+
+    root = str(tmp_path / "ds2")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), root,
+    )
+    write_snapshot(
+        spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), root,
+    )
+    out = {r.id: r.diff_status for r in snapshot_diff(spark, root, "id").collect()}
+    assert out == {1: "removed", 2: "changed", 3: "added"}
+    with pytest.raises(ValueError, match="no predecessor"):
+        snapshot_diff(spark, root, "id", v_to=1)
