@@ -93,11 +93,21 @@ def main() -> None:
         }
 
     out_path = os.path.join(repo, "SCALE_PROBE.json")
+    # Merge into any existing probe so a targeted run (n_top=0 +
+    # forced names) extends the measured set instead of discarding
+    # prior measurements.
+    merged: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        try:
+            merged = json.load(open(out_path)).get("queries", {})
+        except (ValueError, OSError):
+            merged = {}
+    merged.update(results)
     with open(out_path, "w") as fh:
         json.dump({"points_sf": [p[1] for p in points], "runs_per_point": n_runs,
-                   "estimator": "min", "queries": results}, fh, indent=1)
+                   "estimator": "min", "queries": merged}, fh, indent=1)
         fh.write("\n")
-    print(f"wrote {out_path}")
+    print(f"wrote {out_path} ({len(results)} new, {len(merged)} total)")
 
 
 if __name__ == "__main__":
