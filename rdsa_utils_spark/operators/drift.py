@@ -39,6 +39,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _mr(col: Column, round_to: int | None) -> Column:
+    """Round unless the caller asked for full precision (None)."""
+    return F.round(col, round_to) if round_to is not None else col
+
+
 def _dec_sum(col: Column, alias: str, round_to: int = 6) -> Column:
     """Order-independent sum of pre-quantized doubles: decimal(38,12)
     accumulate → double → round (repo-wide quantize-then-sum idiom)."""
@@ -52,13 +57,15 @@ def ks_2sample(
     value_col: str,
     sample_col: str,
     by: list[str] | None = None,
-    round_to: int = 6,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per group.
 
     ``sample_col`` must be boolean-like (true = sample A, false =
-    sample B); ``value_col`` any orderable column. NULL values are
-    excluded (a NULL has no rank in an ECDF).
+    sample B); ``value_col`` any orderable column. NULL values AND
+    NULL sample flags are excluded (a NULL has no rank in an ECDF,
+    and an untagged row belongs to neither sample — counting it as B
+    would bias the statistic silently).
 
     D = sup_x |F_A(x) − F_B(x)| evaluated at every distinct observed
     value:
@@ -78,7 +85,7 @@ def ks_2sample(
     by = list(by or [])
     flag = F.col(sample_col).cast("boolean")
     g = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & flag.isNotNull())
         .groupBy(*by, F.col(value_col).alias("__v__"))
         .agg(
             F.sum(F.when(flag, 1).otherwise(0)).alias("__a__"),
@@ -121,7 +128,7 @@ def ks_2sample(
         "n_b",
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
-            F.round(
+            _mr(
                 F.col("__dnum__")
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
                 round_to,
@@ -254,7 +261,7 @@ def psi(
     by = list(by or [])
     flag = F.col(sample_col).cast("boolean")
     g = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & flag.isNotNull())
         .groupBy(*by, fixed_bin(value_col, n_bins, lo, hi).alias("__bin__"))
         .agg(
             F.sum(F.when(flag, 1).otherwise(0)).alias("__a__"),
@@ -298,7 +305,7 @@ def chi2_homogeneity(
     by = list(by or [])
     flag = F.col(sample_col).cast("boolean")
     g = (
-        df.filter(F.col(cat_col).isNotNull())
+        df.filter(F.col(cat_col).isNotNull() & flag.isNotNull())
         .groupBy(*by, F.col(cat_col).alias("__c__"))
         .agg(
             F.sum(F.when(flag, 1).otherwise(0)).alias("__a__"),

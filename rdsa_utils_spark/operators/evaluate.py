@@ -12,9 +12,10 @@ cross-engine contract:
 - ``binary_auc`` — tie-aware Mann-Whitney AUC computed over the
   DISTINCT-SCORE aggregate, never over raw rows: the only window runs
   on |distinct scores| rows per group (a quantized classifier emits a
-  bounded score alphabet), and the statistic is assembled in exact
-  integer arithmetic (the ×2 trick), so the result is
-  order-independent to the last bit.
+  bounded score alphabet), and the 2U statistic is assembled from
+  integer counts in double products (exact below 2^53,
+  ANSI-overflow-safe for multi-billion-row classes), so the result is
+  order-independent.
 - ``brier_score`` — the proper-scoring-rule scalar companion to the
   reliability table (``operators/classify.calibration_bins``);
   decimal-exact accumulation.
@@ -94,13 +95,16 @@ def binary_auc(
     rows — document the score alphabet, not the row count, as the
     bound.
 
-    Returns one row per group: ``by… , n_pos, n_neg, auc`` (auc NULL
-    when a group lacks both classes).
+    Rows with a NULL score or NULL label are excluded (a NULL score
+    has no rank; sorting it below every real score would silently
+    bias the statistic). Returns one row per group: ``by… , n_pos,
+    n_neg, auc`` (auc NULL when a group lacks both classes).
     """
     by = list(by or [])
     lab = F.col(label_col).cast("int")
     g = (
-        df.groupBy(*by, F.col(score_col).alias("__score__"))
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*by, F.col(score_col).alias("__score__"))
         .agg(
             F.sum(lab).alias("__pos__"),
             F.sum(1 - lab).alias("__neg__"),
@@ -111,10 +115,18 @@ def binary_auc(
         .orderBy("__score__")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # 2U in DOUBLE: pos·neg products overflow long (ANSI: throws) for
+    # multi-billion-row classes; doubles stay exact below 2^53 and
+    # deterministic past it — same rationale as drift.ks_2sample.
     contrib = g.withColumn(
         "__below__", F.coalesce(F.sum("__neg__").over(w), F.lit(0))
     ).withColumn(
-        "__u2__", F.col("__pos__") * (2 * F.col("__below__") + F.col("__neg__"))
+        "__u2__",
+        F.col("__pos__").cast("double")
+        * (
+            F.lit(2.0) * F.col("__below__").cast("double")
+            + F.col("__neg__").cast("double")
+        ),
     )
     out = contrib.groupBy(*by).agg(
         F.sum("__pos__").alias("n_pos"),
@@ -211,10 +223,19 @@ def ndcg_at_k(
             9,
         ).cast("decimal(38,9)")
 
-    qr = qrels.select(
-        F.col(query_col).alias("__q__"),
-        F.col(doc_col).alias("__d__"),
-        F.col(rel_col).alias("__rel__"),
+    # Deduplicate qrels by (query, doc), keeping the max grade:
+    # multi-annotator qrels files carry duplicate pairs, and a raw
+    # duplicate would both fan out the run join (double-counted DCG)
+    # and occupy two ideal-ranking slots (corrupted IDCG) — the same
+    # guard mrr_at_k/map_at_k apply via .distinct().
+    qr = (
+        qrels.select(
+            F.col(query_col).alias("__q__"),
+            F.col(doc_col).alias("__d__"),
+            F.col(rel_col).alias("__rel__"),
+        )
+        .groupBy("__q__", "__d__")
+        .agg(F.max("__rel__").alias("__rel__"))
     )
     qr_j = F.broadcast(qr) if broadcast_qrels else qr
 
@@ -397,7 +418,7 @@ def cohens_kappa(
     rater1_col: str,
     rater2_col: str,
     by: list[str] | None = None,
-    round_to: int = 6,
+    round_to: int | None = 6,
     include_rates: bool = False,
 ) -> DataFrame:
     """Cohen's kappa inter-annotator agreement per group — the gate
@@ -459,10 +480,13 @@ def cohens_kappa(
     # oracle mirrors the identical expression shape.
     nd = F.col("n").cast("double")
     srcd = F.col("__src__").cast("double")
+    def _mr(c):
+        return F.round(c, round_to) if round_to is not None else c
+
     rates = (
         [
-            F.round(F.col("__agree__").cast("double") / nd, round_to).alias("po"),
-            F.round(srcd / (nd * nd), round_to).alias("pe"),
+            _mr(F.col("__agree__").cast("double") / nd).alias("po"),
+            _mr(srcd / (nd * nd)).alias("pe"),
         ]
         if include_rates
         else []
@@ -473,9 +497,8 @@ def cohens_kappa(
         *rates,
         F.when(
             nd * nd != srcd,
-            F.round(
+            _mr(
                 (nd * F.col("__agree__").cast("double") - srcd) / (nd * nd - srcd),
-                round_to,
             ),
         ).alias("kappa"),
     )

@@ -585,50 +585,55 @@ def conversion_attribution(
     model: str = "last",
     tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """Marketing-style conversion attribution: each conversion event
-    credits ONE preceding touch event of the same user — the latest
-    (``model='last'``) or the earliest (``model='first'``) touch at
-    or before the conversion time. Returns
+    """Marketing-style conversion attribution SUMMARY: each conversion
+    event credits ONE preceding touch event of the same user — the
+    latest (``model='last'``) or the earliest (``model='first'``)
+    touch at or before the conversion time. Returns
     (``touch_type``, ``n_conversions``); conversions with no prior
-    touch are reported under touch_type ``'(none)'``.
+    touch (including conversions with a NULL timestamp) are reported
+    under touch_type ``'(none)'``.
 
-    Plan: touches × conversions equi-join on the user key (fanout
-    bounded by per-user touch count), ``min``/``max`` of a
-    (ts, tiebreak, type) struct per conversion — an aggregation, not
-    a window — then a count by winning touch type. Two hash shuffles
-    on user, one tiny count. Pass ``tiebreak_col`` (e.g. event id)
-    for a total order under timestamp ties.
+    Façade over :func:`attribute_conversions` (the canonical
+    window-based row-level implementation — one algorithm per
+    statistic in this engine) with ``include_same_instant=True``:
+    at-or-same-instant eligibility, ties resolved by
+    (``tiebreak_col``, type) exactly as the historical join-based
+    form did. One shuffle on user + a per-partition sort, then a tiny
+    count — strictly cheaper than the old touches×conversions fanout
+    join at high touch multiplicity.
     """
     if model not in {"last", "first"}:
         raise ValueError(f"model must be 'last' or 'first', got {model}")
-    conv = df.filter(F.col(type_col) == conversion_type).select(
-        F.col(user_col).alias("__u"),
-        F.col(ts_col).alias("__cts"),
-        *([F.col(tiebreak_col).alias("__cid")] if tiebreak_col else [F.lit(0).alias("__cid")]),
-    )
-    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
-        F.col(user_col).alias("__u2"),
-        F.col(ts_col).alias("__tts"),
-        *([F.col(tiebreak_col).alias("__tid")] if tiebreak_col else [F.lit(0).alias("__tid")]),
-        F.col(type_col).alias("__ttype"),
-    )
-    # Time predicate INSIDE the left join: a post-join filter would
-    # silently drop conversions whose touches are all later (their
-    # matched rows fail the filter and no null row remains).
-    joined = conv.join(
-        touch,
-        (F.col("__u") == F.col("__u2")) & (F.col("__tts") <= F.col("__cts")),
-        "left",
-    )
-    pick = F.struct("__tts", "__tid", "__ttype")
-    agg = F.max(pick) if model == "last" else F.min(pick)
-    winners = (
-        joined.groupBy("__u", "__cts", "__cid")
-        .agg(agg.alias("__win"))
-        .select(F.coalesce(F.col("__win.__ttype"), F.lit("(none)")).alias("touch_type"))
+    tb = tiebreak_col
+    base = df
+    if tb is None:
+        base = df.withColumn("__ca_tb__", F.lit(0))
+        tb = "__ca_tb__"
+    attributed = attribute_conversions(
+        base.filter(F.col(user_col).isNotNull()),
+        list(touch_types),
+        conversion_type,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        id_col=tb,
+        model=model,
+        include_same_instant=True,
+    ).select("touch_type")
+    # attribute_conversions excludes NULL-timestamp rows, and a
+    # NULL-user conversion can never equi-match a touch (SQL NULL
+    # join semantics) — the summary contract counts both as organic.
+    null_ts = (
+        df.filter(
+            (F.col(type_col) == conversion_type)
+            & (F.col(ts_col).isNull() | F.col(user_col).isNull()),
+        )
+        .select(F.lit(None).cast("string").alias("touch_type"))
     )
     return (
-        winners.groupBy("touch_type")
+        attributed.unionByName(null_ts)
+        .select(F.coalesce(F.col("touch_type"), F.lit("(none)")).alias("touch_type"))
+        .groupBy("touch_type")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
         .orderBy("touch_type")
     )
@@ -1108,12 +1113,18 @@ def attribute_conversions(
     model: str = "last",
     lookback_s: float | None = None,
     round_to: int = 6,
+    include_same_instant: bool = False,
 ) -> DataFrame:
     """Marketing-style conversion attribution: one row per conversion
     event, carrying the touch event it attributes to — ``model =
     'last'`` (last touch strictly before the conversion) or
     ``'first'`` (earliest touch inside the lookback) — or NULL touch
-    columns for an unattributed (organic) conversion.
+    columns for an unattributed (organic) conversion. This is the
+    canonical attribution algorithm;
+    :func:`conversion_attribution` is the at-or-same-instant summary
+    façade over it. ``include_same_instant`` widens eligibility to
+    touches at the conversion's exact microsecond (frame upper bound
+    0 instead of −1 µs).
 
     The whole thing is ONE range-frame window per user ordered by
     epoch MICROSECONDS (exact integer arithmetic — no float range
@@ -1150,7 +1161,8 @@ def attribute_conversions(
         ts_us.alias("__us__"),
     )
     lo = -int(lookback_s * 1_000_000) if lookback_s is not None else Window.unboundedPreceding
-    w = Window.partitionBy("user").orderBy("__us__").rangeBetween(lo, -1)
+    hi = 0 if include_same_instant else -1
+    w = Window.partitionBy("user").orderBy("__us__").rangeBetween(lo, hi)
     touch_struct = F.when(
         F.col("__type__").isin(list(touch_types)),
         F.struct(

@@ -1223,7 +1223,7 @@ def cohens_kappa(
         rater_a,
         rater_b,
         by=list(group_by) if group_by else None,
-        round_to=6 if round_to is None else round_to,
+        round_to=round_to,
         include_rates=True,
     )
 
@@ -1266,7 +1266,7 @@ def ks_statistic(
         value_col,
         "__is_left__",
         by=keys,
-        round_to=6 if round_to is None else round_to,
+        round_to=round_to,
     )
     return out.select(
         *keys,

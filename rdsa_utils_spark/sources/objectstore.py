@@ -15,6 +15,7 @@ jars are deployment concerns, not code changes.
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import zipfile
@@ -100,6 +101,15 @@ class LocalFileSystemClient:
 
     def rename_file(self, src: str, dst: str, overwrite: bool = False) -> None:
         self.move_file(src, dst, overwrite)
+
+    def replace_file(self, src: str, dst: str) -> None:
+        """ATOMICALLY swap ``dst`` to ``src`` (``os.replace``): at
+        every instant dst is either the old file or the new one —
+        the primitive commit protocols (versioned snapshots' manifest
+        swap) need, which ``move_file``'s delete-then-move cannot
+        give."""
+        Path(dst).parent.mkdir(parents=True, exist_ok=True)
+        os.replace(src, dst)
 
     def delete_file(self, path: str) -> None:
         Path(path).unlink()

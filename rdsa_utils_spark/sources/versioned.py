@@ -33,12 +33,14 @@ the data path.
 from __future__ import annotations
 
 import json
+import re
 import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_manifest.json"
+_VDIR_RE = re.compile(r"^v(\d{5})$")
 
 
 def _default_client():
@@ -50,6 +52,13 @@ def _default_client():
 def _read_manifest(root: str, client) -> dict:
     path = f"{root}/{_MANIFEST}"
     if not client.file_exists(path):
+        # A missing manifest with a completed .tmp beside it is a
+        # torn non-atomic swap (rename_file fallback crashed between
+        # its delete and its move) — the .tmp was fully written
+        # before the swap began, so it IS the manifest.
+        tmp = f"{path}.tmp"
+        if client.file_exists(tmp):
+            return json.loads(client.read_text(tmp))
         return {"current": None, "versions": []}
     return json.loads(client.read_text(path))
 
@@ -57,7 +66,17 @@ def _read_manifest(root: str, client) -> dict:
 def _write_manifest(root: str, manifest: dict, client) -> None:
     tmp = f"{root}/{_MANIFEST}.tmp"
     client.write_text(tmp, json.dumps(manifest, indent=1), overwrite=True)
-    client.rename_file(tmp, f"{root}/{_MANIFEST}", overwrite=True)
+    dst = f"{root}/{_MANIFEST}"
+    # Atomic swap when the client offers it (replace_file, e.g. the
+    # local client's os.replace) — the generic rename_file fallback
+    # deletes dst first, which leaves a crash window with NO manifest
+    # on clients without an overwriting rename (plain Hadoop FS);
+    # there, restore the manifest from the .tmp the crash left behind
+    # before trusting an apparently-empty root.
+    if hasattr(client, "replace_file"):
+        client.replace_file(tmp, dst)
+    else:
+        client.rename_file(tmp, dst, overwrite=True)
 
 
 def _dir_name(version: int) -> str:
@@ -83,7 +102,20 @@ def write_snapshot(
     client = client or _default_client()
     client.create_folder(root)
     manifest = _read_manifest(root, client)
-    version = max((v["version"] for v in manifest["versions"]), default=0) + 1
+    # Next version = 1 + max over BOTH the manifest and any on-disk
+    # vNNNNN directory: a crashed writer's orphan (data written,
+    # manifest never swapped) must not block the retry with a
+    # "path already exists" error — the retry skips past it and the
+    # orphan stays reclaimable by vacuum.
+    on_disk = [
+        int(m.group(1))
+        for d in (client.list_folders(root) if client.folder_exists(root) else [])
+        if (m := _VDIR_RE.match(d.rstrip("/").rsplit("/", 1)[-1]))
+    ]
+    version = max(
+        max((v["version"] for v in manifest["versions"]), default=0),
+        max(on_disk, default=0),
+    ) + 1
     data_dir = f"{root}/{_dir_name(version)}"
     writer = df.write.mode("error")
     if partition_by:
@@ -171,6 +203,17 @@ def vacuum_snapshots(
     client = client or _default_client()
     manifest = _read_manifest(root, client)
     versions = sorted(manifest["versions"], key=lambda v: v["version"])
+    if not versions and any(
+        _VDIR_RE.match(d.rstrip("/").rsplit("/", 1)[-1])
+        for d in (client.list_folders(root) if client.folder_exists(root) else [])
+    ):
+        # No manifest but snapshot directories on disk: that is a
+        # damaged root, not "everything is an orphan" — refuse to
+        # delete the entire dataset.
+        raise RuntimeError(
+            f"{root} has snapshot directories but no manifest; refusing to "
+            "vacuum (restore _manifest.json or remove directories manually)",
+        )
     keep_nums = {v["version"] for v in versions[-keep_last:]}
     if manifest["current"] is not None:
         keep_nums.add(manifest["current"])
@@ -180,7 +223,10 @@ def vacuum_snapshots(
     doomed = []
     for d in client.list_folders(root):
         name = d.rstrip("/").rsplit("/", 1)[-1]
-        if name.startswith("v") and name not in keep_dirs:
+        # Only exact vNNNNN snapshot directories are vacuum's to
+        # reclaim — an unrelated folder that merely starts with "v"
+        # (vocab/, v2_experiments/) must never be deleted.
+        if _VDIR_RE.match(name) and name not in keep_dirs:
             doomed.append(d)
     if not dry_run:
         for d in doomed:

@@ -99,7 +99,10 @@ def psi_vs_reference(
 
     The grid is completed per window BEFORE the reference join (a
     reference bin with no events in some window must still pull its
-    smoothing term), then the math is exactly
+    smoothing term), and spans EVERY reference key in every observed
+    window — a key that stops emitting entirely still gets its PSI
+    row (n_b = 0, maximal shift) instead of disappearing from the
+    monitor. Then the math is exactly
     :func:`operators.drift.psi_from_counts`. The reference is
     keys×n_bins rows — broadcast by default; the windowed side joins
     on (keys, bin) with no extra shuffle beyond its own grouping.
@@ -107,19 +110,32 @@ def psi_vs_reference(
     keys = list(keys)
     window_cols = list(window_cols)
     by = [*window_cols, *keys]
-    # The grid derives from window_counts itself, so rename its
-    # columns before the grid↔counts self-join (attribute-id clash
-    # otherwise) and rename back after.
+    # The group grid is windows × (reference keys ∪ observed keys):
+    # a key that stops emitting entirely (the strongest drift — a
+    # dead source) has NO row in window_counts for that window, so a
+    # grid derived from window_counts alone would silently emit no
+    # PSI for it. Both factors are metadata-sized; the key side rides
+    # a broadcast nested-loop, never a cartesian. Columns are renamed
+    # before the grid↔counts self-join (attribute-id clash otherwise)
+    # and renamed back after.
     gcols = [f"__g{i}__" for i in range(len(by))]
-    grid = (
-        window_counts.select(
-            *[F.col(c).alias(g) for c, g in zip(by, gcols)],
+    wins = window_counts.select(
+        *[F.col(c).alias(g) for c, g in zip(window_cols, gcols)],
+    ).distinct()
+    if keys:
+        kg = gcols[len(window_cols):]
+        all_keys = (
+            reference.select(*keys)
+            .unionByName(window_counts.select(*keys))
+            .distinct()
+            .select(*[F.col(c).alias(g) for c, g in zip(keys, kg)])
         )
-        .distinct()
-        .select(
-            "*",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__gbin__"),
-        )
+        groups = wins.crossJoin(F.broadcast(all_keys))
+    else:
+        groups = wins
+    grid = groups.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__gbin__"),
     )
     wc = window_counts.select(*by, bin_col, count_col)
     cond = F.col("__gbin__") == F.col(bin_col)

@@ -1,0 +1,215 @@
+"""Regression tests for the round-6 self-review findings: NULL-tag
+bias in the drift gates, NULL scores in AUC, duplicate qrels in NDCG,
+round_to=None contract in the stats façades, dead-key PSI rows, and
+the versioned-snapshot crash/orphan/vacuum safety properties."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_drift_ops_exclude_null_sample_flags(spark):
+    from rdsa_utils_spark.operators.drift import chi2_homogeneity, ks_2sample, psi
+
+    rows = [(1.0, True), (2.0, True), (3.0, False), (4.0, False),
+            (9.0, None), (9.0, None)]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    ks = ks_2sample(df, "v", "s").collect()[0]
+    assert (ks.n_a, ks.n_b) == (2, 2)  # untagged rows in NEITHER sample
+    p = psi(df, "v", "s", n_bins=4, lo=0.0, hi=8.0).collect()[0]
+    assert (p.n_a, p.n_b) == (2, 2)
+    c = chi2_homogeneity(
+        df.select(F.col("v").cast("string").alias("c"), "s"), "c", "s",
+    ).collect()[0]
+    assert (c.n_a, c.n_b) == (2, 2)
+
+
+def test_auc_excludes_null_scores_and_labels(spark):
+    from rdsa_utils_spark.operators.evaluate import binary_auc
+
+    clean = [(0.9, True), (0.7, True), (0.4, False), (0.2, False)]
+    df = spark.createDataFrame(
+        clean + [(None, False), (None, False), (0.5, None)],
+        "score double, label boolean",
+    )
+    got = binary_auc(df, "score", "label").collect()[0]
+    want = binary_auc(
+        spark.createDataFrame(clean, "score double, label boolean"),
+        "score", "label",
+    ).collect()[0]
+    assert (got.n_pos, got.n_neg, got.auc) == (want.n_pos, want.n_neg, want.auc)
+
+
+def test_ndcg_duplicate_qrels_deduplicated(spark):
+    from rdsa_utils_spark.operators.evaluate import ndcg_at_k
+
+    runs = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 1)], ["query_id", "doc_id", "rel"],
+    )
+    dup = qrels.unionByName(
+        spark.createDataFrame([(1, "a", 1)], ["query_id", "doc_id", "rel"]),
+    )
+    base = ndcg_at_k(runs, qrels, 10).collect()[0]
+    dedup = ndcg_at_k(runs, dup, 10).collect()[0]
+    # The duplicate (lower-grade) row neither double-counts DCG nor
+    # occupies an extra ideal slot: max-grade dedup keeps rel=2.
+    assert (dedup.dcg, dedup.idcg, dedup.ndcg) == (base.dcg, base.idcg, base.ndcg)
+
+
+def test_facades_honor_round_to_none(spark):
+    from rdsa_utils_spark.operators.stats import cohens_kappa, ks_statistic
+
+    rows = (
+        [("y", "y")] * 7 + [("y", "n")] * 3 + [("n", "y")] * 2 + [("n", "n")] * 5
+    )
+    df = spark.createDataFrame(rows, ["ra", "rb"])
+    full = cohens_kappa(df, "ra", "rb", round_to=None).collect()[0]
+    rounded = cohens_kappa(df, "ra", "rb", round_to=2).collect()[0]
+    assert full.kappa != rounded.kappa  # None = full precision, not 6dp
+    assert rounded.kappa == round(full.kappa, 2)
+    ks_rows = [(1.05, "l"), (2.0, "l"), (2.0, "l"), (2.9, "r"), (3.0, "r")]
+    kdf = spark.createDataFrame(ks_rows, ["v", "s"])
+    kfull = ks_statistic(kdf, "v", "s", "l", "r", round_to=None).first()["ks"]
+    assert kfull == pytest.approx(1.0)  # disjoint -> exactly 1 either way
+    k2 = ks_statistic(kdf, "v", "s", "l", "r", round_to=2).first()["ks"]
+    assert k2 == 1.0
+
+
+def test_psi_vs_reference_emits_dead_key_rows(spark):
+    from rdsa_utils_spark.streaming.drift import psi_vs_reference
+
+    ref = spark.createDataFrame(
+        [("src_a", 0, 5), ("src_a", 1, 5), ("src_b", 0, 5), ("src_b", 1, 5)],
+        ["source", "bin", "n_ref"],
+    )
+    # Window w1: only src_a emitted anything; src_b is silent.
+    wc = spark.createDataFrame(
+        [("w1", "w1e", "src_a", 0, 4), ("w1", "w1e", "src_a", 1, 4)],
+        ["window_start", "window_end", "source", "bin", "n"],
+    )
+    out = {
+        (r.window_start, r.source): r
+        for r in psi_vs_reference(wc, ref, n_bins=2, keys=["source"]).collect()
+    }
+    assert ("w1", "src_b") in out, "dead key must still get a PSI row"
+    dead = out[("w1", "src_b")]
+    assert dead.n_b == 0 and dead.psi is not None
+    # And the live key's PSI is near zero (same uniform mix).
+    assert abs(out[("w1", "src_a")].psi) < 1e-6
+
+
+class TestVersionedSafety:
+    def test_vacuum_ignores_non_snapshot_dirs(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import (
+            vacuum_snapshots,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "ds")
+        write_snapshot(spark.createDataFrame([(1,)], ["id"]), root)
+        write_snapshot(spark.createDataFrame([(2,)], ["id"]), root)
+        os.makedirs(f"{root}/vocab")
+        os.makedirs(f"{root}/v2_experiments")
+        removed = vacuum_snapshots(root, keep_last=1)
+        names = {d.rsplit("/", 1)[-1] for d in removed}
+        assert names == {"v00001"}
+        assert os.path.isdir(f"{root}/vocab")
+        assert os.path.isdir(f"{root}/v2_experiments")
+
+    def test_vacuum_refuses_manifestless_root(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import (
+            vacuum_snapshots,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "ds")
+        write_snapshot(spark.createDataFrame([(1,)], ["id"]), root)
+        os.remove(f"{root}/_manifest.json")
+        with pytest.raises(RuntimeError, match="refusing to vacuum"):
+            vacuum_snapshots(root, keep_last=1)
+        assert os.path.isdir(f"{root}/v00001")
+
+    def test_write_retries_past_crash_orphan(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import (
+            read_snapshot,
+            snapshot_history,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "ds")
+        write_snapshot(spark.createDataFrame([(1,)], ["id"]), root)
+        # Simulate a crash AFTER the data write, BEFORE the manifest
+        # swap: the orphan dir exists but the manifest never saw it.
+        spark.createDataFrame([(99,)], ["id"]).write.parquet(f"{root}/v00002")
+        v = write_snapshot(spark.createDataFrame([(2,), (3,)], ["id"]), root)
+        assert v == 3  # skipped the orphan's number instead of crashing
+        assert read_snapshot(spark, root).count() == 2
+        assert [h["version"] for h in snapshot_history(root)] == [1, 3]
+
+    def test_manifest_recovered_from_tmp_after_torn_swap(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.versioned import (
+            read_snapshot,
+            write_snapshot,
+        )
+
+        root = str(tmp_path / "ds")
+        write_snapshot(spark.createDataFrame([(1,)], ["id"]), root)
+        # Simulate the non-atomic fallback's torn state: manifest
+        # deleted, fully-written .tmp left behind.
+        os.rename(f"{root}/_manifest.json", f"{root}/_manifest.json.tmp")
+        assert read_snapshot(spark, root).count() == 1
+
+    def test_local_manifest_swap_is_atomic_replace(self, spark, tmp_path):
+        from rdsa_utils_spark.sources.objectstore import LocalFileSystemClient
+
+        # The primitive versioned.py relies on: os.replace semantics.
+        c = LocalFileSystemClient()
+        a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+        c.write_text(b, "old")
+        c.write_text(a, "new")
+        c.replace_file(a, b)
+        assert c.read_text(b) == "new" and not os.path.exists(a)
+
+
+def test_conversion_attribution_matches_rowlevel_canon(spark):
+    """The summary façade equals a groupBy over the canonical
+    row-level operator with at-or-same-instant eligibility."""
+    from rdsa_utils_spark.operators.events import (
+        attribute_conversions,
+        conversion_attribution,
+    )
+
+    rows = [
+        (1, 10, "click", "2024-01-01 00:00:00"),
+        (1, 11, "view", "2024-01-02 00:00:00"),     # same instant as conv
+        (1, 12, "purchase", "2024-01-02 00:00:00"),
+        (2, 20, "purchase", "2024-01-05 00:00:00"),  # organic
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_s"],
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    summary = {
+        r.touch_type: r.n_conversions
+        for r in conversion_attribution(
+            df, "user_id", "ts", "event_type", "purchase",
+            ["click", "view"], tiebreak_col="event_id",
+        ).collect()
+    }
+    # Same-instant view IS eligible in the summary contract.
+    assert summary == {"view": 1, "(none)": 1}
+    rowlevel = attribute_conversions(
+        df, ["click", "view"], "purchase", include_same_instant=True,
+    ).collect()
+    got = {}
+    for r in rowlevel:
+        got[r.touch_type or "(none)"] = got.get(r.touch_type or "(none)", 0) + 1
+    assert got == summary
