@@ -8632,9 +8632,11 @@ WITH base AS (
                 (a, c) -> a + c) AS DOUBLE) / len(toks)
          ELSE 0.0 END AS mean_len,
          CASE WHEN len(toks) > 0 THEN
-           CAST((len(string_split(text, '#')) - 1)
-              + (len(string_split(text, '...')) - 1) AS DOUBLE) / len(toks)
-         ELSE 0.0 END AS symbol_ratio,
+           CAST(len(string_split(text, '#')) - 1 AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS hash_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(string_split(text, '...')) - 1 AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS ell_sym_ratio,
          CASE WHEN len(lines) > 0 THEN
            CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS DOUBLE) / len(lines)
          ELSE 0.0 END AS bullet_ratio,
@@ -8651,14 +8653,16 @@ WITH base AS (
 SELECT doc_id,
        CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS rule_word_count,
        CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS rule_mean_word_len,
-       CAST(symbol_ratio <= 0.1 AS INT) AS rule_symbol_ratio,
+       CAST(hash_ratio <= 0.1 AND ell_sym_ratio <= 0.1 AS INT)
+         AS rule_symbol_ratio,
        CAST(bullet_ratio <= 0.9 AS INT) AS rule_bullet_ratio,
        CAST(ellipsis_ratio <= 0.3 AS INT) AS rule_ellipsis_ratio,
        CAST(alpha_frac >= 0.8 AS INT) AS rule_alpha_words,
        CAST(n_stop >= 2 AS INT) AS rule_stop_words,
        CAST(n_words >= 20 AND n_words <= 100000
             AND mean_len >= 3.0 AND mean_len <= 10.0
-            AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+            AND hash_ratio <= 0.1 AND ell_sym_ratio <= 0.1
+            AND bullet_ratio <= 0.9
             AND ellipsis_ratio <= 0.3 AND alpha_frac >= 0.8
             AND n_stop >= 2 AS INT) AS gopher_pass
 FROM m

@@ -66,13 +66,21 @@ def train_naive_bayes(
     counts = tok.groupBy("label", "token").agg(
         F.count(F.lit(1)).alias("__c__"),
     )
-    label_totals = counts.groupBy("label").agg(F.sum("__c__").alias("__n__"))
-    vocab = counts.select("token").distinct().agg(
-        F.count(F.lit(1)).alias("__v__"),
-    )
     n_docs = df.count()
     doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("__d__"),
+    )
+    # Label totals keyed by the DOCUMENT label set, not the token
+    # cells: a label whose documents are all empty/whitespace has no
+    # token rows, and deriving totals from `counts` would drop it
+    # from the priors — making that class unpredictable forever.
+    label_totals = doc_counts.select("label").join(
+        counts.groupBy("label").agg(F.sum("__c__").alias("__n__")),
+        "label",
+        "left",
+    ).select("label", F.coalesce(F.col("__n__"), F.lit(0)).alias("__n__"))
+    vocab = counts.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("__v__"),
     )
 
     s = F.lit(float(smoothing))
@@ -290,8 +298,13 @@ def target_encode_kfold(
         F.col("__oof_c__") + F.lit(smoothing)
     )
     enc = F.round(enc, round_to) if round_to is not None else enc
+    # NOT forced broadcast: the (key, fold) encoding frame is
+    # key-cardinality × n_folds rows — unbounded for exactly the
+    # high-cardinality keys this encoder targets. A plain equi-join
+    # lets AQE broadcast when the frame is actually small and shuffle
+    # when it is not.
     return (
-        with_fold.join(F.broadcast(oof), [key_col, fold_col], "left")
+        with_fold.join(oof, [key_col, fold_col], "left")
         .withColumn(out_col, enc)
         .drop("__oof_s__", "__oof_c__", "__prior__")
     )

@@ -254,7 +254,9 @@ def gopher_rules(
     boolean column per rule plus the conjunction in ``out_col``.
 
     Rules — word count within [min, max]; mean word length within
-    [min, max]; '#'/'...' symbols per word ≤ max_symbol_ratio; ≤ 90%
+    [min, max]; '#' per word ≤ max_symbol_ratio AND '...' per word ≤
+    max_symbol_ratio (each symbol tested separately, as in the cited
+    rule — not their sum); ≤ 90%
     of lines bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of
     words contain an alphabetic character; ≥ 2 stop words present.
     All thresholds parameterized (the paper's defaults). Pure per-row
@@ -275,8 +277,14 @@ def gopher_rules(
     ).otherwise(F.lit(0.0))
     n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
     n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
-    symbol_ratio = F.when(
-        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
+    # Per the cited rule, EACH symbol's ratio is tested separately —
+    # a combined (hash+ellipsis)/words test would over-reject
+    # documents that pass both individual thresholds.
+    hash_ratio = F.when(
+        n_words > 0, n_hash.cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellipsis_sym_ratio = F.when(
+        n_words > 0, n_ellipsis.cast("double") / n_words.cast("double"),
     ).otherwise(F.lit(0.0))
     n_bullet = F.size(
         F.filter("__lines", lambda ln: F.trim(ln).rlike(r"^([-*•])")),
@@ -299,7 +307,8 @@ def gopher_rules(
     rules = {
         "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
         "rule_mean_word_len": (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
-        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_symbol_ratio": (hash_ratio <= max_symbol_ratio)
+        & (ellipsis_sym_ratio <= max_symbol_ratio),
         "rule_bullet_ratio": bullet_ratio <= max_bullet_ratio,
         "rule_ellipsis_ratio": ellipsis_ratio <= max_ellipsis_ratio,
         "rule_alpha_words": alpha_frac >= min_alpha_word_frac,

@@ -294,7 +294,10 @@ def mix_corpora(
     books, 20% code"). Keeps the LARGEST subset achieving the exact
     target proportions: the binding source (smallest n_s/p_s) is
     kept whole and every other source is hash-thinned to match.
-    Sources not named in ``target_props`` are dropped.
+    Sources not named in ``target_props`` are dropped. A NAMED source
+    with zero rows makes the result EMPTY (the only subset achieving
+    the exact proportions) — a loud signal of a typo'd label or a
+    missing ingest, never a silently violated mixture.
 
     Selection is :func:`hash_uniform` on ``id_col`` — deterministic,
     partition-independent, externally replayable, and stable under
@@ -313,26 +316,36 @@ def mix_corpora(
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"target_props must sum to 1, got {total}")
 
-    p_expr = None
-    for s, p in target_props.items():
-        branch = (F.col(source_col) == F.lit(s), F.lit(float(p)))
-        p_expr = F.when(*branch) if p_expr is None else p_expr.when(*branch)
-
-    counts = (
+    # Counts are keyed by the NAMED source list, not the observed
+    # sources: a target source absent from df (zero rows) makes the
+    # binding constant C = min(n_s/p_s) = 0, so every keep-rate is 0
+    # and the output is EMPTY — the only subset that achieves the
+    # exact target proportions. The old observed-sources derivation
+    # silently ignored the absent source and returned a mixture that
+    # violated the contract.
+    named = df.sparkSession.createDataFrame(
+        [(s, float(p)) for s, p in target_props.items()],
+        [source_col, "__p"],
+    )
+    counts = named.join(
         df.filter(F.col(source_col).isin(*target_props.keys()))
         .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__p", p_expr)
-    )
+        .agg(F.count(F.lit(1)).alias("__n")),
+        source_col,
+        "left",
+    ).select(source_col, "__p", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
     c = counts.agg(
         F.min(F.col("__n").cast("double") / F.col("__p")).alias("__C"),
     )
     rates = counts.crossJoin(F.broadcast(c)).select(
         source_col,
-        F.least(
-            F.lit(1.0),
-            F.col("__C") * F.col("__p") / F.col("__n").cast("double"),
-        ).alias("__rate"),
+        F.when(
+            F.col("__n") > 0,
+            F.least(
+                F.lit(1.0),
+                F.col("__C") * F.col("__p") / F.col("__n").cast("double"),
+            ),
+        ).otherwise(F.lit(0.0)).alias("__rate"),
     )
     u = hash_uniform(id_col, seed)
     return (

@@ -593,9 +593,26 @@ def cosine_near_dup_pairs_exact(
     with sub-quadratic candidate generation.
     """
     spark = df.sparkSession
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"),
-    )
+    # Numeric ids ride through directly; any other id type (string
+    # doc ids etc. — which the LSH sibling accepts) gets a dense long
+    # surrogate via a global row_number and is mapped back at the
+    # end. The global window is fine HERE because this exact path
+    # already bounds the corpus to broadcast size; pair ordering
+    # (id_a < id_b) then follows the id's own sort order.
+    id_dtype = df.schema[id_col].dataType.typeName()
+    if id_dtype in ("long", "integer", "short", "byte"):
+        src = df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"),
+        )
+        id_map = None
+    else:
+        with_sur = df.select(
+            F.col(id_col).alias("__orig__"), F.col(vec_col).alias("vec"),
+        ).withColumn(
+            "id", F.row_number().over(Window.orderBy(F.col("__orig__"))).cast("long"),
+        )
+        id_map = with_sur.select("id", "__orig__")
+        src = with_sur.select("id", "vec")
     n_rows = src.count()
     if n_rows > max_corpus_rows:
         raise ValueError(
@@ -619,9 +636,11 @@ def cosine_near_dup_pairs_exact(
     pdf = src.toPandas()
     if pdf.empty:
         # Zero-row corpus: no pairs by definition; keep the output
-        # schema without running the scoring pass.
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double",
+        # schema (original id type) without running the scoring pass.
+        return df.limit(0).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
         )
     ids = pdf["id"].to_numpy(dtype=np.int64)
     mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
@@ -650,7 +669,20 @@ def cosine_near_dup_pairs_exact(
                 },
             )
 
-    return src.mapInPandas(score, "id_a long, id_b long, cosine double")
+    pairs = src.mapInPandas(score, "id_a long, id_b long, cosine double")
+    if id_map is not None:
+        ma = id_map.select(F.col("id").alias("id_a"), F.col("__orig__").alias("__oa__"))
+        mb = id_map.select(F.col("id").alias("id_b"), F.col("__orig__").alias("__ob__"))
+        pairs = (
+            pairs.join(F.broadcast(ma), "id_a")
+            .join(F.broadcast(mb), "id_b")
+            .select(
+                F.col("__oa__").alias("id_a"),
+                F.col("__ob__").alias("id_b"),
+                "cosine",
+            )
+        )
+    return pairs
 
 
 def ivf_train_centroids(
@@ -1775,7 +1807,13 @@ def embedding_drift(
         F.col("__mnorm__").alias("mean_norm_b"),
         F.col("__c").alias("__cb__"),
     )
-    joined = a.join(b, by, "full") if by else a.crossJoin(b)
+    # Full join in BOTH modes: a one-sided corpus (the new crawl never
+    # arrived) must surface as NULL statistics, not an empty frame —
+    # for the global (no-by) case the sides are ≤1-row frames, so the
+    # TRUE-conditioned full join is a trivial 1×1 combine.
+    joined = (
+        a.join(b, by, "full") if by else a.join(b, F.lit(True), "full")
+    )
     return joined.select(
         *by,
         "n_a",

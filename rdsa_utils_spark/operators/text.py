@@ -21,6 +21,7 @@ hot path.
 
 from __future__ import annotations
 
+import re
 from typing import Mapping, Sequence
 
 import pandas as pd
@@ -376,14 +377,26 @@ def redact_pii(
     after_email = F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, PII_IPV4_PATTERN, "<IP>")
     redacted = F.regexp_replace(after_ip, PII_PHONE_PATTERN, "<PHONE>")
-    out = df.withColumn(out_col or text_col, redacted)
-    if count_matches:
-        out = (
-            out.withColumn("n_emails", F.regexp_count(col, F.lit(PII_EMAIL_PATTERN)))
-            .withColumn("n_ips", F.regexp_count(after_email, F.lit(PII_IPV4_PATTERN)))
-            .withColumn("n_phones", F.regexp_count(after_ip, F.lit(PII_PHONE_PATTERN)))
-        )
-    return out
+    # Counts and the redacted text go in ONE select: with the in-place
+    # default (out_col=None overwrites text_col) a chained withColumn
+    # would resolve the count expressions against the already-redacted
+    # column and report 0 matches forever.
+    extra = (
+        [
+            F.regexp_count(col, F.lit(PII_EMAIL_PATTERN)).alias("n_emails"),
+            F.regexp_count(after_email, F.lit(PII_IPV4_PATTERN)).alias("n_ips"),
+            F.regexp_count(after_ip, F.lit(PII_PHONE_PATTERN)).alias("n_phones"),
+        ]
+        if count_matches
+        else []
+    )
+    target = out_col or text_col
+    cols = [
+        redacted.alias(target) if c == target else F.col(c) for c in df.columns
+    ]
+    if target not in df.columns:
+        cols.append(redacted.alias(target))
+    return df.select(*cols, *extra)
 
 
 def chunk_documents(
@@ -877,10 +890,13 @@ def canonical_url(
     c = F.concat(prefix, rest)
     if strip_www:
         c = F.regexp_replace(c, r"^([a-z][a-z0-9+.-]*://)www\.", r"$1")
-    # 3. strip tracking params (each may appear at ?- or &-position)
+    # 3. strip tracking params (each may appear at ?- or &-position);
+    # names are regex-ESCAPED — a caller-supplied param like "p.id"
+    # must match literally, not as "any char" wildcards.
     for p in strip_params:
-        c = F.regexp_replace(c, r"([?&])" + p + r"=[^&#]*&", r"$1")
-        c = F.regexp_replace(c, r"[?&]" + p + r"=[^&#]*$", "")
+        esc = re.escape(p)
+        c = F.regexp_replace(c, r"([?&])" + esc + r"=[^&#]*&", r"$1")
+        c = F.regexp_replace(c, r"[?&]" + esc + r"=[^&#]*$", "")
     # 4. clean ?& leftovers, pre-query and trailing slashes (keep root)
     c = F.regexp_replace(c, r"\?&", "?")
     c = F.regexp_replace(c, r"[?&]$", "")

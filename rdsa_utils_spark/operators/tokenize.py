@@ -106,6 +106,10 @@ def bpe_train(
     one vocab-frame aggregation + one fold. See module docstring for
     the 100 TB posture.
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}",
+        )
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     vocab = _word_vocab(df, text_col).localCheckpoint(eager=False)

@@ -213,3 +213,115 @@ def test_conversion_attribution_matches_rowlevel_canon(spark):
     for r in rowlevel:
         got[r.touch_type or "(none)"] = got.get(r.touch_type or "(none)", 0) + 1
     assert got == summary
+
+
+# --------------------------------------------------------------------------
+# second review pass: text / curation / classify / sampling / similarity
+# --------------------------------------------------------------------------
+
+
+def test_redact_pii_inplace_counts(spark):
+    from rdsa_utils_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@example.com or 10.0.0.1 call +44 1234 567890")],
+        ["id", "text"],
+    )
+    r = redact_pii(df, "text").collect()[0]  # default: overwrite in place
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert "<EMAIL>" in r.text and "<IP>" in r.text and "<PHONE>" in r.text
+    # And out_col mode still matches.
+    r2 = redact_pii(df, "text", out_col="red").collect()[0]
+    assert (r2.n_emails, r2.n_ips, r2.n_phones) == (1, 1, 1)
+    assert r2.text.startswith("mail a.b@")  # original untouched
+
+
+def test_gopher_symbol_ratio_is_per_symbol(spark):
+    from rdsa_utils_spark.operators.curation import gopher_rules
+
+    # 100 words with 7 '#' and 7 '...': each ratio 0.07 <= 0.1 passes,
+    # though the combined 0.14 would fail the old summed test.
+    words = " ".join(["the and that with have word"] * 17)  # 102 words
+    text = words + " " + "# " * 7 + "... " * 7
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = gopher_rules(df, min_words=50).collect()[0]
+    assert r.rule_symbol_ratio is True
+    # 12 '#' alone (ratio > 0.1) must still fail.
+    bad = words + " " + "# " * 12
+    r2 = gopher_rules(
+        spark.createDataFrame([(1, bad)], ["doc_id", "text"]), min_words=50,
+    ).collect()[0]
+    assert r2.rule_symbol_ratio is False
+
+
+def test_naive_bayes_keeps_tokenless_label(spark):
+    from rdsa_utils_spark.operators.classify import (
+        naive_bayes_score,
+        train_naive_bayes,
+    )
+
+    rows = [(1, "spark rdd shuffle", "tech"), (2, "spark sql join", "tech"),
+            (3, "", "empty"), (4, "   ", "empty"), (5, "", "empty")]
+    df = spark.createDataFrame(rows, ["id", "text", "label"])
+    model, priors = train_naive_bayes(df, "label", "text")
+    assert {r.label for r in priors.collect()} == {"tech", "empty"}
+    # An empty doc must be scorable as the 'empty' class (dominant prior).
+    probe = spark.createDataFrame([(9, "")], ["id", "text"])
+    pred = naive_bayes_score(probe, model, priors, "id", "text").collect()[0]
+    assert pred.label_pred == "empty"
+
+
+def test_mix_corpora_absent_source_yields_empty(spark):
+    from rdsa_utils_spark.operators.sampling import mix_corpora
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(40)], ["id", "source"],
+    )
+    out = mix_corpora(df, "source", "id", {"web": 0.5, "code": 0.5})
+    assert out.count() == 0  # only the empty subset achieves 50/50
+    ok = mix_corpora(df, "source", "id", {"web": 1.0})
+    assert ok.count() == 40
+
+
+def test_embedding_drift_one_sided_global(spark):
+    from rdsa_utils_spark.operators.similarity import embedding_drift
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], True)] * 3, ["v", "s"],
+    )  # sample B never arrived
+    rows = embedding_drift(df, "v", "s").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_a == 3 and r.n_b is None and r.centroid_cos is None
+
+
+def test_exact_near_dups_string_ids(spark):
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs_exact
+
+    rows = [("doc-a", [1.0, 0.0]), ("doc-b", [1.0, 0.001]), ("doc-c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_near_dup_pairs_exact(df, 2, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [("doc-a", "doc-b")]
+    assert out[0].cosine > 0.99
+    # Long ids unchanged.
+    ldf = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001])], ["vec_id", "embedding"],
+    )
+    lout = cosine_near_dup_pairs_exact(ldf, 2, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b) for r in lout] == [(1, 2)]
+
+
+def test_bpe_and_url_validation(spark):
+    from rdsa_utils_spark.operators.text import canonical_url
+    from rdsa_utils_spark.operators.tokenize import bpe_train
+
+    df = spark.createDataFrame([(1, "aa ab")], ["id", "text"])
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_train(df, "text", num_merges=5, checkpoint_every=0)
+    # Regex metacharacters in a custom strip param match literally.
+    u = spark.createDataFrame(
+        [("https://x.com/p?paid=1&q=2",), ("https://x.com/p?p.id=1&q=2",)],
+        ["url"],
+    ).select(canonical_url("url", strip_params=("p.id",)).alias("c")).collect()
+    assert u[0].c == "https://x.com/p?paid=1&q=2"   # 'paid' NOT stripped
+    assert u[1].c == "https://x.com/p?q=2"          # literal 'p.id' stripped
