@@ -247,13 +247,32 @@ def brute_force_topk(
         F.col(corpus_vec).alias("__cv__"),
         _norm(F.col(corpus_vec)).alias("__cn__"),
     )
+    pre = (
+        F.col("candidate_id") != F.col("query_id") if exclude_self else None
+    )
+    return _broadcast_cosine_topk(
+        c, q, k, ["query_id", "candidate_id"], pre_filter=pre,
+    )
+
+
+def _broadcast_cosine_topk(c, q, k, out_cols, pre_filter=None):
+    """Shared exact-scoring core: crossJoin(broadcast(q)) → optional
+    predicate BEFORE the top-k (so survivors are the global winners,
+    not a post-filtered top-k) → deterministic left-fold cosine →
+    per-query top-k. ``c``/``q`` are projections carrying
+    ``__cv__/__cn__`` and ``__qv__/__qn__`` plus the named
+    ``out_cols``; one implementation serves brute_force_topk,
+    hard_negative_topk and label_noise_scores so a scoring fix (e.g.
+    a zero-norm guard) lands everywhere at once."""
     joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.filter(F.col("candidate_id") != F.col("query_id"))
+    if pre_filter is not None:
+        joined = joined.filter(pre_filter)
     scored = joined.select(
-        "query_id",
-        "candidate_id",
-        (_dot(F.col("__qv__"), F.col("__cv__")) / (F.col("__qn__") * F.col("__cn__"))).alias("cosine"),
+        *out_cols,
+        (
+            _dot(F.col("__qv__"), F.col("__cv__"))
+            / (F.col("__qn__") * F.col("__cn__"))
+        ).alias("cosine"),
     )
     return _topk_per_query(scored, k)
 
@@ -1447,21 +1466,11 @@ def hard_negative_topk(
         F.col(corpus_vec).alias("__cv__"),
         _norm(F.col(corpus_vec)).alias("__cn__"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("candidate_label") != F.col("query_label"))
-        .select(
-            "query_id",
-            "query_label",
-            "candidate_id",
-            "candidate_label",
-            (
-                _dot(F.col("__qv__"), F.col("__cv__"))
-                / (F.col("__qn__") * F.col("__cn__"))
-            ).alias("cosine"),
-        )
+    return _broadcast_cosine_topk(
+        c, q, k,
+        ["query_id", "query_label", "candidate_id", "candidate_label"],
+        pre_filter=F.col("candidate_label") != F.col("query_label"),
     )
-    return _topk_per_query(scored, k)
 
 
 def cosine_histogram(
@@ -1565,21 +1574,11 @@ def label_noise_scores(
         F.col(vec_col).alias("__cv__"),
         _norm(F.col(vec_col)).alias("__cn__"),
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("candidate_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "query_label",
-            "candidate_id",
-            "candidate_label",
-            (
-                _dot(F.col("__qv__"), F.col("__cv__"))
-                / (F.col("__qn__") * F.col("__cn__"))
-            ).alias("cosine"),
-        )
+    topk = _broadcast_cosine_topk(
+        c, q, k,
+        ["query_id", "query_label", "candidate_id", "candidate_label"],
+        pre_filter=F.col("candidate_id") != F.col("query_id"),
     )
-    topk = _topk_per_query(scored, k)
     return (
         topk.groupBy(F.col("query_id").alias(id_col), F.col("query_label").alias(label_col))
         .agg(
