@@ -5192,8 +5192,11 @@ WITH d AS (
            AS digit
   FROM orders
   WHERE abs(CAST(o_totalprice AS DOUBLE)) > 0
-), counts AS (
+), obs AS (
   SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+), counts AS (
+  SELECT CAST(g.i AS INT) AS digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+  FROM range(1, 10) g(i) LEFT JOIN obs o ON o.digit = g.i
 ), tot AS (
   SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM counts
 )

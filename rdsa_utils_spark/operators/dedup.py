@@ -207,9 +207,22 @@ def lsh_candidate_pairs(
     """
     if signature_length is None:
         sig_len_row = df.select(F.size(signature_col).alias("n")).first()
-        if sig_len_row is None:
-            return df.sparkSession.createDataFrame([], "id_a long, id_b long")
+        if sig_len_row is None or sig_len_row["n"] is None:
+            # Empty corpus (or NULL probe signature): no pairs — keep
+            # the id column's ACTUAL type in the empty schema so
+            # incremental runs with no new docs still union/join.
+            return df.limit(0).select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            )
         signature_length = sig_len_row["n"]
+    if num_bands < 1 or signature_length % num_bands != 0:
+        # Silent truncation changes the effective similarity threshold,
+        # and rows_per_band = 0 hashes EVERY doc to one constant band
+        # value — an all-pairs cross join at corpus scale.
+        raise ValueError(
+            f"signature_length={signature_length} must divide evenly into "
+            f"num_bands={num_bands} (rows_per_band >= 1)",
+        )
     rows_per_band = signature_length // num_bands
 
     banded = df.select(
@@ -414,11 +427,20 @@ def minhash_near_dedup(
     transitive closure run this to a fixed point — each iteration is a
     bounded set of shuffles, preferable at scale to an unbounded
     connected-components job when duplicate clusters are shallow.
+
+    Blank/NULL documents are excluded from the LSH stage — they all
+    share the sentinel all-``p`` signature, so one band bucket would
+    otherwise hold every blank doc and the self-join would go
+    quadratic in their count; since their verified Jaccard is 0 they
+    could never be dropped anyway, they survive near-dedup unchanged
+    (route them through :func:`exact_dedup`, which removes identical
+    blanks by content hash).
     """
     from rdsa_utils_spark.plans.tuning import ensure_parallelism
 
     df = ensure_parallelism(df)
-    with_sig = minhash_signatures(df, text_col, num_perm, shingle_n)
+    eligible = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    with_sig = minhash_signatures(eligible, text_col, num_perm, shingle_n)
     candidates = lsh_candidate_pairs(
         with_sig, id_col, "minhash", num_bands, signature_length=num_perm,
     )
@@ -837,6 +859,12 @@ def jaccard_similarity_join(
             ).alias("__tk"),
         )
         .withColumn("__n", F.size("__tk"))
+        # Pin the frequency-sorted token arrays: this subtree (full
+        # explode → freq join → collect_list shuffle) feeds the prefix
+        # explode AND both verify-join sides — without the checkpoint
+        # Catalyst re-executes the whole pipeline three times (same
+        # re-run hazard bm25_topk/tf_idf_top_terms checkpoint for).
+        .localCheckpoint(eager=False)
     )
     # Prefix length L = n - ceil(t·n) + 1; round before ceil so binary
     # float noise (0.9·10 = 9.000000000000002) can never SHORTEN the
@@ -927,7 +955,10 @@ def span_dedup(
 
     Returns (``id``, ``n_blocks``, ``n_kept``, ``dedup_text``) where
     ``dedup_text`` is the surviving blocks re-joined with single
-    spaces (empty string if every block was a repeat).
+    spaces (empty string if every block was a repeat). Documents with
+    ZERO tokens (blank/NULL text) produce no blocks and are absent
+    from the output — left-join back to the corpus by id if every
+    document must appear.
 
     Plan shape at 100 TB: tokenize + block assembly are per-row JVM
     expressions (no Python); one explode to (id, block_idx, block);

@@ -162,7 +162,9 @@ def unique_violations(df: DataFrame, keys: str | Sequence[str]) -> DataFrame:
             F.coalesce(
                 F.sum(F.when(F.col("__n__") > 1, F.col("__n__") - 1)), F.lit(0),
             ).cast("long").alias("violations"),
-            F.sum("__n__").alias("rows_checked"),
+            # Empty frame: 0 rows checked, not NULL — run_checks
+            # coalesces the same way, and suites union/divide cleanly.
+            F.coalesce(F.sum("__n__"), F.lit(0)).cast("long").alias("rows_checked"),
         )
         .select(F.lit(label).alias("check"), "violations", "rows_checked")
     )
@@ -389,10 +391,18 @@ def benford_deviation(
     """
     v = F.abs(F.col(value_col).cast("double"))
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
-    counts = (
+    observed = (
         df.filter(v > 0)
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    # Complete the 1-9 grid: a digit with ZERO observations (the
+    # classic fraud signature) must contribute its full (0−E)²/E term
+    # — omitting the row understates the statistic exactly when the
+    # screen should fire.
+    grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = grid.join(observed, "digit", "left").select(
+        "digit", F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
     )
     total = counts.agg(F.sum("n_obs").alias("__n"))
     t = counts.crossJoin(F.broadcast(total))

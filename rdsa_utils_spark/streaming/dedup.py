@@ -38,15 +38,28 @@ def dedup_within_watermark(
     Streaming input: applies ``withWatermark(ts_col, watermark)`` and
     ``dropDuplicatesWithinWatermark`` — exactly-once per key within
     the horizon, state bounded by the horizon, late duplicates beyond
-    it are (by contract) re-admitted. Batch input: plain
-    ``dropDuplicates`` on the same keys, the degenerate
-    infinite-watermark semantics.
+    it are (by contract) re-admitted. Batch input: keep the
+    MIN-(ts, remaining columns) row per key — a deterministic
+    backfill (plain ``dropDuplicates`` keeps a plan-dependent
+    arbitrary row, so two runs of the same backfill could emit
+    different survivors); when ``ts_col`` is None the min is over the
+    row's full column tuple.
     """
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
     if not df.isStreaming:
-        return df.dropDuplicates(keys)
+        others = [c for c in df.columns if c not in keys]
+        order = ([ts_col] if ts_col else []) + [c for c in others if c != ts_col]
+        if not order:
+            return df.dropDuplicates(keys)
+        pick = F.min(F.struct(*[F.col(c) for c in order])).alias("__w__")
+        return (
+            df.groupBy(*keys)
+            .agg(pick)
+            .select(*keys, *[F.col(f"__w__.{c}").alias(c) for c in order])
+            .select(*df.columns)
+        )
     if ts_col is None:
         raise ValueError("ts_col is required for streaming input")
     from rdsa_utils_spark.streaming.windows_time import _watermark_safe
@@ -93,9 +106,14 @@ def new_keys_per_window(
     Streaming: dedup-first-arrival per key (state = one digest-sized
     row per key in the horizon) feeding a windowed count — both
     stateful operators share the watermark, so state is bounded and
-    windows finalize. Batch: min-timestamp per key then the same
-    window bucketing, the exact infinite-horizon semantics. Output:
-    (``window_start``, ``window_end``, ``n_new``).
+    windows finalize. Batch: min-EVENT-TIME per key then the same
+    window bucketing — the deterministic infinite-horizon reference.
+    The two agree whenever each key's first event arrives before its
+    later ones (in-order ingest); under out-of-order arrival the
+    stream keeps the first-ARRIVED row, so a key whose earlier-stamped
+    event arrives late can land one window later live than in a batch
+    replay — the inherent watermark trade-off, not a bug to paper
+    over. Output: (``window_start``, ``window_end``, ``n_new``).
     """
     if not df.isStreaming:
         firsts = df.groupBy(key_col).agg(F.min(ts_col).alias(ts_col))

@@ -96,7 +96,11 @@ def interval_join(
     joined = l.join(r, cond, how)
     # Right-only rows in right/full outer joins carry their key on the
     # right side — coalesce so the exposed key is never NULL-by-shape.
-    if how in ("rightOuter", "right", "right_outer", "fullOuter", "full", "full_outer", "outer"):
+    # Normalize `how` the way Spark's JoinType does (lowercase, strip
+    # underscores): 'fullouter', 'RIGHT_OUTER' etc. are all legal
+    # spellings and must take the coalescing branch too.
+    how_norm = how.lower().replace("_", "")
+    if how_norm in ("rightouter", "right", "fullouter", "full", "outer"):
         out_cols = [
             F.coalesce(F.col(f"__l.{k}"), F.col(f"__r.{k}")).alias(k) for k in keys
         ]

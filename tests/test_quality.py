@@ -282,9 +282,11 @@ def test_benford_deviation_on_benford_like_data(spark):
     stat = sum(r.chi2_contrib for r in out.values())
     assert stat < 20.0
     # Negative values use |x|; magnitudes < 1 still have a first digit.
+    # ALL nine digits appear (absent ones with n_obs=0 so their
+    # (0-E)^2/E terms enter the statistic).
     neg = spark.createDataFrame([(-234.5,), (0.071,)], "v double")
     got = {r.digit: r.n_obs for r in benford_deviation(neg, "v").collect()}
-    assert got == {2: 1, 7: 1}
+    assert got == {d: (1 if d in (2, 7) else 0) for d in range(1, 10)}
 
 
 def test_detect_pii_columns_single_scan_and_rates(spark):

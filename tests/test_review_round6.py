@@ -325,3 +325,102 @@ def test_bpe_and_url_validation(spark):
     ).select(canonical_url("url", strip_params=("p.id",)).alias("c")).collect()
     assert u[0].c == "https://x.com/p?paid=1&q=2"   # 'paid' NOT stripped
     assert u[1].c == "https://x.com/p?q=2"          # literal 'p.id' stripped
+
+
+# --------------------------------------------------------------------------
+# third review pass: dedup / quality / streaming
+# --------------------------------------------------------------------------
+
+
+def test_lsh_validates_band_split_and_keeps_id_type(spark):
+    from rdsa_utils_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d"), ("d2", "a b c d")], ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs, "text", num_perm=16)
+    with pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs(sig, "doc_id", "minhash", num_bands=5,
+                            signature_length=16)
+    with pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs(sig, "doc_id", "minhash", num_bands=32,
+                            signature_length=16)
+    # Empty corpus: schema keeps the STRING id type.
+    empty = sig.limit(0)
+    out = lsh_candidate_pairs(empty, "doc_id", "minhash", num_bands=4)
+    assert dict(out.dtypes) == {"id_a": "string", "id_b": "string"}
+    assert out.count() == 0
+
+
+def test_minhash_near_dedup_blank_docs_no_blowup(spark):
+    from rdsa_utils_spark.operators.dedup import minhash_near_dedup
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog")] * 1
+    rows += [(2, "the quick brown fox jumps over the lazy dog again")]
+    rows += [(i, "") for i in range(10, 40)] + [(99, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_near_dedup(df, "text", "doc_id", num_perm=16, num_bands=4)
+    # All blank docs survive (Jaccard 0 — not near-dups of anything),
+    # and the sentinel-signature bucket never goes quadratic.
+    assert out.filter(F.length(F.trim("text")) == 0).count() == 31
+    assert out.count() >= 31
+
+
+def test_benford_emits_all_nine_digits(spark):
+    from rdsa_utils_spark.operators.quality import benford_deviation
+
+    # No value starts with 9 — the missing digit must still contribute.
+    df = spark.createDataFrame(
+        [(float(v),) for v in (1, 12, 23, 34, 45, 56, 67, 78, 81, 10)], ["v"],
+    )
+    rows = {r.digit: r for r in benford_deviation(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[9].n_obs == 0
+    # (0 - E)^2 / E == E for the absent digit.
+    assert rows[9].chi2_contrib == pytest.approx(rows[9].expected, abs=1e-6)
+
+
+def test_unique_violations_empty_frame_zero_rows_checked(spark):
+    from rdsa_utils_spark.operators.quality import unique_violations
+
+    empty = spark.createDataFrame([], "k long, v string")
+    r = unique_violations(empty, "k").collect()[0]
+    assert (r.violations, r.rows_checked) == (0, 0)
+
+
+def test_interval_join_how_spelling_normalized(spark):
+    from rdsa_utils_spark.streaming.joins import interval_join
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], ["k", "lts"],
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    r = spark.createDataFrame(
+        [(2, "2024-01-01 00:00:30")], ["k", "rts"],
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"))
+    out = interval_join(
+        l, r, ["k"], "lts", "rts", "0 seconds", "1 minute", how="fullouter",
+    ).collect()
+    # Right-only row (k=2) must carry its key, not NULL.
+    ks = sorted(row.k for row in out)
+    assert ks == [1, 2]
+
+
+def test_batch_dedup_within_watermark_is_deterministic(spark):
+    from rdsa_utils_spark.streaming.dedup import dedup_within_watermark
+
+    rows = [("fp1", "2024-01-01 00:05:00", 7), ("fp1", "2024-01-01 00:01:00", 3),
+            ("fp2", "2024-01-01 01:00:00", 9)]
+    df = spark.createDataFrame(rows, ["fp", "ts_s", "payload"]).select(
+        "fp", F.col("ts_s").cast("timestamp").alias("ts"), "payload",
+    )
+    out = {r.fp: r.payload for r in
+           dedup_within_watermark(df, ["fp"], ts_col="ts").collect()}
+    # Min-event-time row survives — stable across runs/partitionings.
+    assert out == {"fp1": 3, "fp2": 9}
+    again = {r.fp: r.payload for r in
+             dedup_within_watermark(
+                 df.repartition(7), ["fp"], ts_col="ts").collect()}
+    assert again == out
