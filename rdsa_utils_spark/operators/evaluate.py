@@ -158,8 +158,10 @@ def brier_score(
     scoring rule companion to :func:`calibration_bins`.
 
     Per-row ``(score − label)²`` is quantized to 12 dp and summed in
-    decimal (quantize-then-sum — exact, order-independent). Returns
-    ``by… , n, brier``.
+    decimal (quantize-then-sum — exact, order-independent). Rows with
+    a NULL score or label are excluded (matching ``binary_auc`` /
+    ``ks_2sample``), so ``n`` is exactly the mean's denominator.
+    Returns ``by… , n, brier``.
     """
     by = list(by or [])
     lab = F.col(label_col).cast("int").cast("double")
@@ -169,7 +171,8 @@ def brier_score(
         12,
     )
     return (
-        df.select(*by, err2.alias("__e2__"))
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(*by, err2.alias("__e2__"))
         .groupBy(*by)
         .agg(F.count("*").alias("n"), _exact_avg(F.col("__e2__"), "brier", round_to))
     )
@@ -286,6 +289,7 @@ def mrr_at_k(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rank",
+    rel_col: str = "rel",
     round_to: int = 6,
     broadcast_qrels: bool = True,
 ) -> DataFrame:
@@ -303,7 +307,7 @@ def mrr_at_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    qr = qrels.filter(F.col("rel") > 0) if "rel" in qrels.columns else qrels
+    qr = qrels.filter(F.col(rel_col) > 0) if rel_col in qrels.columns else qrels
     qr = qr.select(
         F.col(query_col).alias("__q__"), F.col(doc_col).alias("__d__")
     ).distinct()
@@ -341,6 +345,7 @@ def map_at_k(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rank",
+    rel_col: str = "rel",
     round_to: int = 6,
     broadcast_qrels: bool = True,
 ) -> DataFrame:
@@ -355,7 +360,7 @@ def map_at_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    qr = qrels.filter(F.col("rel") > 0) if "rel" in qrels.columns else qrels
+    qr = qrels.filter(F.col(rel_col) > 0) if rel_col in qrels.columns else qrels
     qr = qr.select(
         F.col(query_col).alias("__q__"), F.col(doc_col).alias("__d__")
     ).distinct()
@@ -442,12 +447,26 @@ def cohens_kappa(
     is a façade over it.
     """
     by = list(by or [])
+    # Rating equality must follow the column types: two numeric rater
+    # columns compare numerically (int 1 == double 1.0), same-typed
+    # columns compare raw; only genuinely mixed non-numeric pairs fall
+    # back to the string cast.
+    from pyspark.sql.types import NumericType
+
+    t1 = df.schema[rater1_col].dataType
+    t2 = df.schema[rater2_col].dataType
+    if isinstance(t1, NumericType) and isinstance(t2, NumericType):
+        r1, r2 = F.col(rater1_col).cast("double"), F.col(rater2_col).cast("double")
+    elif t1 == t2:
+        r1, r2 = F.col(rater1_col), F.col(rater2_col)
+    else:
+        r1, r2 = F.col(rater1_col).cast("string"), F.col(rater2_col).cast("string")
     g = (
         df.filter(F.col(rater1_col).isNotNull() & F.col(rater2_col).isNotNull())
         .groupBy(
             *by,
-            F.col(rater1_col).cast("string").alias("__r1__"),
-            F.col(rater2_col).cast("string").alias("__r2__"),
+            r1.alias("__r1__"),
+            r2.alias("__r2__"),
         )
         .agg(F.count("*").alias("__m__"))
     )

@@ -1141,15 +1141,13 @@ def attribute_conversions(
     scan. Returns ``user, conversion_id, conversion_ts, touch_id,
     touch_type, touch_ts, gap_s``.
     """
-    from rdsa_utils_spark.functions.columns import epoch_double
-
     if model not in ("first", "last"):
         raise ValueError(f"model must be 'first' or 'last', got {model!r}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
     if conversion_type in set(touch_types):
         raise ValueError("conversion_type must not also be a touch type")
-    ts_us = (epoch_double(df, ts_col) * F.lit(1_000_000.0)).cast("long")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.filter(
         F.col(ts_col).isNotNull()
         & F.col(type_col).isin([*touch_types, conversion_type]),

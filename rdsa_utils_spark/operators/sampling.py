@@ -334,6 +334,11 @@ def mix_corpora(
         source_col,
         "left",
     ).select(source_col, "__p", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
+    # counts is consumed by TWO branches (the binding-constant min and
+    # the rate table); pin the |sources|-row frame so the corpus scan
+    # behind it runs once and AQE cannot re-plan the shared subtree
+    # differently per consumer.
+    counts = counts.localCheckpoint(eager=False)
     c = counts.agg(
         F.min(F.col("__n").cast("double") / F.col("__p")).alias("__C"),
     )
@@ -581,6 +586,9 @@ def temporal_split(
     ts_col: str,
     train_frac: float = 0.9,
     split_col: str = "split",
+    boundary: str = "exact",
+    num_partitions: int | None = None,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """Time-based train/validation split: the train set is the
     smallest time-prefix holding at least ``train_frac`` of the rows
@@ -590,32 +598,95 @@ def temporal_split(
     no row of a given instant is ever split across sets, the property
     that prevents leakage through co-timestamped records).
 
-    The boundary rank is found on a single-column projection (sort of
-    one ts column, then a broadcast 1-row attach) — at corpus scale
-    swap in ``percentile_approx`` for the boundary if an approximate
-    frontier is acceptable.
+    ``boundary='exact'`` (default) finds the k-th smallest timestamp
+    WITHOUT a global single-task sort: range-repartition the
+    one-column ts projection (the layout ``orderBy`` lowers to),
+    per-partition counts to the driver (≤ #partitions rows — this
+    also yields ``n``, so there is no separate ``count()`` job), a
+    driver prefix-sum locates the partition holding rank k, and a
+    per-partition ``row_number`` on THAT partition alone extracts the
+    boundary value (same machinery as
+    :func:`rdsa_utils_spark.operators.windows.add_row_index`). Every
+    data-sized stage is parallel; the serial work is O(#partitions).
+
+    ``boundary='approx'`` swaps the rank selection for one
+    ``percentile_approx`` aggregation (no repartition at all) — the
+    100 TB fast path when the frontier may be off by the sketch error;
+    the split is still a pure time predicate. Numeric, timestamp and
+    date columns are supported (timestamps sketch on exact integer
+    ``unix_micros``).
     """
     if not 0 < train_frac < 1:
         raise ValueError("temporal_split: train_frac must be in (0, 1)")
-    w = Window.orderBy(F.col("__ts__"))
-    ranked = df.select(F.col(ts_col).alias("__ts__")).withColumn(
-        "__rn__", F.row_number().over(w),
-    )
+    if boundary not in ("exact", "approx"):
+        raise ValueError("temporal_split: boundary must be 'exact' or 'approx'")
+
+    def _attach(bound_df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bound_df))
+            .withColumn(
+                split_col,
+                F.when(
+                    F.col(ts_col) <= F.col("__boundary__"), F.lit("train"),
+                ).otherwise(F.lit("valid")),
+            )
+            .drop("__boundary__")
+        )
+
+    if boundary == "approx":
+        dtype = df.schema[ts_col].dataType.simpleString()
+        if dtype.startswith("timestamp"):
+            proxy = F.unix_micros(F.col(ts_col).cast("timestamp"))
+            back = lambda c: F.timestamp_micros(c)  # noqa: E731
+        elif dtype == "date":
+            proxy = F.unix_date(F.col(ts_col))
+            back = lambda c: F.date_from_unix_date(c)  # noqa: E731
+        else:
+            proxy = F.col(ts_col)
+            back = lambda c: c  # noqa: E731
+        b = df.agg(
+            back(
+                F.percentile_approx(proxy, F.lit(train_frac), F.lit(approx_accuracy)),
+            ).alias("__boundary__"),
+        ).filter(F.col("__boundary__").isNotNull())
+        return _attach(b)
+
     import math
 
-    n = df.count()
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    laid = (
+        df.select(F.col(ts_col).alias("__ts__"))
+        .repartitionByRange(parts, "__ts__")
+        .sortWithinPartitions("__ts__")
+        .withColumn("__pid__", F.spark_partition_id())
+        # pin the sampled range boundaries so the counts pass and the
+        # boundary pass see the same partition assignment.
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["__pid__"]: r["cnt"]
+        for r in laid.groupBy("__pid__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        empty = laid.select(F.col("__ts__").alias("__boundary__")).limit(0)
+        return _attach(empty)
     k = max(1, math.ceil(train_frac * n))
-    boundary = ranked.filter(F.col("__rn__") == F.lit(k)).select(
-        F.col("__ts__").alias("__boundary__"),
+    acc = 0
+    target_pid, local_k = 0, k
+    for pid in sorted(counts):
+        if acc + counts[pid] >= k:
+            target_pid, local_k = pid, k - acc
+            break
+        acc += counts[pid]
+    w = Window.partitionBy("__pid__").orderBy("__ts__")
+    b = (
+        laid.filter(F.col("__pid__") == F.lit(target_pid))
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == F.lit(local_k))
+        .select(F.col("__ts__").alias("__boundary__"))
     )
-    return (
-        df.crossJoin(F.broadcast(boundary))
-        .withColumn(
-            split_col,
-            F.when(F.col(ts_col) <= F.col("__boundary__"), F.lit("train")).otherwise(F.lit("valid")),
-        )
-        .drop("__boundary__")
-    )
+    return _attach(b)
 
 
 def cluster_safe_split(

@@ -1258,12 +1258,17 @@ def ks_statistic(
     from rdsa_utils_spark.operators.drift import ks_2sample as _ks
 
     keys = list(group_by) if group_by else []
-    base = df.filter(F.col(sample_col).isin([left, right])).withColumn(
-        "__is_left__", F.col(sample_col) == F.lit(left),
+    base = (
+        df.filter(F.col(sample_col).isin([left, right]))
+        .withColumn("__is_left__", F.col(sample_col) == F.lit(left))
+        # Numeric ECDF semantics: a string-typed numeric column would
+        # otherwise order lexicographically ('10' < '9') in the
+        # distinct-value aggregate downstream.
+        .withColumn("__ks_v__", F.col(value_col).cast("double"))
     )
     out = _ks(
         base,
-        value_col,
+        "__ks_v__",
         "__is_left__",
         by=keys,
         round_to=round_to,
