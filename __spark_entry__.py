@@ -2693,6 +2693,114 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-exact payload dedup (operators/multimodal.py::
+    payload_exact_dedup): byte-identical binary payloads collapse to
+    the min-doc_id survivor; output carries the md5 content digest so
+    the oracle validates the digest computation itself, not just the
+    survivor set. Spark hashes the BINARY column; DuckDB's md5(VARCHAR)
+    hashes the same UTF-8 bytes, so the digests agree for any text."""
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_digest,
+        payload_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = payload_exact_dedup(attach_binary_payload(docs, "text"), "payload", "doc_id")
+    return (
+        payload_digest(surv, "payload", "digest")
+        .select(
+            "doc_id",
+            "digest",
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_PAYLOAD_DEDUP = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS digest, octet_length(encode(text)) AS n_bytes,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, digest, CAST(n_bytes AS BIGINT) AS n_bytes
+FROM d WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs for binary payloads
+    (operators/multimodal.py::payload_near_dups): 64-bit SimHash over
+    byte-chunk digests, 4×16-bit Hamming bands, bucketed equi-join,
+    bit_count(xor) verify at Hamming ≤ 3 — run on the exact-dedup
+    survivors (the documented pipeline order). Full SQL replay: the
+    testdata text is pure ASCII, so DuckDB's character chunking equals
+    Spark's byte chunking, and the md5-derived token hashes reuse the
+    proven simhash_fingerprints recipe (md5_number_upper)."""
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_exact_dedup,
+        payload_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    surv = payload_exact_dedup(attach_binary_payload(docs, "text"), "payload", "doc_id")
+    return (
+        payload_near_dups(surv, "payload", "doc_id", max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_ORACLE_PAYLOAD_NEAR_DUPS = """
+WITH surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1 AND length(text) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         md5(substring(text, CAST(t.i * 16 + 1 AS BIGINT), 16)) AS tok
+  FROM surv,
+       LATERAL unnest(range(CAST(least(ceil(length(text) / 16.0), 256) AS BIGINT))) AS t(i)
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (md5_number_upper(tok) >> CAST(b.b AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM chunks, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN
+               CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                    ELSE CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT) END
+             ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sig, b.b AS band,
+         (sig >> CAST(b.b * 16 AS INT)) & 65535 AS val
+  FROM sig, (SELECT unnest(range(4)) AS b) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, a.sig AS sa, c.sig AS sb
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 analogue: pure filter-and-sum over the fact table — the
     predicate set (date range + discount band + quantity cap) pushes
@@ -3764,8 +3872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
-        "melt_lineitem": q_melt_lineitem,
-        "filter_events": q_filter_events,
+        "payload_dedup": q_payload_dedup,
+        "payload_near_dups": q_payload_near_dups,
         # round-7 window rotation: the long-stable §2.2 one-liners and
         # near-duplicate TPC-H variants moved to extra_queries() (still
         # CI-oracle-checked); the round-6 curation/drift/eval wave takes
@@ -6363,6 +6471,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_docs_per_lang": q_weighted_docs_per_lang,
         # retired from the driver window in the round-7 rotation
         # (still oracle-checked here in CI):
+        "melt_lineitem": q_melt_lineitem,
+        "filter_events": q_filter_events,
         "map_region_names": q_map_region_names,
         "top_parts_per_brand": q_top_parts_per_brand,
         "first_order_per_customer": q_first_order_per_customer,
@@ -6386,8 +6496,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "top_orders": _ORACLE_TOP_ORDERS,
-        "melt_lineitem": _ORACLE_MELT_LINEITEM,
-        "filter_events": _ORACLE_FILTER_EVENTS,
+        "payload_dedup": _ORACLE_PAYLOAD_DEDUP,
+        "payload_near_dups": _ORACLE_PAYLOAD_NEAR_DUPS,
         "dsir_weights": _ORACLE_DSIR_WEIGHTS,
         "dsir_select": _ORACLE_DSIR_SELECT,
         "gopher_rules": _ORACLE_GOPHER_RULES,
@@ -6608,6 +6718,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "embedding_drift_labels": _ORACLE_EMBEDDING_DRIFT_LABELS,
         "weighted_docs_per_lang": _ORACLE_WEIGHTED_DOCS_PER_LANG,
         # retired from the driver window in the round-7 rotation:
+        "melt_lineitem": _ORACLE_MELT_LINEITEM,
+        "filter_events": _ORACLE_FILTER_EVENTS,
         "map_region_names": _ORACLE_MAP_REGION_NAMES,
         "top_parts_per_brand": _ORACLE_TOP_PARTS_PER_BRAND,
         "first_order_per_customer": _ORACLE_FIRST_ORDER_PER_CUSTOMER,

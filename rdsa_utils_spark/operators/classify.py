@@ -321,6 +321,7 @@ def train_logreg_hashed(
     l2: float = 0.0,
     weight_round: int = 9,
     feature_mode: str = "presence",
+    cache_features: bool = True,
 ) -> DataFrame:
     """Binary logistic regression over hashed token-count features,
     trained with full-batch gradient descent — the fasttext-style
@@ -343,10 +344,16 @@ def train_logreg_hashed(
 
     100 TB posture: each iteration is one broadcast join of the
     (n_features+1)-row model, one groupBy(doc) and one
-    groupBy(feature) — both map-side combinable; the feature explode
-    is re-derived per iteration (a deliberate scan-vs-cache trade at
-    corpus scale — persist ``feats`` upstream if memory allows).
-    Labels must be 0/1.
+    groupBy(feature) — both map-side combinable. ``cache_features``
+    (default True) pins the exploded (doc, feature, value) frame with
+    a localCheckpoint so the tokenize+hash explode runs ONCE, not once
+    per iteration — the right trade whenever the sparse feature frame
+    fits cluster storage (it is ≤ tokens-per-doc × 8B rows, far
+    smaller than the corpus text). Set it False at corpus scale when
+    even the sparse frame is too large to persist and the per-
+    iteration re-scan is the cheaper side of the trade; results are
+    identical either way (the training arithmetic is quantized every
+    step). Labels must be 0/1.
 
     ``feature_mode`` sets the feature encoding (scoring must match):
     ``"presence"`` (default) — 1.0 per active bucket, the robust
@@ -376,7 +383,9 @@ def train_logreg_hashed(
             base, "__doc", "__text", n_features=n_features, signed=False,
         ).select(F.col("__doc"), "feature", "value"),
         feature_mode,
-    ).localCheckpoint(eager=True)
+    )
+    if cache_features:
+        feats = feats.localCheckpoint(eager=True)
 
     spark = df.sparkSession
     grid = spark.range(-1, n_features).select(

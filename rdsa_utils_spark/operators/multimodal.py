@@ -119,3 +119,187 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return df.select(id_col, binary_col).mapInPandas(_batches, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Payload-level dedup: digest-exact + perceptual-hash near-dup
+# --------------------------------------------------------------------------
+
+
+def payload_digest(
+    df: DataFrame,
+    binary_col: str = "payload",
+    out_col: str = "digest",
+) -> DataFrame:
+    """Content digest (md5 hex) of a binary payload — the exact-dedup
+    key. Pure JVM expression; identical to DuckDB ``md5`` over the
+    same bytes, so the whole exact-dedup path is oracle-replayable."""
+    return df.withColumn(out_col, F.md5(F.col(binary_col)))
+
+
+def payload_exact_dedup(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Remove byte-identical payloads, keeping the min/max ``id_col``
+    row per content digest — the first pass of any multimodal dedup
+    pipeline (cheap, exact, catches re-uploads and mirrored files).
+
+    Same shape as :func:`rdsa_utils_spark.operators.dedup.exact_dedup`
+    (digest groupBy + per-group row_number, one hash-partitioned
+    shuffle on the 32-hex digest — never on the payload bytes, which
+    stay where they were read)."""
+    if keep not in {"min", "max"}:
+        raise ValueError("payload_exact_dedup: keep must be 'min' or 'max'")
+    from pyspark.sql import Window
+
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy("__digest__").orderBy(order)
+    return (
+        payload_digest(df, binary_col, "__digest__")
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__digest__", "__rn__")
+    )
+
+
+def payload_chunk_tokens(
+    df: DataFrame,
+    binary_col: str = "payload",
+    chunk_bytes: int = 16,
+    max_chunks: int = 256,
+    out_col: str = "chunk_tokens",
+) -> DataFrame:
+    """Space-joined md5 digests of fixed-size byte chunks — the
+    feature stream a PERCEPTUAL hash is computed over. This is the
+    honest no-codec stand-in (byte blocks instead of decoded image
+    tiles / audio frames); a real deployment swaps the chunker for a
+    codec-aware feature extractor and everything downstream
+    (signature, banding, verify) is unchanged.
+
+    Pure JVM (``transform`` over a ``sequence`` of chunk offsets +
+    binary ``substr`` + ``md5``) — no Python worker; the payload is
+    scanned once per row. Payload size cost is capped at
+    ``max_chunks·chunk_bytes`` bytes hashed per row.
+    """
+    if chunk_bytes <= 0 or max_chunks <= 0:
+        raise ValueError("chunk_bytes and max_chunks must be > 0")
+    p = F.col(binary_col)
+    n_chunks = F.least(
+        F.ceil(F.length(p) / F.lit(chunk_bytes)).cast("int"), F.lit(max_chunks),
+    )
+    # sequence(0, -1) DESCENDS in Spark — guard the empty payload.
+    toks = F.when(F.length(p) > 0, F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(p.substr(i * F.lit(chunk_bytes) + 1, F.lit(chunk_bytes))),
+        ),
+        " ",
+    )).otherwise(F.lit(""))
+    return df.withColumn(out_col, toks)
+
+
+def payload_simhash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    chunk_bytes: int = 16,
+    max_chunks: int = 256,
+    out_col: str = "psimhash",
+) -> DataFrame:
+    """64-bit perceptual-hash stub for binary payloads: SimHash over
+    the payload's chunk-digest token stream — byte-local edits flip
+    only the bits voted by the touched chunks, so near-identical
+    payloads land within a small Hamming distance (the property the
+    banded join in :func:`payload_near_dups` exploits).
+
+    Reuses :func:`rdsa_utils_spark.operators.dedup.simhash_signatures`
+    verbatim on the JVM-derived token string (vectorized Arrow UDF for
+    the bit voting only; chunking/digesting never leaves the JVM).
+    Empty payloads get signature 0."""
+    from rdsa_utils_spark.operators.dedup import simhash_signatures
+
+    toked = payload_chunk_tokens(df, binary_col, chunk_bytes, max_chunks, "__ptoks__")
+    return simhash_signatures(toked, "__ptoks__", out_col).drop("__ptoks__")
+
+
+def payload_near_dups(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunk_bytes: int = 16,
+    max_chunks: int = 256,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate payload pairs by perceptual-hash Hamming
+    distance: 64-bit payload SimHash, split into ``n_bands`` equal bit
+    bands, candidates generated by an EQUI-JOIN on (band index, band
+    value) — the Hamming-space pigeonhole: any pair within
+    ``max_hamming < n_bands`` bit flips shares at least one intact
+    band, so recall is exactly 1.0 while the join stays bucketed (no
+    all-pairs product). Candidates verify with
+    ``bit_count(sig_a XOR sig_b) <= max_hamming``.
+
+    Empty payloads are excluded (no content to be near-duplicate of —
+    and a shared all-zero signature would otherwise cross-join every
+    empty row). Run :func:`payload_exact_dedup` FIRST in a pipeline:
+    byte-identical payloads share their full signature, so an
+    undeduped corpus turns each duplicate cluster into a quadratic
+    pair set.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row
+    per pair. 100 TB posture: only (id, 64-bit sig) rows shuffle —
+    never payload bytes; band buckets bound the join fan-out the same
+    way the MinHash LSH bands do (operators/dedup.py:178).
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            "payload_near_dups: need 0 <= max_hamming < n_bands for the "
+            "pigeonhole recall guarantee "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})",
+        )
+    if 64 % n_bands != 0:
+        raise ValueError("payload_near_dups: n_bands must divide 64")
+    band_bits = 64 // n_bands
+    sigs = payload_simhash(
+        df.filter(F.length(F.col(binary_col)) > 0),
+        binary_col, chunk_bytes, max_chunks, "__sig__",
+    ).select(F.col(id_col).alias("__id__"), "__sig__")
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "__id__",
+        "__sig__",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("__sig__"), b * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(n_bands)
+            ]),
+        ).alias("__band__"),
+    ).select("__id__", "__sig__", "__band__.band", "__band__.val")
+    a = banded.select(
+        F.col("__id__").alias("id_a"), F.col("__sig__").alias("__sa__"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col("__id__").alias("id_b"), F.col("__sig__").alias("__sb__"),
+        "band", "val",
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa__", "__sb__")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__sa__").bitwiseXOR(F.col("__sb__"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

@@ -156,3 +156,30 @@ def test_temporal_split_empty_and_single_row(spark):
     )
     got = temporal_split(one, "ts", train_frac=0.5).collect()
     assert len(got) == 1 and got[0].split == "train"
+
+
+def test_train_logreg_cache_features_equivalence(spark):
+    """cache_features=False recomputes the feature explode per
+    iteration but must produce byte-identical weights (the training
+    arithmetic is quantized every step)."""
+    from rdsa_utils_spark.operators.classify import train_logreg_hashed
+
+    rows = [
+        (i, f"spark data {'good' if i % 2 else 'bad'} doc {i % 7}", i % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    cached = {
+        r.feature: r.weight
+        for r in train_logreg_hashed(
+            df, "label", "text", "doc_id", n_features=32, iterations=3,
+        ).collect()
+    }
+    uncached = {
+        r.feature: r.weight
+        for r in train_logreg_hashed(
+            df, "label", "text", "doc_id", n_features=32, iterations=3,
+            cache_features=False,
+        ).collect()
+    }
+    assert cached == uncached

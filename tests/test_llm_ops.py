@@ -825,3 +825,106 @@ def test_embedding_drift_grouped_one_sided(spark):
     out = {r.g: r for r in embedding_drift(df, "v", "s", by=["g"]).collect()}
     assert out["g1"].centroid_cos == pytest.approx(1.0, abs=1e-6)
     assert out["g2"].n_b is None and out["g2"].centroid_cos is None
+
+
+# ------------------------------------------------------ payload dedup (r7)
+
+
+def test_payload_exact_dedup_keeps_min_id(spark):
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_exact_dedup,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "same bytes"), (2, "same bytes"), (3, "other"), (4, "same bytes")],
+            "doc_id long, text string",
+        ),
+        "text",
+    )
+    got = sorted(r.doc_id for r in payload_exact_dedup(df, "payload", "doc_id").collect())
+    assert got == [1, 3]
+    kept_max = sorted(
+        r.doc_id
+        for r in payload_exact_dedup(df, "payload", "doc_id", keep="max").collect()
+    )
+    assert kept_max == [3, 4]
+
+
+def test_payload_near_dups_identical_and_edited(spark):
+    """Byte-identical payloads pair at hamming 0; a small substitution
+    edit pairs within the threshold; unrelated payloads don't pair."""
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_near_dups,
+    )
+
+    base = " ".join(f"tok{i:04d}" for i in range(200))
+    edited = base.replace("tok0100", "tokXXXX")  # same length, one chunk touched
+    other = " ".join(f"zzz{i:04d}" for i in range(200))
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, base), (2, base), (3, edited), (4, other)],
+            "doc_id long, text string",
+        ),
+        "text",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in payload_near_dups(df, "payload", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_payload_near_dups_excludes_empty_and_validates_params(spark):
+    import pytest as _pytest
+
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_near_dups,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "content here")], "doc_id long, text string",
+        ),
+        "text",
+    )
+    # two empty payloads share sig 0 but must NOT pair
+    assert payload_near_dups(df, "payload", "doc_id").count() == 0
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        payload_near_dups(df, "payload", "doc_id", max_hamming=4, n_bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        payload_near_dups(df, "payload", "doc_id", max_hamming=2, n_bands=5)
+
+
+def test_payload_simhash_matches_text_simhash_on_chunk_tokens(spark):
+    """payload_simhash == simhash_signatures over the chunk-token
+    string (the reuse contract), and empty payload → signature 0."""
+    from rdsa_utils_spark.operators.dedup import simhash_signatures
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_chunk_tokens,
+        payload_simhash,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "hello world " * 30), (2, "")], "doc_id long, text string",
+        ),
+        "text",
+    )
+    via_payload = {
+        r.doc_id: r.psimhash for r in payload_simhash(df, "payload").collect()
+    }
+    toked = payload_chunk_tokens(df, "payload")
+    via_text = {
+        r.doc_id: r.sig
+        for r in simhash_signatures(toked, "chunk_tokens", "sig").collect()
+    }
+    assert via_payload == via_text
+    assert via_payload[2] == 0
