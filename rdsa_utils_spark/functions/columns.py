@@ -44,6 +44,27 @@ def require_utc_for_ntz(df, col_name: str) -> None:
         )
 
 
+def resolve_field_type(df, col_name: str):
+    """The DataType of ``col_name`` resolved the way Spark's analyzer
+    would: exact match first, then a UNIQUE case-insensitive match
+    (the default ``spark.sql.caseSensitive=false``). A plain
+    ``df.schema[name]`` lookup is case-SENSITIVE and raises KeyError
+    for casings every ``F.col`` reference in the same function would
+    happily resolve."""
+    for f in df.schema.fields:
+        if f.name == col_name:
+            return f.dataType
+    low = col_name.lower()
+    matches = [f for f in df.schema.fields if f.name.lower() == low]
+    if len(matches) == 1:
+        return matches[0].dataType
+    raise ValueError(
+        f"column {col_name!r} not found"
+        f"{' (ambiguous case-insensitive match)' if matches else ''} "
+        f"in {df.columns}",
+    )
+
+
 def epoch_double(df, col_name: str) -> Column:
     """The named column as a DOUBLE suitable for ordering/difference
     arithmetic: numerics cast directly; TIMESTAMP casts to epoch
@@ -56,7 +77,7 @@ def epoch_double(df, col_name: str) -> Column:
     Needs the owning ``df`` for the dtype dispatch — a bare Column
     carries no schema.
     """
-    dtype = df.schema[col_name].dataType.typeName()
+    dtype = resolve_field_type(df, col_name).typeName()
     c = F.col(col_name)
     if dtype == "timestamp_ntz":
         require_utc_for_ntz(df, col_name)

@@ -1083,3 +1083,155 @@ def containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_tokens: int = 10,
+    hash_hex_digits: int = 15,
+) -> DataFrame:
+    """Corpus-level duplicated-substring removal at STRIDE-1 shingle
+    resolution — the unaligned-repeat upgrade of :func:`span_dedup`:
+    every position ``p`` carries the ``ngram_tokens``-token shingle
+    starting there; any occurrence that is not the GLOBAL first
+    occurrence of its shingle (ordered by ``(id, p)``) marks token
+    positions ``p … p+n−1`` as duplicated, and each document is
+    rebuilt from its unmarked tokens.
+
+    vs ``span_dedup``: block alignment misses repeats that straddle a
+    block boundary; stride-1 shingling catches a duplicated run at ANY
+    offset ≥ n tokens (a repeated run of length m ≥ n yields m−n+1
+    duplicated shingles whose coverage union is the full run) — the
+    closest linear-shuffle approximation of suffix-array substring
+    dedup (Lee et al. 2022) this engine offers. The first copy of a
+    run survives in the document that contains it.
+
+    Returns (``id``, ``n_tokens``, ``n_kept``, ``dedup_text``).
+    Documents with zero tokens are absent from the output (same
+    contract as span_dedup); documents shorter than ``ngram_tokens``
+    have no shingles and survive whole.
+
+    Plan shape at 100 TB: shingle assembly is per-row JVM expressions;
+    one explode to (id, p, 60-bit md5 shingle hash) — the hash, not
+    the shingle text, shuffles; first occurrence is ``min(struct(id,
+    p))`` per hash (map-side combined aggregation, not a window); only
+    DUPLICATE occurrences explode their n covered positions, so the
+    coverage blowup is proportional to the duplicated volume, not the
+    corpus; one anti-join on (id, pos) and one per-doc rebuild.
+    Duplicated-shingle detection is hash-based (collision odds
+    ~ |shingles|²/2^61 — negligible and deterministic).
+    """
+    if ngram_tokens < 1:
+        raise ValueError(f"ngram_tokens must be >= 1, got {ngram_tokens}")
+    n = ngram_tokens
+    with_toks = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"),
+    ).filter(F.size("__tk") > 0)
+    tk = F.col("__tk")
+    n_sh = F.size(tk) - n + 1
+    sh_hash = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(s), 1, hash_hex_digits), 16, 10,
+    ).cast("long")
+    shingle_arr = F.when(
+        n_sh <= 0, F.array().cast("array<long>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda p: sh_hash(F.array_join(F.slice(tk, p + 1, n), " ")),
+        ),
+    )
+    occs = (
+        with_toks.select("__id", shingle_arr.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select("__id", F.posexplode("__sh").alias("__p", "__h"))
+    )
+    first = (
+        occs.groupBy("__h")
+        .agg(F.min(F.struct("__id", "__p")).alias("__w"))
+        .select("__h", F.col("__w.__id").alias("__wid"), F.col("__w.__p").alias("__wp"))
+    )
+    dup_occs = occs.join(first, "__h").filter(
+        ~((F.col("__id") == F.col("__wid")) & (F.col("__p") == F.col("__wp"))),
+    )
+    covered = (
+        dup_occs.select(
+            "__id", F.explode(F.sequence(F.col("__p"), F.col("__p") + n - 1)).alias("__pos"),
+        )
+        .dropDuplicates(["__id", "__pos"])
+        .withColumn("__cov", F.lit(1))
+    )
+    tokpos = with_toks.select("__id", F.posexplode(tk).alias("__pos", "__tok"))
+    kept = tokpos.join(covered, ["__id", "__pos"], "left").filter(F.col("__cov").isNull())
+    totals = with_toks.select("__id", F.size(tk).alias("n_tokens"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    member_col: str = "id",
+    cluster_col: str = "cluster_id",
+    keep: str = "max",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: keep the BEST-quality
+    member of each cluster (ties → smallest id) instead of the
+    arbitrary min-id canonical representative — the curation-correct
+    policy when near-duplicates differ in quality (keep the clean copy,
+    drop the boilerplate-ridden one).
+
+    ``clusters`` is a (member, cluster_id) frame — e.g.
+    :func:`dedup_clusters` over near-dup pairs; rows of ``df`` absent
+    from it are singletons and always survive. ``keep='max'`` keeps
+    the highest ``quality_col`` (``'min'`` the lowest — e.g. when the
+    column is a perplexity). NULL quality sorts last, so a scored
+    member always beats an unscored one.
+
+    One broadcast-or-shuffle join on the id plus one window
+    partitioned by cluster id — the window only ever sees cluster-
+    sized groups (singletons pass through with cluster = own id).
+    """
+    if keep not in {"min", "max"}:
+        raise ValueError("cluster_representatives: keep must be 'min' or 'max'")
+    from pyspark.sql import Window
+
+    lab = df.join(
+        clusters.select(
+            F.col(member_col).alias(id_col), F.col(cluster_col).alias("__cl__"),
+        ),
+        id_col,
+        "left",
+    )
+    key = F.coalesce(F.col("__cl__"), F.col(id_col))
+    q = F.col(quality_col)
+    order = [
+        q.desc_nulls_last() if keep == "max" else q.asc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        lab.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__cl__", "__rn__")
+    )

@@ -282,6 +282,22 @@ def ndcg_at_k(
     )
 
 
+def _filter_relevant(qrels: DataFrame, rel_col: str) -> DataFrame:
+    """Binary-relevance qrels filter for MRR/MAP@k: keep rows with
+    ``rel_col > 0``. A qrels frame WITHOUT the default ``rel`` column
+    is the documented all-relevant binary form; but a user-NAMED grade
+    column that doesn't exist is a typo — fail loudly instead of
+    silently counting every judged pair as relevant."""
+    cols_lower = {c.lower() for c in qrels.columns}
+    if rel_col.lower() in cols_lower:
+        return qrels.filter(F.col(rel_col) > 0)
+    if rel_col != "rel":
+        raise ValueError(
+            f"rel_col {rel_col!r} not found in qrels columns {qrels.columns}",
+        )
+    return qrels
+
+
 def mrr_at_k(
     runs: DataFrame,
     qrels: DataFrame,
@@ -307,7 +323,7 @@ def mrr_at_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    qr = qrels.filter(F.col(rel_col) > 0) if rel_col in qrels.columns else qrels
+    qr = _filter_relevant(qrels, rel_col)
     qr = qr.select(
         F.col(query_col).alias("__q__"), F.col(doc_col).alias("__d__")
     ).distinct()
@@ -360,7 +376,7 @@ def map_at_k(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    qr = qrels.filter(F.col(rel_col) > 0) if rel_col in qrels.columns else qrels
+    qr = _filter_relevant(qrels, rel_col)
     qr = qr.select(
         F.col(query_col).alias("__q__"), F.col(doc_col).alias("__d__")
     ).distinct()
@@ -453,8 +469,10 @@ def cohens_kappa(
     # back to the string cast.
     from pyspark.sql.types import NumericType
 
-    t1 = df.schema[rater1_col].dataType
-    t2 = df.schema[rater2_col].dataType
+    from rdsa_utils_spark.functions.columns import resolve_field_type
+
+    t1 = resolve_field_type(df, rater1_col)
+    t2 = resolve_field_type(df, rater2_col)
     if isinstance(t1, NumericType) and isinstance(t2, NumericType):
         r1, r2 = F.col(rater1_col).cast("double"), F.col(rater2_col).cast("double")
     elif t1 == t2:

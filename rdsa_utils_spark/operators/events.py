@@ -1141,12 +1141,21 @@ def attribute_conversions(
     scan. Returns ``user, conversion_id, conversion_ts, touch_id,
     touch_type, touch_ts, gap_s``.
     """
+    from rdsa_utils_spark.functions.columns import (
+        require_utc_for_ntz,
+        resolve_field_type,
+    )
+
     if model not in ("first", "last"):
         raise ValueError(f"model must be 'first' or 'last', got {model!r}")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
     if conversion_type in set(touch_types):
         raise ValueError("conversion_type must not also be a touch type")
+    # NTZ → instant reinterpretation is only exact under UTC (DST
+    # fall-back is non-injective) — same guard as epoch_double.
+    if resolve_field_type(df, ts_col).typeName() == "timestamp_ntz":
+        require_utc_for_ntz(df, ts_col)
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = df.filter(
         F.col(ts_col).isNotNull()

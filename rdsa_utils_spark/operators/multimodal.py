@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Callable, Iterator, Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 IMAGE_META_SCHEMA = (
@@ -267,17 +267,25 @@ def payload_near_dups(
         df.filter(F.length(F.col(binary_col)) > 0),
         binary_col, chunk_bytes, max_chunks, "__sig__",
     ).select(F.col(id_col).alias("__id__"), "__sig__")
-    mask = (1 << band_bits) - 1
+    # Both sides of the banded self-join derive from sigs — pin the
+    # narrow (id, 64-bit sig) frame so the chunk-digest + SimHash
+    # pipeline over the payload bytes runs ONCE, not once per side.
+    sigs = sigs.localCheckpoint(eager=False)
+
+    def _band_val(b: int) -> Column:
+        if band_bits == 64:  # n_bands=1: the band IS the signature
+            return F.col("__sig__")
+        mask = (1 << band_bits) - 1
+        return (
+            F.shiftright(F.col("__sig__"), b * band_bits).bitwiseAND(F.lit(mask))
+        )
+
     banded = sigs.select(
         "__id__",
         "__sig__",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright(F.col("__sig__"), b * band_bits)
-                    .bitwiseAND(F.lit(mask)).alias("val"),
-                )
+                F.struct(F.lit(b).alias("band"), _band_val(b).alias("val"))
                 for b in range(n_bands)
             ]),
         ).alias("__band__"),

@@ -634,7 +634,9 @@ def temporal_split(
         )
 
     if boundary == "approx":
-        dtype = df.schema[ts_col].dataType.simpleString()
+        from rdsa_utils_spark.functions.columns import resolve_field_type
+
+        dtype = resolve_field_type(df, ts_col).simpleString()
         if dtype.startswith("timestamp"):
             proxy = F.unix_micros(F.col(ts_col).cast("timestamp"))
             back = lambda c: F.timestamp_micros(c)  # noqa: E731
@@ -644,11 +646,15 @@ def temporal_split(
         else:
             proxy = F.col(ts_col)
             back = lambda c: c  # noqa: E731
+        # A NULL boundary (all-NULL column) must still LABEL every row
+        # ('ts <= NULL' is never true → all 'valid', matching the exact
+        # path) — filtering the 1-row frame would annihilate the input
+        # through the crossJoin and silently drop a bad ingest batch.
         b = df.agg(
             back(
                 F.percentile_approx(proxy, F.lit(train_frac), F.lit(approx_accuracy)),
             ).alias("__boundary__"),
-        ).filter(F.col("__boundary__").isNotNull())
+        )
         return _attach(b)
 
     import math

@@ -1257,14 +1257,27 @@ def ks_statistic(
     """
     from rdsa_utils_spark.operators.drift import ks_2sample as _ks
 
+    from rdsa_utils_spark.functions.columns import resolve_field_type
+    from pyspark.sql.types import NumericType, StringType
+
     keys = list(group_by) if group_by else []
+    # Numeric ECDF semantics: a string-typed numeric column would
+    # otherwise order lexicographically ('10' < '9'). Dispatch on the
+    # column type — strings TRY-cast (a stray 'N/A' becomes NULL and
+    # is excluded like any NULL value, instead of an ANSI cast error
+    # killing the job); dates/timestamps and other orderable types
+    # keep their native ordering (already the correct ECDF order).
+    t = resolve_field_type(df, value_col)
+    if isinstance(t, NumericType):
+        v = F.col(value_col).cast("double")
+    elif isinstance(t, StringType):
+        v = F.col(value_col).try_cast("double")
+    else:
+        v = F.col(value_col)
     base = (
         df.filter(F.col(sample_col).isin([left, right]))
         .withColumn("__is_left__", F.col(sample_col) == F.lit(left))
-        # Numeric ECDF semantics: a string-typed numeric column would
-        # otherwise order lexicographically ('10' < '9') in the
-        # distinct-value aggregate downstream.
-        .withColumn("__ks_v__", F.col(value_col).cast("double"))
+        .withColumn("__ks_v__", v)
     )
     out = _ks(
         base,

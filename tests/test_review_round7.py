@@ -1,0 +1,119 @@
+"""Regression tests for the round-7 self-review findings: type
+dispatch in the ks_statistic facade, restored NTZ guard in
+attribute_conversions, approx temporal_split NULL-boundary labeling,
+loud missing-rel_col in MRR/MAP, payload_near_dups signature reuse and
+n_bands=1, and case-insensitive schema lookups."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ks_statistic_dispatches_on_value_type(spark):
+    from rdsa_utils_spark.operators.stats import ks_statistic
+
+    # date columns stay raw-ordered (no cast crash)
+    rows = [
+        (dt.date(2024, 1, d), "a" if d % 2 else "b") for d in range(1, 11)
+    ]
+    d = spark.createDataFrame(rows, "v date, grp string")
+    out = ks_statistic(d, "v", "grp", left="a", right="b").collect()[0]
+    assert out.ks is not None and 0.0 <= out.ks <= 1.0
+    # a stray non-numeric string becomes NULL (excluded), not a crash
+    s = spark.createDataFrame(
+        [("1", "a"), ("2", "a"), ("N/A", "a"), ("3", "b"), ("4", "b")],
+        "v string, grp string",
+    )
+    got = ks_statistic(s, "v", "grp", left="a", right="b").collect()[0]
+    assert (got.n_left, got.n_right) == (2, 2)
+
+
+def test_attribute_conversions_ntz_guard(spark):
+    from rdsa_utils_spark.operators.events import attribute_conversions
+
+    df = spark.createDataFrame(
+        [("u", 1, "click", dt.datetime(2024, 1, 1))],
+        "user string, id long, type string, ts timestamp",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            attribute_conversions(
+                df, ["click"], "purchase", user_col="user", ts_col="ts",
+                type_col="type", id_col="id",
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_temporal_split_approx_all_null_labels_rows(spark):
+    from rdsa_utils_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, ts timestamp",
+    )
+    got = temporal_split(df, "ts", boundary="approx").collect()
+    assert len(got) == 2 and all(r.split == "valid" for r in got)
+    exact = temporal_split(df, "ts").collect()
+    assert sorted((r.id, r.split) for r in got) == sorted(
+        (r.id, r.split) for r in exact
+    )
+
+
+def test_mrr_map_raise_on_missing_named_rel_col(spark):
+    from rdsa_utils_spark.operators.evaluate import map_at_k, mrr_at_k
+
+    runs = spark.createDataFrame(
+        [("q1", "d1", 1)], "query_id string, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 1)], "query_id string, doc_id string, grade int",
+    )
+    with pytest.raises(ValueError, match="grad"):
+        mrr_at_k(runs, qrels, 10, rel_col="grad")  # typo for 'grade'
+    with pytest.raises(ValueError, match="grad"):
+        map_at_k(runs, qrels, 10, rel_col="grad")
+    # default 'rel' absent stays the documented all-relevant binary form
+    assert mrr_at_k(runs, qrels.drop("grade"), 10).collect()[0].mrr == 1.0
+
+
+def test_payload_near_dups_single_scan_and_one_band(spark):
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_near_dups,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "alpha " * 40), (2, "alpha " * 40), (3, "gamma " * 40)],
+            "doc_id long, text string",
+        ),
+        "text",
+    )
+    out = payload_near_dups(df, "payload", "doc_id", max_hamming=0, n_bands=1)
+    # n_bands=1 == exact signature match; must not overflow the mask
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+    # the SimHash pipeline runs once: a single ArrowEvalPython node
+    plan = (
+        payload_near_dups(df, "payload", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") <= 1
+
+
+def test_case_insensitive_schema_lookups(spark):
+    from rdsa_utils_spark.operators.evaluate import cohens_kappa
+    from rdsa_utils_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame([(1, 1), (0, 0)], "Rater1 int, Rater2 int")
+    got = cohens_kappa(df, "rater1", "rater2").collect()[0]
+    assert got.n == 2
+    ts = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i)) for i in range(10)], "id long, TS timestamp",
+    )
+    out = temporal_split(ts, "ts", boundary="approx")
+    assert out.count() == 10
