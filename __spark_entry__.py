@@ -1635,6 +1635,126 @@ SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 duplicated-substring removal (operators/dedup.py::
+    substring_dedup): global first occurrence of every 10-token
+    shingle survives; later occurrences mark their full token span
+    duplicated and documents rebuild from unmarked tokens — the
+    unaligned-repeat upgrade of span_dedup. Spark groups on 60-bit
+    md5 shingle hashes; the oracle groups on the shingle text itself
+    (same equality up to 2^-61 collision odds)."""
+    from rdsa_utils_spark.operators.dedup import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", ngram_tokens=10).orderBy("doc_id")
+
+
+_ORACLE_SUBSTRING_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), nz AS (
+  SELECT doc_id, toks FROM t WHERE len(toks) > 0
+), occ AS (
+  SELECT doc_id, u.p AS p,
+         array_to_string(toks[CAST(u.p + 1 AS INT):CAST(u.p + 10 AS INT)], ' ') AS sh
+  FROM nz, LATERAL unnest(range(CAST(len(toks) - 9 AS BIGINT))) AS u(p)
+  WHERE len(toks) >= 10
+), ranked AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn
+  FROM occ
+), covered AS (
+  SELECT DISTINCT doc_id, p + u.i AS pos
+  FROM ranked, LATERAL unnest(range(10)) AS u(i)
+  WHERE rn > 1
+), tokpos AS (
+  SELECT doc_id, u.i AS pos, toks[CAST(u.i + 1 AS INT)] AS tok
+  FROM nz, LATERAL unnest(range(CAST(len(toks) AS BIGINT))) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, count(*) AS n_kept,
+         string_agg(tp.tok, ' ' ORDER BY tp.pos) AS dedup_text
+  FROM tokpos tp LEFT JOIN covered c
+    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+  WHERE c.pos IS NULL
+  GROUP BY tp.doc_id
+)
+SELECT nz.doc_id, CAST(len(nz.toks) AS INT) AS n_tokens,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.dedup_text, '') AS dedup_text
+FROM nz LEFT JOIN kept k ON nz.doc_id = k.doc_id
+ORDER BY nz.doc_id
+"""
+
+
+def q_cluster_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (operators/dedup.py::
+    cluster_representatives): the transitive Jaccard clusters of
+    dedup_clusters, but each cluster keeps its LONGEST member
+    (n_chars, ties → min doc_id) instead of the arbitrary min-id
+    canonical — the curation policy that preserves the fullest copy.
+    Singletons survive unconditionally."""
+    from rdsa_utils_spark.operators.dedup import cluster_representatives, dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = ngram_jaccard_pairs(docs, _banded_doc_pairs(docs), "doc_id", "text", shingle_n=3)
+    edges = scored.filter(F.col("jaccard") >= 0.1).select("id_a", "id_b")
+    clusters = dedup_clusters(edges)
+    return (
+        cluster_representatives(docs, clusters, "n_chars", id_col="doc_id")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_CLUSTER_BEST_DEDUP = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(len(toks) - 2, 1) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         END AS sh
+  FROM t
+), scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM s a JOIN s b
+    ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 20
+), sym AS (
+  SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.1
+  UNION
+  SELECT id_b AS a, id_a AS b FROM scored WHERE jaccard >= 0.1
+), reach AS (
+  SELECT DISTINCT a AS id, a AS r FROM sym
+  UNION
+  SELECT e.b AS id, reach.r AS r FROM reach JOIN sym e ON e.a = reach.id
+), clus AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), lab AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cl
+  FROM documents d LEFT JOIN clus c ON d.doc_id = c.id
+), win AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY cl ORDER BY n_chars DESC NULLS LAST, doc_id
+         ) AS rn
+  FROM lab
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM win WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup fingerprint (md5 of whitespace-normalized lower-cased
     text) — hex digests hash-match DuckDB's md5 byte for byte."""
@@ -6343,6 +6463,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "dedup_clusters": q_dedup_clusters,
+        "substring_dedup": q_substring_dedup,
+        "cluster_best_dedup": q_cluster_best_dedup,
         "bm25_search": q_bm25_search,
         "tfidf_terms": q_tfidf_terms,
         "min_cost_supplier": q_min_cost_supplier,
@@ -6590,6 +6712,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "pii_redaction": _ORACLE_PII_REDACTION,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
+        "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
+        "cluster_best_dedup": _ORACLE_CLUSTER_BEST_DEDUP,
         "bm25_search": _ORACLE_BM25_SEARCH,
         "tfidf_terms": _ORACLE_TFIDF_TERMS,
         "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,

@@ -117,3 +117,63 @@ def test_case_insensitive_schema_lookups(spark):
     )
     out = temporal_split(ts, "ts", boundary="approx")
     assert out.count() == 10
+
+
+# ------------------------------------------------- round-7 widening ops
+
+
+def test_substring_dedup_unaligned_repeat(spark):
+    """A 30-token run repeated at a DIFFERENT offset in another doc is
+    removed from the later doc (the case block-aligned span_dedup
+    misses); within-doc periodic repeats keep only the first period."""
+    from rdsa_utils_spark.operators.dedup import substring_dedup
+
+    run = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha " + run),
+            (2, "prefix tokens here " + run + " suffix"),  # offset 3, unaligned
+            (3, "totally different text " * 5),  # period-3 self repeat
+            (4, "short doc"),  # < n tokens: survives whole
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dedup(df, "doc_id", "text", 10).collect()}
+    assert got[1].n_kept == got[1].n_tokens == 31  # first occurrence survives
+    assert got[2].dedup_text == "prefix tokens here suffix"
+    assert got[3].dedup_text == "totally different text"
+    assert got[4].n_kept == 2 and got[4].dedup_text == "short doc"
+
+
+def test_substring_dedup_blank_and_whole_doc_dup(spark):
+    from rdsa_utils_spark.operators.dedup import substring_dedup
+
+    body = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, "   ")], "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in substring_dedup(df, "doc_id", "text", 10).collect()}
+    assert rows[1].n_kept == 12
+    assert rows[2].n_kept == 0 and rows[2].dedup_text == ""
+    assert 3 not in rows  # zero-token docs absent, per contract
+
+
+def test_cluster_representatives_policies(spark):
+    from rdsa_utils_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, None)],
+        "doc_id long, quality double",
+    )
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5)], "id long, cluster_id long",
+    )
+    best = sorted(
+        r.doc_id for r in cluster_representatives(docs, cl, "quality").collect()
+    )
+    assert best == [2, 4, 5]  # 2 wins ties by min id; 4 singleton; 5 sole member
+    worst = sorted(
+        r.doc_id
+        for r in cluster_representatives(docs, cl, "quality", keep="min").collect()
+    )
+    assert worst == [1, 4, 5]
