@@ -1755,6 +1755,76 @@ ORDER BY doc_id
 """
 
 
+def q_bloom_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/joins.py::bloom_semi_join):
+    orders of BUILDING-segment customers — the right side's distinct
+    keys build a DataFrame-native Bloom bitmap on a 1-row broadcast,
+    definite non-member orders bypass the join shuffle, and the exact
+    semi join removes the ~fpp false positives, so the result is
+    bit-identical to the plain IN-subquery the oracle runs."""
+    from rdsa_utils_spark.operators.joins import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING",
+    )
+    hits = bloom_semi_join(
+        orders, cust, "o_custkey", "c_custkey", expected_items=10_000,
+    )
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice"), "total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_BLOOM_FILTERED_ORDERS = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/disclosure.py::
+    l_diversity_violations): (nation, segment) quasi-identifier groups
+    whose bucketed account balance takes fewer than 4 distinct values —
+    the homogeneity-attack follow-up to the k-anonymity gate."""
+    from rdsa_utils_spark.operators.disclosure import l_diversity_violations
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("int"),
+    )
+    return (
+        l_diversity_violations(cust, ["c_nationkey", "c_mktsegment"], "bal_band", 4)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_distinct_sensitive").cast("long").alias("n_distinct_sensitive"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+_ORACLE_L_DIVERSITY_CUSTOMERS = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS INT)) AS BIGINT)
+         AS n_distinct_sensitive
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS INT)) < 4
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup fingerprint (md5 of whitespace-normalized lower-cased
     text) — hex digests hash-match DuckDB's md5 byte for byte."""
@@ -3988,7 +4058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     variants.
     """
     return {
-        # --- oracle-backed (47) ---
+        # --- all 50 oracle-backed since round 6 (the final three are
+        # sketch/LSH queries whose oracles replay the md5-derived
+        # randomness; kept last per the original ordering contract) ---
         "revenue_by_nation": q_revenue_by_nation,
         "pricing_summary": q_pricing_summary,
         "top_orders": q_top_orders,
@@ -6465,6 +6537,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "substring_dedup": q_substring_dedup,
         "cluster_best_dedup": q_cluster_best_dedup,
+        "bloom_filtered_orders": q_bloom_filtered_orders,
+        "l_diversity_customers": q_l_diversity_customers,
         "bm25_search": q_bm25_search,
         "tfidf_terms": q_tfidf_terms,
         "min_cost_supplier": q_min_cost_supplier,
@@ -6714,6 +6788,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "cluster_best_dedup": _ORACLE_CLUSTER_BEST_DEDUP,
+        "bloom_filtered_orders": _ORACLE_BLOOM_FILTERED_ORDERS,
+        "l_diversity_customers": _ORACLE_L_DIVERSITY_CUSTOMERS,
         "bm25_search": _ORACLE_BM25_SEARCH,
         "tfidf_terms": _ORACLE_TFIDF_TERMS,
         "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,

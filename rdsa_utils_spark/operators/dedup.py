@@ -705,9 +705,15 @@ def dedup_against_corpus_bloom(
     through to the join. Within-batch dedup is the same keep-min/max
     window as :func:`exact_dedup`.
     """
+    from rdsa_utils_spark.functions.bloom import (
+        bloom_params,
+        bloom_probe_expr,
+        build_bloom_bitmap,
+    )
+
     if keep not in {"min", "max"}:
         raise ValueError("dedup_against_corpus_bloom: keep must be 'min' or 'max'")
-    m_bits, k_hashes = _bloom_params(expected_items, fpp)
+    m_bits, k_hashes = bloom_params(expected_items, fpp)
     if m_bits // 8 > max_bloom_bytes:
         raise ValueError(
             f"bloom bitmap would be {m_bits // 8} bytes for "
@@ -715,7 +721,6 @@ def dedup_against_corpus_bloom(
             f"{max_bloom_bytes}; lower expected_items (more false "
             f"positives, still exact) or use dedup_against_corpus",
         )
-    n_words = (m_bits + 63) // 64
 
     new_fp = with_fingerprint(new_df, text_col, "__fp__")
     corpus_fp = (
@@ -724,42 +729,11 @@ def dedup_against_corpus_bloom(
         .distinct()
     )
 
-    # Build: explode each digest's k positions, pack into (word, mask)
-    # partials — bit_or combines map-side, so the shuffle carries at
-    # most m/64 rows per partition regardless of corpus size.
-    positions = F.array(
-        *[
-            F.pmod(F.xxhash64(F.col("__fp__"), F.lit(i)), F.lit(m_bits))
-            for i in range(k_hashes)
-        ],
-    )
-    sparse = (
-        corpus_fp.select(F.explode(positions).alias("__p__"))
-        .select(
-            (F.col("__p__") / 64).cast("long").alias("__w__"),
-            F.expr("shiftleft(cast(1 as bigint), cast(__p__ % 64 as int))").alias(
-                "__b__",
-            ),
-        )
-        .groupBy("__w__")
-        .agg(F.bit_or("__b__").alias("__mask__"))
-        .collect()
-    )
-    words = [0] * n_words
-    for r in sparse:
-        words[r["__w__"]] = r["__mask__"]
-    spark = new_df.sparkSession
-    bitmap = spark.createDataFrame([(words,)], "__bloom__ array<bigint>")
-
-    # Probe: k getbit lookups into the broadcast bitmap, all codegen.
-    hits = []
-    for i in range(k_hashes):
-        p = F.pmod(F.xxhash64(F.col("__fp__"), F.lit(i)), F.lit(m_bits))
-        word = F.element_at("__bloom__", (p / 64).cast("int") + F.lit(1))
-        hits.append(F.getbit(word, F.pmod(p, F.lit(64))) == 1)
-    maybe = hits[0]
-    for h in hits[1:]:
-        maybe = maybe & h
+    # Build + probe via the shared primitives (functions/bloom.py):
+    # bit_or packs map-side, the bitmap rides a 1-row broadcast, and
+    # membership is k getbit lookups inside whole-stage codegen.
+    bitmap = build_bloom_bitmap(corpus_fp, "__fp__", m_bits, k_hashes)
+    maybe = bloom_probe_expr("__fp__", m_bits, k_hashes)
     flagged = new_fp.join(F.broadcast(bitmap)).withColumn("__maybe__", maybe).drop(
         "__bloom__",
     )
@@ -779,20 +753,6 @@ def dedup_against_corpus_bloom(
         .filter(F.col("__rn__") == 1)
         .drop("__fp__", "__rn__")
     )
-
-
-def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
-    """Optimal Bloom sizing: m = -n·ln(p)/ln(2)² bits, k = (m/n)·ln 2
-    hash functions."""
-    import math
-
-    if not (0.0 < fpp < 1.0):
-        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
-    if expected_items <= 0:
-        raise ValueError(f"expected_items must be > 0, got {expected_items}")
-    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, round(m / expected_items * math.log(2)))
-    return m, k
 
 
 

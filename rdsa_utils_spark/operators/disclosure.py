@@ -154,3 +154,34 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 — the established SDC parameter name
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — the k-anonymity follow-up (Machanavajjhala
+    et al. 2007): a group can be k-anonymous yet still leak the
+    sensitive value outright when every member shares it (homogeneity
+    attack). Returns only the violating groups: ``quasi_cols`` +
+    ``n_rows`` + ``n_distinct_sensitive``.
+
+    NULL sensitive values are excluded from the distinct count (an
+    absent attribute discloses nothing); a group whose sensitive
+    column is entirely NULL reports 0 distinct values. One exact
+    ``count_distinct`` aggregation over the quasi key — map-side
+    partial on (quasi, sensitive) pairs, never a window.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(sensitive_col)).alias("n_distinct_sensitive"),
+        )
+        .filter(F.col("n_distinct_sensitive") < l)
+    )

@@ -255,3 +255,74 @@ def salted_join(
     )
     out = salted_left.join(salted_right, [*keys, salt_col], how)
     return out.drop(salt_col)
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: Optional[str] = None,
+    how: str = "semi",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+    max_bloom_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Semi/anti join with a Bloom prefilter — identical results to
+    ``left.join(right, …, 'left_semi'/'left_anti')``, different
+    shuffle profile: the right side's DISTINCT keys build a
+    DataFrame-native Bloom bitmap (functions/bloom.py) that rides a
+    1-row broadcast, and left rows the filter REJECTS — definite
+    non-members — never enter the join shuffle. With a 1% match rate
+    a semi join shuffles ~1% (+fpp) of the left side instead of all
+    of it; an anti join passes the ~99% straight through and only
+    anti-joins the maybes.
+
+    This is the selective-join pattern Spark's runtime row-level
+    filtering (``spark.sql.optimizer.runtime.bloomFilter.enabled``)
+    applies to equi-joins automatically — exposed as an explicit
+    operator because semi/anti SHAPED pipelines (decontamination,
+    blocklist lookups, incremental dedup) often join through derived
+    keys the optimizer won't cover, and because OSS Spark does not
+    expose ``bloom_filter_agg`` to the Python API at all.
+
+    Size ``expected_items`` for the RIGHT side's distinct-key count;
+    an undersized filter stays CORRECT (more false positives reach
+    the exact join) — correctness never depends on the sizing.
+    NULL left keys never match an equi-join key, so they are dropped
+    by ``semi`` and passed through by ``anti`` (same as the plain
+    join). Returns left columns only, like the plain semi/anti join.
+    """
+    from rdsa_utils_spark.functions.bloom import (
+        bloom_params,
+        bloom_probe_expr,
+        build_bloom_bitmap,
+    )
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    right_on = right_on or left_on
+    m_bits, k_hashes = bloom_params(expected_items, fpp)
+    if m_bits // 8 > max_bloom_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {m_bits // 8} bytes for "
+            f"expected_items={expected_items}, over max_bloom_bytes="
+            f"{max_bloom_bytes}; lower expected_items (more false "
+            f"positives, still exact) or use the plain semi/anti join",
+        )
+    keys = right.select(F.col(right_on).alias("__key__")).distinct()
+    bitmap = build_bloom_bitmap(keys, "__key__", m_bits, k_hashes)
+    maybe = bloom_probe_expr(left_on, m_bits, k_hashes)
+    flagged = (
+        left.join(F.broadcast(bitmap))
+        .withColumn("__maybe__", F.col(left_on).isNotNull() & maybe)
+        .drop("__bloom__")
+    )
+    maybes = (
+        flagged.filter(F.col("__maybe__"))
+        .drop("__maybe__")
+        .join(keys, F.col(left_on) == F.col("__key__"), f"left_{how}")
+    )
+    if how == "semi":
+        return maybes
+    definite = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
+    return definite.unionByName(maybes)

@@ -177,3 +177,60 @@ def test_cluster_representatives_policies(spark):
         for r in cluster_representatives(docs, cl, "quality", keep="min").collect()
     )
     assert worst == [1, 4, 5]
+
+
+def test_bloom_semi_join_matches_plain_joins(spark):
+    from rdsa_utils_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame(
+        [(i, i % 7) for i in range(200)] + [(999, None)], "id long, k int",
+    )
+    right = spark.createDataFrame([(0,), (3,), (5,)], "k int")
+    for how in ("semi", "anti"):
+        got = sorted(
+            r.id
+            for r in bloom_semi_join(
+                left, right, "k", how=how, expected_items=100,
+            ).collect()
+        )
+        want = sorted(r.id for r in left.join(right, "k", f"left_{how}").collect())
+        assert got == want, how
+    # NULL keys: excluded by semi, passed through by anti (plain-join parity)
+    anti = bloom_semi_join(left, right, "k", how="anti", expected_items=100)
+    assert 999 in {r.id for r in anti.collect()}
+    with pytest.raises(ValueError, match="semi"):
+        bloom_semi_join(left, right, "k", how="inner")
+
+
+def test_bloom_semi_join_undersized_filter_still_exact(spark):
+    """An undersized filter (high fpp) must still give exact results —
+    correctness never depends on the sizing."""
+    from rdsa_utils_spark.operators.joins import bloom_semi_join
+
+    left = spark.createDataFrame([(i, i) for i in range(500)], "id long, k long")
+    right = spark.createDataFrame([(i * 50,) for i in range(5)], "k long")
+    got = sorted(
+        r.id
+        for r in bloom_semi_join(
+            left, right, "k", expected_items=1, fpp=0.5,
+        ).collect()
+    )
+    assert got == [0, 50, 100, 150, 200]
+
+
+def test_l_diversity_violations(spark):
+    from rdsa_utils_spark.operators.disclosure import l_diversity_violations
+
+    rows = [
+        ("a", "flu"), ("a", "flu"), ("a", "flu"),      # homogeneous: violates
+        ("b", "flu"), ("b", "cold"), ("b", "covid"),   # 3-diverse: passes l=3
+        ("c", None), ("c", None),                       # all-NULL: 0 distinct
+    ]
+    df = spark.createDataFrame(rows, "quasi string, diag string")
+    got = {
+        r.quasi: (r.n_rows, r.n_distinct_sensitive)
+        for r in l_diversity_violations(df, ["quasi"], "diag", 3).collect()
+    }
+    assert got == {"a": (3, 1), "c": (2, 0)}
+    with pytest.raises(ValueError):
+        l_diversity_violations(df, ["quasi"], "diag", 1)
