@@ -1090,22 +1090,27 @@ def substring_dedup(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"),
     ).filter(F.size("__tk") > 0)
     tk = F.col("__tk")
-    n_sh = F.size(tk) - n + 1
     sh_hash = lambda s: F.conv(  # noqa: E731
         F.substring(F.md5(s), 1, hash_hex_digits), 16, 10,
     ).cast("long")
-    shingle_arr = F.when(
-        n_sh <= 0, F.array().cast("array<long>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda p: sh_hash(F.array_join(F.slice(tk, p + 1, n), " ")),
-        ),
-    )
+    # Shingles via posexplode + lead() windows, not transform()/slice()
+    # array HOFs — HOF expressions are interpreted (no codegen) and
+    # measured ~10× slower for per-doc array work (same rationale and
+    # shape as ngram_contamination above). The per-doc lead window is
+    # embarrassingly partitioned.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("__p")
+    grams = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
+    k_tok = F.count("*").over(Window.partitionBy("__id"))
     occs = (
-        with_toks.select("__id", shingle_arr.alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select("__id", F.posexplode("__sh").alias("__p", "__h"))
+        with_toks.select("__id", F.posexplode(tk).alias("__p", "__t"))
+        .withColumn("__k", k_tok)
+        # the shingle must be assembled BEFORE the tail filter — lead()
+        # reads rows the filter would drop
+        .withColumn("__sh", F.concat_ws(" ", *grams))
+        .filter(F.col("__p") + n <= F.col("__k"))
+        .select("__id", "__p", sh_hash(F.col("__sh")).alias("__h"))
     )
     first = (
         occs.groupBy("__h")

@@ -276,3 +276,46 @@ def snapshot_diff(
         keys,
         compare_cols=compare_cols,
     )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 256,
+    note: str = "compaction",
+    client=None,
+) -> int:
+    """Small-file compaction as a NEW snapshot version: read the
+    current version, size the output partition count from the actual
+    on-disk bytes (``ceil(bytes / target_file_mb)``, min 1), and write
+    the coalesced copy through :func:`write_snapshot` — so compaction
+    inherits the manifest's atomicity (readers keep seeing the old
+    version until the pointer swaps) and is trivially revertible with
+    :func:`rollback_snapshot`. Returns the new version number.
+
+    The 100 TB maintenance chore this exists for: streaming sinks and
+    fine-grained ingest leave thousands of KB-sized parquet files per
+    partition; scan cost is then dominated by per-file open/footer
+    overhead. Row counts are preserved exactly (``write_snapshot``
+    re-counts the written files and the manifest records both sides).
+
+    Uses ``repartition`` (round-robin, parallel) rather than
+    ``coalesce`` — coalesce(1..k) would collapse the READ parallelism
+    of the very job doing the compaction.
+    """
+    if target_file_mb <= 0:
+        raise ValueError(f"target_file_mb must be > 0, got {target_file_mb}")
+    client = client or _default_client()
+    manifest = _read_manifest(root, client)
+    if manifest["current"] is None:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    entry = next(
+        v for v in manifest["versions"] if v["version"] == manifest["current"]
+    )
+    data_dir = f"{root}/{entry['dir']}"
+    n_bytes = sum(
+        client.file_size(f) for f in client.list_files(data_dir, "*.parquet")
+    )
+    n_parts = max(1, -(-n_bytes // (target_file_mb << 20)))
+    df = read_snapshot(spark, root, client=client).repartition(n_parts)
+    return write_snapshot(df, root, note=note, client=client)

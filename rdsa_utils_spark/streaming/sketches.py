@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from rdsa_utils_spark.streaming.windows_time import tumbling_window_agg
 
-__all__ = ["windowed_distinct_sketch", "windowed_freq_sketch"]
+__all__ = [
+    "windowed_distinct_sketch",
+    "windowed_freq_sketch",
+    "windowed_quantile_sketch",
+]
 
 
 def windowed_distinct_sketch(
@@ -90,5 +94,47 @@ def windowed_freq_sketch(
         duration=duration,
         aggs={count_col: F.count(F.lit(1))},
         keys=[*keys, "depth", "pos"],
+        watermark=watermark,
+    )
+
+
+def windowed_quantile_sketch(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    value_col: str,
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    keys: Sequence[str] = (),
+    watermark: Optional[str] = None,
+    accuracy: int = 10000,
+    out_col: str = "quantiles",
+) -> DataFrame:
+    """Tumbling-window approximate quantiles — the latency/size-
+    distribution companion to the distinct and frequency sketches:
+    (window_start, window_end, keys…, quantiles array<double>), one
+    row per closed window with the requested percentiles in order.
+
+    ``percentile_approx`` (Greenwald-Khanna) is a mergeable
+    TypedImperativeAggregate, so it runs inside a watermarked
+    streaming window agg exactly like count/sum — bounded sketch
+    state per open window, append-mode emission on close. NULL
+    values are excluded (the aggregate's own contract, matching
+    ``windowed_bin_counts``).
+    """
+    if not probabilities:
+        raise ValueError("probabilities must be non-empty")
+    if not all(0.0 <= p <= 1.0 for p in probabilities):
+        raise ValueError(f"probabilities must be in [0, 1], got {probabilities}")
+    agg = F.percentile_approx(
+        F.col(value_col),
+        F.array(*[F.lit(float(p)) for p in probabilities]),
+        F.lit(accuracy),
+    )
+    return tumbling_window_agg(
+        df,
+        ts_col=ts_col,
+        duration=duration,
+        aggs={out_col: agg},
+        keys=list(keys),
         watermark=watermark,
     )

@@ -234,3 +234,34 @@ def test_l_diversity_violations(spark):
     assert got == {"a": (3, 1), "c": (2, 0)}
     with pytest.raises(ValueError):
         l_diversity_violations(df, ["quasi"], "diag", 1)
+
+
+def test_compact_snapshot_preserves_rows_and_reduces_files(spark, tmp_path):
+    from rdsa_utils_spark.sources.versioned import (
+        compact_snapshot,
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "versioned")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    # fragment the first version into many small files
+    write_snapshot(df.repartition(64), root)
+    import glob
+
+    v1_files = glob.glob(f"{root}/v00001/*.parquet")
+    assert len(v1_files) == 64
+    v2 = compact_snapshot(spark, root, target_file_mb=256)
+    assert v2 == 2
+    v2_files = glob.glob(f"{root}/v00002/*.parquet")
+    assert len(v2_files) < len(v1_files)
+    got = read_snapshot(spark, root)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+    hist = snapshot_history(root)
+    assert hist[-1]["n_rows"] == 10_000 and hist[-1]["note"] == "compaction"
+    # compaction is revertible like any snapshot
+    rollback_snapshot(root, 1)
+    assert read_snapshot(spark, root).count() == 10_000

@@ -701,3 +701,41 @@ def test_windowed_bin_counts_streaming_and_psi_gate(spark, events_stream):
         # Laplace-smoothing noise, so no tight stability bound here;
         # the hand-computed gate values live in tests/test_drift.py.)
         assert r.psi is not None and -1e-9 <= r.psi < 1.0, (r.window_start, r.psi)
+
+
+def test_windowed_quantile_sketch_streaming(spark, events_stream):
+    """Streamed per-window quantiles equal the batch run of the SAME
+    operator (mergeable percentile_approx state under a watermark) and
+    are monotone in the probability vector."""
+    from rdsa_utils_spark.streaming.sketches import windowed_quantile_sketch
+
+    stream_df, batch_df = events_stream
+    agg = windowed_quantile_sketch(
+        stream_df, "ts", "1 day", "value",
+        probabilities=(0.5, 0.9, 0.99), watermark="2 hours",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quantile_sketch_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        str(r["window_start"]): list(r["quantiles"])
+        for r in spark.sql("SELECT * FROM quantile_sketch_out").collect()
+    }
+    assert len(got) > 0
+    expected = {
+        str(r["window_start"]): list(r["quantiles"])
+        for r in windowed_quantile_sketch(
+            batch_df, "ts", "1 day", "value", probabilities=(0.5, 0.9, 0.99),
+        ).collect()
+    }
+    for w, qs in got.items():
+        assert expected[w] == qs, f"stream/batch diverge at {w}"
+        assert qs == sorted(qs)  # monotone percentiles
