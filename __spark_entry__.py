@@ -6684,6 +6684,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "grouping_sets": q_grouping_sets,
         "trailing_revenue": q_trailing_revenue,
+        "woe_priority_fulfilled": q_woe_priority_fulfilled,
+        "platt_discount_returns": q_platt_discount_returns,
+        "conformal_lang_threshold": q_conformal_lang_threshold,
     }
 
 
@@ -6935,6 +6938,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "grouping_sets": _ORACLE_GROUPING_SETS,
         "trailing_revenue": _ORACLE_TRAILING_REVENUE,
+        "woe_priority_fulfilled": _ORACLE_WOE_PRIORITY_FULFILLED,
+        "platt_discount_returns": _oracle_platt_discount_returns(6, 2.0),
+        "conformal_lang_threshold": _ORACLE_CONFORMAL_LANG_THRESHOLD,
     }
 
 
@@ -10626,4 +10632,160 @@ WITH u AS (
 SELECT lang, doc_id, n_chars
 FROM keyed WHERE rn <= 3
 ORDER BY lang, doc_id
+"""
+
+
+def q_woe_priority_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value table
+    (operators/classify.py::woe_iv): does order priority carry signal
+    for the fulfilled flag (o_orderstatus = 'F')? Laplace-smoothed
+    per-category WOE and IV contribution — one map-side-combined
+    groupBy plus a 1-row totals attach."""
+    from rdsa_utils_spark.operators.classify import woe_iv
+
+    orders = _t(spark, sf_dir, "orders")
+    labeled = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_fulfilled"),
+    )
+    return woe_iv(labeled, "o_orderpriority", "is_fulfilled")
+
+
+_ORACLE_WOE_PRIORITY_FULFILLED = """
+WITH base AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+), g AS (
+  SELECT o_orderpriority,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+  FROM base GROUP BY o_orderpriority
+), t AS (
+  SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn, COUNT(*) AS k FROM g
+)
+SELECT o_orderpriority, n_pos, n_neg,
+       ROUND(LN(((n_pos + 0.5) / (tp + 0.5 * k))
+              / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) + 0.0 AS woe,
+       ROUND((((n_pos + 0.5) / (tp + 0.5 * k))
+              - ((n_neg + 0.5) / (tn + 0.5 * k)))
+             * LN(((n_pos + 0.5) / (tp + 0.5 * k))
+                / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) + 0.0 AS iv_term
+FROM g, t
+ORDER BY o_orderpriority
+"""
+
+
+def q_platt_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-scaling calibration replay (operators/classify.py::
+    platt_scale_train): 6 full-batch GD iterations fit sigmoid(a*s+b)
+    mapping the raw discount 'score' onto the returned-flag rate; the
+    oracle unrolls every iteration from the same prior-logit init and
+    per-step round-9 quantization (the logreg/PageRank replay device).
+    Output: the fitted (a, b) plus Brier scores before/after
+    calibration — one row."""
+    from rdsa_utils_spark.operators.classify import (
+        platt_scale_train,
+        platt_score_expr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_discount").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    a, b = platt_scale_train(base, "score", "y", iterations=6, lr=2.0)
+    p = platt_score_expr("score", a, b, prob_round=9)
+    raw_err = F.col("score") - F.col("y")
+    cal_err = p - F.col("y")
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg(raw_err * raw_err), 6).alias("brier_raw"),
+        F.round(F.avg(cal_err * cal_err), 6).alias("brier_cal"),
+    )
+    return agg.select(
+        F.lit(float(a)).alias("a"),
+        F.lit(float(b)).alias("b"),
+        "n_obs",
+        "brier_raw",
+        "brier_cal",
+    )
+
+
+def _oracle_platt_discount_returns(iterations: int, lr: float) -> str:
+    """Unrolled Platt-scaling GD replay: iteration k recomputes the
+    two gradient sums over the base frame with the round-9 parameters
+    from iteration k-1, exactly as the trainer does."""
+    ctes = [
+        """
+WITH base AS (
+  SELECT CAST(l_discount AS DOUBLE) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), nn AS (
+  SELECT COUNT(*) AS n_obs,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(y) AS BIGINT) AS np
+  FROM base
+), it0 AS (
+  SELECT 0.0 AS a, ROUND(LN(np / (n - np)), 9) AS b FROM nn
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+it{k} AS (
+  SELECT ROUND(i.a - {lr!r} * (SUM((1.0 / (1.0 + EXP(-(i.a * base.s + i.b)))
+                                    - base.y) * base.s) / nn.n), 9) AS a,
+         ROUND(i.b - {lr!r} * (SUM(1.0 / (1.0 + EXP(-(i.a * base.s + i.b)))
+                                   - base.y) / nn.n), 9) AS b
+  FROM base, it{k - 1} i, nn
+  GROUP BY i.a, i.b, nn.n
+)""")
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT i.a AS a, i.b AS b, nn.n_obs AS n_obs,
+       ROUND(AVG((base.s - base.y) * (base.s - base.y)), 6) AS brier_raw,
+       ROUND(AVG((ROUND(1.0 / (1.0 + EXP(-(i.a * base.s + i.b))), 9) - base.y)
+               * (ROUND(1.0 / (1.0 + EXP(-(i.a * base.s + i.b))), 9) - base.y)),
+             6) AS brier_cal
+FROM base, it{iterations} i, nn
+GROUP BY i.a, i.b, nn.n_obs
+"""
+    )
+
+
+def q_conformal_lang_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal keep-threshold per language
+    (operators/curation.py::conformal_threshold) over the composite
+    quality score: the ceil((n+1)*0.8)-th smallest score per lang —
+    filtering future docs at score <= threshold keeps conforming rows
+    with >= 80% probability (finite-sample, distribution-free)."""
+    from rdsa_utils_spark.operators.curation import conformal_threshold
+    from rdsa_utils_spark.operators.text import with_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = with_quality_score(docs, "text").select("lang", "quality_score")
+    return conformal_threshold(scored, "quality_score", 0.2, by=["lang"])
+
+
+_ORACLE_CONFORMAL_LANG_THRESHOLD = f"""
+WITH q AS (
+  SELECT d.lang, s.quality_score
+  FROM ({_ORACLE_QUALITY_SCORE}) s
+  JOIN documents d USING (doc_id)
+), g AS (
+  SELECT lang, COUNT(*) AS n_cal FROM q GROUP BY lang
+), r AS (
+  SELECT lang, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality_score) AS rn
+  FROM q
+)
+SELECT g.lang, g.n_cal,
+       CAST(CEIL((g.n_cal + 1) * 0.8) AS BIGINT) AS rank,
+       r.quality_score AS threshold
+FROM g LEFT JOIN r
+  ON r.lang = g.lang
+ AND r.rn = CAST(CEIL((g.n_cal + 1) * 0.8) AS BIGINT)
+ORDER BY g.lang
 """

@@ -14,7 +14,7 @@ engine replays the whole train→predict pipeline bit-for-bit (see the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import tokens
@@ -26,6 +26,9 @@ __all__ = [
     "train_logreg_hashed",
     "logreg_score_hashed",
     "logreg_score_expr",
+    "platt_scale_train",
+    "platt_score_expr",
+    "woe_iv",
 ]
 
 
@@ -575,4 +578,155 @@ def logreg_score_expr(
         dot = F.lit(0.0)
     return F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(bias)))), prob_round,
+    )
+
+
+def platt_scale_train(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    iterations: int = 8,
+    lr: float = 2.0,
+    param_round: int = 9,
+) -> tuple[float, float]:
+    """Platt scaling (Platt 1999): fit ``p = sigmoid(a*s + b)`` over a
+    raw scorer output ``s`` against binary labels by full-batch
+    gradient descent, returning the two calibration scalars ``(a, b)``.
+    The parametric companion to :func:`calibration_bins` — bins SHOW
+    the miscalibration, Platt REPAIRS it, mapping an uncalibrated
+    quality-classifier margin onto an honest probability before it is
+    used as a keep-threshold or a sampling weight.
+
+    Training contract mirrors :func:`train_logreg_hashed`: bias starts
+    at the prior logit ``ln(n_pos/n_neg)``, ``a`` at 0 (the all-bias
+    optimum, so every step is spent on the slope), and both parameters
+    are rounded to ``param_round`` decimals after EVERY step, so a
+    fixed-iteration ANSI-SQL unroll replays the training bit-for-bit
+    (same device as the logreg/PageRank oracles).
+
+    100 TB posture: per iteration ONE map-side-combined aggregation
+    over the (score, label) projection — two partial sums per map
+    task; the only driver state is the two scalars themselves (the
+    bounded-driver-state device used by IVF's k-row centroid collect).
+    The projection is pinned with a localCheckpoint so the input
+    lineage runs once, not once per iteration. Labels must be 0/1;
+    NULL scores/labels are excluded.
+    """
+    import math
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    base = (
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    first = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("np"),
+    ).first()
+    n, n_pos = first["n"], first["np"]
+    if n == 0:
+        raise ValueError("platt_scale_train: empty training frame")
+    n_pos = int(n_pos)
+    a = 0.0
+    b = round(math.log(n_pos / float(n - n_pos)), param_round) if 0 < n_pos < n else 0.0
+    for _ in range(iterations):
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(a) * F.col("__s") + F.lit(b)))
+        )
+        g = base.agg(
+            F.sum((p - F.col("__y")) * F.col("__s")).alias("ga"),
+            F.sum(p - F.col("__y")).alias("gb"),
+        ).first()
+        a = round(a - lr * (g["ga"] / n), param_round)
+        b = round(b - lr * (g["gb"] / n), param_round)
+    return a, b
+
+
+def platt_score_expr(
+    score: Column | str, a: float, b: float, prob_round: int = 6,
+) -> Column:
+    """Calibrated probability ``round(sigmoid(a*s + b), prob_round)``
+    for parameters from :func:`platt_scale_train` — a pure column
+    expression (whole-stage codegen, no joins, no Python), usable in
+    batch and streaming plans alike."""
+    s = F.col(score) if isinstance(score, str) else score
+    return F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.lit(a) * s.cast("double") + F.lit(b)))),
+        prob_round,
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    *,
+    laplace: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight of evidence and information-value contribution per
+    category of a feature against a binary label — the classic
+    feature-screening table (credit-scoring lineage) for deciding
+    which metadata columns carry signal for a quality/keep classifier
+    before training one. Per category ``c``:
+
+    ``woe_c  = ln(dist_pos_c / dist_neg_c)``
+    ``iv_c   = (dist_pos_c - dist_neg_c) * woe_c``   (IV = Σ iv_c)
+
+    with Laplace-smoothed shares ``dist_pos_c = (pos_c + laplace) /
+    (pos_total + laplace*K)`` over ``K`` observed categories, so
+    zero-count cells stay finite and the table is exactly replayable.
+
+    Returns ``(feature_col, n_pos, n_neg, woe, iv_term)`` ordered by
+    category. Labels must be 0/1; NULL labels are excluded (NULL
+    categories form their own row — missingness is usually signal).
+
+    100 TB posture: one map-side-combined groupBy over the corpus; the
+    totals are a 1-row attach to the (small) category table, pinned
+    with a localCheckpoint so the corpus scan behind both consumers
+    runs once.
+    """
+    if laplace < 0:
+        raise ValueError(f"laplace must be >= 0, got {laplace}")
+    y = F.col("__y")
+    grouped = (
+        df.select(
+            F.col(feature_col),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .filter(y.isNotNull())
+        .groupBy(feature_col)
+        .agg(
+            F.sum(y).cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum(y)).cast("long").alias("n_neg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = grouped.agg(
+        F.sum("n_pos").alias("__tp"),
+        F.sum("n_neg").alias("__tn"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    lap = F.lit(float(laplace))
+    dp = (F.col("n_pos") + lap) / (F.col("__tp") + lap * F.col("__k"))
+    dn = (F.col("n_neg") + lap) / (F.col("__tn") + lap * F.col("__k"))
+    woe = F.log(dp / dn)
+    return (
+        grouped.crossJoin(F.broadcast(totals))
+        .select(
+            feature_col,
+            "n_pos",
+            "n_neg",
+            (F.round(woe, round_to) + F.lit(0.0)).alias("woe"),
+            (F.round((dp - dn) * woe, round_to) + F.lit(0.0)).alias("iv_term"),
+        )
+        .orderBy(feature_col)
     )

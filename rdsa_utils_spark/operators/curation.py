@@ -364,3 +364,83 @@ def c4_line_filter(
         .filter(F.col("n_lines_kept") >= min_lines)
         .drop("__lines", "__kept")
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha: float,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Split-conformal keep-threshold over a calibration frame of
+    scores (Vovk et al.; Angelopoulos & Bates 2021, arXiv:2107.07511
+    §2): the ``ceil((n+1)(1-alpha))``-th smallest score. Filtering a
+    FUTURE exchangeable sample with ``score <= threshold`` then keeps
+    any given conforming row with probability >= 1-alpha — the
+    finite-sample guarantee a quantile-eyeballed cutoff lacks. With
+    nonconformity = a quality-classifier's badness score, this turns
+    "drop the worst-looking 10%" into a calibrated contract.
+
+    Returns one row per group (or one row total): ``(by..., n_cal,
+    rank, threshold)``. ``threshold`` is NULL when ``rank > n_cal``
+    (alpha too small for the calibration size — no finite threshold
+    certifies the coverage; Case 1 of the split-conformal definition).
+    NULL scores are excluded from calibration.
+
+    100 TB posture: the grouped path is a per-group sort window
+    (partitioned — shuffles once on ``by``). The GLOBAL path never
+    funnels rows through one task: it selects the rank-th order
+    statistic via :func:`~rdsa_utils_spark.operators.windows.
+    add_row_index` (range exchange + per-partition offsets), the same
+    device that de-collapsed ``temporal_split``. Ties at the boundary
+    rank are value-stable: the k-th smallest VALUE is well-defined
+    under any tie order.
+    """
+    import math
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    scores = df.select(
+        *(list(by) if by else []),
+        F.col(score_col).cast("double").alias("__s__"),
+    ).filter(F.col("__s__").isNotNull())
+    if by:
+        from pyspark.sql import Window
+
+        grp = scores.groupBy(*by).agg(F.count(F.lit(1)).alias("n_cal"))
+        rank_k = F.ceil(
+            (F.col("n_cal") + F.lit(1)) * F.lit(1.0 - alpha),
+        ).cast("long")
+        w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__s__")
+        picked = (
+            scores.withColumn("__rn__", F.row_number().over(w))
+            .join(grp.select(*by, rank_k.alias("__k__")), list(by))
+            .filter(F.col("__rn__") == F.col("__k__"))
+            .select(*by, F.col("__s__").alias("threshold"))
+        )
+        return (
+            grp.select(*by, "n_cal", rank_k.alias("rank"))
+            .join(picked, list(by), "left")
+            .orderBy(*by)
+        )
+    scores = scores.localCheckpoint(eager=False)  # counted AND ranked
+    n = scores.count()
+    if n == 0:
+        raise ValueError("conformal_threshold: no non-null scores")
+    k = math.ceil((n + 1) * (1.0 - alpha))
+    spark = df.sparkSession
+    if k > n:
+        return spark.createDataFrame(
+            [(n, k, None)], "n_cal long, rank long, threshold double",
+        )
+    from rdsa_utils_spark.operators.windows import add_row_index
+
+    return (
+        add_row_index(scores, ["__s__"], index_col="__rank__")
+        .filter(F.col("__rank__") == k - 1)
+        .select(
+            F.lit(n).cast("long").alias("n_cal"),
+            F.lit(k).cast("long").alias("rank"),
+            F.col("__s__").alias("threshold"),
+        )
+    )

@@ -51,6 +51,8 @@ _BNLJ_OK = {
     "label_centroid_sims",    # pairwise join over the tiny centroid table
     "benford_prices",         # 1-row grand-total attach
     "dedup_incremental_bloom",  # 1-row Bloom-bitmap attach (getbit probe)
+    "bloom_filtered_orders",  # same 1-row Bloom-bitmap attach (bloom_semi_join)
+    "woe_priority_fulfilled",  # 1-row (pos/neg/K totals) attach (woe_iv)
     "pq_topk_replay",         # ADC scan IS broadcast query-LUTs × corpus codes
     "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
     "hybrid_search",          # inherits bm25_search's 1-row corpus-stats attach
