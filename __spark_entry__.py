@@ -6687,6 +6687,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_priority_fulfilled": q_woe_priority_fulfilled,
         "platt_discount_returns": q_platt_discount_returns,
         "conformal_lang_threshold": q_conformal_lang_threshold,
+        "isotonic_discount_returns": q_isotonic_discount_returns,
     }
 
 
@@ -6941,6 +6942,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "woe_priority_fulfilled": _ORACLE_WOE_PRIORITY_FULFILLED,
         "platt_discount_returns": _oracle_platt_discount_returns(6, 2.0),
         "conformal_lang_threshold": _ORACLE_CONFORMAL_LANG_THRESHOLD,
+        "isotonic_discount_returns": _ORACLE_ISOTONIC_DISCOUNT_RETURNS,
     }
 
 
@@ -10788,4 +10790,53 @@ FROM g LEFT JOIN r
   ON r.lang = g.lang
  AND r.rn = CAST(CEIL((g.n_cal + 1) * 0.8) AS BIGINT)
 ORDER BY g.lang
+"""
+
+
+def q_isotonic_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration table (operators/classify.py::
+    isotonic_calibrate): the non-decreasing least-squares fit of the
+    returned-flag rate against the discount, computed via PAV's
+    minimax characterization — one corpus groupBy, then pure algebra
+    on the 11-knot distinct-score table. The oracle replays prefix
+    sums, the i<=j pair grid and both running-extremum windows in SQL."""
+    from rdsa_utils_spark.operators.classify import isotonic_calibrate
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_discount").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    return isotonic_calibrate(base, "score", "y", score_round=2)
+
+
+_ORACLE_ISOTONIC_DISCOUNT_RETURNS = """
+WITH base AS (
+  SELECT ROUND(CAST(l_discount AS DOUBLE), 2) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), g AS (
+  SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM base GROUP BY s
+), p AS (
+  SELECT s, n, n_pos,
+         SUM(n) OVER (ORDER BY s) AS cn,
+         SUM(n_pos) OVER (ORDER BY s) AS cp
+  FROM g
+), pairs AS (
+  SELECT i.s AS si, j.s AS sj,
+         CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE)
+           / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+  FROM p i JOIN p j ON i.s <= j.s
+), m AS (
+  SELECT si, sj, MIN(a) OVER (PARTITION BY si ORDER BY sj DESC) AS mn
+  FROM pairs
+), x AS (
+  SELECT si, sj, MAX(mn) OVER (PARTITION BY sj ORDER BY si ASC) AS iso
+  FROM m
+)
+SELECT g.s AS score, g.n, g.n_pos, ROUND(x.iso, 6) + 0.0 AS p_cal
+FROM x JOIN g ON x.sj = g.s
+WHERE x.si = x.sj
+ORDER BY score
 """

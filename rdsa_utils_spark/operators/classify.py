@@ -29,6 +29,8 @@ __all__ = [
     "platt_scale_train",
     "platt_score_expr",
     "woe_iv",
+    "isotonic_calibrate",
+    "isotonic_apply",
 ]
 
 
@@ -730,3 +732,148 @@ def woe_iv(
         )
         .orderBy(feature_col)
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    score_round: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Isotonic (non-parametric) probability calibration: the
+    least-squares NON-DECREASING fit of a binary label against a
+    score — the distribution-free companion to
+    :func:`platt_scale_train` (Platt assumes a sigmoid shape; isotonic
+    assumes only monotonicity, the property a sane scorer must have).
+    Returns the calibration TABLE ``(score, n, n_pos, p_cal)`` over
+    the quantized distinct scores, ``p_cal`` non-decreasing in
+    ``score``; apply it to new data with :func:`isotonic_apply`.
+
+    Instead of the sequential pool-adjacent-violators walk (driver
+    state, not replayable), the fit is computed from PAV's minimax
+    characterization — ``iso(k) = max_{i<=k} min_{j>=k} avg(y[i..j])``
+    (Robertson, Wright & Dykstra 1988, *Order Restricted Statistical
+    Inference*, thm 1.4.4) — as pure DataFrame algebra: prefix sums
+    over the distinct-score table, an ``i <= j`` pair grid, and two
+    PARTITIONED running-extremum windows. Every quantity is a ratio of
+    integer sums, so a DuckDB oracle replays the fit bit-for-bit.
+
+    100 TB posture: the corpus is touched by exactly ONE map-side-
+    combined groupBy on the quantized score; everything after runs on
+    the distinct-score table, whose size is bounded by the
+    quantization grid (``score_round=4`` on a [0,1] score means at
+    most 10,001 rows — the pair grid is ~50M tiny rows at worst, and
+    11 rows -> 121 for typical discrete scores). The pair grid is a
+    broadcast range self-join over that bounded frame (allowlisted
+    like the other bounded attaches); no window ever sees raw rows.
+    Labels must be 0/1; NULL scores/labels are excluded.
+    """
+    if score_round < 0:
+        raise ValueError(f"score_round must be >= 0, got {score_round}")
+    y = F.col(label_col).cast("double")
+    g = (
+        df.select(
+            F.round(F.col(score_col).cast("double"), score_round).alias("__s"),
+            y.alias("__y"),
+        )
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint(eager=False)  # bounded; consumed by 2 branches
+    )
+    # Inclusive prefix sums over the (bounded) distinct-score table.
+    w_pre = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    p = g.select(
+        "__s",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_pre).alias("__cn"),
+        F.sum("n_pos").over(w_pre).alias("__cp"),
+    ).localCheckpoint(eager=False)
+    lhs = p.select(
+        F.col("__s").alias("si"),
+        (F.col("__cp") - F.col("n_pos")).alias("__cp_lt"),
+        (F.col("__cn") - F.col("n")).alias("__cn_lt"),
+    )
+    rhs = p.select(
+        F.col("__s").alias("sj"),
+        F.col("__cp").alias("__cp_j"),
+        F.col("__cn").alias("__cn_j"),
+    )
+    # avg(y over scores in [si, sj]) as a ratio of exact integer sums.
+    pairs = F.broadcast(lhs).join(rhs, F.col("si") <= F.col("sj")).select(
+        "si",
+        "sj",
+        (
+            (F.col("__cp_j") - F.col("__cp_lt")).cast("double")
+            / (F.col("__cn_j") - F.col("__cn_lt")).cast("double")
+        ).alias("__a"),
+    )
+    # min over j >= k (per i), then max over i <= k (per k): minimax.
+    w_min = (
+        Window.partitionBy("si")
+        .orderBy(F.col("sj").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_max = (
+        Window.partitionBy("sj")
+        .orderBy(F.col("si").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iso = (
+        pairs.withColumn("__mn", F.min("__a").over(w_min))
+        .withColumn("__iso", F.max("__mn").over(w_max))
+        .filter(F.col("si") == F.col("sj"))
+        .select(F.col("sj").alias("__s"), "__iso")
+    )
+    return (
+        g.join(iso, "__s")
+        .select(
+            F.col("__s").alias("score"),
+            "n",
+            "n_pos",
+            (F.round(F.col("__iso"), round_to) + F.lit(0.0)).alias("p_cal"),
+        )
+        .orderBy("score")
+    )
+
+
+def isotonic_apply(
+    df: DataFrame,
+    calibration: DataFrame,
+    score_col: str,
+    *,
+    score_round: int = 4,
+    output_col: str = "p_cal",
+) -> DataFrame:
+    """Apply an :func:`isotonic_calibrate` table to new rows: each row
+    gets the fitted probability of the LARGEST calibration score <=
+    its own quantized score (the step function a monotone fit defines).
+    Scores below the calibration range yield NULL (no training
+    evidence below the smallest knot — the caller decides the clamp).
+
+    One shuffle on the score (the :func:`~rdsa_utils_spark.operators.
+    joins.asof_join` union + running ``last_value`` sweep); the
+    calibration table never broadcasts raw rows anywhere.
+    """
+    from rdsa_utils_spark.operators.joins import asof_join
+
+    cal = calibration.select(
+        F.col("score").alias("__cal_s__"),
+        F.col("p_cal").alias(output_col),
+    )
+    out = asof_join(
+        df.withColumn(
+            "__cal_s__",
+            F.round(F.col(score_col).cast("double"), score_round),
+        ),
+        cal,
+        on="__cal_s__",
+        direction="backward",
+    )
+    return out.drop("__cal_s__")

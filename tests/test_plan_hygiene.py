@@ -53,6 +53,7 @@ _BNLJ_OK = {
     "dedup_incremental_bloom",  # 1-row Bloom-bitmap attach (getbit probe)
     "bloom_filtered_orders",  # same 1-row Bloom-bitmap attach (bloom_semi_join)
     "woe_priority_fulfilled",  # 1-row (pos/neg/K totals) attach (woe_iv)
+    "isotonic_discount_returns",  # i<=j grid over the bounded knot table
     "pq_topk_replay",         # ADC scan IS broadcast query-LUTs × corpus codes
     "nb_confusion",           # |labels|-row cross + 1-row vocab scalar attach
     "hybrid_search",          # inherits bm25_search's 1-row corpus-stats attach
@@ -82,6 +83,7 @@ _GLOBAL_WINDOW_OK = {
     "cumulative_new_users",   # running sum over one row per day
     "hybrid_search",          # RRF ranks over two top-10 frames
     "chained_price_index",    # chain product over one row per period
+    "isotonic_discount_returns",  # prefix sums over the quantized knot table
 }
 
 
