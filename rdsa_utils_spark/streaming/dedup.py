@@ -135,3 +135,226 @@ def new_keys_per_window(
         F.col("window.end").alias("window_end"),
         "n_new",
     )
+
+
+def write_stream_near_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    bloom_fpp: float = 0.01,
+    query_name: str = "near_dedup_gate",
+    trigger_available_now: bool = True,
+):
+    """Streaming NEAR-duplicate gate: the live counterpart of
+    :func:`~rdsa_utils_spark.operators.dedup.minhash_near_dedup`.
+    Each micro-batch is (1) near-deduped within itself with the batch
+    machinery (LSH bands + EXACT shingle-Jaccard verify — the text is
+    at hand), then (2) probed against a persistent MinHash state store
+    of everything previously admitted; a new doc whose ESTIMATED
+    Jaccard (matching-component fraction, unbiased, ±1/√num_perm)
+    against any stored signature reaches ``jaccard_threshold`` is
+    dropped. Survivors append to ``path`` and their bands+signatures
+    to the state store, so the corpus the gate defends is exactly the
+    corpus it has admitted.
+
+    Exactly-once without markers: every write lands in a
+    ``__batch__=<id>`` partition directory in overwrite mode, and the
+    cross-batch probe reads only state partitions with
+    ``__batch__ < current`` — a replayed batch sees the identical
+    state, makes the identical decisions, and overwrites its own
+    partitions byte-for-byte.
+
+    State layout under ``state_path``: ``bands/`` (band, band_hash,
+    id) — the join surface — and ``sigs/`` (id, minhash) for the
+    verify step. The per-batch probe cost is one equi-join on
+    (band, band_hash) against the bands store, prefiltered by a Bloom
+    bitmap built from the BATCH's band keys (batch-sized, broadcast as
+    one row), so the state scan discards definite non-matches inside
+    codegen instead of shuffling the whole store each batch; at larger
+    scale, compact the band store bucketed by ``band_hash`` (see
+    ``sources/writers.write_bucketed_table``) for a shuffle-free probe.
+
+    Blank/NULL-text docs bypass the gate unfiltered (their Jaccard is
+    0 by definition — route them through
+    :func:`fingerprint_dedup_stream` for exact blank dedup) and are
+    never stored. Within-batch survivor choice and the store itself
+    are deterministic, so backfill replays are reproducible.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops).
+    """
+    from rdsa_utils_spark.functions.bloom import (
+        bloom_params,
+        bloom_probe_expr,
+        build_bloom_bitmap,
+    )
+    from rdsa_utils_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
+
+    if not (0.0 < jaccard_threshold <= 1.0):
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1], got {jaccard_threshold}",
+        )
+    spark = stream_df.sparkSession
+
+    def _read_state(kind: str, before_batch: int) -> Optional[DataFrame]:
+        root = f"{state_path}/{kind}"
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        if not p.getFileSystem(conf).exists(p):
+            return None
+        out = spark.read.parquet(root).filter(F.col("__batch__") < before_batch)
+        return out.drop("__batch__")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonblank = F.coalesce(
+            F.length(F.trim(F.col(text_col))), F.lit(0),
+        ) > 0
+        eligible = batch_df.filter(nonblank)
+        blanks = batch_df.filter(~nonblank)
+
+        sig = minhash_signatures(
+            eligible, text_col, num_perm, shingle_n,
+        ).localCheckpoint(eager=True)  # batch-sized; consumed 4×
+
+        # (1) within-batch: LSH candidates + exact-Jaccard verify,
+        # greater id of each confirmed pair drops (batch semantics).
+        cand = lsh_candidate_pairs(
+            sig, id_col, "minhash", num_bands, signature_length=num_perm,
+        )
+        verified = ngram_jaccard_pairs(
+            eligible, cand, id_col, text_col, shingle_n,
+        ).filter(F.col("jaccard") >= jaccard_threshold)
+        losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = sig.join(losers, id_col, "left_anti")
+
+        # Band rows for the survivors (probe side now, store side after).
+        rpb = num_perm // num_bands
+        bands = survivors.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ",",
+                                            *[
+                                                F.element_at(
+                                                    "minhash",
+                                                    b * rpb + r + 1,
+                                                )
+                                                for r in range(rpb)
+                                            ],
+                                        ),
+                                    ),
+                                    1,
+                                    12,
+                                ),
+                                16,
+                                10,
+                            )
+                            .cast("long")
+                            .alias("band_hash"),
+                        )
+                        for b in range(num_bands)
+                    ],
+                ),
+            ).alias("bb"),
+        ).select(id_col, "bb.band", "bb.band_hash").localCheckpoint(eager=True)
+
+        # (2) cross-batch: probe the admitted-corpus band store.
+        state_bands = _read_state("bands", batch_id)
+        dup_ids = None
+        if state_bands is not None:
+            key = F.concat_ws(":", F.col("band"), F.col("band_hash"))
+            probe = bands.withColumn("__bk__", key)
+            n_keys = max(probe.count(), 1)
+            m_bits, k_hashes = bloom_params(n_keys, bloom_fpp)
+            bloom = build_bloom_bitmap(probe, "__bk__", m_bits, k_hashes)
+            hits = (
+                state_bands.withColumn("__bk__", key)
+                .crossJoin(F.broadcast(bloom))
+                .filter(bloom_probe_expr("__bk__", m_bits, k_hashes))
+                .select(
+                    F.col(id_col).alias("__old_id__"), "band", "band_hash",
+                )
+                .join(
+                    probe.select(
+                        F.col(id_col).alias("__new_id__"), "band", "band_hash",
+                    ),
+                    ["band", "band_hash"],
+                )
+                .select("__new_id__", "__old_id__")
+                .distinct()
+            )
+            state_sigs = _read_state("sigs", batch_id)
+            new_sigs = survivors.select(
+                F.col(id_col).alias("__new_id__"),
+                F.col("minhash").alias("__sig_n__"),
+            )
+            old_sigs = state_sigs.select(
+                F.col(id_col).alias("__old_id__"),
+                F.col("minhash").alias("__sig_o__"),
+            )
+            est = (
+                hits.join(new_sigs, "__new_id__")
+                .join(old_sigs, "__old_id__")
+                .withColumn(
+                    "__match__",
+                    F.aggregate(
+                        F.zip_with(
+                            "__sig_n__",
+                            "__sig_o__",
+                            lambda x, y: (x == y).cast("int"),
+                        ),
+                        F.lit(0),
+                        lambda acc, v: acc + v,
+                    ),
+                )
+                .filter(
+                    F.col("__match__") >= F.lit(jaccard_threshold * num_perm),
+                )
+            )
+            dup_ids = est.select(F.col("__new_id__").alias(id_col)).distinct()
+
+        kept = survivors if dup_ids is None else survivors.join(
+            dup_ids, id_col, "left_anti",
+        )
+        kept = kept.localCheckpoint(eager=True)  # consumed 3×
+
+        # Idempotent per-batch partition writes (replay overwrites).
+        kept.drop("minhash").unionByName(blanks).write.mode(
+            "overwrite",
+        ).parquet(f"{path}/__batch__={batch_id}")
+        bands.join(
+            kept.select(id_col), id_col, "left_semi",
+        ).write.mode("overwrite").parquet(
+            f"{state_path}/bands/__batch__={batch_id}",
+        )
+        kept.select(id_col, "minhash").write.mode("overwrite").parquet(
+            f"{state_path}/sigs/__batch__={batch_id}",
+        )
+
+    return write_stream_foreach_batch(
+        stream_df,
+        process,
+        checkpoint_dir,
+        query_name=query_name,
+        trigger_available_now=trigger_available_now,
+    )
