@@ -6688,6 +6688,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platt_discount_returns": q_platt_discount_returns,
         "conformal_lang_threshold": q_conformal_lang_threshold,
         "isotonic_discount_returns": q_isotonic_discount_returns,
+        "kmeans_cluster_profile": q_kmeans_cluster_profile,
     }
 
 
@@ -6943,6 +6944,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "platt_discount_returns": _oracle_platt_discount_returns(6, 2.0),
         "conformal_lang_threshold": _ORACLE_CONFORMAL_LANG_THRESHOLD,
         "isotonic_discount_returns": _ORACLE_ISOTONIC_DISCOUNT_RETURNS,
+        "kmeans_cluster_profile": _ORACLE_KMEANS_CLUSTER_PROFILE,
     }
 
 
@@ -10839,4 +10841,52 @@ SELECT g.s AS score, g.n, g.n_pos, ROUND(x.iso, 6) + 0.0 AS p_cal
 FROM x JOIN g ON x.sj = g.s
 WHERE x.si = x.sj
 ORDER BY score
+"""
+
+
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means topic-cluster cohesion profile (operators/similarity.py
+    ::kmeans_profile over ivf_train_centroids/ivf_assign): centroids
+    pinned to the deterministic iters=0 init (8 smallest ids,
+    unit-normalized) so DuckDB replays assignment (argmax cosine,
+    centroid-index tie-break) and the per-cell mean member-to-centroid
+    cosine (9 dp quantize, decimal sum, one division)."""
+    from rdsa_utils_spark.operators.similarity import (
+        ivf_train_centroids,
+        kmeans_profile,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, dim=64, n_cells=8, iters=0)
+    return kmeans_profile(emb, cents)
+
+
+_ORACLE_KMEANS_CLUSTER_PROFILE = r"""
+WITH init AS (
+  SELECT c, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+  FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+           CAST(embedding AS DOUBLE[]) AS e
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+  )
+), normed AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS e
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+), assign AS (
+  SELECT vec_id, cell, e FROM (
+    SELECT n.vec_id, i.c AS cell, n.e,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY list_dot_product(n.e, i.ce) DESC,
+                                       i.c ASC) AS rn
+    FROM normed n CROSS JOIN init i
+  ) WHERE rn = 1
+)
+SELECT a.cell, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(list_dot_product(a.e, i.ce), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+         + 0.0 AS mean_cosine
+FROM assign a JOIN init i ON a.cell = i.c
+GROUP BY a.cell
+ORDER BY a.cell
 """

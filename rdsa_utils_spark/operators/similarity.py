@@ -1827,3 +1827,55 @@ def embedding_drift(
             F.round(F.col("mean_norm_b") / F.col("mean_norm_a"), round_to),
         ).alias("norm_ratio"),
     )
+
+
+def kmeans_profile(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cluster-quality profile for a k-means/IVF partition of an
+    embedding corpus: per cell the member count and the mean cosine of
+    members to their own centroid (cohesion — the monitoring readout
+    for "are my topic clusters still tight" as a corpus grows).
+    Compose with :func:`ivf_train_centroids` + :func:`ivf_assign`;
+    with ``iters=0`` pinned-init centroids the whole pipeline is
+    SQL-replayable (the ivf_topk_replay device).
+
+    Per-member cosine is the deterministic left-fold dot of the
+    unit-normalized vector against its (unit-norm) centroid, quantized
+    to 9 dp, summed in decimal (order-independent), divided once —
+    so the mean is engine-exact, not accumulation-order noise.
+
+    100 TB posture: assignment is the Arrow-batched argmax UDF; the
+    centroid table is k broadcast rows; ONE map-side-combined groupBy
+    on the cell id. Nothing driver-side but the k centroids.
+    """
+    k, _dim = centroids.shape
+    spark = df.sparkSession
+    cent_rows = [
+        (int(c), [float(x) for x in centroids[c]]) for c in range(k)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, f"{cell_col} int, __centroid array<double>",
+    )
+    assigned = ivf_assign(
+        normalize_vectors(df, vec_col), centroids, vec_col,
+        out_col=cell_col,
+    )
+    cos9 = F.round(_dot(F.col(vec_col), F.col("__centroid")), 9)
+    return (
+        assigned.join(F.broadcast(cent_df), cell_col)
+        .groupBy(cell_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(cos9.cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("mean_cosine"),
+        )
+        .orderBy(cell_col)
+    )
