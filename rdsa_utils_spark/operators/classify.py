@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import tokens
 
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Driver-side quantization matching SQL ``ROUND`` (ties away from
+    zero) on the exact binary value. Python's built-in ``round`` is
+    ties-to-even: on the rare double that IS a representable decimal
+    midpoint (dyadic rationals like 2⁻¹⁰ at 9 dp) the two disagree by
+    one ulp of the quantum, which would diverge a trained parameter
+    from its unrolled SQL-oracle replay and amplify through the
+    remaining iterations. Every driver-side parameter quantization in
+    this module must use this, never ``round``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP),
+    )
+
 __all__ = [
     "train_naive_bayes",
     "naive_bayes_score",
@@ -406,7 +422,7 @@ def train_logreg_hashed(
     if 0 < n_pos < n:
         import math
 
-        b0 = round(math.log(n_pos / float(n - n_pos)), weight_round)
+        b0 = _round_half_up(math.log(n_pos / float(n - n_pos)), weight_round)
     else:
         b0 = 0.0  # degenerate single-class frame: sigmoid(0) start
     weights = grid.select(
@@ -637,7 +653,11 @@ def platt_scale_train(
         raise ValueError("platt_scale_train: empty training frame")
     n_pos = int(n_pos)
     a = 0.0
-    b = round(math.log(n_pos / float(n - n_pos)), param_round) if 0 < n_pos < n else 0.0
+    b = (
+        _round_half_up(math.log(n_pos / float(n - n_pos)), param_round)
+        if 0 < n_pos < n
+        else 0.0
+    )
     for _ in range(iterations):
         p = F.lit(1.0) / (
             F.lit(1.0) + F.exp(-(F.lit(a) * F.col("__s") + F.lit(b)))
@@ -646,8 +666,8 @@ def platt_scale_train(
             F.sum((p - F.col("__y")) * F.col("__s")).alias("ga"),
             F.sum(p - F.col("__y")).alias("gb"),
         ).first()
-        a = round(a - lr * (g["ga"] / n), param_round)
-        b = round(b - lr * (g["gb"] / n), param_round)
+        a = _round_half_up(a - lr * (g["ga"] / n), param_round)
+        b = _round_half_up(b - lr * (g["gb"] / n), param_round)
     return a, b
 
 
@@ -850,30 +870,54 @@ def isotonic_apply(
     *,
     score_round: int = 4,
     output_col: str = "p_cal",
+    max_grid: int = 2_000_000,
 ) -> DataFrame:
     """Apply an :func:`isotonic_calibrate` table to new rows: each row
-    gets the fitted probability of the LARGEST calibration score <=
-    its own quantized score (the step function a monotone fit defines).
-    Scores below the calibration range yield NULL (no training
-    evidence below the smallest knot — the caller decides the clamp).
+    gets the fitted probability of the LARGEST calibration knot <=
+    its own quantized score (the step function a monotone fit
+    defines). Scores below the calibration range yield NULL (no
+    training evidence below the smallest knot — the caller decides
+    the clamp); scores above it take the last knot's value (the step
+    extends right).
 
-    One shuffle on the score (the :func:`~rdsa_utils_spark.operators.
-    joins.asof_join` union + running ``last_value`` sweep); the
-    calibration table never broadcasts raw rows anywhere.
+    The knots live on the uniform ``10^-score_round`` decimal grid by
+    construction, so application is a PURE PROJECTION: the knot table
+    (bounded by the grid — the k-row centroid-collect device) is
+    densified into one forward-filled literal array and each row does
+    a single O(1) ``element_at`` index lookup inside whole-stage
+    codegen. No join, no window, no shuffle — an earlier draft used an
+    unpartitioned asof sweep, which funnels the corpus through one
+    task; this is the shape that survives 100 TB. ``max_grid`` guards
+    against a pathological score range × ``score_round`` combination
+    (lower ``score_round`` or rescale the score if it trips).
     """
-    from rdsa_utils_spark.operators.joins import asof_join
-
-    cal = calibration.select(
-        F.col("score").alias("__cal_s__"),
-        F.col("p_cal").alias(output_col),
-    )
-    out = asof_join(
-        df.withColumn(
-            "__cal_s__",
-            F.round(F.col(score_col).cast("double"), score_round),
+    rows = calibration.select("score", "p_cal").orderBy("score").collect()
+    if not rows:
+        raise ValueError("isotonic_apply: empty calibration table")
+    knots = [(float(r["score"]), float(r["p_cal"])) for r in rows]
+    factor = 10 ** score_round
+    lo = knots[0][0]
+    size = int(round((knots[-1][0] - lo) * factor)) + 1
+    if size > max_grid:
+        raise ValueError(
+            f"isotonic_apply: dense grid of {size} cells exceeds "
+            f"max_grid={max_grid}; lower score_round or rescale the score",
+        )
+    positions = [int(round((s - lo) * factor)) for s, _ in knots]
+    dense: list[float] = []
+    k = 0
+    cur = knots[0][1]
+    for g in range(size):
+        if k < len(knots) and positions[k] == g:
+            cur = knots[k][1]
+            k += 1
+        dense.append(cur)
+    sq = F.round(F.col(score_col).cast("double"), score_round)
+    idx = F.round((sq - F.lit(lo)) * F.lit(float(factor)), 0).cast("int")
+    p = F.when(
+        sq.isNotNull() & (idx >= 0),
+        F.element_at(
+            F.lit(dense), F.least(idx, F.lit(size - 1)) + F.lit(1),
         ),
-        cal,
-        on="__cal_s__",
-        direction="backward",
     )
-    return out.drop("__cal_s__")
+    return df.withColumn(output_col, p)

@@ -407,6 +407,9 @@ def conformal_threshold(
     if by:
         from pyspark.sql import Window
 
+        # counted (grp) AND ranked (picked): pin the projection so an
+        # expensive upstream scorer runs once, same as the global path.
+        scores = scores.localCheckpoint(eager=False)
         grp = scores.groupBy(*by).agg(F.count(F.lit(1)).alias("n_cal"))
         rank_k = F.ceil(
             (F.col("n_cal") + F.lit(1)) * F.lit(1.0 - alpha),

@@ -175,6 +175,56 @@ def minhash_signatures(
     return df.withColumn(out_col, _sig(F.col(text_col)))
 
 
+def band_hash_rows(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    out_id: str = "__id__",
+) -> DataFrame:
+    """One row per (doc, band): the 48-bit md5 band hash over the
+    band's comma-joined signature values (first 12 hex digits parsed
+    base-16 — narrow, uniform, and ANSI-SQL-reproducible). THE single
+    definition of the band key: :func:`lsh_candidate_pairs` self-joins
+    it and the streaming near-dup gate stores/probes it — the stored
+    and probed hashes must be the same construction, so neither site
+    may inline its own copy.
+    """
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        *[
+                                            F.element_at(signature_col, b * rows_per_band + r + 1)
+                                            for r in range(rows_per_band)
+                                        ],
+                                    ),
+                                ),
+                                1,
+                                12,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ],
+            ),
+        ).alias("bb"),
+    ).select(out_id, "bb.band", "bb.band_hash")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -225,38 +275,9 @@ def lsh_candidate_pairs(
         )
     rows_per_band = signature_length // num_bands
 
-    banded = df.select(
-        F.col(id_col).alias("__id__"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        ",",
-                                        *[
-                                            F.element_at(signature_col, b * rows_per_band + r + 1)
-                                            for r in range(rows_per_band)
-                                        ],
-                                    ),
-                                ),
-                                1,
-                                12,
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("long")
-                        .alias("band_hash"),
-                    )
-                    for b in range(num_bands)
-                ],
-            ),
-        ).alias("bb"),
-    ).select("__id__", "bb.band", "bb.band_hash")
+    banded = band_hash_rows(
+        df, id_col, signature_col, num_bands, rows_per_band,
+    )
     if cache:
         banded = banded.localCheckpoint(eager=True)
 

@@ -188,6 +188,16 @@ def write_stream_near_dedup(
     never stored. Within-batch survivor choice and the store itself
     are deterministic, so backfill replays are reproducible.
 
+    Divergence contract vs a one-shot batch ``minhash_near_dedup`` on
+    the concatenated feed (honest, not papered over): (1) cross-batch
+    drops use the minhash ESTIMATE (σ ≈ 1/√num_perm per pair), so a
+    pair whose true Jaccard sits within ~1σ of the threshold can be
+    decided differently than the batch operator's exact verify; (2)
+    first-ADMITTED wins here, while the batch operator keeps the
+    smaller id — a later batch delivering a smaller id than its stored
+    near-dup yields the opposite survivor. Clear-margin duplicates
+    with arrival-ordered ids (the normal ingest case) agree exactly.
+
     Returns the started ``StreamingQuery`` (caller awaits/stops).
     """
     from rdsa_utils_spark.functions.bloom import (
@@ -196,6 +206,7 @@ def write_stream_near_dedup(
         build_bloom_bitmap,
     )
     from rdsa_utils_spark.operators.dedup import (
+        band_hash_rows,
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
@@ -240,48 +251,25 @@ def write_stream_near_dedup(
         losers = verified.select(F.col("id_b").alias(id_col)).distinct()
         survivors = sig.join(losers, id_col, "left_anti")
 
-        # Band rows for the survivors (probe side now, store side after).
-        rpb = num_perm // num_bands
-        bands = survivors.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat_ws(
-                                            ",",
-                                            *[
-                                                F.element_at(
-                                                    "minhash",
-                                                    b * rpb + r + 1,
-                                                )
-                                                for r in range(rpb)
-                                            ],
-                                        ),
-                                    ),
-                                    1,
-                                    12,
-                                ),
-                                16,
-                                10,
-                            )
-                            .cast("long")
-                            .alias("band_hash"),
-                        )
-                        for b in range(num_bands)
-                    ],
-                ),
-            ).alias("bb"),
-        ).select(id_col, "bb.band", "bb.band_hash").localCheckpoint(eager=True)
+        # Band rows for the survivors (probe side now, store side
+        # after) — the SAME band-key construction the batch LSH uses
+        # (band_hash_rows is the single definition; a drifted copy here
+        # would silently stop matching the stored hashes).
+        bands = band_hash_rows(
+            survivors, id_col, "minhash",
+            num_bands, num_perm // num_bands, out_id=id_col,
+        ).localCheckpoint(eager=True)
 
-        # (2) cross-batch: probe the admitted-corpus band store.
+        # (2) cross-batch: probe the admitted-corpus band store. Both
+        # state halves must exist — a crash between the bands and sigs
+        # writes of an earlier run leaves partial CURRENT-batch dirs
+        # (excluded by the __batch__ < batch_id filter anyway), never a
+        # committed bands half without its sigs half; if sigs/ is
+        # missing entirely there is no admitted corpus to match.
         state_bands = _read_state("bands", batch_id)
+        state_sigs = _read_state("sigs", batch_id)
         dup_ids = None
-        if state_bands is not None:
+        if state_bands is not None and state_sigs is not None:
             key = F.concat_ws(":", F.col("band"), F.col("band_hash"))
             probe = bands.withColumn("__bk__", key)
             n_keys = max(probe.count(), 1)
@@ -303,7 +291,6 @@ def write_stream_near_dedup(
                 .select("__new_id__", "__old_id__")
                 .distinct()
             )
-            state_sigs = _read_state("sigs", batch_id)
             new_sigs = survivors.select(
                 F.col(id_col).alias("__new_id__"),
                 F.col("minhash").alias("__sig_n__"),

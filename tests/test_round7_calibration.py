@@ -40,19 +40,32 @@ def test_platt_replays_in_driver_arithmetic(spark):
     """The trainer's contract: prior-logit init then per-step round-9
     updates — a pure-Python replay over the collected rows must land on
     the identical parameters."""
+    from rdsa_utils_spark.operators.classify import _round_half_up
+
     df = _sep_frame(spark)
     a, b = platt_scale_train(df, "s", "y", iterations=4, lr=1.0)
     rows = [(r["s"], r["y"]) for r in df.collect()]
     n = len(rows)
     n_pos = sum(y for _, y in rows)
     ra = 0.0
-    rb = round(math.log(n_pos / (n - n_pos)), 9)
+    rb = _round_half_up(math.log(n_pos / (n - n_pos)), 9)
     for _ in range(4):
         ga = sum((1.0 / (1.0 + math.exp(-(ra * s + rb))) - y) * s for s, y in rows)
         gb = sum(1.0 / (1.0 + math.exp(-(ra * s + rb))) - y for s, y in rows)
-        ra = round(ra - 1.0 * (ga / n), 9)
-        rb = round(rb - 1.0 * (gb / n), 9)
-    assert abs(a - ra) < 1e-9 and abs(b - rb) < 1e-9
+        ra = _round_half_up(ra - 1.0 * (ga / n), 9)
+        rb = _round_half_up(rb - 1.0 * (gb / n), 9)
+    assert abs(a - ra) < 1e-12 and abs(b - rb) < 1e-12
+
+
+def test_round_half_up_matches_sql_round_on_midpoints():
+    """2^-10 is a representable 9-dp midpoint: Python round goes to
+    even (…562), SQL ROUND away from zero (…563) — the helper must
+    follow SQL, symmetrically for negatives."""
+    from rdsa_utils_spark.operators.classify import _round_half_up
+
+    assert _round_half_up(0.0009765625, 9) == 0.000976563
+    assert _round_half_up(-0.0009765625, 9) == -0.000976563
+    assert round(0.0009765625, 9) == 0.000976562  # the divergence
 
 
 def test_platt_excludes_nulls_and_validates(spark):
