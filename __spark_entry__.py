@@ -6689,6 +6689,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_lang_threshold": q_conformal_lang_threshold,
         "isotonic_discount_returns": q_isotonic_discount_returns,
         "kmeans_cluster_profile": q_kmeans_cluster_profile,
+        "rbo_termscan": q_rbo_termscan,
+        "matryoshka_recall": q_matryoshka_recall,
     }
 
 
@@ -6945,6 +6947,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "conformal_lang_threshold": _ORACLE_CONFORMAL_LANG_THRESHOLD,
         "isotonic_discount_returns": _ORACLE_ISOTONIC_DISCOUNT_RETURNS,
         "kmeans_cluster_profile": _ORACLE_KMEANS_CLUSTER_PROFILE,
+        "rbo_termscan": _oracle_rbo_termscan(),
+        "matryoshka_recall": _ORACLE_MATRYOSHKA_RECALL,
     }
 
 
@@ -10889,4 +10893,143 @@ SELECT a.cell, COUNT(*) AS n,
 FROM assign a JOIN init i ON a.cell = i.c
 GROUP BY a.cell
 ORDER BY a.cell
+"""
+
+
+def q_rbo_termscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap @10 (operators/evaluate.py::rbo_at_k,
+    Webber et al. 2010) between the term-frequency ranker and a
+    doc-length ranker over the same candidate docs — the
+    judgment-free "did the retriever change" monitor. One (query,doc)
+    equi-join + a k-entry literal g-table lookup; g suffix sums are
+    12 dp quantize-then-decimal-summed so DuckDB replays the score
+    from the identical literals."""
+    from pyspark.sql import Window
+
+    from rdsa_utils_spark.operators.evaluate import rbo_at_k
+
+    runs_a, _ = _termscan_runs_qrels(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"),
+    )
+    runs_b = runs_a.select("query_id", "doc_id", "n_chars").withColumn(
+        "rank", F.row_number().over(w),
+    )
+    return rbo_at_k(runs_a, runs_b, k=10, p=0.9)
+
+
+def _oracle_rbo_termscan() -> str:
+    from rdsa_utils_spark.operators.evaluate import rbo_depth_weights
+
+    g_rows = ", ".join(
+        f"({m + 1}, {w!r})" for m, w in enumerate(rbo_depth_weights(10, 0.9))
+    )
+    return (
+        _ORACLE_TERMSCAN_PREFIX
+        + f""",
+g(m, w) AS (VALUES {g_rows}),
+rb AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM tf
+),
+common AS (
+  SELECT a.query_id, GREATEST(a.rank, b.rank) AS m
+  FROM (SELECT * FROM runs WHERE rank <= 10) a
+  JOIN (SELECT * FROM rb WHERE rank <= 10) b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+per_q AS (
+  SELECT c.query_id, SUM(CAST(g.w AS DECIMAL(38,12))) AS s
+  FROM common c JOIN g ON g.m = c.m
+  GROUP BY c.query_id
+)
+SELECT q.query_id,
+       ROUND(COALESCE(CAST(p.s AS DOUBLE), 0.0) * 0.09999999999999998, 6)
+         AS rbo
+FROM (SELECT DISTINCT query_id FROM runs) q
+LEFT JOIN per_q p USING (query_id)
+ORDER BY q.query_id
+"""
+    )
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation cost probe (operators/similarity.py::
+    truncate_normalize): per query, how many of the full-64-dim exact
+    cosine top-10 survive in the 16-dim-prefix top-10. Only integer
+    overlap counts and their ratio are emitted, so the comparison is
+    insensitive to last-ulp score differences between engines."""
+    from rdsa_utils_spark.operators.similarity import (
+        brute_force_topk,
+        truncate_normalize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    full = brute_force_topk(q, emb, k=10)
+    emb16 = truncate_normalize(emb, "embedding", 16)
+    q16 = truncate_normalize(q, "embedding", 16)
+    trunc = brute_force_topk(q16, emb16, k=10)
+    common = full.select("query_id", "candidate_id").join(
+        trunc.select("query_id", "candidate_id"),
+        ["query_id", "candidate_id"],
+    )
+    counts = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"),
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)) / F.lit(10.0), 6,
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ORACLE_MATRYOSHKA_RECALL = """
+WITH full_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+), full_top AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT query_id, candidate_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, candidate_id ASC) AS rn
+    FROM full_pairs
+  ) WHERE rn <= 10
+), trunc_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         list_cosine_similarity(CAST(q.embedding[1:16] AS DOUBLE[]),
+                                CAST(c.embedding[1:16] AS DOUBLE[])) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+), trunc_top AS (
+  SELECT query_id, candidate_id FROM (
+    SELECT query_id, candidate_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, candidate_id ASC) AS rn
+    FROM trunc_pairs
+  ) WHERE rn <= 10
+), counts AS (
+  SELECT f.query_id, COUNT(*) AS n_common
+  FROM full_top f JOIN trunc_top t
+    ON f.query_id = t.query_id AND f.candidate_id = t.candidate_id
+  GROUP BY f.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(COALESCE(c.n_common, 0) / 10.0, 6) AS recall_at_10
+FROM (SELECT DISTINCT query_id FROM full_top) q
+LEFT JOIN counts c USING (query_id)
+ORDER BY q.query_id
 """

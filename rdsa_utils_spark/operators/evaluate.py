@@ -634,3 +634,89 @@ def silhouette_simplified(
         .agg(F.count("*").alias("n"), _exact_avg(F.col("__s__"), "mean_silhouette", round_to))
         .orderBy("cluster")
     )
+
+
+def rbo_at_k(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap truncated at depth ``k`` (Webber, Moffat &
+    Zobel 2010, §4.1 eq. 4) between two rankings of the same id space
+    — the standard "did my retriever/index change its results"
+    monitor: top-weighted (depth ``d`` weighted ``p^(d-1)``), defined
+    on non-conjoint lists, no relevance judgments needed. RBO@k = 1
+    means identical prefixes, 0 means disjoint.
+
+    Rewritten for one pass instead of per-depth set intersections:
+    ``RBO@k = (1-p) Σ_d p^(d-1)·|A∩B|@d / d`` regroups per COMMON
+    document as ``(1-p) Σ_docs g(max(rank_a, rank_b))`` with
+    ``g(m) = Σ_{d=m}^{k} p^(d-1)/d`` — so the whole computation is one
+    equi-join on (query, doc), one ``element_at`` into the k-entry
+    literal ``g`` table, and one aggregation. ``g`` entries are
+    quantized to 12 dp and summed in decimal (quantize-then-sum), so
+    the score is engine-exact. Queries present in ``run_a`` with no
+    common docs in the top-``k`` report 0.0.
+
+    100 TB posture: rankings are top-``k`` per query (k·|queries|
+    rows); everything here is linear in that, one shuffle on the
+    (query, doc) join key.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    # g(m) = sum_{d=m..k} p^(d-1)/d, exact-literal shared with oracles.
+    weights = rbo_depth_weights(k, p)
+    ta = run_a.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q__"),
+        F.col(doc_col).alias("__d__"),
+        F.col(rank_col).alias("__ra__"),
+    )
+    tb = run_b.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q__"),
+        F.col(doc_col).alias("__d__"),
+        F.col(rank_col).alias("__rb__"),
+    )
+    common = ta.join(tb, ["__q__", "__d__"]).select(
+        "__q__",
+        F.element_at(
+            F.lit(weights),
+            F.greatest("__ra__", "__rb__").cast("int"),
+        ).alias("__g__"),
+    )
+    per_q = common.groupBy("__q__").agg(
+        F.sum(F.col("__g__").cast("decimal(38,12)")).alias("__s__"),
+    )
+    queries = run_a.select(F.col(query_col).alias("__q__")).distinct()
+    return (
+        queries.join(per_q, "__q__", "left")
+        .select(
+            F.col("__q__").alias(query_col),
+            F.round(
+                F.coalesce(F.col("__s__").cast("double"), F.lit(0.0))
+                * F.lit(1.0 - p),
+                round_to,
+            ).alias("rbo"),
+        )
+        .orderBy(query_col)
+    )
+
+
+def rbo_depth_weights(k: int, p: float) -> list[float]:
+    """The ``g(m) = Σ_{d=m}^{k} p^(d-1)/d`` suffix sums behind
+    :func:`rbo_at_k`, quantized to 12 dp — exposed so an external
+    replayer (the DuckDB oracle) can inline the IDENTICAL literals
+    instead of re-deriving floating-point sums in a different order."""
+    raw = [p ** (d - 1) / d for d in range(1, k + 1)]
+    suffix = []
+    acc = 0.0
+    for v in reversed(raw):
+        acc += v
+        suffix.append(acc)
+    return [round(v, 12) for v in reversed(suffix)]

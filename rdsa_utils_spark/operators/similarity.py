@@ -1879,3 +1879,38 @@ def kmeans_profile(
         )
         .orderBy(cell_col)
     )
+
+
+def truncate_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 16,
+    out_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first ``dim``
+    components and (by default) re-normalize to unit length — the
+    standard storage/compute cut for MRL-trained embedding models
+    (Kusupati et al. 2022), where prefixes are trained to be usable
+    representations. A 64→16 cut is 4× less ANN arithmetic and 4×
+    smaller vectors; measure the retrieval cost with a recall query
+    against the full-dimension top-k before adopting.
+
+    Pure projection (slice + fold-norm + divide, all codegen): no
+    shuffle, no Python. Vectors shorter than ``dim`` raise at runtime
+    under ANSI rather than silently zero-padding.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    sliced = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double"),
+    )
+    if not normalize:
+        return df.withColumn(out_col or vec_col, sliced)
+    n = F.sqrt(
+        F.aggregate(sliced, F.lit(0.0), lambda acc, x: acc + x * x),
+    )
+    unit = F.when(n == 0, sliced).otherwise(
+        F.transform(sliced, lambda x: x / n),
+    )
+    return df.withColumn(out_col or vec_col, unit)

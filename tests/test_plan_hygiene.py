@@ -40,6 +40,7 @@ _BNLJ_OK = {
     "event_type_skew",        # key_skew_report 1-row total/mean attach
     "expectation_checks",     # run_checks 1-row suite summary attach
     "cosine_topk",            # brute force IS broadcast queries × corpus
+    "matryoshka_recall",      # two brute-force passes (broadcast queries)
     "lm_quality",             # 1-row (N, V) corpus-totals attach to vocab
     "pagerank_parts",         # 1-row node-count scalar attach per iteration
     "event_drift_weekend",    # 1-row sample-totals attach (chi-square)
@@ -71,6 +72,7 @@ _BNLJ_OK = {
     "ndcg_termscan",          # 3-row literal query-term table attach
     "mrr_termscan",           # same 3-row literal query-term attach
     "map_termscan",           # same 3-row literal query-term attach
+    "rbo_termscan",           # same 3-row literal query-term attach
     "decayed_event_value",    # 1-row global-max-timestamp attach
     "kmv_overlap_types",      # |types|² pair grid over the 5-row sketch table
     "silhouette_labels",      # k-row (10) centroid table attach
