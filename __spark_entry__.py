@@ -4066,22 +4066,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "payload_dedup": q_payload_dedup,
         "payload_near_dups": q_payload_near_dups,
-        # round-7 window rotation: the long-stable §2.2 one-liners and
-        # near-duplicate TPC-H variants moved to extra_queries() (still
-        # CI-oracle-checked); the round-6 curation/drift/eval wave takes
-        # their driver-verdict slots.
+        # round-7 window rotation (second pass): eleven long-stable
+        # queries whose operator coverage is duplicated elsewhere moved
+        # to extra_queries() (still CI-oracle-checked); the round-7
+        # calibration/dedup/eval wave takes their driver-verdict slots.
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
         "logreg_token_classifier": q_logreg_token_classifier,
         "kmv_overlap_types": q_kmv_overlap_types,
         "events_hourly": q_events_hourly,
-        "user_sessions": q_user_sessions,
+        "substring_dedup": q_substring_dedup,
         "ks_returned_price": q_ks_returned_price,
-        "doc_stats": q_doc_stats,
+        "cluster_best_dedup": q_cluster_best_dedup,
         "doc_dedup_exact": q_doc_dedup_exact,
         "cosine_topk": q_cosine_topk,
-        "asof_purchase_signup": q_asof_purchase_signup,
+        "bloom_filtered_orders": q_bloom_filtered_orders,
         "psi_daily_value": q_psi_daily_value,
         "attribution_purchases": q_attribution_purchases,
         "pca_power_replay": q_pca_power_replay,
@@ -4102,16 +4102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "decayed_event_value": q_decayed_event_value,
         "benford_prices": q_benford_prices,
-        "ngram_jaccard": q_ngram_jaccard,
-        "doc_fingerprints": q_doc_fingerprints,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "embedding_near_dups_exact": q_embedding_near_dups_exact,
-        "lsh_candidates": q_lsh_candidates,
+        "l_diversity_customers": q_l_diversity_customers,
+        "isotonic_discount_returns": q_isotonic_discount_returns,
+        "platt_discount_returns": q_platt_discount_returns,
+        "woe_priority_fulfilled": q_woe_priority_fulfilled,
+        "conformal_lang_threshold": q_conformal_lang_threshold,
         "minhash_near_dedup": q_minhash_near_dedup,
         "ivf_topk_replay": q_ivf_topk_replay,
-        "span_dedup": q_span_dedup,
-        "collocations": q_collocations,
-        "lm2_quality": q_lm2_quality,
+        "kmeans_cluster_profile": q_kmeans_cluster_profile,
+        "rbo_termscan": q_rbo_termscan,
+        "matryoshka_recall": q_matryoshka_recall,
         # --- non-SQL-expressible, rows-only by design (3) ---
         # (the trained ivf_topk path moved to tests-only coverage when
         # the oracle-backed iters=0 replay took its driver slot; its
@@ -6535,10 +6535,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_redaction": q_pii_redaction,
         "dedup_clusters": q_dedup_clusters,
-        "substring_dedup": q_substring_dedup,
-        "cluster_best_dedup": q_cluster_best_dedup,
-        "bloom_filtered_orders": q_bloom_filtered_orders,
-        "l_diversity_customers": q_l_diversity_customers,
         "bm25_search": q_bm25_search,
         "tfidf_terms": q_tfidf_terms,
         "min_cost_supplier": q_min_cost_supplier,
@@ -6684,13 +6680,17 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_revenue": q_cube_revenue,
         "grouping_sets": q_grouping_sets,
         "trailing_revenue": q_trailing_revenue,
-        "woe_priority_fulfilled": q_woe_priority_fulfilled,
-        "platt_discount_returns": q_platt_discount_returns,
-        "conformal_lang_threshold": q_conformal_lang_threshold,
-        "isotonic_discount_returns": q_isotonic_discount_returns,
-        "kmeans_cluster_profile": q_kmeans_cluster_profile,
-        "rbo_termscan": q_rbo_termscan,
-        "matryoshka_recall": q_matryoshka_recall,
+        "user_sessions": q_user_sessions,
+        "doc_stats": q_doc_stats,
+        "asof_purchase_signup": q_asof_purchase_signup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprints": q_doc_fingerprints,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "lsh_candidates": q_lsh_candidates,
+        "span_dedup": q_span_dedup,
+        "collocations": q_collocations,
+        "lm2_quality": q_lm2_quality,
     }
 
 
@@ -6707,12 +6707,12 @@ def oracle_sql() -> dict[str, str]:
         "logreg_token_classifier": _oracle_logreg_token_classifier(256, 8, 1.0),
         "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
-        "user_sessions": _ORACLE_USER_SESSIONS,
+        "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "ks_returned_price": _ORACLE_KS_RETURNED_PRICE,
-        "doc_stats": _ORACLE_DOC_STATS,
+        "cluster_best_dedup": _ORACLE_CLUSTER_BEST_DEDUP,
         "doc_dedup_exact": _ORACLE_DOC_DEDUP_EXACT,
         "cosine_topk": _ORACLE_COSINE_TOPK,
-        "asof_purchase_signup": _ORACLE_ASOF_PURCHASE_SIGNUP,
+        "bloom_filtered_orders": _ORACLE_BLOOM_FILTERED_ORDERS,
         "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
         "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
         "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
@@ -6733,16 +6733,16 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "decayed_event_value": _ORACLE_DECAYED_EVENT_VALUE,
         "benford_prices": _ORACLE_BENFORD_PRICES,
-        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
-        "doc_fingerprints": _ORACLE_DOC_FINGERPRINTS,
-        "simhash_fingerprints": _ORACLE_SIMHASH_FINGERPRINTS,
-        "embedding_near_dups_exact": _ORACLE_EMBEDDING_NEAR_DUPS_EXACT,
-        "lsh_candidates": _oracle_lsh_candidates(),
+        "l_diversity_customers": _ORACLE_L_DIVERSITY_CUSTOMERS,
+        "isotonic_discount_returns": _ORACLE_ISOTONIC_DISCOUNT_RETURNS,
+        "platt_discount_returns": _oracle_platt_discount_returns(6, 2.0),
+        "woe_priority_fulfilled": _ORACLE_WOE_PRIORITY_FULFILLED,
+        "conformal_lang_threshold": _ORACLE_CONFORMAL_LANG_THRESHOLD,
         "minhash_near_dedup": _oracle_minhash_near_dedup(),
         "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
-        "span_dedup": _ORACLE_SPAN_DEDUP,
-        "collocations": _ORACLE_COLLOCATIONS,
-        "lm2_quality": _ORACLE_LM2_QUALITY,
+        "kmeans_cluster_profile": _ORACLE_KMEANS_CLUSTER_PROFILE,
+        "rbo_termscan": _oracle_rbo_termscan(),
+        "matryoshka_recall": _ORACLE_MATRYOSHKA_RECALL,
         # approx_sketches: sketch estimates themselves are
         # engine-specific (Spark HLL++ vs DuckDB HLL), so the query
         # emits exact values + bounded-error flags and the oracle
@@ -6793,10 +6793,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "repetition_stats": _ORACLE_REPETITION_STATS,
         "pii_redaction": _ORACLE_PII_REDACTION,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
-        "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
-        "cluster_best_dedup": _ORACLE_CLUSTER_BEST_DEDUP,
-        "bloom_filtered_orders": _ORACLE_BLOOM_FILTERED_ORDERS,
-        "l_diversity_customers": _ORACLE_L_DIVERSITY_CUSTOMERS,
         "bm25_search": _ORACLE_BM25_SEARCH,
         "tfidf_terms": _ORACLE_TFIDF_TERMS,
         "min_cost_supplier": _ORACLE_MIN_COST_SUPPLIER,
@@ -6942,13 +6938,17 @@ def extra_oracle_sql() -> dict[str, str]:
         "cube_revenue": _ORACLE_CUBE_REVENUE,
         "grouping_sets": _ORACLE_GROUPING_SETS,
         "trailing_revenue": _ORACLE_TRAILING_REVENUE,
-        "woe_priority_fulfilled": _ORACLE_WOE_PRIORITY_FULFILLED,
-        "platt_discount_returns": _oracle_platt_discount_returns(6, 2.0),
-        "conformal_lang_threshold": _ORACLE_CONFORMAL_LANG_THRESHOLD,
-        "isotonic_discount_returns": _ORACLE_ISOTONIC_DISCOUNT_RETURNS,
-        "kmeans_cluster_profile": _ORACLE_KMEANS_CLUSTER_PROFILE,
-        "rbo_termscan": _oracle_rbo_termscan(),
-        "matryoshka_recall": _ORACLE_MATRYOSHKA_RECALL,
+        "user_sessions": _ORACLE_USER_SESSIONS,
+        "doc_stats": _ORACLE_DOC_STATS,
+        "asof_purchase_signup": _ORACLE_ASOF_PURCHASE_SIGNUP,
+        "ngram_jaccard": _ORACLE_NGRAM_JACCARD,
+        "doc_fingerprints": _ORACLE_DOC_FINGERPRINTS,
+        "simhash_fingerprints": _ORACLE_SIMHASH_FINGERPRINTS,
+        "embedding_near_dups_exact": _ORACLE_EMBEDDING_NEAR_DUPS_EXACT,
+        "lsh_candidates": _oracle_lsh_candidates(),
+        "span_dedup": _ORACLE_SPAN_DEDUP,
+        "collocations": _ORACLE_COLLOCATIONS,
+        "lm2_quality": _ORACLE_LM2_QUALITY,
     }
 
 

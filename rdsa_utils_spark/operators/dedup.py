@@ -1123,10 +1123,15 @@ def substring_dedup(
 
     w = Window.partitionBy("__id").orderBy("__p")
     grams = [F.col("__t")] + [F.lead("__t", i).over(w) for i in range(1, n)]
-    k_tok = F.count("*").over(Window.partitionBy("__id"))
+    # The token count rides along from the pre-explode array size — a
+    # second count() window here would re-buffer every exploded token
+    # row per document just to recover a length the array already has.
     occs = (
-        with_toks.select("__id", F.posexplode(tk).alias("__p", "__t"))
-        .withColumn("__k", k_tok)
+        with_toks.select(
+            "__id",
+            F.size(tk).alias("__k"),
+            F.posexplode(tk).alias("__p", "__t"),
+        )
         # the shingle must be assembled BEFORE the tail filter — lead()
         # reads rows the filter would drop
         .withColumn("__sh", F.concat_ws(" ", *grams))

@@ -36,6 +36,7 @@ __all__ = [
     "suppress_small_cells",
     "dominance_flags",
     "k_anonymity_violations",
+    "l_diversity_violations",
 ]
 
 

@@ -301,6 +301,20 @@ def bloom_semi_join(
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
     right_on = right_on or left_on
+    # xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash differently)
+    # while the exact equi-join implicitly casts — mismatched key
+    # types would make true members probe as "definitely absent" and
+    # silently corrupt the result. Refuse loudly; an explicit cast at
+    # the call site states which representation the caller means.
+    lt = left.schema[left_on].dataType
+    rt = right.schema[right_on].dataType
+    if lt != rt:
+        raise ValueError(
+            f"bloom_semi_join: key types must match exactly (left "
+            f"{left_on}: {lt.simpleString()}, right {right_on}: "
+            f"{rt.simpleString()}) — the Bloom probe hashes raw bytes; "
+            f"cast one side explicitly before calling",
+        )
     m_bits, k_hashes = bloom_params(expected_items, fpp)
     if m_bits // 8 > max_bloom_bytes:
         raise ValueError(

@@ -129,6 +129,9 @@ def write_snapshot(
             "n_rows": n_rows,
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "note": note,
+            # Recorded so maintenance jobs (compact_snapshot) can
+            # preserve the hive layout without being told it again.
+            "partition_by": list(partition_by) if partition_by else None,
         },
     )
     manifest["current"] = version
@@ -301,7 +304,13 @@ def compact_snapshot(
 
     Uses ``repartition`` (round-robin, parallel) rather than
     ``coalesce`` — coalesce(1..k) would collapse the READ parallelism
-    of the very job doing the compaction.
+    of the very job doing the compaction. Partitioned snapshots keep
+    their hive layout (the manifest records ``partition_by``; the
+    rewrite repartitions ON those columns so each output task writes
+    into one partition). If the current version is already at or
+    below the target file count the call is a no-op returning the
+    CURRENT version — a scheduled maintenance job never rewrites a
+    full dataset for zero benefit.
     """
     if target_file_mb <= 0:
         raise ValueError(f"target_file_mb must be > 0, got {target_file_mb}")
@@ -313,9 +322,25 @@ def compact_snapshot(
         v for v in manifest["versions"] if v["version"] == manifest["current"]
     )
     data_dir = f"{root}/{entry['dir']}"
-    n_bytes = sum(
-        client.file_size(f) for f in client.list_files(data_dir, "*.parquet")
-    )
+    # Recursive walk, not a flat glob: a partitioned snapshot nests
+    # its parquet under col=value/ subdirectories, which a flat
+    # listing sizes as 0 bytes (-> repartition(1), the single-task
+    # collapse this module exists to avoid).
+    files = [f for f in client.walk(data_dir) if f.endswith(".parquet")]
+    n_bytes = sum(client.file_size(f) for f in files)
     n_parts = max(1, -(-n_bytes // (target_file_mb << 20)))
-    df = read_snapshot(spark, root, client=client).repartition(n_parts)
-    return write_snapshot(df, root, note=note, client=client)
+    # A hive-partitioned layout can never have fewer files than
+    # partition directories — that's the achievable floor, not
+    # n_parts. Without it a compacted partitioned snapshot (n_dirs
+    # files) would re-compact forever.
+    n_dirs = len({f.rsplit("/", 1)[0] for f in files})
+    if len(files) <= max(n_parts, n_dirs):
+        # Already at (or below) the target layout: a rewrite would
+        # duplicate the full dataset as a new version for zero benefit.
+        return entry["version"]
+    pcols = entry.get("partition_by") or None
+    df = read_snapshot(spark, root, client=client)
+    df = df.repartition(n_parts, *pcols) if pcols else df.repartition(n_parts)
+    return write_snapshot(
+        df, root, note=note, partition_by=pcols, client=client,
+    )

@@ -125,6 +125,10 @@ def windowed_quantile_sketch(
         raise ValueError("probabilities must be non-empty")
     if not all(0.0 <= p <= 1.0 for p in probabilities):
         raise ValueError(f"probabilities must be in [0, 1], got {probabilities}")
+    if accuracy <= 0:
+        # fail here, not as percentile_approx's opaque analysis error
+        # when the streaming query eventually starts
+        raise ValueError(f"accuracy must be > 0, got {accuracy}")
     agg = F.percentile_approx(
         F.col(value_col),
         F.array(*[F.lit(float(p)) for p in probabilities]),
