@@ -6691,6 +6691,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "collocations": q_collocations,
         "lm2_quality": q_lm2_quality,
+        "pass_at_k_orders": q_pass_at_k_orders,
+        "brand_bt_ratings": q_brand_bt_ratings,
     }
 
 
@@ -6949,6 +6951,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "span_dedup": _ORACLE_SPAN_DEDUP,
         "collocations": _ORACLE_COLLOCATIONS,
         "lm2_quality": _ORACLE_LM2_QUALITY,
+        "pass_at_k_orders": _ORACLE_PASS_AT_K_ORDERS,
+        "brand_bt_ratings": _oracle_brand_bt_ratings(6),
     }
 
 
@@ -11033,3 +11037,157 @@ FROM (SELECT DISTINCT query_id FROM full_top) q
 LEFT JOIN counts c USING (query_id)
 ORDER BY q.query_id
 """
+
+
+def q_pass_at_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (operators/evaluate.py::pass_at_k,
+    Chen et al. 2021 eq. 1) treating each customer as a task, each
+    order as a sampled attempt, and fulfilment (o_orderstatus = 'F')
+    as a pass — per task 1 - prod (n-c-i)/(n-i) with 12 dp
+    quantize-then-decimal-summed log terms, replayed exactly in SQL."""
+    from rdsa_utils_spark.operators.evaluate import pass_at_k
+
+    orders = _t(spark, sf_dir, "orders")
+    attempts = orders.select(
+        F.col("o_custkey").alias("cust"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return pass_at_k(attempts, "cust", "ok", ks=(1, 5))
+
+
+_ORACLE_PASS_AT_K_ORDERS = """
+WITH base AS (
+  SELECT o_custkey AS task,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ok
+  FROM orders
+), g AS (
+  SELECT task, COUNT(*) AS n, CAST(SUM(ok) AS BIGINT) AS c
+  FROM base GROUP BY task
+), terms AS (
+  SELECT g.task, g.n, g.c, s.i,
+         CAST(CASE WHEN (g.n - g.c - s.i) > 0
+              THEN ROUND(LN(CAST(g.n - g.c - s.i AS DOUBLE)
+                            / CAST(g.n - s.i AS DOUBLE)), 12)
+              ELSE 0.0 END AS DECIMAL(38,12)) AS t
+  FROM g CROSS JOIN generate_series(0, 4) AS s(i)
+), sums AS (
+  SELECT task, n, c,
+         SUM(t) FILTER (WHERE i < 1) AS s1,
+         SUM(t) FILTER (WHERE i < 5) AS s5
+  FROM terms GROUP BY task, n, c
+)
+SELECT task, n, c,
+       CASE WHEN n < 1 THEN NULL
+            WHEN c >= n THEN 1.0
+            ELSE ROUND(1.0 - EXP(CAST(s1 AS DOUBLE)), 6) END AS pass_at_1,
+       CASE WHEN n < 5 THEN NULL
+            WHEN c >= n - 4 THEN 1.0
+            ELSE ROUND(1.0 - EXP(CAST(s5 AS DOUBLE)), 6) END AS pass_at_5
+FROM sums
+ORDER BY task
+"""
+
+
+def q_brand_bt_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry brand strengths (operators/preference.py::
+    bt_ratings, Hunter 2004 MM): each order's first two line items
+    form a pairwise outcome (higher quantity wins, partkey breaks
+    ties), mapped to part brands; 6 MM iterations with per-iteration
+    round-9 normalization — the oracle unrolls every iteration."""
+    from rdsa_utils_spark.operators.preference import bt_ratings
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    l1 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p1"),
+        F.col("l_quantity").alias("q1"),
+    )
+    l2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p2"),
+        F.col("l_quantity").alias("q2"),
+    )
+    win_first = (F.col("q1") > F.col("q2")) | (
+        (F.col("q1") == F.col("q2")) & (F.col("p1") < F.col("p2"))
+    )
+    duels = l1.join(l2, "l_orderkey").select(
+        F.when(win_first, F.col("p1")).otherwise(F.col("p2")).alias("pw"),
+        F.when(win_first, F.col("p2")).otherwise(F.col("p1")).alias("pl"),
+    )
+    bw = part.select(F.col("p_partkey").alias("pw"), F.col("p_brand").alias("brand_w"))
+    bl = part.select(F.col("p_partkey").alias("pl"), F.col("p_brand").alias("brand_l"))
+    pairs = (
+        duels.join(F.broadcast(bw), "pw")
+        .join(F.broadcast(bl), "pl")
+        .filter(F.col("brand_w") != F.col("brand_l"))
+    )
+    return bt_ratings(pairs, "brand_w", "brand_l", iterations=6)
+
+
+def _oracle_brand_bt_ratings(iterations: int) -> str:
+    head = """
+WITH duels AS (
+  SELECT CASE WHEN l1.l_quantity > l2.l_quantity
+              OR (l1.l_quantity = l2.l_quantity
+                  AND l1.l_partkey < l2.l_partkey)
+         THEN l1.l_partkey ELSE l2.l_partkey END AS pw,
+         CASE WHEN l1.l_quantity > l2.l_quantity
+              OR (l1.l_quantity = l2.l_quantity
+                  AND l1.l_partkey < l2.l_partkey)
+         THEN l2.l_partkey ELSE l1.l_partkey END AS pl
+  FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l1
+  JOIN (SELECT * FROM lineitem WHERE l_linenumber = 2) l2
+    ON l1.l_orderkey = l2.l_orderkey
+), outcomes AS (
+  SELECT w.p_brand AS bw, l.p_brand AS bl
+  FROM duels d
+  JOIN part w ON d.pw = w.p_partkey
+  JOIN part l ON d.pl = l.p_partkey
+  WHERE w.p_brand <> l.p_brand
+), games AS MATERIALIZED (
+  SELECT i, j, COUNT(*) AS n FROM (
+    SELECT bw AS i, bl AS j FROM outcomes
+    UNION ALL
+    SELECT bl AS i, bw AS j FROM outcomes
+  ) GROUP BY i, j
+), items AS MATERIALIZED (
+  SELECT g.i,
+         CAST(SUM(g.n) AS BIGINT) AS games,
+         CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins
+  FROM games g
+  LEFT JOIN (SELECT bw AS i, COUNT(*) AS wins FROM outcomes GROUP BY bw) w
+    USING (i)
+  GROUP BY g.i, w.wins
+), k AS (SELECT COUNT(*) AS cnt FROM items),
+it0 AS (SELECT i, 1.0 AS r FROM items)"""
+    ctes = [head]
+    for t in range(1, iterations + 1):
+        ctes.append(f"""
+raw{t} AS MATERIALIZED (
+  SELECT it.i,
+         ROUND(it.wins / CAST(SUM(CAST(ROUND(g.n / (ri.r + rj.r), 12)
+                                       AS DECIMAL(38,12))) AS DOUBLE),
+               12) AS raw
+  FROM games g
+  JOIN it{t - 1} ri ON g.i = ri.i
+  JOIN it{t - 1} rj ON g.j = rj.i
+  JOIN items it ON it.i = g.i
+  GROUP BY it.i, it.wins
+),
+it{t} AS MATERIALIZED (
+  SELECT r.i,
+         ROUND(r.raw * k.cnt /
+               CAST((SELECT SUM(CAST(raw AS DECIMAL(38,12))) FROM raw{t})
+                    AS DOUBLE),
+               9) AS r
+  FROM raw{t} r, k
+)""")
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT it.i AS item, it.games, it.wins, f.r AS rating
+FROM items it JOIN it{iterations} f USING (i)
+ORDER BY item
+"""
+    )

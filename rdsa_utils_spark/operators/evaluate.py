@@ -45,6 +45,8 @@ touches the corpus exactly once.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -720,3 +722,74 @@ def rbo_depth_weights(k: int, p: float) -> list[float]:
         acc += v
         suffix.append(acc)
     return [round(v, 12) for v in reversed(suffix)]
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    pass_col: str,
+    ks: Sequence[int] = (1, 10),
+    round_to: int = 6,
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, Codex paper eq. 1) per task
+    from n sampled attempts with c successes:
+    ``pass@k = 1 − C(n−c, k)/C(n−c+...)= 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)``
+    — the standard functional-correctness metric for code/answer
+    sampling evals, numerically stable in the product form (never
+    forms the huge binomials).
+
+    One map-side-combined groupBy per call (n and c per task), then a
+    pure-expression fold over ``k`` terms per requested k: each ratio's
+    natural log is quantized to 12 dp, decimal-summed (order-exact),
+    exponentiated once and rounded — so the metric replays bit-for-bit
+    in ANSI SQL. Tasks with fewer than ``k`` attempts report NULL for
+    that k (the estimator requires n ≥ k); c ≥ n−k+1 short-circuits to
+    exactly 1.0 (some term hits zero). ``pass_col`` is any 0/1 or
+    boolean column; NULL attempts are excluded.
+
+    Returns ``(task, n, c, pass_at_<k>…)`` one row per task — feed it
+    to a plain ``avg`` for the corpus-level number.
+    """
+    ks = list(ks)
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    y = F.col(pass_col).cast("int").cast("double")
+    base = (
+        df.filter(F.col(pass_col).isNotNull())
+        .groupBy(F.col(task_col).alias("task"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).cast("long").alias("c"),
+        )
+    )
+    n, c = F.col("n"), F.col("c")
+    cols = []
+    for k in ks:
+        terms = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            # ratio <= 0 only in the short-circuited c >= n-k+1 branch;
+            # guard anyway so log never sees a non-positive argument
+            lambda i: F.when(
+                (n - c - i) > 0,
+                F.round(
+                    F.log((n - c - i).cast("double") / (n - i).cast("double")),
+                    12,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(38,12)"),
+        )
+        # decimal + decimal widens to (38,11) under Spark's precision
+        # capping; re-cast the merge so the fold keeps the zero's type
+        ln_sum = F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, v: (acc + v).cast("decimal(38,12)"),
+        )
+        val = F.when(n < k, F.lit(None).cast("double")).otherwise(
+            F.when(c >= n - k + 1, F.lit(1.0)).otherwise(
+                F.round(F.lit(1.0) - F.exp(ln_sum.cast("double")), round_to),
+            ),
+        )
+        cols.append(val.alias(f"pass_at_{k}"))
+    return base.select("task", "n", "c", *cols).orderBy("task")

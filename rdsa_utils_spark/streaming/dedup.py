@@ -223,6 +223,15 @@ def write_stream_near_dedup(
         root = f"{state_path}/{kind}"
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
+        aside = jvm.org.apache.hadoop.fs.Path(f"{root}__aside__")
+        if aside.getFileSystem(conf).exists(aside):
+            # a compact_near_dedup_state crashed mid-swap: probing a
+            # half-moved store would silently treat the corpus as
+            # (partially) empty and admit duplicates
+            raise RuntimeError(
+                f"{root}__aside__ exists — run recover_near_dedup_state"
+                f"('{state_path}') before starting the gate",
+            )
         p = jvm.org.apache.hadoop.fs.Path(root)
         if not p.getFileSystem(conf).exists(p):
             return None
@@ -345,3 +354,130 @@ def write_stream_near_dedup(
         query_name=query_name,
         trigger_available_now=trigger_available_now,
     )
+
+
+def _state_batch_ids(client, root: str) -> list[int]:
+    ids = []
+    for d in client.list_folders(root):
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("__batch__="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
+
+
+def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
+    """Merge the :func:`write_stream_near_dedup` state store's
+    accumulated per-batch partition directories — one tiny
+    ``__batch__=<id>`` dir per micro-batch, the classic small-files
+    accretion — into a single partition per store, and return how many
+    directories were reclaimed. Run while the stream is stopped.
+
+    Correctness under replay: the NEWEST batch directory is never
+    touched and everything older merges into a directory labeled with
+    the SECOND-newest id, so the gate's ``__batch__ < current`` probe
+    filter sees exactly the same rows afterwards — including the
+    replay of a crashed final batch, whose own (possibly partial)
+    state dir remains in place to be overwritten. Merging the newest
+    id instead would relabel pre-crash state AT the replaying batch's
+    own id and the ``<`` filter would drop the entire store.
+
+    Crash safety is rename-based (the ``merge_upsert`` aside
+    protocol): merged data stages outside the store, the old store
+    moves aside whole, the stage moves in, the aside is deleted last.
+    A crash at any step leaves either the old store or a complete new
+    one recoverable — run :func:`recover_near_dedup_state` at job
+    start (the gate refuses to run while an aside exists).
+    """
+    from rdsa_utils_spark.sources.versioned import _default_client
+
+    client = client or _default_client()
+    reclaimed = 0
+    for kind in ("bands", "sigs"):
+        root = f"{state_path}/{kind}"
+        stage = f"{root}__stage__"
+        aside = f"{root}__aside__"
+        if client.folder_exists(aside):
+            raise RuntimeError(
+                f"{aside} exists: state is mid-compaction — run "
+                f"recover_near_dedup_state first",
+            )
+        if not client.folder_exists(root):
+            continue
+        ids = _state_batch_ids(client, root)
+        if len(ids) <= 2:
+            continue  # nothing worth merging without touching the newest
+        label = ids[-2]
+        merged = (
+            spark.read.parquet(root)
+            .filter(F.col("__batch__") <= label)
+            .drop("__batch__")
+        )
+        if client.folder_exists(stage):
+            client.delete_folder(stage)  # leftover pre-move stage is garbage
+        merged.write.parquet(stage)
+        client.move_file(root, aside)
+        client.create_folder(root)
+        client.move_file(stage, f"{root}/__batch__={label}")
+        client.move_file(
+            f"{aside}/__batch__={ids[-1]}", f"{root}/__batch__={ids[-1]}",
+        )
+        client.delete_folder(aside)
+        reclaimed += len(ids) - 2
+    return reclaimed
+
+
+def recover_near_dedup_state(state_path: str, client=None) -> str:
+    """Roll a crashed :func:`compact_near_dedup_state` forward (the
+    staged merge is complete) or back (the aside copy of the old
+    store is intact) for both store halves. Idempotent; safe to call
+    unconditionally before starting the gate. Returns a short action
+    summary ('forward'/'back'/'clean' per store)."""
+    from rdsa_utils_spark.sources.versioned import _default_client
+
+    client = client or _default_client()
+    actions = []
+    for kind in ("bands", "sigs"):
+        root = f"{state_path}/{kind}"
+        stage = f"{root}__stage__"
+        aside = f"{root}__aside__"
+        if not client.folder_exists(aside):
+            if client.folder_exists(stage):
+                # crash before the store moved aside: stage is garbage
+                client.delete_folder(stage)
+                actions.append(f"{kind}:back")
+            else:
+                actions.append(f"{kind}:clean")
+            continue
+        aside_ids = _state_batch_ids(client, aside)
+        label = aside_ids[-2] if len(aside_ids) >= 2 else None
+        merged_in = label is not None and client.file_exists(
+            f"{root}/__batch__={label}/_SUCCESS",
+        )
+        stage_ok = client.file_exists(f"{stage}/_SUCCESS")
+        if (merged_in or stage_ok) and label is not None:
+            # roll forward: finish moving the merge + newest batch in,
+            # then drop the aside
+            if not merged_in:
+                if not client.folder_exists(root):
+                    client.create_folder(root)
+                client.move_file(stage, f"{root}/__batch__={label}")
+            newest = aside_ids[-1] if aside_ids else None
+            if newest is not None and client.folder_exists(
+                f"{aside}/__batch__={newest}",
+            ) and not client.folder_exists(f"{root}/__batch__={newest}"):
+                client.move_file(
+                    f"{aside}/__batch__={newest}", f"{root}/__batch__={newest}",
+                )
+            client.delete_folder(aside)
+            if client.folder_exists(stage):
+                client.delete_folder(stage)
+            actions.append(f"{kind}:forward")
+        else:
+            # roll back: restore the untouched old store
+            if client.folder_exists(root):
+                client.delete_folder(root)
+            client.move_file(aside, root)
+            if client.folder_exists(stage):
+                client.delete_folder(stage)
+            actions.append(f"{kind}:back")
+    return ",".join(actions)
