@@ -6693,6 +6693,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm2_quality": q_lm2_quality,
         "pass_at_k_orders": q_pass_at_k_orders,
         "brand_bt_ratings": q_brand_bt_ratings,
+        "tornqvist_prices": q_tornqvist_prices,
+        "ece_discount_returns": q_ece_discount_returns,
+        "neyman_customer_sample": q_neyman_customer_sample,
     }
 
 
@@ -6953,6 +6956,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "lm2_quality": _ORACLE_LM2_QUALITY,
         "pass_at_k_orders": _ORACLE_PASS_AT_K_ORDERS,
         "brand_bt_ratings": _oracle_brand_bt_ratings(6),
+        "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
+        "ece_discount_returns": _ORACLE_ECE_DISCOUNT_RETURNS,
+        "neyman_customer_sample": _ORACLE_NEYMAN_CUSTOMER_SAMPLE,
     }
 
 
@@ -11191,3 +11197,176 @@ FROM items it JOIN it{iterations} f USING (i)
 ORDER BY item
 """
     )
+
+
+def q_tornqvist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Törnqvist superlative price index by order year vs 1995
+    (operators/stats.py::tornqvist_index) — average-expenditure-share
+    weighted log relatives over the matched part set; 12 dp
+    quantize-then-decimal-summed terms, one exp, SQL-replayed."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    from rdsa_utils_spark.operators.stats import tornqvist_index
+
+    j = li.join(
+        orders.select("o_orderkey", F.year("o_orderdate").alias("yr")),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    return tornqvist_index(
+        j, "yr", "l_partkey", "l_extendedprice", "l_quantity", 1995,
+    )
+
+
+_ORACLE_TORNQVIST_PRICES = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS period, l.l_partkey AS item,
+         l.l_extendedprice AS p, l.l_quantity AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per AS (
+  SELECT period, item, AVG(p) AS p, SUM(CAST(q AS DECIMAL(38,6))) AS q
+  FROM j GROUP BY period, item
+), base AS (
+  SELECT item, p AS p0, q AS q0 FROM per WHERE period = 1995
+), m AS (
+  SELECT per.period, per.item, per.p, per.q, base.p0, base.q0
+  FROM per JOIN base ON per.item = base.item
+), tot AS (
+  SELECT period,
+         SUM(CAST(p * q AS DECIMAL(38,6))) AS et,
+         SUM(CAST(p0 * q0 AS DECIMAL(38,6))) AS e0
+  FROM m GROUP BY period
+), terms AS (
+  SELECT m.period,
+         CAST(ROUND(
+           (CAST(CAST(m.p0 * m.q0 AS DECIMAL(38,6)) AS DOUBLE)
+              / CAST(t.e0 AS DOUBLE)
+            + CAST(CAST(m.p * m.q AS DECIMAL(38,6)) AS DOUBLE)
+              / CAST(t.et AS DOUBLE)) / 2.0
+           * LN(m.p / m.p0), 12) AS DECIMAL(38,12)) AS term
+  FROM m JOIN tot t USING (period)
+)
+SELECT period, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(100.0 * EXP(CAST(SUM(term) AS DOUBLE)), 6) AS tornqvist
+FROM terms GROUP BY period
+ORDER BY period
+"""
+
+
+def q_ece_discount_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (operators/classify.py::
+    expected_calibration_error) of the raw discount 'score' against
+    the returned flag — the single-number reliability readout the
+    Platt/isotonic calibrators are judged by; bin means quantize to
+    12 dp, gaps weight by exact counts, decimal sum, one division."""
+    from rdsa_utils_spark.operators.classify import (
+        expected_calibration_error,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_discount").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return expected_calibration_error(base, "score", "y", n_bins=10)
+
+
+_ORACLE_ECE_DISCOUNT_RETURNS = """
+WITH base AS (
+  SELECT CAST(l_discount AS DOUBLE) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), bins AS (
+  SELECT LEAST(CAST(FLOOR(LEAST(GREATEST(s, 0.0), 1.0) * 10) AS INT), 9) AS b,
+         COUNT(*) AS n,
+         ROUND(AVG(s), 12) AS ms,
+         ROUND(AVG(y), 12) AS my
+  FROM base GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       ROUND(CAST(SUM(CAST(ABS(ms - my) * n AS DECIMAL(38,12))) AS DOUBLE)
+             / SUM(n), 6) AS ece
+FROM bins
+"""
+
+
+def q_neyman_customer_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample of customers by market
+    segment (operators/sampling.py::neyman_sample): budget 100 split
+    n_h ∝ N_h·S_h on acctbal (decimal-exact moments), exact-n_h draw
+    by smallest md5 variates. Output = allocation joined with the
+    drawn ids' checksum-style aggregate per stratum, fully replayable."""
+    from rdsa_utils_spark.operators.sampling import neyman_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    allocation, sample = neyman_sample(
+        cust, "c_mktsegment", "c_acctbal", "c_custkey", 100,
+    )
+    drawn = sample.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_drawn"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+    return allocation.join(drawn, "stratum", "left").orderBy("stratum")
+
+
+_ORACLE_NEYMAN_CUSTOMER_SAMPLE = """
+WITH m AS (
+  SELECT c_mktsegment AS stratum,
+         COUNT(*) AS n_pop,
+         SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE), 6) AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE), 6)
+                  * ROUND(CAST(c_acctbal AS DOUBLE), 6)
+                  AS DECIMAL(38,12))) AS sxx
+  FROM customer
+  WHERE c_acctbal IS NOT NULL
+  GROUP BY c_mktsegment
+), s AS (
+  SELECT stratum, n_pop,
+         ROUND(SQRT(GREATEST(
+           CASE WHEN n_pop > 1 THEN
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_pop)
+             / (n_pop - 1)
+           ELSE 0.0 END, 0.0)), 6) AS stddev
+  FROM m
+), w AS (
+  SELECT stratum, n_pop, stddev,
+         ROUND(n_pop * stddev, 6) AS wgt
+  FROM s
+), t AS (
+  SELECT SUM(CAST(wgt AS DECIMAL(38,6))) AS tw, SUM(n_pop) AS tn FROM w
+), alloc AS (
+  SELECT w.stratum, w.n_pop, w.stddev,
+         LEAST(CAST(ROUND(100.0 *
+                 CASE WHEN CAST(t.tw AS DOUBLE) > 0 THEN w.wgt
+                      ELSE CAST(w.n_pop AS DOUBLE) END /
+                 CASE WHEN CAST(t.tw AS DOUBLE) > 0 THEN CAST(t.tw AS DOUBLE)
+                      ELSE CAST(t.tn AS DOUBLE) END, 0) AS BIGINT),
+               w.n_pop) AS n_alloc
+  FROM w, t
+), u AS (
+  SELECT c_mktsegment AS stratum, c_custkey,
+         list_reduce(
+           list_transform(range(1, 13), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(c_custkey AS VARCHAR) || ':neyman'), i, 1)) - 1)
+             * power(16.0, 12 - i)),
+           (a, b) -> a + b) / power(16.0, 12) AS u
+  FROM customer
+), ranked AS (
+  SELECT stratum, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY stratum
+                            ORDER BY u ASC, c_custkey ASC) AS rk
+  FROM u
+), drawn AS (
+  SELECT r.stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_drawn,
+         CAST(SUM(r.c_custkey) AS BIGINT) AS key_sum
+  FROM ranked r JOIN alloc a ON r.stratum = a.stratum
+  WHERE r.rk <= a.n_alloc
+  GROUP BY r.stratum
+)
+SELECT a.stratum, a.n_pop, a.stddev, a.n_alloc, d.n_drawn, d.key_sum
+FROM alloc a LEFT JOIN drawn d ON a.stratum = d.stratum
+ORDER BY a.stratum
+"""

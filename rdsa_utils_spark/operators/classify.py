@@ -47,6 +47,8 @@ __all__ = [
     "woe_iv",
     "isotonic_calibrate",
     "isotonic_apply",
+    "calibration_bins",
+    "expected_calibration_error",
 ]
 
 
@@ -921,3 +923,53 @@ def isotonic_apply(
         ),
     )
     return df.withColumn(output_col, p)
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected calibration error (Naeini et al. 2015): the
+    bin-count-weighted mean |mean confidence − observed accuracy| over
+    the :func:`calibration_bins` grid — the single-number companion to
+    the reliability diagram, and the before/after yardstick for
+    :func:`platt_scale_train` / :func:`isotonic_calibrate`.
+
+    Returns one row (``n``, ``n_bins_used``, ``ece``). Per-bin means
+    quantize to 12 dp before the |gap| (engine-exact division points),
+    gaps weight by exact bin counts and sum in decimal, one final
+    division — bit-replayable in SQL. NULL scores/labels excluded;
+    scores clamp into [0,1] edge bins like ``calibration_bins``.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    clamped = F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
+    bin_idx = F.least(F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1))
+    bins = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            bin_idx.alias("__b"),
+            s.alias("__s"),
+            F.col(label_col).cast("int").cast("double").alias("__y"),
+        )
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(F.avg("__s"), 12).alias("__ms"),
+            F.round(F.avg("__y"), 12).alias("__my"),
+        )
+    )
+    gap = F.abs(F.col("__ms") - F.col("__my"))
+    return bins.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum((gap * F.col("__n")).cast("decimal(38,12)")).cast("double")
+            / F.sum("__n"),
+            round_to,
+        ).alias("ece"),
+    )

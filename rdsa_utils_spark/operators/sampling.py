@@ -884,3 +884,114 @@ def weighted_sample_per_group(
         .filter(F.col("__wrn") <= k)
         .drop("__wkey", "__wrn")
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    id_col: str,
+    total_n: int,
+    seed: str = "neyman",
+    value_round: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Neyman-allocation stratified sampling (Neyman 1934): the
+    optimal allocation of a fixed sample budget across strata,
+    ``n_h ∝ N_h·S_h`` — strata that are big OR internally variable get
+    more of the budget, minimizing the variance of the estimated mean
+    at fixed ``total_n``. The survey-design counterpart of
+    :func:`stratified_sample`'s fixed rates.
+
+    Returns ``(allocation, sample)``: the allocation table
+    ``(stratum, n_pop, stddev, n_alloc)`` and the EXACT-``n_h``
+    deterministic sample (per-stratum ``n_alloc`` smallest
+    ``hash_uniform`` variates — reproducible, partition-independent,
+    and growth-stable like every sampler here).
+
+    Replay contract: ``S_h`` derives from decimal-exact moments —
+    ``value`` quantizes to ``value_round`` dp, Σx and Σx² accumulate
+    in decimal, the variance is one closed-form division — so the
+    allocation (and therefore the sampled id set) is engine-exact;
+    ``stddev_samp`` itself is NOT used (cross-engine accumulation
+    order differs in the last ulps). Rounding allocations may leave
+    Σ n_h a few units off ``total_n`` (largest-remainder correction is
+    deliberately omitted — it needs a global sort of the remainders;
+    document the ±|strata| tolerance instead). Single-member/constant
+    strata have S_h = 0 and draw nothing unless every stratum does
+    (degenerate all-zero weights fall back to proportional N_h).
+
+    Plan: one map-side-combined moments groupBy, a 1-row totals
+    attach onto the |strata|-row table, one rank window per stratum
+    for the exact-n draw — two shuffles total, nothing driver-side.
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    from pyspark.sql import Window
+
+    x = F.round(F.col(value_col).cast("double"), value_round)
+    d = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    moments = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.sum(d(x)).alias("__sx"),
+            F.sum(d(x * x)).alias("__sxx"),
+        )
+    )
+    n = F.col("n_pop")
+    var = F.when(
+        n > 1,
+        (
+            F.col("__sxx").cast("double")
+            - F.col("__sx").cast("double") * F.col("__sx").cast("double") / n
+        )
+        / (n - 1),
+    ).otherwise(F.lit(0.0))
+    # negative-zero / tiny negative residue from the closed form
+    stddev = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = moments.select(
+        "stratum",
+        "n_pop",
+        F.round(stddev, 6).alias("stddev"),
+        F.round(n * F.round(stddev, 6), 6).alias("__w"),
+    )
+    totals = weighted.agg(
+        F.sum(F.col("__w").cast("decimal(38,6)")).alias("__tw"),
+        F.sum("n_pop").alias("__tn"),
+    )
+    w_eff = F.when(
+        F.col("__tw").cast("double") > 0, F.col("__w"),
+    ).otherwise(n.cast("double"))
+    t_eff = F.when(
+        F.col("__tw").cast("double") > 0, F.col("__tw").cast("double"),
+    ).otherwise(F.col("__tn").cast("double"))
+    allocation = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "n_pop",
+            "stddev",
+            F.least(
+                F.round(F.lit(float(total_n)) * w_eff / t_eff, 0).cast("long"),
+                n,
+            ).alias("n_alloc"),
+        )
+        .localCheckpoint(eager=False)  # consumed by caller AND the draw
+    )
+    u = hash_uniform(id_col, seed)
+    w = Window.partitionBy(F.col(strata_col)).orderBy(
+        u.asc(), F.col(id_col).asc(),
+    )
+    sample = (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .join(
+            allocation.select(
+                F.col("stratum").alias(strata_col), "n_alloc",
+            ),
+            strata_col,
+        )
+        .filter(F.col("__rk__") <= F.col("n_alloc"))
+        .drop("__rk__", "n_alloc")
+    )
+    return allocation.orderBy("stratum"), sample

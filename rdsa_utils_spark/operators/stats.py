@@ -48,6 +48,7 @@ __all__ = [
     "post_stratified_mean",
     "ratio_estimator",
     "price_index",
+    "tornqvist_index",
     "gini_coefficient",
     "hhi_concentration",
     "lorenz_points",
@@ -1399,4 +1400,71 @@ def mutual_information(
             ).alias("mi"),
         )
         .select(*keys, "n", "mi")
+    )
+
+
+def tornqvist_index(
+    df: DataFrame,
+    period_col: str,
+    item_col: str,
+    price_col: str,
+    qty_col: str,
+    base_period,
+    round_to: int = 6,
+) -> DataFrame:
+    """Törnqvist bilateral price index per period against a fixed
+    base — the superlative sibling of :func:`price_index`'s
+    Laspeyres/Paasche/Fisher:
+    ``T_t = 100 · exp( Σ_i  ½(s_i0 + s_it) · ln(p_it/p_i0) )`` with
+    expenditure shares ``s_it = p_it·q_it / Σ_j p_jt·q_jt`` over the
+    MATCHED item set (same matched-sample rule as ``price_index``).
+    CPI-manual-preferred when quantity data exists both sides.
+
+    Replay contract: expenditures accumulate in decimal; each item's
+    share-weighted log relative quantizes to 12 dp and decimal-sums
+    per period, one ``exp`` at the end — engine-exact. Plan: one
+    (period, item) aggregation, an item-keyed join against the base
+    frame, a period-level expenditure rollup joined back
+    (period-cardinality), one final aggregation. Returns
+    (``period``, ``n_items``, ``tornqvist``); the base row is 100.
+    """
+    per = df.groupBy(
+        F.col(period_col).alias("period"), F.col(item_col).alias("__item"),
+    ).agg(
+        F.avg(price_col).alias("__p"),
+        F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
+    )
+    base = per.filter(F.col("period") == base_period).select(
+        "__item",
+        F.col("__p").alias("__p0"),
+        F.col("__q").alias("__q0"),
+    )
+    matched = per.join(base, "__item")
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    exp_tot = matched.groupBy("period").agg(
+        F.sum(d(F.col("__p") * F.col("__q"))).alias("__et"),
+        F.sum(d(F.col("__p0") * F.col("__q0"))).alias("__e0"),
+    )
+    joined = matched.join(exp_tot, "period")
+    share0 = d(F.col("__p0") * F.col("__q0")).cast("double") / F.col(
+        "__e0",
+    ).cast("double")
+    share_t = d(F.col("__p") * F.col("__q")).cast("double") / F.col(
+        "__et",
+    ).cast("double")
+    term = F.round(
+        (share0 + share_t) / F.lit(2.0) * F.log(F.col("__p") / F.col("__p0")),
+        12,
+    )
+    return (
+        joined.groupBy("period")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.lit(100.0)
+                * F.exp(F.sum(term.cast("decimal(38,12)")).cast("double")),
+                round_to,
+            ).alias("tornqvist"),
+        )
+        .orderBy("period")
     )
