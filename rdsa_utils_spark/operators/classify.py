@@ -201,6 +201,15 @@ def naive_bayes_score(
     )
 
 
+def _calibration_bin_index(score: Column, n_bins: int) -> Column:
+    """THE binning rule shared by :func:`calibration_bins` and
+    :func:`expected_calibration_error` (the ECE must summarize the
+    same bins the diagram shows): clamp into [0, 1], then
+    ``min(floor(score·n), n−1)`` so 1.0 lands in the top bin."""
+    clamped = F.least(F.greatest(score, F.lit(0.0)), F.lit(1.0))
+    return F.least(F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1))
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -222,12 +231,8 @@ def calibration_bins(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     s = F.col(score_col)
-    clamped = F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
-    bin_idx = F.least(
-        F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1),
-    )
     return (
-        df.withColumn("bin", bin_idx)
+        df.withColumn("bin", _calibration_bin_index(s, n_bins))
         .groupBy("bin")
         .agg(
             F.round(F.avg(s), round_to).alias("mean_score"),
@@ -947,12 +952,10 @@ def expected_calibration_error(
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     s = F.col(score_col).cast("double")
-    clamped = F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
-    bin_idx = F.least(F.floor(clamped * n_bins).cast("int"), F.lit(n_bins - 1))
     bins = (
         df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
         .select(
-            bin_idx.alias("__b"),
+            _calibration_bin_index(s, n_bins).alias("__b"),
             s.alias("__s"),
             F.col(label_col).cast("int").cast("double").alias("__y"),
         )

@@ -777,14 +777,17 @@ def pass_at_k(
                 ),
             )
             .otherwise(F.lit(0.0))
-            .cast("decimal(38,12)"),
+            .cast("decimal(25,12)"),
         )
-        # decimal + decimal widens to (38,11) under Spark's precision
-        # capping; re-cast the merge so the fold keeps the zero's type
+        # (25,12)+(25,12) adds at (26,12) — full 12-dp scale, no
+        # precision capping (at (38,12) Spark caps the add to scale 11,
+        # HALF_UP-rounding the running sum EVERY step and breaking the
+        # bit-exact oracle replay); the re-cast keeps the fold's type.
+        # |ln terms| < 60 each, k terms: precision 25 is ample.
         ln_sum = F.aggregate(
             terms,
-            F.lit(0).cast("decimal(38,12)"),
-            lambda acc, v: (acc + v).cast("decimal(38,12)"),
+            F.lit(0).cast("decimal(25,12)"),
+            lambda acc, v: (acc + v).cast("decimal(25,12)"),
         )
         val = F.when(n < k, F.lit(None).cast("double")).otherwise(
             F.when(c >= n - k + 1, F.lit(1.0)).otherwise(

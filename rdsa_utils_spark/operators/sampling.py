@@ -983,8 +983,12 @@ def neyman_sample(
     w = Window.partitionBy(F.col(strata_col)).orderBy(
         u.asc(), F.col(id_col).asc(),
     )
+    # draw from the same population the moments counted: a
+    # NULL-measurement row must not consume budget the allocation
+    # computed from measured rows only
     sample = (
-        df.withColumn("__rk__", F.row_number().over(w))
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__rk__", F.row_number().over(w))
         .join(
             allocation.select(
                 F.col("stratum").alias(strata_col), "n_alloc",

@@ -382,11 +382,17 @@ def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
     own id and the ``<`` filter would drop the entire store.
 
     Crash safety is rename-based (the ``merge_upsert`` aside
-    protocol): merged data stages outside the store, the old store
-    moves aside whole, the stage moves in, the aside is deleted last.
-    A crash at any step leaves either the old store or a complete new
-    one recoverable — run :func:`recover_near_dedup_state` at job
-    start (the gate refuses to run while an aside exists).
+    protocol) with a PLAN file: after the merged stage is written
+    completely, a ``<kind>__plan__`` file records the merge label and
+    the newest id, THEN the old store moves aside whole, the stage
+    and the newest batch move in, the aside is deleted, the plan file
+    last. Because the plan is durable before any move, recovery never
+    has to infer which directories already moved (inferring from the
+    aside's remaining ids mis-labels the state once the newest batch
+    has left the aside — a data-loss roll-back found in review) — a
+    crash with an aside present ALWAYS rolls forward. Run
+    :func:`recover_near_dedup_state` at job start (the gate refuses
+    to run while an aside exists).
     """
     from rdsa_utils_spark.sources.versioned import _default_client
 
@@ -396,9 +402,10 @@ def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
         root = f"{state_path}/{kind}"
         stage = f"{root}__stage__"
         aside = f"{root}__aside__"
-        if client.folder_exists(aside):
+        plan = f"{root}__plan__"
+        if client.folder_exists(aside) or client.file_exists(plan):
             raise RuntimeError(
-                f"{aside} exists: state is mid-compaction — run "
+                f"{kind} store is mid-compaction — run "
                 f"recover_near_dedup_state first",
             )
         if not client.folder_exists(root):
@@ -406,7 +413,7 @@ def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
         ids = _state_batch_ids(client, root)
         if len(ids) <= 2:
             continue  # nothing worth merging without touching the newest
-        label = ids[-2]
+        label, newest = ids[-2], ids[-1]
         merged = (
             spark.read.parquet(root)
             .filter(F.col("__batch__") <= label)
@@ -415,23 +422,35 @@ def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
         if client.folder_exists(stage):
             client.delete_folder(stage)  # leftover pre-move stage is garbage
         merged.write.parquet(stage)
+        client.write_text(plan, f"{label}\n{newest}\n")
         client.move_file(root, aside)
         client.create_folder(root)
         client.move_file(stage, f"{root}/__batch__={label}")
         client.move_file(
-            f"{aside}/__batch__={ids[-1]}", f"{root}/__batch__={ids[-1]}",
+            f"{aside}/__batch__={newest}", f"{root}/__batch__={newest}",
         )
         client.delete_folder(aside)
+        client.delete_file(plan)
         reclaimed += len(ids) - 2
     return reclaimed
 
 
 def recover_near_dedup_state(state_path: str, client=None) -> str:
-    """Roll a crashed :func:`compact_near_dedup_state` forward (the
-    staged merge is complete) or back (the aside copy of the old
-    store is intact) for both store halves. Idempotent; safe to call
-    unconditionally before starting the gate. Returns a short action
-    summary ('forward'/'back'/'clean' per store)."""
+    """Finish a crashed :func:`compact_near_dedup_state` for both
+    store halves. Idempotent; safe to call unconditionally before
+    starting the gate. Returns a short action summary
+    ('forward'/'back'/'clean' per store).
+
+    The plan file makes the decision trivial and loss-proof: it is
+    written only AFTER the merged stage is complete, so an aside ever
+    existing implies roll-FORWARD is safe (the old store's content is
+    fully represented by stage ∪ newest-batch dir); the label and
+    newest id come from the plan, never inferred from which
+    directories happen to remain (inference mis-labels the state once
+    the newest batch has moved out of the aside). A stage without a
+    plan means the crash predates any move: delete it and keep the
+    untouched store.
+    """
     from rdsa_utils_spark.sources.versioned import _default_client
 
     client = client or _default_client()
@@ -440,44 +459,49 @@ def recover_near_dedup_state(state_path: str, client=None) -> str:
         root = f"{state_path}/{kind}"
         stage = f"{root}__stage__"
         aside = f"{root}__aside__"
-        if not client.folder_exists(aside):
+        plan = f"{root}__plan__"
+        has_plan = client.file_exists(plan)
+        if not has_plan:
+            if client.folder_exists(aside):
+                # impossible under the plan-first protocol; refuse to
+                # guess rather than risk deleting state
+                raise RuntimeError(
+                    f"{aside} exists without {plan} — manual inspection "
+                    f"required (pre-plan-protocol state?)",
+                )
             if client.folder_exists(stage):
-                # crash before the store moved aside: stage is garbage
+                # crash before the plan was written: nothing has moved
                 client.delete_folder(stage)
                 actions.append(f"{kind}:back")
             else:
                 actions.append(f"{kind}:clean")
             continue
-        aside_ids = _state_batch_ids(client, aside)
-        label = aside_ids[-2] if len(aside_ids) >= 2 else None
-        merged_in = label is not None and client.file_exists(
-            f"{root}/__batch__={label}/_SUCCESS",
-        )
-        stage_ok = client.file_exists(f"{stage}/_SUCCESS")
-        if (merged_in or stage_ok) and label is not None:
-            # roll forward: finish moving the merge + newest batch in,
-            # then drop the aside
-            if not merged_in:
-                if not client.folder_exists(root):
-                    client.create_folder(root)
+        label_s, newest_s = client.read_text(plan).split()
+        label, newest = int(label_s), int(newest_s)
+        if client.folder_exists(aside):
+            # roll forward: the stage was complete before the plan
+            # existed, so every piece is present somewhere
+            if not client.folder_exists(root):
+                client.create_folder(root)
+            if not client.folder_exists(f"{root}/__batch__={label}"):
+                if not client.file_exists(f"{stage}/_SUCCESS"):
+                    raise RuntimeError(
+                        f"{kind}: plan exists but neither the merged dir "
+                        f"nor a complete stage — corrupted state",
+                    )
                 client.move_file(stage, f"{root}/__batch__={label}")
-            newest = aside_ids[-1] if aside_ids else None
-            if newest is not None and client.folder_exists(
+            if client.folder_exists(
                 f"{aside}/__batch__={newest}",
             ) and not client.folder_exists(f"{root}/__batch__={newest}"):
                 client.move_file(
                     f"{aside}/__batch__={newest}", f"{root}/__batch__={newest}",
                 )
             client.delete_folder(aside)
-            if client.folder_exists(stage):
-                client.delete_folder(stage)
             actions.append(f"{kind}:forward")
         else:
-            # roll back: restore the untouched old store
-            if client.folder_exists(root):
-                client.delete_folder(root)
-            client.move_file(aside, root)
-            if client.folder_exists(stage):
-                client.delete_folder(stage)
-            actions.append(f"{kind}:back")
+            # crash between aside-delete and plan-delete: forward done
+            actions.append(f"{kind}:forward")
+        if client.folder_exists(stage):
+            client.delete_folder(stage)
+        client.delete_file(plan)
     return ",".join(actions)

@@ -83,11 +83,12 @@ def test_compaction_noop_below_three_batches(spark, tmp_path):
     assert compact_near_dedup_state(spark, state) == 0
 
 
-def test_recovery_rolls_back_from_pre_swap_crash(spark, tmp_path):
+def test_recovery_rolls_back_from_pre_plan_crash(spark, tmp_path):
     state = str(tmp_path / "state")
     bands = {0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)]}
     _write_state(spark, state, "bands", bands)
-    # simulate: stage written (no _SUCCESS => incomplete), store intact
+    # simulate: stage written but crash BEFORE the plan file: nothing
+    # has moved, the stage is garbage
     os.makedirs(f"{state}/bands__stage__")
     summary = recover_near_dedup_state(state)
     assert "bands:back" in summary
@@ -96,31 +97,24 @@ def test_recovery_rolls_back_from_pre_swap_crash(spark, tmp_path):
     assert len(got) == 3
 
 
-def test_recovery_rolls_back_from_mid_swap_crash(spark, tmp_path):
-    state = str(tmp_path / "state")
-    bands = {0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)]}
-    _write_state(spark, state, "bands", bands)
-    # simulate: store moved aside, stage INCOMPLETE (no _SUCCESS)
-    shutil.move(f"{state}/bands", f"{state}/bands__aside__")
-    os.makedirs(f"{state}/bands__stage__")
-    summary = recover_near_dedup_state(state)
-    assert "bands:back" in summary
-    got = sorted(tuple(r) for r in _read_lt(spark, state, "bands", 9).collect())
-    assert len(got) == 3
-    assert not os.path.exists(f"{state}/bands__aside__")
-
-
-def test_recovery_rolls_forward_from_post_stage_crash(spark, tmp_path):
-    state = str(tmp_path / "state")
-    bands = {0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)]}
-    _write_state(spark, state, "bands", bands)
-    # simulate: complete stage written, store moved aside, crash
+def _stage_and_plan(spark, state, bands, label):
     merged = (
         spark.read.parquet(f"{state}/bands")
-        .filter(F.col("__batch__") <= 1)
+        .filter(F.col("__batch__") <= label)
         .drop("__batch__")
     )
     merged.write.parquet(f"{state}/bands__stage__")
+    newest = max(bands)
+    with open(f"{state}/bands__plan__", "w") as fh:
+        fh.write(f"{label}\n{newest}\n")
+
+
+def test_recovery_rolls_forward_from_post_aside_crash(spark, tmp_path):
+    state = str(tmp_path / "state")
+    bands = {0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)]}
+    _write_state(spark, state, "bands", bands)
+    # simulate: complete stage + plan written, store moved aside, crash
+    _stage_and_plan(spark, state, bands, label=1)
     shutil.move(f"{state}/bands", f"{state}/bands__aside__")
     summary = recover_near_dedup_state(state)
     assert "bands:forward" in summary
@@ -130,6 +124,53 @@ def test_recovery_rolls_forward_from_post_stage_crash(spark, tmp_path):
     assert len(got) == 3
     assert not os.path.exists(f"{state}/bands__aside__")
     assert not os.path.exists(f"{state}/bands__stage__")
+    assert not os.path.exists(f"{state}/bands__plan__")
+
+
+def test_recovery_forward_after_newest_already_moved(spark, tmp_path):
+    """The review-found data-loss window: merged dir AND the newest
+    batch already moved into the new root, crash just before the
+    aside delete. Inferring the label from the aside's remaining ids
+    would roll back and destroy the newest batch; the plan file must
+    roll forward keeping everything."""
+    state = str(tmp_path / "state")
+    bands = {0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)], 3: [(4, 0, 4)]}
+    _write_state(spark, state, "bands", bands)
+    _stage_and_plan(spark, state, bands, label=2)
+    shutil.move(f"{state}/bands", f"{state}/bands__aside__")
+    os.makedirs(f"{state}/bands")
+    shutil.move(f"{state}/bands__stage__", f"{state}/bands/__batch__=2")
+    shutil.move(
+        f"{state}/bands__aside__/__batch__=3", f"{state}/bands/__batch__=3",
+    )
+    summary = recover_near_dedup_state(state)
+    assert "bands:forward" in summary
+    dirs = sorted(os.listdir(f"{state}/bands"))
+    assert dirs == ["__batch__=2", "__batch__=3"]  # newest SURVIVES
+    got = sorted(tuple(r) for r in _read_lt(spark, state, "bands", 9).collect())
+    assert len(got) == 4
+    assert not os.path.exists(f"{state}/bands__aside__")
+    assert not os.path.exists(f"{state}/bands__plan__")
+
+
+def test_recovery_plan_only_means_forward_complete(spark, tmp_path):
+    state = str(tmp_path / "state")
+    bands = {1: [(2, 0, 2)], 2: [(3, 0, 3)]}
+    _write_state(spark, state, "bands", bands)
+    with open(f"{state}/bands__plan__", "w") as fh:
+        fh.write("1\n2\n")
+    summary = recover_near_dedup_state(state)
+    assert "bands:forward" in summary
+    assert not os.path.exists(f"{state}/bands__plan__")
+    assert len(_read_lt(spark, state, "bands", 9).collect()) == 2
+
+
+def test_recovery_refuses_aside_without_plan(spark, tmp_path):
+    state = str(tmp_path / "state")
+    _write_state(spark, state, "bands", {0: [(1, 0, 1)]})
+    os.makedirs(f"{state}/bands__aside__")
+    with pytest.raises(RuntimeError, match="manual inspection"):
+        recover_near_dedup_state(state)
 
 
 def test_gate_refuses_mid_compaction_state(spark, tmp_path):
