@@ -365,7 +365,9 @@ def _state_batch_ids(client, root: str) -> list[int]:
     return sorted(ids)
 
 
-def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
+def compact_near_dedup_state(
+    spark, state_path: str, client=None, kinds: tuple = ("bands", "sigs"),
+) -> int:
     """Merge the :func:`write_stream_near_dedup` state store's
     accumulated per-batch partition directories — one tiny
     ``__batch__=<id>`` dir per micro-batch, the classic small-files
@@ -398,7 +400,7 @@ def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
 
     client = client or _default_client()
     reclaimed = 0
-    for kind in ("bands", "sigs"):
+    for kind in kinds:
         root = f"{state_path}/{kind}"
         stage = f"{root}__stage__"
         aside = f"{root}__aside__"
@@ -435,7 +437,9 @@ def compact_near_dedup_state(spark, state_path: str, client=None) -> int:
     return reclaimed
 
 
-def recover_near_dedup_state(state_path: str, client=None) -> str:
+def recover_near_dedup_state(
+    state_path: str, client=None, kinds: tuple = ("bands", "sigs"),
+) -> str:
     """Finish a crashed :func:`compact_near_dedup_state` for both
     store halves. Idempotent; safe to call unconditionally before
     starting the gate. Returns a short action summary
@@ -455,7 +459,7 @@ def recover_near_dedup_state(state_path: str, client=None) -> str:
 
     client = client or _default_client()
     actions = []
-    for kind in ("bands", "sigs"):
+    for kind in kinds:
         root = f"{state_path}/{kind}"
         stage = f"{root}__stage__"
         aside = f"{root}__aside__"
@@ -505,3 +509,110 @@ def recover_near_dedup_state(state_path: str, client=None) -> str:
             client.delete_folder(stage)
         client.delete_file(plan)
     return ",".join(actions)
+
+
+def write_stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    *,
+    bloom_fpp: float = 0.01,
+    fingerprint_col: str = "fingerprint",
+    query_name: str = "exact_dedup_gate",
+    trigger_available_now: bool = True,
+):
+    """Streaming EXACT-duplicate gate with a persistent corpus store —
+    the live counterpart of :func:`~rdsa_utils_spark.operators.dedup.
+    dedup_against_corpus`, and the exact sibling of
+    :func:`write_stream_near_dedup` (same per-batch partition-
+    overwrite idempotence, same ``__batch__ < current`` probe rule,
+    same compaction/recovery tooling with ``kinds=("fps",)``).
+    Unlike :func:`fingerprint_dedup_stream` (watermark-bounded state,
+    late duplicates re-admitted by contract), this gate's memory is
+    the WHOLE admitted corpus: a duplicate is dropped no matter how
+    far apart the arrivals are.
+
+    Per micro-batch: fingerprint (md5 of normalized text — the batch
+    ``exact_dedup`` digest, so backfill and live ingest agree), keep
+    the smallest ``id_col`` per fingerprint within the batch, then
+    anti-join against the fingerprint store. The store side is
+    pre-filtered by a Bloom bitmap built from the BATCH's
+    fingerprints, so the store scan discards non-matching digests in
+    codegen and the surviving ~|batch|-sized fragment broadcasts into
+    the anti-join — per-batch cost tracks the batch, not the corpus.
+    Survivors (fingerprint column retained for audit) append to
+    ``path``; their fingerprints to ``state_path/fps``.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops).
+    """
+    from pyspark.sql import Window
+
+    from rdsa_utils_spark.functions.bloom import (
+        bloom_params,
+        bloom_probe_expr,
+        build_bloom_bitmap,
+    )
+    from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
+
+    spark = stream_df.sparkSession
+
+    def _read_state(before_batch: int) -> Optional[DataFrame]:
+        root = f"{state_path}/fps"
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        aside = jvm.org.apache.hadoop.fs.Path(f"{root}__aside__")
+        if aside.getFileSystem(conf).exists(aside):
+            raise RuntimeError(
+                f"{root}__aside__ exists — run recover_near_dedup_state"
+                f"('{state_path}', kinds=('fps',)) before starting the gate",
+            )
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        if not p.getFileSystem(conf).exists(p):
+            return None
+        return (
+            spark.read.parquet(root)
+            .filter(F.col("__batch__") < before_batch)
+            .drop("__batch__")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fp = with_fingerprint(batch_df, text_col, out_col=fingerprint_col)
+        w = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
+        within = (
+            fp.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+            .localCheckpoint(eager=True)  # consumed by probe + 2 writes
+        )
+        state = _read_state(batch_id)
+        kept = within
+        if state is not None:
+            n_keys = max(within.count(), 1)
+            m_bits, k_hashes = bloom_params(n_keys, bloom_fpp)
+            bloom = build_bloom_bitmap(
+                within, fingerprint_col, m_bits, k_hashes,
+            )
+            seen = (
+                state.crossJoin(F.broadcast(bloom))
+                .filter(bloom_probe_expr(fingerprint_col, m_bits, k_hashes))
+                .select(fingerprint_col)
+                .distinct()
+            )
+            kept = within.join(
+                F.broadcast(seen), fingerprint_col, "left_anti",
+            ).localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(f"{path}/__batch__={batch_id}")
+        kept.select(fingerprint_col).write.mode("overwrite").parquet(
+            f"{state_path}/fps/__batch__={batch_id}",
+        )
+
+    return write_stream_foreach_batch(
+        stream_df,
+        process,
+        checkpoint_dir,
+        query_name=query_name,
+        trigger_available_now=trigger_available_now,
+    )
