@@ -6696,6 +6696,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tornqvist_prices": q_tornqvist_prices,
         "ece_discount_returns": q_ece_discount_returns,
         "neyman_customer_sample": q_neyman_customer_sample,
+        "zipf_tokens": q_zipf_tokens,
     }
 
 
@@ -6959,6 +6960,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
         "ece_discount_returns": _ORACLE_ECE_DISCOUNT_RETURNS,
         "neyman_customer_sample": _ORACLE_NEYMAN_CUSTOMER_SAMPLE,
+        "zipf_tokens": _ORACLE_ZIPF_TOKENS,
     }
 
 
@@ -11369,4 +11371,53 @@ WITH m AS (
 SELECT a.stratum, a.n_pop, a.stddev, a.n_alloc, d.n_drawn, d.key_sum
 FROM alloc a LEFT JOIN drawn d ON a.stratum = d.stratum
 ORDER BY a.stratum
+"""
+
+
+def q_zipf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token distribution (operators/text.py::
+    zipf_fit): OLS of ln(freq) on ln(rank) over the top-200 terms —
+    the one-number corpus-health monitor; ln values quantize to 12 dp,
+    OLS sums accumulate in decimal, closed-form slope/intercept/r2."""
+    from rdsa_utils_spark.operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_k=200)
+
+
+_ORACLE_ZIPF_TOKENS = r"""
+WITH head AS (
+  SELECT term, COUNT(*) AS term_count
+  FROM (
+    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+    FROM documents
+    WHERE length(trim(text)) > 0
+  )
+  WHERE term <> ''
+  GROUP BY term
+  ORDER BY term_count DESC, term
+  LIMIT 200
+), xy AS (
+  SELECT ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY term_count DESC, term ASC)
+                       AS DOUBLE)), 12) AS x,
+         ROUND(LN(CAST(term_count AS DOUBLE)), 12) AS y
+  FROM head
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       CASE WHEN (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            ELSE NULL END AS r2
+FROM s
 """

@@ -1032,3 +1032,69 @@ def unicode_normalize_text(
         )
 
     return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` over the ``top_k`` most frequent
+    terms — natural text lands near slope −1; a corpus drifting away
+    (template spam pushes it shallower, deduplicated boilerplate
+    steeper) moves the slope, making this a one-number corpus-health
+    monitor alongside :func:`repetition_stats`.
+
+    Returns one row: (``n_terms``, ``slope``, ``intercept``, ``r2``).
+    The head comes through ``TakeOrderedAndProject`` (freq desc, term
+    asc tie-break — never a global sort); ranks attach with a window
+    over the top_k-row frame (bounded, allowlisted like the other
+    post-aggregate head windows). ln values quantize to 12 dp and the
+    five OLS sums accumulate in decimal, so slope/intercept/r² are
+    closed-form divisions of exact sums — bit-replayable in SQL.
+    """
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    from pyspark.sql import Window
+
+    from rdsa_utils_spark.operators.sampling import vocabulary
+
+    head = vocabulary(df, text_col, k=top_k)
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    x = F.round(F.log(F.col("__rank").cast("double")), 12)
+    y = F.round(F.log(F.col("term_count").cast("double")), 12)
+    d = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = (
+        head.withColumn("__rank", F.row_number().over(w))
+        .select(x.alias("__x"), y.alias("__y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d(F.col("__x"))).cast("double").alias("sx"),
+            F.sum(d(F.col("__y"))).cast("double").alias("sy"),
+            F.sum(d(F.round(F.col("__x") * F.col("__x"), 12)))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(d(F.round(F.col("__y") * F.col("__y"), 12)))
+            .cast("double")
+            .alias("syy"),
+            F.sum(d(F.round(F.col("__x") * F.col("__y"), 12)))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(cov / vx, round_to).alias("slope"),
+        F.round(
+            (F.col("sy") - (cov / vx) * F.col("sx")) / n, round_to,
+        ).alias("intercept"),
+        F.when(vy > 0, F.round(cov * cov / (vx * vy), round_to))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("r2"),
+    )
