@@ -1234,13 +1234,27 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/1000) between the exact 0.45/0.55 quantiles.
     """
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("__hll__"),
-        F.count_distinct(F.col("l_partkey")).alias("exact_parts"),
+    # Two single-purpose aggregations instead of one mixed
+    # distinct+plain aggregate: count_distinct alongside plain aggs
+    # plans an Expand (N× the shuffle rows). The distinct-pair
+    # pre-aggregation is map-side combined, and HLL over the deduped
+    # pairs is bit-identical to HLL over the raw rows (duplicate
+    # hashes hit the same register).
+    parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("__hll__"),
+        )
+    )
+    prices = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__amed__"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("__p45__"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("__p55__"),
     )
+    agg = parts.join(prices, "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_parts",
@@ -4071,29 +4085,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to extra_queries() (still CI-oracle-checked); the round-7
         # calibration/dedup/eval wave takes their driver-verdict slots.
         "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
         "gopher_rules": q_gopher_rules,
         "logreg_token_classifier": q_logreg_token_classifier,
         "kmv_overlap_types": q_kmv_overlap_types,
-        "events_hourly": q_events_hourly,
         "substring_dedup": q_substring_dedup,
         "ks_returned_price": q_ks_returned_price,
         "cluster_best_dedup": q_cluster_best_dedup,
-        "doc_dedup_exact": q_doc_dedup_exact,
         "cosine_topk": q_cosine_topk,
         "bloom_filtered_orders": q_bloom_filtered_orders,
-        "psi_daily_value": q_psi_daily_value,
-        "attribution_purchases": q_attribution_purchases,
         "pca_power_replay": q_pca_power_replay,
-        "customers_without_orders": q_customers_without_orders,
-        "normalized_text": q_normalized_text,
         "running_revenue": q_running_revenue,
         "range_join_events": q_range_join_events,
         "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_frames": q_multimodal_frames,
         "session_windows": q_session_windows,
         "token_budget_mix": q_token_budget_mix,
         "auc_discount_returns": q_auc_discount_returns,
@@ -4112,6 +4118,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cluster_profile": q_kmeans_cluster_profile,
         "rbo_termscan": q_rbo_termscan,
         "matryoshka_recall": q_matryoshka_recall,
+        # round-8 window rotation: the round-7 second half + the two
+        # new round-8 operators (win-rate significance, DoReMi mixture)
+        "ece_discount_returns": q_ece_discount_returns,
+        "pass_at_k_orders": q_pass_at_k_orders,
+        "brand_bt_ratings": q_brand_bt_ratings,
+        "neyman_customer_sample": q_neyman_customer_sample,
+        "tornqvist_prices": q_tornqvist_prices,
+        "zipf_tokens": q_zipf_tokens,
+        "win_rate_brands": q_win_rate_brands,
+        "doremi_mix": q_doremi_mix,
         # --- non-SQL-expressible, rows-only by design (3) ---
         # (the trained ivf_topk path moved to tests-only coverage when
         # the oracle-backed iters=0 replay took its driver slot; its
@@ -6607,7 +6623,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "struct_roundtrip": q_struct_roundtrip,
         "json_props": q_json_props,
         "row_index_orders": q_row_index_orders,
-        "embedding_pca": q_embedding_pca,
         "bpe_merges": q_bpe_merges,
         "acctbal_pct_rank": q_acctbal_pct_rank,
         "order_total_outliers": q_order_total_outliers,
@@ -6691,12 +6706,18 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "collocations": q_collocations,
         "lm2_quality": q_lm2_quality,
-        "pass_at_k_orders": q_pass_at_k_orders,
-        "brand_bt_ratings": q_brand_bt_ratings,
-        "tornqvist_prices": q_tornqvist_prices,
-        "ece_discount_returns": q_ece_discount_returns,
-        "neyman_customer_sample": q_neyman_customer_sample,
-        "zipf_tokens": q_zipf_tokens,
+        # round-8 window rotation: the round-7 second half moved UP to
+        # the declared window; these eight long-stable declared entries
+        # (operator coverage duplicated by surviving declared siblings)
+        # moved down here, still CI-oracle-checked every run.
+        "dsir_select": q_dsir_select,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "customers_without_orders": q_customers_without_orders,
+        "normalized_text": q_normalized_text,
+        "multimodal_frames": q_multimodal_frames,
+        "events_hourly": q_events_hourly,
+        "attribution_purchases": q_attribution_purchases,
+        "psi_daily_value": q_psi_daily_value,
     }
 
 
@@ -6708,29 +6729,21 @@ def oracle_sql() -> dict[str, str]:
         "payload_dedup": _ORACLE_PAYLOAD_DEDUP,
         "payload_near_dups": _ORACLE_PAYLOAD_NEAR_DUPS,
         "dsir_weights": _ORACLE_DSIR_WEIGHTS,
-        "dsir_select": _ORACLE_DSIR_SELECT,
         "gopher_rules": _ORACLE_GOPHER_RULES,
         "logreg_token_classifier": _oracle_logreg_token_classifier(256, 8, 1.0),
         "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
-        "events_hourly": _ORACLE_EVENTS_HOURLY,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "ks_returned_price": _ORACLE_KS_RETURNED_PRICE,
         "cluster_best_dedup": _ORACLE_CLUSTER_BEST_DEDUP,
-        "doc_dedup_exact": _ORACLE_DOC_DEDUP_EXACT,
         "cosine_topk": _ORACLE_COSINE_TOPK,
         "bloom_filtered_orders": _ORACLE_BLOOM_FILTERED_ORDERS,
-        "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
-        "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
         "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
-        "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
-        "normalized_text": _ORACLE_NORMALIZED_TEXT,
         "running_revenue": _ORACLE_RUNNING_REVENUE,
         "range_join_events": _ORACLE_RANGE_JOIN_EVENTS,
         "bpe_token_count": _ORACLE_BPE_TOKEN_COUNT,
         "quality_score": _ORACLE_QUALITY_SCORE,
         "language_id": _ORACLE_LANGUAGE_ID,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
-        "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
         "session_windows": _ORACLE_SESSION_WINDOWS,
         "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
         "auc_discount_returns": _ORACLE_AUC_DISCOUNT_RETURNS,
@@ -6749,6 +6762,14 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cluster_profile": _ORACLE_KMEANS_CLUSTER_PROFILE,
         "rbo_termscan": _oracle_rbo_termscan(),
         "matryoshka_recall": _ORACLE_MATRYOSHKA_RECALL,
+        "ece_discount_returns": _ORACLE_ECE_DISCOUNT_RETURNS,
+        "pass_at_k_orders": _ORACLE_PASS_AT_K_ORDERS,
+        "brand_bt_ratings": _oracle_brand_bt_ratings(6),
+        "neyman_customer_sample": _ORACLE_NEYMAN_CUSTOMER_SAMPLE,
+        "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
+        "zipf_tokens": _ORACLE_ZIPF_TOKENS,
+        "win_rate_brands": _oracle_win_rate_brands(0.05, 300),
+        "doremi_mix": _oracle_doremi_mix(6, 0.5),
         # approx_sketches: sketch estimates themselves are
         # engine-specific (Spark HLL++ vs DuckDB HLL), so the query
         # emits exact values + bounded-error flags and the oracle
@@ -6871,8 +6892,6 @@ def extra_oracle_sql() -> dict[str, str]:
         "struct_roundtrip": _ORACLE_STRUCT_ROUNDTRIP,
         "json_props": _ORACLE_JSON_PROPS,
         "row_index_orders": _ORACLE_ROW_INDEX_ORDERS,
-        # embedding_pca: rows-only (eigendecomposition; variance==
-        # eigenvalue identity asserted in tests/test_round4_third.py)
         "acctbal_pct_rank": _ORACLE_ACCTBAL_PCT_RANK,
         "order_total_outliers": _ORACLE_ORDER_TOTAL_OUTLIERS,
         "hard_negatives": _ORACLE_HARD_NEGATIVES,
@@ -6955,12 +6974,14 @@ def extra_oracle_sql() -> dict[str, str]:
         "span_dedup": _ORACLE_SPAN_DEDUP,
         "collocations": _ORACLE_COLLOCATIONS,
         "lm2_quality": _ORACLE_LM2_QUALITY,
-        "pass_at_k_orders": _ORACLE_PASS_AT_K_ORDERS,
-        "brand_bt_ratings": _oracle_brand_bt_ratings(6),
-        "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
-        "ece_discount_returns": _ORACLE_ECE_DISCOUNT_RETURNS,
-        "neyman_customer_sample": _ORACLE_NEYMAN_CUSTOMER_SAMPLE,
-        "zipf_tokens": _ORACLE_ZIPF_TOKENS,
+        "dsir_select": _ORACLE_DSIR_SELECT,
+        "doc_dedup_exact": _ORACLE_DOC_DEDUP_EXACT,
+        "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "normalized_text": _ORACLE_NORMALIZED_TEXT,
+        "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
+        "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
+        "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
     }
 
 
@@ -7029,24 +7050,6 @@ SELECT o_orderkey,
 FROM orders
 ORDER BY o_orderkey
 """
-
-
-def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA sanity sweep: train on the embeddings table
-    (moment partials via mapInPandas, d×d eigh on the driver), project
-    to 8 dims, return each projected dim's sample variance — which
-    must equal the model's eigenvalues (asserted in
-    tests/test_round4_third.py; not SQL-expressible, so no oracle)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    from rdsa_utils_spark.operators.similarity import pca_project, pca_train
-
-    model = pca_train(emb, "embedding", k=8)
-    proj = pca_project(emb, model, "embedding", "pca")
-    aggs = [
-        F.round(F.var_samp(F.col("pca")[i]), 6).alias(f"var_{i}")
-        for i in range(8)
-    ]
-    return proj.agg(*aggs)
 
 
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8372,7 +8375,9 @@ WITH j AS (
          l.l_extendedprice AS p, l.l_quantity AS q
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), per AS (
-  SELECT period, item, AVG(p) AS p, SUM(CAST(q AS DECIMAL(38,6))) AS q
+  SELECT period, item,
+         CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(p) AS p,
+         SUM(CAST(q AS DECIMAL(38,6))) AS q
   FROM j GROUP BY period, item
 ), base AS (
   SELECT item, p AS p0, q AS q0 FROM per WHERE period = 1995
@@ -8512,7 +8517,9 @@ WITH j AS (
          l.l_extendedprice AS p, l.l_quantity AS q
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), per AS (
-  SELECT period, item, AVG(p) AS p, SUM(CAST(q AS DECIMAL(38,6))) AS q
+  SELECT period, item,
+         CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(p) AS p,
+         SUM(CAST(q AS DECIMAL(38,6))) AS q
   FROM j GROUP BY period, item
 ), periods AS (
   SELECT DISTINCT period FROM per
@@ -11201,6 +11208,179 @@ ORDER BY item
     )
 
 
+def q_win_rate_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise brand win-rate significance matrix (operators/
+    preference.py::win_rate_matrix) over the same order-duel outcomes
+    bt_ratings fits: Wilson score intervals Bonferroni-corrected for
+    the C(25,2)=300 possible brand pairs (fixed by the p_brand
+    domain, not the data), significance = interval excludes 0.5.
+    z is a driver literal, everything else closed-form on exact
+    counts — bit-for-bit SQL-replayable."""
+    from rdsa_utils_spark.operators.preference import win_rate_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    l1 = li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p1"),
+        F.col("l_quantity").alias("q1"),
+    )
+    l2 = li.filter(F.col("l_linenumber") == 2).select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p2"),
+        F.col("l_quantity").alias("q2"),
+    )
+    win_first = (F.col("q1") > F.col("q2")) | (
+        (F.col("q1") == F.col("q2")) & (F.col("p1") < F.col("p2"))
+    )
+    duels = l1.join(l2, "l_orderkey").select(
+        F.when(win_first, F.col("p1")).otherwise(F.col("p2")).alias("pw"),
+        F.when(win_first, F.col("p2")).otherwise(F.col("p1")).alias("pl"),
+    )
+    bw = part.select(
+        F.col("p_partkey").alias("pw"), F.col("p_brand").alias("brand_w"),
+    )
+    bl = part.select(
+        F.col("p_partkey").alias("pl"), F.col("p_brand").alias("brand_l"),
+    )
+    pairs = (
+        duels.join(F.broadcast(bw), "pw")
+        .join(F.broadcast(bl), "pl")
+        .filter(F.col("brand_w") != F.col("brand_l"))
+    )
+    return win_rate_matrix(
+        pairs, "brand_w", "brand_l", alpha=0.05, m_tests=300,
+    )
+
+
+def _oracle_win_rate_brands(alpha: float, m_tests: int) -> str:
+    from rdsa_utils_spark.operators.preference import _norm_ppf
+
+    z = round(_norm_ppf(1.0 - (alpha / m_tests) / 2.0), 9)
+    return f"""
+WITH duels AS (
+  SELECT CASE WHEN l1.l_quantity > l2.l_quantity
+              OR (l1.l_quantity = l2.l_quantity
+                  AND l1.l_partkey < l2.l_partkey)
+         THEN l1.l_partkey ELSE l2.l_partkey END AS pw,
+         CASE WHEN l1.l_quantity > l2.l_quantity
+              OR (l1.l_quantity = l2.l_quantity
+                  AND l1.l_partkey < l2.l_partkey)
+         THEN l2.l_partkey ELSE l1.l_partkey END AS pl
+  FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l1
+  JOIN (SELECT * FROM lineitem WHERE l_linenumber = 2) l2
+    ON l1.l_orderkey = l2.l_orderkey
+), outcomes AS (
+  SELECT w.p_brand AS bw, l.p_brand AS bl
+  FROM duels d
+  JOIN part w ON d.pw = w.p_partkey
+  JOIN part l ON d.pl = l.p_partkey
+  WHERE w.p_brand <> l.p_brand
+), agg AS (
+  SELECT LEAST(bw, bl) AS item_a, GREATEST(bw, bl) AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN bw = LEAST(bw, bl) THEN 1 ELSE 0 END)
+              AS BIGINT) AS wins_a
+  FROM outcomes GROUP BY 1, 2
+), wilson AS (
+  SELECT item_a, item_b, n, wins_a,
+         wins_a / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM agg
+), iv AS (
+  SELECT item_a, item_b, n, wins_a,
+         ROUND(p, 6) AS win_rate,
+         ROUND(GREATEST(0.0,
+           (p + {z!r} * {z!r} / (2.0 * nd)
+              - {z!r} * SQRT(p * (1.0 - p) / nd
+                             + {z!r} * {z!r} / (4.0 * nd * nd)))
+           / (1.0 + {z!r} * {z!r} / nd)), 6) AS ci_lo,
+         ROUND(LEAST(1.0,
+           (p + {z!r} * {z!r} / (2.0 * nd)
+              + {z!r} * SQRT(p * (1.0 - p) / nd
+                             + {z!r} * {z!r} / (4.0 * nd * nd)))
+           / (1.0 + {z!r} * {z!r} / nd)), 6) AS ci_hi
+  FROM wilson
+)
+SELECT item_a, item_b, n, wins_a, win_rate, ci_lo, ci_hi,
+       (ci_lo > 0.5 OR ci_hi < 0.5) AS significant
+FROM iv
+ORDER BY item_a, item_b
+"""
+
+
+def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style language-domain mixture (operators/curation.py::
+    doremi_reweight): per-document loss proxy = ln(1 + chars per
+    whitespace-token) — high for space-free zh text, low for short-
+    word corpora — 6 multiplicative-weights steps at η=0.5, averaged
+    trajectory. Every step quantizes, so the SQL oracle unrolls the
+    loop bit-for-bit."""
+    from rdsa_utils_spark.operators.curation import doremi_reweight
+
+    docs = _t(spark, sf_dir, "documents")
+    spaces = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), " ", ""),
+    )
+    base = docs.select(
+        F.col("lang").alias("domain"),
+        F.log(
+            F.lit(1.0)
+            + F.length("text").cast("double") / (F.lit(1.0) + spaces),
+        ).alias("loss"),
+    )
+    return doremi_reweight(base, "domain", "loss", steps=6, eta=0.5)
+
+
+def _oracle_doremi_mix(steps: int, eta: float) -> str:
+    head = """
+WITH base AS MATERIALIZED (
+  SELECT lang AS domain,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(ROUND(
+             LN(1.0 + length(text) / (1.0 +
+                 (length(text) - length(replace(text, ' ', ''))))), 6)
+           AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_loss
+  FROM documents GROUP BY lang
+), k AS (SELECT COUNT(*) AS cnt FROM base),
+w0 AS (SELECT domain, ROUND(1.0 / k.cnt, 9) AS w FROM base, k)"""
+    ctes = [head]
+    for t in range(1, steps + 1):
+        ctes.append(f"""
+mix{t} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(w.w * b.mean_loss, 12) AS DECIMAL(25,12)))
+              AS DOUBLE) AS m
+  FROM w{t - 1} w JOIN base b USING (domain)
+),
+raw{t} AS MATERIALIZED (
+  SELECT w.domain,
+         ROUND(w.w * EXP({eta!r} * GREATEST(0.0, b.mean_loss - mix{t}.m)),
+               12) AS raw
+  FROM w{t - 1} w JOIN base b USING (domain), mix{t}
+),
+w{t} AS MATERIALIZED (
+  SELECT r.domain,
+         ROUND(r.raw /
+               CAST((SELECT SUM(CAST(raw AS DECIMAL(25,12))) FROM raw{t})
+                    AS DOUBLE), 9) AS w
+  FROM raw{t} r
+)"""
+        )
+    avg = " + ".join(f"w{t}.w" for t in range(1, steps + 1))
+    joins = " ".join(
+        f"JOIN w{t} ON w{t}.domain = b.domain" for t in range(1, steps + 1)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+SELECT b.domain, b.n, b.mean_loss,
+       ROUND(({avg}) / {float(steps)!r}, 6) AS weight
+FROM base b {joins}
+ORDER BY b.domain
+"""
+    )
+
+
 def q_tornqvist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Törnqvist superlative price index by order year vs 1995
     (operators/stats.py::tornqvist_index) — average-expenditure-share
@@ -11225,7 +11405,9 @@ WITH j AS (
          l.l_extendedprice AS p, l.l_quantity AS q
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), per AS (
-  SELECT period, item, AVG(p) AS p, SUM(CAST(q AS DECIMAL(38,6))) AS q
+  SELECT period, item,
+         CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(p) AS p,
+         SUM(CAST(q AS DECIMAL(38,6))) AS q
   FROM j GROUP BY period, item
 ), base AS (
   SELECT item, p AS p0, q AS q0 FROM per WHERE period = 1995

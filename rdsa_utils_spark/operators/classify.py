@@ -768,6 +768,7 @@ def isotonic_calibrate(
     *,
     score_round: int = 4,
     round_to: int = 6,
+    max_knots: int = 10_000,
 ) -> DataFrame:
     """Isotonic (non-parametric) probability calibration: the
     least-squares NON-DECREASING fit of a binary label against a
@@ -789,16 +790,22 @@ def isotonic_calibrate(
 
     100 TB posture: the corpus is touched by exactly ONE map-side-
     combined groupBy on the quantized score; everything after runs on
-    the distinct-score table, whose size is bounded by the
+    the distinct-score table, whose size k is bounded by the
     quantization grid (``score_round=4`` on a [0,1] score means at
-    most 10,001 rows — the pair grid is ~50M tiny rows at worst, and
-    11 rows -> 121 for typical discrete scores). The pair grid is a
+    most 10,001 rows; 11 rows -> 121 for typical discrete scores).
+    The pair grid is O(k²) — a HARD ceiling enforced by ``max_knots``
+    (k(k+1)/2 ≈ 5·10⁷ grid rows at the default 10,000), raising like
+    :func:`isotonic_apply`'s ``max_grid`` rather than letting a
+    wide-range score quietly quadratic-explode: lower ``score_round``
+    or rescale the score into a bounded range. The grid is a
     broadcast range self-join over that bounded frame (allowlisted
     like the other bounded attaches); no window ever sees raw rows.
     Labels must be 0/1; NULL scores/labels are excluded.
     """
     if score_round < 0:
         raise ValueError(f"score_round must be >= 0, got {score_round}")
+    if max_knots < 1:
+        raise ValueError(f"max_knots must be >= 1, got {max_knots}")
     y = F.col(label_col).cast("double")
     g = (
         df.select(
@@ -813,6 +820,14 @@ def isotonic_calibrate(
         )
         .localCheckpoint(eager=False)  # bounded; consumed by 2 branches
     )
+    k = g.count()
+    if k > max_knots:
+        raise ValueError(
+            f"isotonic_calibrate: {k} distinct quantized scores exceed "
+            f"max_knots={max_knots} — the PAV pair grid is O(k²) "
+            f"({k * (k + 1) // 2} rows here); lower score_round or "
+            f"rescale the score into a bounded range",
+        )
     # Inclusive prefix sums over the (bounded) distinct-score table.
     w_pre = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
     p = g.select(

@@ -447,3 +447,144 @@ def conformal_threshold(
             F.col("__s__").alias("threshold"),
         )
     )
+
+
+def doremi_reweight(
+    df: DataFrame,
+    domain_col: str,
+    loss_col: str,
+    *,
+    steps: int = 8,
+    eta: float = 0.5,
+    loss_round: int = 6,
+    term_round: int = 12,
+    weight_round: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    arXiv:2305.10429, "DoReMi: Optimizing Data Mixtures Speeds Up
+    Language Model Pretraining", alg. 1 adapted): multiplicative-
+    weights ascent on per-domain EXCESS loss, returning the
+    time-averaged mixture — domains whose mean loss sits above the
+    current mixture's weighted mean (hard-for-the-proxy domains) gain
+    weight, saturated domains shed it. The full DoReMi recipe
+    interleaves proxy-model training steps; this batch adaptation
+    treats the per-example ``loss_col`` (e.g. an LM filter's
+    negative-log-likelihood from ``lm_quality``) as the fixed excess
+    signal and runs the same exponentiated-gradient update to its
+    fixed point, which is the standard group-DRO reweighting loop
+    (Sagawa et al. 2020) the paper builds on.
+
+    Update per step t (all on the |domains|-row frame):
+    ``excess_d = max(0, mean_loss_d − Σ_e w_e·mean_loss_e)``;
+    ``w'_d = w_d · exp(η·excess_d)`` quantized to ``term_round``;
+    ``w ← w'/Σw'`` quantized to ``weight_round``. Output weight =
+    average of w over the ``steps`` trajectory (DoReMi's returned
+    mixture), rounded ``round_to``.
+
+    Replay contract: per-domain mean loss = quantize(``loss_round``) →
+    decimal sum → ONE double division; every step's mixture mean
+    decimal-sums ``term_round``-quantized products; weights quantize
+    after every step — the trajectory is engine-exact, so a
+    fixed-``steps`` ANSI-SQL unroll (MATERIALIZED per-step CTEs, the
+    logreg/BT replay device) reproduces it bit-for-bit.
+
+    100 TB posture: the corpus is touched by exactly ONE map-side-
+    combined groupBy(domain); all ``steps`` iterations run on the
+    domain-cardinality frame with a 1-row mixture-mean attach per step
+    (broadcast, the adjudicated scalar-attach shape) and a
+    ``localCheckpoint`` lineage cut per step (the PageRank/BT device).
+    NULL domains/losses are excluded.
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    if eta <= 0:
+        raise ValueError(f"eta must be > 0, got {eta}")
+    x = F.round(F.col(loss_col).cast("double"), loss_round)
+    base = (
+        df.filter(F.col(domain_col).isNotNull() & F.col(loss_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(x.cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__ml_raw"),
+        )
+        .select(
+            "domain",
+            "n",
+            F.round(F.col("__ml_raw"), loss_round).alias("mean_loss"),
+        )
+        .localCheckpoint(eager=True)  # domain-cardinality; every step
+    )
+    k = base.count()
+    if k == 0:
+        raise ValueError("doremi_reweight: no non-null (domain, loss) rows")
+    from rdsa_utils_spark.operators.classify import _round_half_up
+
+    w0 = _round_half_up(1.0 / k, weight_round)  # SQL-ROUND semantics
+    state = base.select("domain", F.lit(float(w0)).alias("__w"))
+    wsum = base.select("domain", F.lit(0.0).cast("double").alias("__ws"))
+    for _ in range(steps):
+        mix = (
+            state.join(base.select("domain", "mean_loss"), "domain")
+            .agg(
+                F.sum(
+                    F.round(F.col("__w") * F.col("mean_loss"), term_round)
+                    .cast("decimal(25,12)"),
+                )
+                .cast("double")
+                .alias("__mix"),
+            )
+        )
+        raw = (
+            state.join(base.select("domain", "mean_loss"), "domain")
+            .crossJoin(F.broadcast(mix))
+            .select(
+                "domain",
+                F.round(
+                    F.col("__w")
+                    * F.exp(
+                        F.lit(float(eta))
+                        * F.greatest(
+                            F.lit(0.0), F.col("mean_loss") - F.col("__mix"),
+                        ),
+                    ),
+                    term_round,
+                ).alias("__raw"),
+            )
+        )
+        tot = raw.agg(
+            F.sum(F.col("__raw").cast("decimal(25,12)"))
+            .cast("double")
+            .alias("__t"),
+        )
+        state = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "domain",
+                F.round(F.col("__raw") / F.col("__t"), weight_round)
+                .alias("__w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        wsum = (
+            wsum.join(state, "domain")
+            .select(
+                "domain",
+                (F.col("__ws") + F.col("__w")).alias("__ws"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        base.join(wsum, "domain")
+        .select(
+            "domain",
+            "n",
+            "mean_loss",
+            (F.round(F.col("__ws") / F.lit(float(steps)), round_to)
+             + F.lit(0.0)).alias("weight"),
+        )
+        .orderBy("domain")
+    )

@@ -16,7 +16,136 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bt_ratings"]
+__all__ = ["bt_ratings", "win_rate_matrix"]
+
+
+def _norm_ppf(p: float) -> float:
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — published public-domain algorithm), used to
+    turn a confidence level into a z literal. Pure Python on the
+    driver so the z embeds as the SAME constant in the Spark plan and
+    the SQL oracle; no scipy dependency.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        import math
+
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        import math
+
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                 + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+            + a[5]) * q / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                            + b[4]) * r + 1)
+
+
+def win_rate_matrix(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    *,
+    alpha: float = 0.05,
+    m_tests: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise win-rate significance matrix — the model-vs-model
+    readout that accompanies :func:`bt_ratings` on an arena-style
+    leaderboard: for every unordered item pair, the first item's win
+    rate with a Wilson (1927) score interval at confidence
+    ``1 - alpha/m`` (Bonferroni-corrected for ``m`` simultaneous pair
+    tests), and a significance flag (interval excludes 0.5 — the
+    "is A genuinely better than B" gate).
+
+    ``m_tests``: the Bonferroni divisor. Pass it explicitly when the
+    family of tests is fixed by design (e.g. C(25,2) brand pairs);
+    default None counts the observed distinct pairs (one tiny
+    aggregate). Wilson (not Wald): correct coverage at small n and
+    extreme rates, never leaves [0, 1].
+
+    Returns (``item_a``, ``item_b``, ``n``, ``wins_a``, ``win_rate``,
+    ``ci_lo``, ``ci_hi``, ``significant``) with ``item_a < item_b``
+    canonically; rates round to ``round_to``.
+
+    Replay contract: z is a driver-computed literal (pure-Python
+    inverse normal CDF rounded to 9 dp — the same constant lands in
+    the SQL oracle); everything else is closed-form arithmetic on
+    exact counts, so the matrix replays bit-for-bit. 100 TB posture:
+    one map-side-combined groupBy on the canonical pair reduces the
+    outcome stream to the pair-cardinality matrix; all interval math
+    runs on that bounded frame. Ties/self-pairs and NULLs excluded.
+    """
+    import math
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if m_tests is not None and m_tests < 1:
+        raise ValueError(f"m_tests must be >= 1, got {m_tests}")
+    w, l = F.col(winner_col), F.col(loser_col)
+    outcomes = df.select(w.alias("__w"), l.alias("__l")).filter(
+        w.isNotNull() & l.isNotNull() & (w != l),
+    )
+    pairs = (
+        outcomes.select(
+            F.least("__w", "__l").alias("item_a"),
+            F.greatest("__w", "__l").alias("item_b"),
+            (F.col("__w") == F.least("__w", "__l"))
+            .cast("long")
+            .alias("__a_won"),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__a_won").alias("wins_a"),
+        )
+    )
+    if m_tests is None:
+        pairs = pairs.localCheckpoint(eager=True)  # pair-cardinality
+        m_tests = pairs.count()
+        if m_tests == 0:
+            m_tests = 1
+    z = round(_norm_ppf(1.0 - (alpha / m_tests) / 2.0), 9)
+    zc = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("wins_a").cast("double") / n
+    denom = F.lit(1.0) + zc * zc / n
+    center = (p + zc * zc / (F.lit(2.0) * n)) / denom
+    half = (
+        zc
+        * F.sqrt(p * (F.lit(1.0) - p) / n + zc * zc / (F.lit(4.0) * n * n))
+        / denom
+    )
+    lo = F.round(F.greatest(F.lit(0.0), center - half), round_to) + F.lit(0.0)
+    hi = F.round(F.least(F.lit(1.0), center + half), round_to) + F.lit(0.0)
+    return pairs.select(
+        "item_a",
+        "item_b",
+        "n",
+        "wins_a",
+        (F.round(p, round_to) + F.lit(0.0)).alias("win_rate"),
+        lo.alias("ci_lo"),
+        hi.alias("ci_hi"),
+        ((lo > 0.5) | (hi < 0.5)).alias("significant"),
+    ).orderBy("item_a", "item_b")
 
 
 def bt_ratings(

@@ -985,17 +985,19 @@ def neyman_sample(
     )
     # draw from the same population the moments counted: a
     # NULL-measurement row must not consume budget the allocation
-    # computed from measured rows only
+    # computed from measured rows only. The join is NULL-SAFE because
+    # groupBy keeps a NULL stratum as a real group — a plain equi-join
+    # would give it n_alloc > 0 yet silently draw 0 rows from it.
     sample = (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("__rk__", F.row_number().over(w))
         .join(
             allocation.select(
-                F.col("stratum").alias(strata_col), "n_alloc",
+                F.col("stratum").alias("__stratum__"), "n_alloc",
             ),
-            strata_col,
+            F.col(strata_col).eqNullSafe(F.col("__stratum__")),
         )
         .filter(F.col("__rk__") <= F.col("n_alloc"))
-        .drop("__rk__", "n_alloc")
+        .drop("__rk__", "n_alloc", "__stratum__")
     )
     return allocation.orderBy("stratum"), sample

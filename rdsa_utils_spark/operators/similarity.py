@@ -1898,12 +1898,23 @@ def truncate_normalize(
 
     Pure projection (slice + fold-norm + divide, all codegen): no
     shuffle, no Python. Vectors shorter than ``dim`` raise at runtime
-    under ANSI rather than silently zero-padding.
+    via an explicit ``assert_true`` guard — ``F.slice`` itself would
+    silently return the shorter array (verified on pyspark 4.1.2 with
+    ANSI on), which could mix dimensions downstream undetected.
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    sliced = F.transform(
-        F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double"),
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) >= dim,
+        F.concat(
+            F.lit(f"truncate_normalize: vector shorter than dim={dim} (size="),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(")"),
+        ),
+    )
+    sliced = F.when(
+        guard.isNull(),
+        F.transform(F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")),
     )
     if not normalize:
         return df.withColumn(out_col or vec_col, sliced)

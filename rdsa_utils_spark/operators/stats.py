@@ -544,11 +544,16 @@ def grouped_bootstrap_ci(
             F.col(value_col).cast("string"),
             occ.cast("string"),
         )
-    exploded = df.select(
+    # Pin the pre-explode projection: it feeds BOTH the resample branch
+    # and the base mean/count branch, and without the pin AQE re-plans
+    # the shared scan per branch with run-to-run timing spread (the
+    # mixed_corpus device; measured 2.7× -> 1.3× there).
+    src = df.select(
         *keys,
         F.col(value_col).alias("__v"),
         rid.cast("string").alias("__rid"),
-    ).select(
+    ).localCheckpoint(eager=False)
+    exploded = src.select(
         *keys, "__v", "__rid",
         F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("__b"),
     )
@@ -585,8 +590,8 @@ def grouped_bootstrap_ci(
         F.percentile(F.col("__mean_b"), F.lit(lo_q)).alias("__lo"),
         F.percentile(F.col("__mean_b"), F.lit(hi_q)).alias("__hi"),
     )
-    base = df.groupBy(*keys).agg(
-        F.avg(value_col).alias("__mean"), F.count(F.lit(1)).alias("n"),
+    base = src.groupBy(*keys).agg(
+        F.avg("__v").alias("__mean"), F.count(F.lit(1)).alias("n"),
     )
     out = base.join(cis, keys)
     rnd = (lambda c: F.round(c, round_to)) if round_to is not None else (lambda c: c)
@@ -822,7 +827,13 @@ def price_index(
     per = df.groupBy(
         F.col(period_col).alias("period"), F.col(item_col).alias("__item"),
     ).agg(
-        F.avg(price_col).alias("__p"),
+        # decimal-sum then ONE double division — plain double F.avg is
+        # accumulation-order-dependent, undercutting the engine-exact
+        # replay contract the expenditure sums already honor
+        (
+            F.sum(F.col(price_col).cast("decimal(38,6)")).cast("double")
+            / F.count(price_col)
+        ).alias("__p"),
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
     base = per.filter(F.col("period") == base_period).select(
@@ -1019,7 +1030,13 @@ def chained_index(
     per = df.groupBy(
         F.col(period_col).alias("period"), F.col(item_col).alias("__item"),
     ).agg(
-        F.avg(price_col).alias("__p"),
+        # decimal-sum then ONE double division — plain double F.avg is
+        # accumulation-order-dependent, undercutting the engine-exact
+        # replay contract the expenditure sums already honor
+        (
+            F.sum(F.col(price_col).cast("decimal(38,6)")).cast("double")
+            / F.count(price_col)
+        ).alias("__p"),
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
     periods = per.select("period").distinct()
@@ -1431,7 +1448,13 @@ def tornqvist_index(
     per = df.groupBy(
         F.col(period_col).alias("period"), F.col(item_col).alias("__item"),
     ).agg(
-        F.avg(price_col).alias("__p"),
+        # decimal-sum then ONE double division — plain double F.avg is
+        # accumulation-order-dependent, undercutting the engine-exact
+        # replay contract the expenditure sums already honor
+        (
+            F.sum(F.col(price_col).cast("decimal(38,6)")).cast("double")
+            / F.count(price_col)
+        ).alias("__p"),
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
     base = per.filter(F.col("period") == base_period).select(

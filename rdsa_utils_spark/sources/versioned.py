@@ -305,9 +305,11 @@ def compact_snapshot(
     Uses ``repartition`` (round-robin, parallel) rather than
     ``coalesce`` — coalesce(1..k) would collapse the READ parallelism
     of the very job doing the compaction. Partitioned snapshots keep
-    their hive layout (the manifest records ``partition_by``; the
-    rewrite repartitions ON those columns so each output task writes
-    into one partition). If the current version is already at or
+    their hive layout (the manifest records ``partition_by``); the
+    rewrite repartitions on those columns PLUS a salt whose range per
+    partition is proportional to the partition's row share, so
+    ``target_file_mb`` is honored inside each hive partition and a
+    skewed partition is written by many parallel tasks, not one. If the current version is already at or
     below the target file count the call is a no-op returning the
     CURRENT version — a scheduled maintenance job never rewrites a
     full dataset for zero benefit.
@@ -340,7 +342,44 @@ def compact_snapshot(
         return entry["version"]
     pcols = entry.get("partition_by") or None
     df = read_snapshot(spark, root, client=client)
-    df = df.repartition(n_parts, *pcols) if pcols else df.repartition(n_parts)
+    if pcols:
+        # Repartitioning on pcols ALONE would land each hive
+        # partition's rows in one task → one file per partition,
+        # ignoring target_file_mb and writing a skewed partition as
+        # one giant single-task file. Allocate each partition a salt
+        # range sized by its ROW share (rows ≈ bytes within one
+        # table), so a partition holding k× the target bytes gets ~k
+        # output files written by ~k parallel tasks.
+        from pyspark.sql import functions as F
+
+        counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__n__"))
+        total_rows = counts.agg(F.sum("__n__")).collect()[0][0] or 1
+        rows_per_file = max(
+            1, int(total_rows * (target_file_mb << 20) / max(n_bytes, 1)),
+        )
+        alloc = counts.select(
+            *[F.col(c).alias(f"__p_{c}__") for c in pcols],
+            F.greatest(
+                F.lit(1), F.ceil(F.col("__n__") / rows_per_file),
+            ).cast("int").alias("__files__"),
+        )
+        total_parts = int(
+            alloc.agg(F.sum("__files__")).collect()[0][0] or 1,
+        )
+        cond = [
+            df[c].eqNullSafe(F.col(f"__p_{c}__")) for c in pcols
+        ]  # null-safe: a NULL partition must still meet its allocation
+        df = (
+            df.join(F.broadcast(alloc), cond)
+            .withColumn(
+                "__salt__",
+                F.floor(F.rand(42) * F.col("__files__")).cast("int"),
+            )
+            .repartition(total_parts, *pcols, "__salt__")
+            .drop("__salt__", "__files__", *[f"__p_{c}__" for c in pcols])
+        )
+    else:
+        df = df.repartition(n_parts)
     return write_snapshot(
         df, root, note=note, partition_by=pcols, client=client,
     )

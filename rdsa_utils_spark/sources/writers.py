@@ -233,6 +233,7 @@ def write_bucketed_table(
     num_buckets: int,
     sort_cols: Optional[Sequence[str]] = None,
     mode: str = "overwrite",
+    path: Optional[str] = None,
 ) -> None:
     """Hash-bucketed (+optionally sorted) catalog table.
 
@@ -242,11 +243,15 @@ def write_bucketed_table(
     where re-shuffling a petabyte per run dwarfs the one-off bucketed
     write. Bucketed tables must go through the catalog
     (``saveAsTable``) — path-based parquet writes cannot carry bucket
-    metadata.
+    metadata. ``path`` makes it an EXTERNAL table at that location —
+    the data outlives (and can re-register into) a lost catalog, the
+    pattern the streaming-dedup state store relies on.
     """
     writer = df.write.mode(mode).bucketBy(int(num_buckets), *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
 
 

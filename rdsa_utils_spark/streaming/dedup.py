@@ -137,6 +137,158 @@ def new_keys_per_window(
     )
 
 
+# --------------------------------------------------------------------------
+# Shared state-store plumbing for the two persistent-corpus gates.
+#
+# A gate's state store for ``kind`` lives in two tiers under
+# ``state_path``:
+#   * ``{kind}/__batch__=<id>/``  — one small parquet dir per
+#     micro-batch (the write-side tier; replay overwrites its own dir),
+#   * zero or more BUCKETED epoch catalog tables (the read-side tier),
+#     produced by ``compact_near_dedup_state(..., bucket=True)`` and
+#     recorded in a ``{kind}__manifest__`` JSON file.  Each epoch holds
+#     the batches in ``(prev_label, label]`` bucketed (and sorted) on
+#     the probe's join key, so the per-micro-batch probe equi-join
+#     needs NO exchange on the store side — the scan streams straight
+#     into the join.  Epochs are append-only: compacting N new batches
+#     costs O(N batches), never O(corpus).
+# --------------------------------------------------------------------------
+
+_BUCKET_COLS = {"bands": ("band", "band_hash")}
+
+
+def _hadoop_exists(spark, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def _manifest_path(state_path: str, kind: str) -> str:
+    return f"{state_path}/{kind}__manifest__"
+
+
+def _load_manifest(spark, state_path: str, kind: str) -> Optional[dict]:
+    import json
+
+    mpath = _manifest_path(state_path, kind)
+    if _hadoop_exists(spark, f"{mpath}__tmp__"):
+        raise RuntimeError(
+            f"{mpath}__tmp__ exists — a bucketing compaction crashed "
+            f"mid-manifest-swap; run recover_near_dedup_state"
+            f"('{state_path}') before starting the gate",
+        )
+    if not _hadoop_exists(spark, mpath):
+        return None
+    lines = spark.read.text(mpath).collect()  # one tiny JSON file
+    return json.loads("\n".join(r.value for r in lines))
+
+
+def _ensure_epoch_table(spark, entry: dict) -> str:
+    """Return the epoch's table name, re-registering the EXTERNAL
+    bucketed table from its manifest-recorded path/schema/bucket-spec
+    if the catalog lost it (fresh metastore, in-memory catalog across
+    restarts). The parquet data under ``state_path`` is the durable
+    copy; the catalog entry is reconstructible metadata.
+    """
+    name = entry["table"]
+    if spark.catalog.tableExists(name):
+        return name
+    cols = ", ".join(entry["bucket_cols"])
+    sql = (
+        f"CREATE TABLE {name} ({entry['schema_ddl']}) USING PARQUET "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {int(entry['num_buckets'])} BUCKETS "
+        f"LOCATION '{entry['path']}'"
+    )
+    spark.sql(sql)
+    return name
+
+
+def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
+    """The gate-side state view as a LIST of DataFrames: one per
+    bucketed epoch table (each preserving its bucket partitioning so a
+    downstream equi-join on the bucket columns plans with zero
+    exchanges on the store side) plus one for the uncompacted
+    ``__batch__=<id>`` directory tail. Empty list = no admitted corpus
+    yet. Refuses (never guesses) when a compaction crash marker — the
+    dir-merge protocol's ``__aside__`` or the bucketing protocol's
+    manifest ``__tmp__`` — is present.
+    """
+    root = f"{state_path}/{kind}"
+    if _hadoop_exists(spark, f"{root}__aside__"):
+        # a compact_near_dedup_state crashed mid-swap: probing a
+        # half-moved store would silently treat the corpus as
+        # (partially) empty and admit duplicates
+        raise RuntimeError(
+            f"{root}__aside__ exists — run recover_near_dedup_state"
+            f"('{state_path}') before starting the gate",
+        )
+    parts = []
+    label = -1
+    man = _load_manifest(spark, state_path, kind)
+    if man is not None:
+        label = int(man["label"])
+        for entry in man["epochs"]:
+            t = _ensure_epoch_table(spark, entry)
+            parts.append(
+                spark.table(t)
+                .filter(F.col("__batch__") < before_batch)
+                .drop("__batch__"),
+            )
+    if _hadoop_exists(spark, root):
+        parts.append(
+            spark.read.parquet(root)
+            .filter(
+                (F.col("__batch__") > label)
+                & (F.col("__batch__") < before_batch),
+            )
+            .drop("__batch__"),
+        )
+    return parts
+
+
+def _assert_checkpoint_not_reset(
+    spark, state_path: str, kinds, batch_id: int,
+) -> None:
+    """Refuse to run a gate batch whose state store already contains
+    STRICTLY NEWER batches. Batch N+1 only starts after batch N commits
+    to the checkpoint, so under an intact checkpoint no state dir (or
+    compacted epoch) can exceed the current batch_id — if one does, the
+    checkpoint was reset/lost while ``state_path``/``path`` were kept:
+    batch ids restart at 0, the ``__batch__ < 0`` probe would see an
+    EMPTY corpus (silent duplicate admission), and the overwrite-mode
+    writes would clobber the prior run's low-numbered partitions
+    (silent partial data loss). Refuse-don't-guess, like the
+    ``__aside__`` guard.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    newest = -1
+    for kind in kinds:
+        root = f"{state_path}/{kind}"
+        man = _load_manifest(spark, state_path, kind)
+        if man is not None:
+            newest = max(newest, int(man["label"]))
+        p = jvm.org.apache.hadoop.fs.Path(root)
+        fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            continue
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith("__batch__="):
+                newest = max(newest, int(name.split("=", 1)[1]))
+    if newest > batch_id:
+        raise RuntimeError(
+            f"state under {state_path} already contains __batch__="
+            f"{newest} > current batch_id={batch_id} — the streaming "
+            f"checkpoint appears to have been reset/lost while the "
+            f"state was kept. Running would probe an empty corpus and "
+            f"overwrite prior output. Point checkpoint_dir at the "
+            f"original checkpoint, or start a fresh state_path/path.",
+        )
+
+
 def write_stream_near_dedup(
     stream_df: DataFrame,
     text_col: str,
@@ -178,9 +330,13 @@ def write_stream_near_dedup(
     (band, band_hash) against the bands store, prefiltered by a Bloom
     bitmap built from the BATCH's band keys (batch-sized, broadcast as
     one row), so the state scan discards definite non-matches inside
-    codegen instead of shuffling the whole store each batch; at larger
-    scale, compact the band store bucketed by ``band_hash`` (see
-    ``sources/writers.write_bucketed_table``) for a shuffle-free probe.
+    codegen instead of shuffling the whole store each batch. Run
+    :func:`compact_near_dedup_state` with ``bucket=True`` periodically
+    (stream stopped) and the store's history lives in epoch tables
+    BUCKETED on (band, band_hash): each epoch's probe join then plans
+    with ZERO exchanges on the store side (asserted in test_plans), so
+    the per-batch cost is one sequential store scan — no corpus-sized
+    shuffle — plus batch-sized work.
 
     Blank/NULL-text docs bypass the gate unfiltered (their Jaccard is
     0 by definition — route them through
@@ -219,26 +375,10 @@ def write_stream_near_dedup(
         )
     spark = stream_df.sparkSession
 
-    def _read_state(kind: str, before_batch: int) -> Optional[DataFrame]:
-        root = f"{state_path}/{kind}"
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        aside = jvm.org.apache.hadoop.fs.Path(f"{root}__aside__")
-        if aside.getFileSystem(conf).exists(aside):
-            # a compact_near_dedup_state crashed mid-swap: probing a
-            # half-moved store would silently treat the corpus as
-            # (partially) empty and admit duplicates
-            raise RuntimeError(
-                f"{root}__aside__ exists — run recover_near_dedup_state"
-                f"('{state_path}') before starting the gate",
-            )
-        p = jvm.org.apache.hadoop.fs.Path(root)
-        if not p.getFileSystem(conf).exists(p):
-            return None
-        out = spark.read.parquet(root).filter(F.col("__batch__") < before_batch)
-        return out.drop("__batch__")
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _assert_checkpoint_not_reset(
+            spark, state_path, ("bands", "sigs"), batch_id,
+        )
         nonblank = F.coalesce(
             F.length(F.trim(F.col(text_col))), F.lit(0),
         ) > 0
@@ -275,31 +415,38 @@ def write_stream_near_dedup(
         # (excluded by the __batch__ < batch_id filter anyway), never a
         # committed bands half without its sigs half; if sigs/ is
         # missing entirely there is no admitted corpus to match.
-        state_bands = _read_state("bands", batch_id)
-        state_sigs = _read_state("sigs", batch_id)
+        band_parts = _read_state_parts(spark, state_path, "bands", batch_id)
+        sig_parts = _read_state_parts(spark, state_path, "sigs", batch_id)
         dup_ids = None
-        if state_bands is not None and state_sigs is not None:
+        if band_parts and sig_parts:
+            from functools import reduce
+
             key = F.concat_ws(":", F.col("band"), F.col("band_hash"))
             probe = bands.withColumn("__bk__", key)
             n_keys = max(probe.count(), 1)
             m_bits, k_hashes = bloom_params(n_keys, bloom_fpp)
             bloom = build_bloom_bitmap(probe, "__bk__", m_bits, k_hashes)
-            hits = (
-                state_bands.withColumn("__bk__", key)
+            probe_ids = probe.select(
+                F.col(id_col).alias("__new_id__"), "band", "band_hash",
+            )
+            # One equi-join PER state part: a bucketed epoch scan keeps
+            # its HashPartitioning(band, band_hash) through the project/
+            # bloom-filter, so its join plans with zero exchanges on the
+            # store side (unioning the parts first would discard the
+            # partitioning and re-shuffle the whole corpus every batch).
+            hit_parts = [
+                sb.withColumn("__bk__", key)
                 .crossJoin(F.broadcast(bloom))
                 .filter(bloom_probe_expr("__bk__", m_bits, k_hashes))
                 .select(
                     F.col(id_col).alias("__old_id__"), "band", "band_hash",
                 )
-                .join(
-                    probe.select(
-                        F.col(id_col).alias("__new_id__"), "band", "band_hash",
-                    ),
-                    ["band", "band_hash"],
-                )
+                .join(probe_ids, ["band", "band_hash"])
                 .select("__new_id__", "__old_id__")
-                .distinct()
-            )
+                for sb in band_parts
+            ]
+            hits = reduce(DataFrame.unionByName, hit_parts).distinct()
+            state_sigs = reduce(DataFrame.unionByName, sig_parts)
             new_sigs = survivors.select(
                 F.col(id_col).alias("__new_id__"),
                 F.col("minhash").alias("__sig_n__"),
@@ -365,8 +512,26 @@ def _state_batch_ids(client, root: str) -> list[int]:
     return sorted(ids)
 
 
+def _default_table_prefix(state_path: str) -> str:
+    import hashlib
+    import re
+
+    base = re.sub(
+        r"[^a-z0-9]+", "_", state_path.rstrip("/").rsplit("/", 1)[-1].lower(),
+    ).strip("_") or "state"
+    tag = hashlib.md5(state_path.rstrip("/").encode()).hexdigest()[:6]
+    return f"ndg_{base}_{tag}"
+
+
 def compact_near_dedup_state(
-    spark, state_path: str, client=None, kinds: tuple = ("bands", "sigs"),
+    spark,
+    state_path: str,
+    client=None,
+    kinds: tuple = ("bands", "sigs"),
+    *,
+    bucket: bool = False,
+    num_buckets: int = 64,
+    table_prefix: Optional[str] = None,
 ) -> int:
     """Merge the :func:`write_stream_near_dedup` state store's
     accumulated per-batch partition directories — one tiny
@@ -395,10 +560,37 @@ def compact_near_dedup_state(
     crash with an aside present ALWAYS rolls forward. Run
     :func:`recover_near_dedup_state` at job start (the gate refuses
     to run while an aside exists).
+
+    ``bucket=True`` switches to the scale protocol: instead of merging
+    into one plain parquet dir, the merged batches are written as an
+    EXTERNAL catalog table under ``state_path`` BUCKETED (and sorted)
+    on the gate's probe join key (``(band, band_hash)`` for bands; the
+    fingerprint/id column otherwise), and recorded in a
+    ``{kind}__manifest__`` JSON file that the gates read. Epochs are
+    APPEND-ONLY — each compaction bucket-writes only the batches that
+    arrived since the previous one, so compaction cost is O(new data),
+    never O(corpus), and the gate's per-batch probe joins each epoch
+    with zero store-side exchanges. Crash safety: the epoch table is
+    fully written BEFORE the manifest swaps via a ``__tmp__`` file
+    (write-tmp → delete-old → move-in); the gate refuses to start
+    while a ``__tmp__`` exists and :func:`recover_near_dedup_state`
+    rolls forward (data first, pointer last — same discipline as the
+    plan-file protocol). Merged dirs are deleted only after the swap;
+    a crash between leaves rows duplicated between epoch and dirs,
+    which the ``__batch__ > label`` probe filter excludes, and the
+    next compaction sweeps the stale dirs. Catalog loss is survivable:
+    the manifest records path/schema/bucket-spec and the gate
+    re-registers missing epoch tables on sight.
     """
     from rdsa_utils_spark.sources.versioned import _default_client
 
     client = client or _default_client()
+    if bucket:
+        return _compact_bucketed(
+            spark, state_path, client, kinds,
+            num_buckets=num_buckets,
+            table_prefix=table_prefix or _default_table_prefix(state_path),
+        )
     reclaimed = 0
     for kind in kinds:
         root = f"{state_path}/{kind}"
@@ -409,6 +601,11 @@ def compact_near_dedup_state(
             raise RuntimeError(
                 f"{kind} store is mid-compaction — run "
                 f"recover_near_dedup_state first",
+            )
+        if client.file_exists(_manifest_path(state_path, kind)):
+            raise RuntimeError(
+                f"{kind} store is bucket-compacted (manifest present) — "
+                f"keep using compact_near_dedup_state(..., bucket=True)",
             )
         if not client.folder_exists(root):
             continue
@@ -437,6 +634,114 @@ def compact_near_dedup_state(
     return reclaimed
 
 
+def _compact_bucketed(
+    spark,
+    state_path: str,
+    client,
+    kinds: tuple,
+    *,
+    num_buckets: int,
+    table_prefix: str,
+) -> int:
+    """The ``bucket=True`` body of :func:`compact_near_dedup_state`
+    (see its docstring for the protocol and crash-safety argument).
+    """
+    import json
+
+    reclaimed = 0
+    for kind in kinds:
+        root = f"{state_path}/{kind}"
+        mpath = _manifest_path(state_path, kind)
+        tmp = f"{mpath}__tmp__"
+        if (
+            client.file_exists(tmp)
+            or client.folder_exists(f"{root}__aside__")
+            or client.file_exists(f"{root}__plan__")
+        ):
+            raise RuntimeError(
+                f"{kind} store is mid-compaction — run "
+                f"recover_near_dedup_state first",
+            )
+        man = (
+            json.loads(client.read_text(mpath))
+            if client.file_exists(mpath)
+            else {"label": -1, "epochs": []}
+        )
+        label = int(man["label"])
+        known = {e["table"] for e in man["epochs"]}
+        known_paths = {e["path"] for e in man["epochs"]}
+
+        # Sweep crash leftovers: stale merged dirs (<= label — already
+        # represented in an epoch) and orphan epoch tables/folders a
+        # crashed pre-manifest run left behind.
+        if client.folder_exists(root):
+            for i in _state_batch_ids(client, root):
+                if i <= label:
+                    client.delete_folder(f"{root}/__batch__={i}")
+                    reclaimed += 1
+        prefix = f"{table_prefix}_{kind}_e"
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix) and t.name not in known:
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        for d in client.list_folders(state_path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            full = f"{state_path}/{name}"
+            if name.startswith(f"{kind}__epoch__") and full not in known_paths:
+                client.delete_folder(full)
+
+        if not client.folder_exists(root):
+            continue
+        ids = _state_batch_ids(client, root)
+        mergeable = [i for i in ids[:-1] if i > label]
+        if not mergeable:
+            continue  # nothing new below the (never-touched) newest dir
+        newlabel = ids[-2]
+        df = spark.read.parquet(root).filter(
+            (F.col("__batch__") > label) & (F.col("__batch__") <= newlabel),
+        )
+        bucket_cols = list(
+            _BUCKET_COLS.get(kind)
+            or [c for c in df.columns if c != "__batch__"][:1],
+        )
+        missing = [c for c in bucket_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"{kind} store lacks expected bucket columns {missing}; "
+                f"have {df.columns}",
+            )
+        from rdsa_utils_spark.sources.writers import write_bucketed_table
+
+        epoch_table = f"{prefix}{newlabel}"
+        epoch_path = f"{state_path}/{kind}__epoch__{newlabel}"
+        write_bucketed_table(
+            df, epoch_table, bucket_cols, num_buckets,
+            sort_cols=bucket_cols, path=epoch_path,
+        )
+        entry = {
+            "table": epoch_table,
+            "path": epoch_path,
+            "min_batch": (label + 1),
+            "max_batch": newlabel,
+            "num_buckets": int(num_buckets),
+            "bucket_cols": bucket_cols,
+            "schema_ddl": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            ),
+        }
+        new_man = {"label": newlabel, "epochs": man["epochs"] + [entry]}
+        # pointer swap: tmp is durable before the old pointer goes, so
+        # recovery can always roll forward; the gate refuses on tmp
+        client.write_text(tmp, json.dumps(new_man))
+        if client.file_exists(mpath):
+            client.delete_file(mpath)
+        client.move_file(tmp, mpath)
+        for i in mergeable:
+            client.delete_folder(f"{root}/__batch__={i}")
+            reclaimed += 1
+    return reclaimed
+
+
 def recover_near_dedup_state(
     state_path: str, client=None, kinds: tuple = ("bands", "sigs"),
 ) -> str:
@@ -457,6 +762,8 @@ def recover_near_dedup_state(
     """
     from rdsa_utils_spark.sources.versioned import _default_client
 
+    import json
+
     client = client or _default_client()
     actions = []
     for kind in kinds:
@@ -464,6 +771,30 @@ def recover_near_dedup_state(
         stage = f"{root}__stage__"
         aside = f"{root}__aside__"
         plan = f"{root}__plan__"
+        mtmp = f"{_manifest_path(state_path, kind)}__tmp__"
+        if client.file_exists(mtmp):
+            # bucketing protocol crashed mid-pointer-swap. The tmp was
+            # written only AFTER the epoch table's data committed, so a
+            # PARSEABLE tmp whose epoch folders all exist rolls FORWARD
+            # (tmp becomes the manifest); an unparseable tmp means the
+            # crash was mid-write-text, nothing had moved — roll back.
+            mpath = _manifest_path(state_path, kind)
+            try:
+                cand = json.loads(client.read_text(mtmp))
+                ok = all(
+                    client.folder_exists(e["path"]) for e in cand["epochs"]
+                )
+            except (ValueError, KeyError, TypeError):
+                ok = False
+            if ok:
+                if client.file_exists(mpath):
+                    client.delete_file(mpath)
+                client.move_file(mtmp, mpath)
+                actions.append(f"{kind}:manifest-forward")
+            else:
+                client.delete_file(mtmp)
+                actions.append(f"{kind}:manifest-back")
+            continue
         has_plan = client.file_exists(plan)
         if not has_plan:
             if client.folder_exists(aside):
@@ -559,26 +890,8 @@ def write_stream_exact_dedup(
 
     spark = stream_df.sparkSession
 
-    def _read_state(before_batch: int) -> Optional[DataFrame]:
-        root = f"{state_path}/fps"
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        aside = jvm.org.apache.hadoop.fs.Path(f"{root}__aside__")
-        if aside.getFileSystem(conf).exists(aside):
-            raise RuntimeError(
-                f"{root}__aside__ exists — run recover_near_dedup_state"
-                f"('{state_path}', kinds=('fps',)) before starting the gate",
-            )
-        p = jvm.org.apache.hadoop.fs.Path(root)
-        if not p.getFileSystem(conf).exists(p):
-            return None
-        return (
-            spark.read.parquet(root)
-            .filter(F.col("__batch__") < before_batch)
-            .drop("__batch__")
-        )
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _assert_checkpoint_not_reset(spark, state_path, ("fps",), batch_id)
         fp = with_fingerprint(batch_df, text_col, out_col=fingerprint_col)
         w = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
         within = (
@@ -587,20 +900,28 @@ def write_stream_exact_dedup(
             .drop("__rn__")
             .localCheckpoint(eager=True)  # consumed by probe + 2 writes
         )
-        state = _read_state(batch_id)
+        parts = _read_state_parts(spark, state_path, "fps", batch_id)
         kept = within
-        if state is not None:
+        if parts:
+            from functools import reduce
+
             n_keys = max(within.count(), 1)
             m_bits, k_hashes = bloom_params(n_keys, bloom_fpp)
             bloom = build_bloom_bitmap(
                 within, fingerprint_col, m_bits, k_hashes,
             )
-            seen = (
-                state.crossJoin(F.broadcast(bloom))
+            # distinct() PER part: a fps-bucketed epoch scan already
+            # satisfies the aggregate's distribution, so its dedup runs
+            # exchange-free; only the (batch-bounded) uncompacted tail
+            # and the bloom survivors shuffle.
+            seen_parts = [
+                p.crossJoin(F.broadcast(bloom))
                 .filter(bloom_probe_expr(fingerprint_col, m_bits, k_hashes))
                 .select(fingerprint_col)
                 .distinct()
-            )
+                for p in parts
+            ]
+            seen = reduce(DataFrame.unionByName, seen_parts)
             kept = within.join(
                 F.broadcast(seen), fingerprint_col, "left_anti",
             ).localCheckpoint(eager=True)

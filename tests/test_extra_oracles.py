@@ -22,14 +22,15 @@ SF_DIR = "/root/testdata/sf0.001"
 #: Extras with no SQL-expressible oracle (documented rows-only tier —
 #: same category as the declared registry's rows-only tail). Each MUST
 #: have its correctness asserted elsewhere; cite the test here.
-ROWS_ONLY_EXTRAS = {
-    # eigendecomposition; projected-variance == eigenvalue identity +
-    # numpy replay asserted in tests/test_round4_third.py
-    "embedding_pca",
-    # bpe_merges left this tier in round 6: its oracle unrolls all 20
-    # merge rounds in SQL (greedy fold == string replace on a
-    # separator-delimited symbol string).
-}
+#: EMPTY since round 8: `embedding_pca` (rows-only for four rounds —
+#: driver-side LAPACK eigh) was retired from the registry in favor of
+#: its oracle-backed sibling `pca_power_replay`; the pca_train/
+#: pca_project OPERATORS remain covered by the variance==eigenvalue
+#: identity + numpy replay in tests/test_round4_third.py.
+#: bpe_merges left this tier in round 6: its oracle unrolls all 20
+#: merge rounds in SQL (greedy fold == string replace on a
+#: separator-delimited symbol string).
+ROWS_ONLY_EXTRAS: set[str] = set()
 
 
 def _norm_cell(v):

@@ -76,6 +76,8 @@ _BNLJ_OK = {
     "decayed_event_value",    # 1-row global-max-timestamp attach
     "kmv_overlap_types",      # |types|² pair grid over the 5-row sketch table
     "silhouette_labels",      # k-row (10) centroid table attach
+    "doremi_mix",             # 1-row mixture-mean / weight-total attach
+                              # per multiplicative-weights step
 }
 
 #: Queries allowed a single-partition global window: the window runs
