@@ -799,27 +799,60 @@ def jaccard_similarity_join(
     quadratic; a length-ratio filter (``t·|a| ≤ |b|``) prunes further
     before the exact verify.
 
-    Plan shape at 100 TB: one explode + token-frequency join +
-    per-doc re-sort (hash shuffles on token and id), a candidate
-    equi-join on prefix token (never the full token stream — bare
-    (token, id, n) triples), pair distinct, then ONE join back to
-    attach both token arrays and an ``array_intersect`` verify in the
-    JVM. No window, no cartesian, no Python. The exact output also
-    means an external engine can replay it all-pairs — the oracle for
-    this operator is brute force, which is the point: same answer,
-    quadratic vs near-linear cost.
+    Plan shape at 100 TB: documents sharing an IDENTICAL token set
+    collapse to one representative first (md5 of the sorted set — in
+    a template-heavy corpus identical docs are THE dominant duplicate
+    structure, and their pair set is inherently quadratic); the PPJoin
+    machinery then runs over distinct sets only. Clique-internal pairs
+    (Jaccard exactly 1) and cross-clique expansions are emitted as
+    bare id pairs — token arrays are never shuffled onto the
+    (possibly quadratic) pair stream, only onto distinct-set
+    candidates. Then: one explode + token-frequency join + per-doc
+    re-sort (hash shuffles on token and id), a candidate equi-join on
+    prefix token (never the full token stream — bare (token, id, n)
+    triples), pair distinct, then ONE join back to attach both token
+    arrays and an ``array_intersect`` verify in the JVM. No window,
+    no cartesian, no Python. The exact output also means an external
+    engine can replay it all-pairs — the oracle for this operator is
+    brute force, which is the point: same answer, quadratic vs
+    near-linear candidate cost.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from rdsa_utils_spark.operators.text import tokens as _tok
 
-    base = (
+    keyed = (
         df.select(
             F.col(id_col).alias("__id"),
             F.array_distinct(_tok(F.col(text_col))).alias("__tk"),
         )
         .filter(F.size("__tk") > 0)
+        .withColumn(
+            "__k", F.md5(F.concat_ws("\x1f", F.array_sort("__tk"))),
+        )
     )
+    members = keyed.select("__k", "__id").localCheckpoint(eager=False)
+    # one representative (smallest id) per distinct token SET
+    base = (
+        keyed.groupBy("__k")
+        .agg(F.min(F.struct("__id", "__tk")).alias("__s"))
+        .select(
+            F.col("__s.__id").alias("__id"),
+            F.col("__s.__tk").alias("__tk"),
+            "__k",
+        )
+        .localCheckpoint(eager=False)
+    )
+    rep_map = base.select("__k", F.col("__id").alias("__rid"))
+    # identical sets: every within-clique pair is Jaccard exactly 1.0
+    ma = members.select("__k", F.col("__id").alias("id_a"))
+    mb = members.select("__k", F.col("__id").alias("id_b"))
+    intra = (
+        ma.join(mb, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    base = base.drop("__k")
 
     # Global token order = (corpus frequency asc, token asc). Rare
     # tokens first ⇒ smallest candidate blocks. The order only needs
@@ -902,7 +935,7 @@ def jaccard_similarity_join(
     tb = sorted_docs.select(F.col("__id").alias("id_b"), F.col("__tk").alias("__tb"))
     inter = F.size(F.array_intersect("__ta", "__tb"))
     union = F.size("__ta") + F.size("__tb") - inter
-    return (
+    rep_pairs = (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
         .select(
@@ -912,6 +945,41 @@ def jaccard_similarity_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # fan each qualifying representative pair back out to every member
+    # pair of the two cliques — bare ids + the (set-determined) score,
+    # no array payloads on the expanded stream
+    cross = (
+        rep_pairs.join(
+            rep_map.select(
+                F.col("__rid").alias("id_a"), F.col("__k").alias("__ka"),
+            ),
+            "id_a",
+        )
+        .join(
+            rep_map.select(
+                F.col("__rid").alias("id_b"), F.col("__k").alias("__kb"),
+            ),
+            "id_b",
+        )
+        .join(
+            members.select(
+                F.col("__k").alias("__ka"), F.col("__id").alias("__ma"),
+            ),
+            "__ka",
+        )
+        .join(
+            members.select(
+                F.col("__k").alias("__kb"), F.col("__id").alias("__mb"),
+            ),
+            "__kb",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def span_dedup(

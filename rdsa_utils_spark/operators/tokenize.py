@@ -54,16 +54,21 @@ def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent symbol-pair counts over the vocab, weighted by word
-    count. Counts overlapping occurrences (reference BPE semantics)."""
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size("syms") - 1),
-        lambda i: F.struct(
-            F.element_at("syms", i).alias("l"),
-            F.element_at("syms", i + 1).alias("r"),
-        ),
+    count. Counts overlapping occurrences (reference BPE semantics).
+
+    Adjacent pairs assemble as ``arrays_zip`` of two ``slice``s —
+    whole-stage codegen — rather than a ``transform(sequence, ...)``
+    lambda, whose per-element interpreted evaluation dominated the
+    per-round cost (the element_at-in-lambda trap from the repo's
+    verification notes).
+    """
+    n = F.size("syms")
+    pairs = F.arrays_zip(
+        F.slice("syms", 1, n - 1).alias("l"),
+        F.slice("syms", 2, n - 1).alias("r"),
     )
     return (
-        vocab.filter(F.size("syms") >= 2)
+        vocab.filter(n >= 2)
         .select(F.col("cnt"), F.explode(pairs).alias("p"))
         .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
         .agg(F.sum("cnt").alias("pair_count"))
@@ -93,7 +98,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str,
     num_merges: int = 50,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 2,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules from a corpus.
 
@@ -104,7 +109,10 @@ def bpe_train(
 
     Driver traffic per round is ONE row; executor work per round is
     one vocab-frame aggregation + one fold. See module docstring for
-    the 100 TB posture.
+    the 100 TB posture. ``checkpoint_every=2`` was measured fastest at
+    sf0.1 (every round re-derives the un-checkpointed fold chain from
+    the last cut, so wide gaps trade one cheap vocab materialization
+    for quadratically growing fold recompute; 8→2 cut bpe_merges 20%).
     """
     if checkpoint_every < 1:
         raise ValueError(

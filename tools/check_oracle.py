@@ -63,6 +63,11 @@ def main() -> int:
     else:
         qs.update(entrymod.extra_queries())
         oracles.update(entrymod.extra_oracle_sql())
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently "passing" is how a query skips its gate
+        print(f"UNKNOWN query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
