@@ -6718,6 +6718,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "attribution_purchases": q_attribution_purchases,
         "psi_daily_value": q_psi_daily_value,
+        "calibrated_gate_discounts": q_calibrated_gate_discounts,
     }
 
 
@@ -6982,6 +6983,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "attribution_purchases": _ORACLE_ATTRIBUTION_PURCHASES,
         "psi_daily_value": _ORACLE_PSI_DAILY_VALUE,
+        "calibrated_gate_discounts": _ORACLE_CALIBRATED_GATE_DISCOUNTS,
     }
 
 
@@ -10815,6 +10817,83 @@ FROM g LEFT JOIN r
   ON r.lang = g.lang
  AND r.rn = CAST(CEIL((g.n_cal + 1) * 0.8) AS BIGINT)
 ORDER BY g.lang
+"""
+
+
+def q_calibrated_gate_discounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated quality gate end-to-end (operators/classify.py::
+    calibrated_gate, the streaming gate's batch core): isotonic-fit
+    P(returned | discount), apply the step function back to every line
+    item, admit at p_cal >= 0.3335, and summarize both sides of the
+    gate. Applying to the training rows means every quantized score IS
+    a knot, so the oracle replays the apply as an exact score join on
+    the unrolled PAV fit."""
+    from rdsa_utils_spark.operators.classify import (
+        calibrated_gate,
+        isotonic_calibrate,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_discount").cast("double").alias("score"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    cal = isotonic_calibrate(base, "score", "y", score_round=2)
+    flagged = calibrated_gate(base, cal, "score", 0.3335, score_round=2)
+    return (
+        flagged.groupBy("passed")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("p_cal"), 6).cast("decimal(38,12)"),
+                ).cast("double"),
+                6,
+            ).alias("sum_p"),
+            (F.round(F.min("p_cal"), 6) + F.lit(0.0)).alias("min_p"),
+            (F.round(F.max("p_cal"), 6) + F.lit(0.0)).alias("max_p"),
+        )
+        .orderBy("passed")
+    )
+
+
+_ORACLE_CALIBRATED_GATE_DISCOUNTS = """
+WITH base AS (
+  SELECT ROUND(CAST(l_discount AS DOUBLE), 2) AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), g AS (
+  SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM base GROUP BY s
+), p AS (
+  SELECT s, n, n_pos,
+         SUM(n) OVER (ORDER BY s) AS cn,
+         SUM(n_pos) OVER (ORDER BY s) AS cp
+  FROM g
+), pairs AS (
+  SELECT i.s AS si, j.s AS sj,
+         CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE)
+           / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+  FROM p i JOIN p j ON i.s <= j.s
+), m AS (
+  SELECT si, sj, MIN(a) OVER (PARTITION BY si ORDER BY sj DESC) AS mn
+  FROM pairs
+), x AS (
+  SELECT si, sj, MAX(mn) OVER (PARTITION BY sj ORDER BY si ASC) AS iso
+  FROM m
+), cal AS MATERIALIZED (
+  SELECT sj AS score, ROUND(iso, 6) + 0.0 AS p_cal
+  FROM x WHERE si = sj
+), applied AS (
+  SELECT (c.p_cal >= 0.3335) AS passed, c.p_cal
+  FROM base b JOIN cal c ON b.s = c.score
+)
+SELECT passed, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(p_cal, 6) AS DECIMAL(38,12))) AS DOUBLE),
+             6) AS sum_p,
+       ROUND(MIN(p_cal), 6) + 0.0 AS min_p,
+       ROUND(MAX(p_cal), 6) + 0.0 AS max_p
+FROM applied GROUP BY passed ORDER BY passed
 """
 
 

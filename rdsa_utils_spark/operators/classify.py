@@ -47,6 +47,7 @@ __all__ = [
     "woe_iv",
     "isotonic_calibrate",
     "isotonic_apply",
+    "calibrated_gate",
     "calibration_bins",
     "expected_calibration_error",
 ]
@@ -990,4 +991,41 @@ def expected_calibration_error(
             / F.sum("__n"),
             round_to,
         ).alias("ece"),
+    )
+
+
+def calibrated_gate(
+    df: DataFrame,
+    calibration: DataFrame,
+    score_col: str,
+    threshold: float,
+    *,
+    score_round: int = 4,
+    p_col: str = "p_cal",
+    flag_col: str = "passed",
+) -> DataFrame:
+    """Calibrated quality gate: :func:`isotonic_apply` the calibration
+    table, then flag rows whose calibrated probability clears
+    ``threshold`` — the composition a production curation pipeline
+    runs (raw quality score → calibrated P(good) → admit/reject), with
+    the threshold typically chosen by :func:`~rdsa_utils_spark.
+    operators.curation.conformal_threshold` for a coverage guarantee.
+
+    Rows whose score falls BELOW the calibration range get
+    ``p_col = NULL`` and ``flag_col = False`` — no training evidence
+    means no admission (refuse-don't-guess, stated rather than
+    implicit). Inherits isotonic_apply's pure-projection plan: the
+    gate adds zero joins, windows, or shuffles, which also makes it
+    safe inside a Structured Streaming micro-batch (see
+    ``streaming/quality.write_stream_quality_gate``).
+    """
+    if not (0.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    out = isotonic_apply(
+        df, calibration, score_col,
+        score_round=score_round, output_col=p_col,
+    )
+    return out.withColumn(
+        flag_col,
+        F.coalesce(F.col(p_col) >= F.lit(float(threshold)), F.lit(False)),
     )

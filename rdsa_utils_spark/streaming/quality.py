@@ -1,0 +1,104 @@
+"""Streaming calibrated quality gate — the ingest-time composition of
+the calibration suite: raw per-document quality score → isotonic
+calibration table → calibrated P(good) → admit/reject at a threshold
+(typically a conformal one), applied per micro-batch.
+
+The batch halves all live in ``operators/classify.py``
+(``isotonic_calibrate`` / ``isotonic_apply`` / ``calibrated_gate``)
+and ``operators/curation.py`` (``conformal_threshold``); this module
+adds only the streaming plumbing, because the gate itself is a PURE
+PROJECTION (dense-grid literal + one ``element_at`` per row — no join,
+no window, no state), which makes it trivially safe inside a
+Structured Streaming micro-batch: no watermarks, no state store, and
+backfill-vs-live agreement is exact by construction (same literal,
+same rows → same flags).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_stream_quality_gate"]
+
+
+def write_stream_quality_gate(
+    stream_df: DataFrame,
+    calibration: DataFrame,
+    score_col: str,
+    threshold: float,
+    path: str,
+    checkpoint_dir: str,
+    *,
+    reject_path: Optional[str] = None,
+    score_round: int = 4,
+    p_col: str = "p_cal",
+    query_name: str = "quality_gate",
+    trigger_available_now: bool = True,
+):
+    """Run :func:`~rdsa_utils_spark.operators.classify.calibrated_gate`
+    on every micro-batch: admitted rows (calibrated probability ≥
+    ``threshold``) land under ``path``, rejected rows under
+    ``reject_path`` when given (the audit trail a curation pipeline
+    wants; omitted = rejects are dropped). Sub-calibration-range
+    scores reject (NULL ``p_col`` — no training evidence, the batch
+    operator's stated contract).
+
+    The calibration table is collected ONCE at gate construction into
+    the projection literal (it is knot-table-sized by the
+    ``isotonic_calibrate`` contract), so per-batch cost is one
+    codegen'd map over the batch — zero joins/shuffles/state. To
+    re-calibrate, stop the gate and start a new one; a live gate
+    deliberately never re-reads the table (silent mid-stream policy
+    drift would make admitted output irreproducible).
+
+    Exactly-once like the dedup gates: every write lands in a
+    ``__batch__=<id>`` partition in overwrite mode, so a replayed
+    batch overwrites its own output byte-for-byte; the gate refuses to
+    run when the output already holds batches NEWER than the current
+    one (checkpoint reset/loss — running would silently clobber a
+    prior run's low-numbered partitions).
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops).
+    """
+    from rdsa_utils_spark.operators.classify import calibrated_gate
+    from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
+    from rdsa_utils_spark.streaming.dedup import _assert_checkpoint_not_reset
+
+    spark = stream_df.sparkSession
+    # Validate + freeze the projection ONCE (collects the knot table);
+    # a bad calibration frame should fail at construction, not in the
+    # first micro-batch.
+    probe = spark.createDataFrame(
+        [(0.0,)], f"{score_col} double",
+    )
+    calibrated_gate(
+        probe, calibration, score_col, threshold, score_round=score_round,
+    )
+
+    out_paths = [p for p in (path, reject_path) if p is not None]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        for out in out_paths:
+            _assert_checkpoint_not_reset(spark, out, ("",), batch_id)
+        flagged = calibrated_gate(
+            batch_df, calibration, score_col, threshold,
+            score_round=score_round, p_col=p_col,
+        ).localCheckpoint(eager=True)  # consumed by both sinks
+        flagged.filter(F.col("passed")).drop("passed").write.mode(
+            "overwrite",
+        ).parquet(f"{path}/__batch__={batch_id}")
+        if reject_path is not None:
+            flagged.filter(~F.col("passed")).drop("passed").write.mode(
+                "overwrite",
+            ).parquet(f"{reject_path}/__batch__={batch_id}")
+
+    return write_stream_foreach_batch(
+        stream_df,
+        process,
+        checkpoint_dir,
+        query_name=query_name,
+        trigger_available_now=trigger_available_now,
+    )
