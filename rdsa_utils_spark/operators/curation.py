@@ -524,8 +524,13 @@ def doremi_reweight(
     from rdsa_utils_spark.operators.classify import _round_half_up
 
     w0 = _round_half_up(1.0 / k, weight_round)  # SQL-ROUND semantics
-    state = base.select("domain", F.lit(float(w0)).alias("__w"))
-    wsum = base.select("domain", F.lit(0.0).cast("double").alias("__ws"))
+    # state carries BOTH the live weight and the trajectory sum, so
+    # each step is one k-row materialization, not two
+    state = base.select(
+        "domain",
+        F.lit(float(w0)).alias("__w"),
+        F.lit(0.0).cast("double").alias("__ws"),
+    )
     for _ in range(steps):
         mix = (
             state.join(base.select("domain", "mean_loss"), "domain")
@@ -543,6 +548,7 @@ def doremi_reweight(
             .crossJoin(F.broadcast(mix))
             .select(
                 "domain",
+                "__ws",
                 F.round(
                     F.col("__w")
                     * F.exp(
@@ -560,25 +566,18 @@ def doremi_reweight(
             .cast("double")
             .alias("__t"),
         )
+        w_new = F.round(F.col("__raw") / F.col("__t"), weight_round)
         state = (
             raw.crossJoin(F.broadcast(tot))
             .select(
                 "domain",
-                F.round(F.col("__raw") / F.col("__t"), weight_round)
-                .alias("__w"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        wsum = (
-            wsum.join(state, "domain")
-            .select(
-                "domain",
-                (F.col("__ws") + F.col("__w")).alias("__ws"),
+                w_new.alias("__w"),
+                (F.col("__ws") + w_new).alias("__ws"),
             )
             .localCheckpoint(eager=True)
         )
     return (
-        base.join(wsum, "domain")
+        base.join(state, "domain")
         .select(
             "domain",
             "n",

@@ -334,9 +334,10 @@ def write_stream_near_dedup(
     :func:`compact_near_dedup_state` with ``bucket=True`` periodically
     (stream stopped) and the store's history lives in epoch tables
     BUCKETED on (band, band_hash): each epoch's probe join then plans
-    with ZERO exchanges on the store side (asserted in test_plans), so
-    the per-batch cost is one sequential store scan — no corpus-sized
-    shuffle — plus batch-sized work.
+    with ZERO exchanges on the store side (asserted in
+    tests/test_round8_bucketed_state.py), so the per-batch cost is one
+    sequential store scan — no corpus-sized shuffle — plus batch-sized
+    work.
 
     Blank/NULL-text docs bypass the gate unfiltered (their Jaccard is
     0 by definition — route them through

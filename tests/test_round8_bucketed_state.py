@@ -206,6 +206,34 @@ def test_bucketed_probe_has_zero_store_side_exchanges(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
 
 
+def test_bucketed_fps_distinct_has_zero_exchanges(spark, tmp_path):
+    """The exact gate's per-epoch distinct() must also run
+    exchange-free: a fingerprint-bucketed scan already satisfies the
+    aggregate's required distribution."""
+    from rdsa_utils_spark.plans.explain import count_exchanges, plan_string
+
+    state = str(tmp_path / "state")
+    for bid in range(3):
+        spark.createDataFrame(
+            [(f"fp{bid}{i}",) for i in range(5)], "fingerprint string",
+        ).write.mode("overwrite").parquet(f"{state}/fps/__batch__={bid}")
+    compact_near_dedup_state(
+        spark, state, kinds=("fps",), bucket=True, num_buckets=4,
+    )
+    man = json.loads(open(f"{state}/fps__manifest__").read())
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        parts = _read_state_parts(spark, state, "fps", before_batch=99)
+        epoch = parts[0]
+        dd = epoch.distinct()
+        assert count_exchanges(dd) == 0, plan_string(dd)
+        assert dd.count() == 10  # batches 0,1 merged
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for e in man["epochs"]:
+            spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+
+
 def test_gate_refuses_on_checkpoint_reset(spark, tmp_path):
     """ADVICE round-7: state kept but checkpoint lost → batch ids
     restart at 0 below the store's newest batch; the gate must refuse
