@@ -743,6 +743,95 @@ def _compact_bucketed(
     return reclaimed
 
 
+def rebuild_near_dedup_epochs(
+    spark,
+    state_path: str,
+    client=None,
+    kinds: tuple = ("bands", "sigs"),
+    *,
+    num_buckets: Optional[int] = None,
+    table_prefix: Optional[str] = None,
+) -> int:
+    """Merge a gate's accumulated bucketed epochs into ONE epoch table
+    per store. Run while the stream is stopped; returns how many epoch
+    tables were retired.
+
+    Append-only compaction keeps per-compaction cost O(new data), but
+    the probe joins once PER epoch — after hundreds of compactions
+    that constant multiplies. This rebuild is the deliberate O(corpus)
+    rewrite that resets the epoch count to 1 (run it rarely — e.g.
+    when epoch count passes a few dozen); it is also the place to
+    RESCALE ``num_buckets`` as the corpus grows (defaults to the first
+    epoch's bucket count). Crash safety is the same
+    data-first/pointer-last protocol as compaction: the merged table
+    commits fully, then the manifest swaps via ``__tmp__``; old epoch
+    tables/folders are dropped only after the swap, and any orphans a
+    crash strands are swept by the next ``bucket=True`` compaction.
+    """
+    import json
+
+    from rdsa_utils_spark.sources.versioned import _default_client
+    from rdsa_utils_spark.sources.writers import write_bucketed_table
+
+    client = client or _default_client()
+    prefix = table_prefix or _default_table_prefix(state_path)
+    retired = 0
+    for kind in kinds:
+        root = f"{state_path}/{kind}"
+        mpath = _manifest_path(state_path, kind)
+        tmp = f"{mpath}__tmp__"
+        if (
+            client.file_exists(tmp)
+            or client.folder_exists(f"{root}__aside__")
+            or client.file_exists(f"{root}__plan__")
+        ):
+            raise RuntimeError(
+                f"{kind} store is mid-compaction — run "
+                f"recover_near_dedup_state first",
+            )
+        if not client.file_exists(mpath):
+            continue  # nothing bucket-compacted yet
+        man = json.loads(client.read_text(mpath))
+        if len(man["epochs"]) < 2:
+            continue  # already a single epoch
+        label = int(man["label"])
+        cols = man["epochs"][0]["bucket_cols"]
+        if any(e["bucket_cols"] != cols for e in man["epochs"]):
+            raise RuntimeError(
+                f"{kind} epochs disagree on bucket_cols — manual inspection",
+            )
+        buckets = int(num_buckets or man["epochs"][0]["num_buckets"])
+        merged = None
+        for e in man["epochs"]:
+            part = spark.table(_ensure_epoch_table(spark, e))
+            merged = part if merged is None else merged.unionByName(part)
+        new_table = f"{prefix}_{kind}_r{label}"
+        new_path = f"{state_path}/{kind}__epoch__r{label}"
+        write_bucketed_table(
+            merged, new_table, cols, buckets,
+            sort_cols=cols, path=new_path,
+        )
+        entry = {
+            "table": new_table,
+            "path": new_path,
+            "min_batch": min(int(e["min_batch"]) for e in man["epochs"]),
+            "max_batch": label,
+            "num_buckets": buckets,
+            "bucket_cols": cols,
+            "schema_ddl": man["epochs"][0]["schema_ddl"],
+        }
+        client.write_text(tmp, json.dumps({"label": label, "epochs": [entry]}))
+        if client.file_exists(mpath):
+            client.delete_file(mpath)
+        client.move_file(tmp, mpath)
+        for e in man["epochs"]:
+            spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+            if client.folder_exists(e["path"]):
+                client.delete_folder(e["path"])
+            retired += 1
+    return retired
+
+
 def recover_near_dedup_state(
     state_path: str, client=None, kinds: tuple = ("bands", "sigs"),
 ) -> str:

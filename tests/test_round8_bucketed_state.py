@@ -234,6 +234,61 @@ def test_bucketed_fps_distinct_has_zero_exchanges(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
 
 
+def test_rebuild_merges_epochs_to_one(spark, tmp_path):
+    from rdsa_utils_spark.plans.explain import count_exchanges
+    from rdsa_utils_spark.streaming.dedup import rebuild_near_dedup_epochs
+
+    state = str(tmp_path / "state")
+    _write_state(spark, state, "bands", {
+        0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)],
+    })
+    compact_near_dedup_state(
+        spark, state, kinds=("bands",), bucket=True, num_buckets=2,
+    )
+    _write_state(spark, state, "bands", {3: [(4, 0, 4)], 4: [(5, 0, 5)]})
+    compact_near_dedup_state(
+        spark, state, kinds=("bands",), bucket=True, num_buckets=2,
+    )
+    man2 = json.loads(open(f"{state}/bands__manifest__").read())
+    assert len(man2["epochs"]) == 2
+    try:
+        # rescale bucket count during the rebuild — the growth knob
+        retired = rebuild_near_dedup_epochs(
+            spark, state, kinds=("bands",), num_buckets=4,
+        )
+        assert retired == 2
+        man3 = json.loads(open(f"{state}/bands__manifest__").read())
+        assert len(man3["epochs"]) == 1
+        assert man3["label"] == man2["label"]
+        assert man3["epochs"][0]["num_buckets"] == 4
+        # probe view unchanged: batches 0..3 merged, 4 still a dir
+        parts = _read_state_parts(spark, state, "bands", before_batch=99)
+        rows = sorted(tuple(r) for p in parts for r in p.collect())
+        assert rows == [(i, 0, i) for i in range(1, 6)]
+        # zero-exchange property survives the rebuild
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = spark.createDataFrame(
+            [(9, 0, 3)], "id long, band int, band_hash long",
+        ).withColumnRenamed("id", "new_id")
+        hit = parts[0].withColumnRenamed("id", "old_id").join(
+            probe, ["band", "band_hash"],
+        )
+        assert count_exchanges(hit) == 1
+        # old epoch tables dropped from the catalog
+        for e in man2["epochs"]:
+            assert not spark.catalog.tableExists(e["table"])
+        # idempotent: single epoch left, nothing to rebuild
+        assert rebuild_near_dedup_epochs(
+            spark, state, kinds=("bands",),
+        ) == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        mp = f"{state}/bands__manifest__"
+        if os.path.exists(mp):
+            for e in json.loads(open(mp).read())["epochs"]:
+                spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+
+
 def test_gate_refuses_on_checkpoint_reset(spark, tmp_path):
     """ADVICE round-7: state kept but checkpoint lost → batch ids
     restart at 0 below the store's newest batch; the gate must refuse
