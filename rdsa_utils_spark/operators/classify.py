@@ -47,6 +47,7 @@ __all__ = [
     "woe_iv",
     "isotonic_calibrate",
     "isotonic_apply",
+    "isotonic_step_expr",
     "calibrated_gate",
     "calibration_bins",
     "expected_calibration_error",
@@ -914,6 +915,31 @@ def isotonic_apply(
     against a pathological score range × ``score_round`` combination
     (lower ``score_round`` or rescale the score if it trips).
     """
+    return df.withColumn(
+        output_col,
+        isotonic_step_expr(
+            calibration, score_col, score_round=score_round,
+            max_grid=max_grid,
+        ),
+    )
+
+
+def isotonic_step_expr(
+    calibration: DataFrame,
+    score_col: str,
+    *,
+    score_round: int = 4,
+    max_grid: int = 2_000_000,
+) -> Column:
+    """The step-function projection :func:`isotonic_apply` applies, as
+    a reusable Column. Collects the knot table ONCE at call time and
+    freezes it into the dense-grid literal — callers that apply one
+    calibration to many frames (the streaming quality gate applying it
+    to every micro-batch) build this once instead of re-collecting and
+    re-executing the calibration plan per application, which would
+    both cost a driver round-trip per batch and silently re-read a
+    mutated calibration source mid-stream.
+    """
     rows = calibration.select("score", "p_cal").orderBy("score").collect()
     if not rows:
         raise ValueError("isotonic_apply: empty calibration table")
@@ -937,13 +963,12 @@ def isotonic_apply(
         dense.append(cur)
     sq = F.round(F.col(score_col).cast("double"), score_round)
     idx = F.round((sq - F.lit(lo)) * F.lit(float(factor)), 0).cast("int")
-    p = F.when(
+    return F.when(
         sq.isNotNull() & (idx >= 0),
         F.element_at(
             F.lit(dense), F.least(idx, F.lit(size - 1)) + F.lit(1),
         ),
     )
-    return df.withColumn(output_col, p)
 
 
 def expected_calibration_error(

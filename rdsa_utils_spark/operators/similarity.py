@@ -1900,7 +1900,10 @@ def truncate_normalize(
     shuffle, no Python. Vectors shorter than ``dim`` raise at runtime
     via an explicit ``assert_true`` guard — ``F.slice`` itself would
     silently return the shorter array (verified on pyspark 4.1.2 with
-    ANSI on), which could mix dimensions downstream undetected.
+    ANSI on), which could mix dimensions downstream undetected. NULL
+    vectors pass through as NULL (a missing embedding is the
+    upstream's stated fact, not a length violation — the guard only
+    polices vectors that exist).
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
@@ -1912,7 +1915,14 @@ def truncate_normalize(
             F.lit(")"),
         ),
     )
+    # CaseWhen short-circuits per row, so a NULL vector takes the
+    # first branch and the assert never evaluates on it (assert_true
+    # raises on NULL conditions, which would turn one missing
+    # embedding into a job-killing 'shorter than dim' error).
     sliced = F.when(
+        F.col(vec_col).isNull(),
+        F.lit(None).cast("array<double>"),
+    ).when(
         guard.isNull(),
         F.transform(F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")),
     )

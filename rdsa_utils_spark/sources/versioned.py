@@ -352,7 +352,14 @@ def compact_snapshot(
         # output files written by ~k parallel tasks.
         from pyspark.sql import functions as F
 
-        counts = df.groupBy(*pcols).agg(F.count(F.lit(1)).alias("__n__"))
+        # partition-cardinality frame, consumed by two collects AND
+        # the broadcast join: pin it so the corpus-wide groupBy scans
+        # the snapshot once, not three times
+        counts = (
+            df.groupBy(*pcols)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .localCheckpoint(eager=True)
+        )
         total_rows = counts.agg(F.sum("__n__")).collect()[0][0] or 1
         rows_per_file = max(
             1, int(total_rows * (target_file_mb << 20) / max(n_bytes, 1)),

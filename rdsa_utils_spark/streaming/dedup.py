@@ -180,8 +180,22 @@ def _load_manifest(spark, state_path: str, kind: str) -> Optional[dict]:
         )
     if not _hadoop_exists(spark, mpath):
         return None
-    lines = spark.read.text(mpath).collect()  # one tiny JSON file
-    return json.loads("\n".join(r.value for r in lines))
+    # driver-side Hadoop FS read (no Spark job): the probe loads the
+    # manifest every micro-batch, and a tiny JSON file should not cost
+    # a collect each time. IOUtils copies JVM-side — a py4j bytearray
+    # readFully would NOT mutate back into Python (found the hard way).
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(mpath)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8",
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
 
 
 def _ensure_epoch_table(spark, entry: dict) -> str:
@@ -375,11 +389,17 @@ def write_stream_near_dedup(
             f"jaccard_threshold must be in (0, 1], got {jaccard_threshold}",
         )
     spark = stream_df.sparkSession
+    guard_done = {"v": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _assert_checkpoint_not_reset(
-            spark, state_path, ("bands", "sigs"), batch_id,
-        )
+        if not guard_done["v"]:
+            # a checkpoint can only be reset between query runs, so the
+            # (state-listing-cost) guard runs once per (re)start, not
+            # per micro-batch
+            _assert_checkpoint_not_reset(
+                spark, state_path, ("bands", "sigs"), batch_id,
+            )
+            guard_done["v"] = True
         nonblank = F.coalesce(
             F.length(F.trim(F.col(text_col))), F.lit(0),
         ) > 0
@@ -681,8 +701,16 @@ def _compact_bucketed(
                     client.delete_folder(f"{root}/__batch__={i}")
                     reclaimed += 1
         prefix = f"{table_prefix}_{kind}_e"
+        # sweep BOTH epoch families: compaction's e<label> tables and
+        # rebuild_near_dedup_epochs' r<label> tables — a crashed
+        # rebuild otherwise strands a catalog entry whose backing
+        # folder the folder-sweep below deletes (dangling table)
+        rebuilt_prefix = f"{table_prefix}_{kind}_r"
         for t in spark.catalog.listTables():
-            if t.name.startswith(prefix) and t.name not in known:
+            if (
+                t.name.startswith(prefix)
+                or t.name.startswith(rebuilt_prefix)
+            ) and t.name not in known:
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         for d in client.list_folders(state_path):
             name = d.rstrip("/").rsplit("/", 1)[-1]
@@ -979,9 +1007,15 @@ def write_stream_exact_dedup(
     from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
 
     spark = stream_df.sparkSession
+    guard_done = {"v": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _assert_checkpoint_not_reset(spark, state_path, ("fps",), batch_id)
+        if not guard_done["v"]:
+            # once per (re)start — see the near gate's note
+            _assert_checkpoint_not_reset(
+                spark, state_path, ("fps",), batch_id,
+            )
+            guard_done["v"] = True
         fp = with_fingerprint(batch_df, text_col, out_col=fingerprint_col)
         w = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())
         within = (

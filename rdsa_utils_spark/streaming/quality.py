@@ -63,29 +63,38 @@ def write_stream_quality_gate(
 
     Returns the started ``StreamingQuery`` (caller awaits/stops).
     """
-    from rdsa_utils_spark.operators.classify import calibrated_gate
+    from rdsa_utils_spark.operators.classify import isotonic_step_expr
     from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
     from rdsa_utils_spark.streaming.dedup import _assert_checkpoint_not_reset
 
+    if not (0.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     spark = stream_df.sparkSession
-    # Validate + freeze the projection ONCE (collects the knot table);
-    # a bad calibration frame should fail at construction, not in the
-    # first micro-batch.
-    probe = spark.createDataFrame(
-        [(0.0,)], f"{score_col} double",
+    # Freeze the projection ONCE: the knot table is collected here and
+    # never re-read — a bad calibration frame fails at construction,
+    # and a live gate cannot silently drift if the calibration's
+    # source is rewritten mid-stream (each batch reuses this literal,
+    # which also keeps crash replays byte-identical).
+    p_expr = isotonic_step_expr(
+        calibration, score_col, score_round=score_round,
     )
-    calibrated_gate(
-        probe, calibration, score_col, threshold, score_round=score_round,
+    flag_expr = F.coalesce(
+        p_expr >= F.lit(float(threshold)), F.lit(False),
     )
 
     out_paths = [p for p in (path, reject_path) if p is not None]
+    guard_done = {"v": False}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        for out in out_paths:
-            _assert_checkpoint_not_reset(spark, out, ("",), batch_id)
-        flagged = calibrated_gate(
-            batch_df, calibration, score_col, threshold,
-            score_round=score_round, p_col=p_col,
+        if not guard_done["v"]:
+            # a checkpoint can only be reset between query runs, so the
+            # (listing-cost) guard need only run on the first batch
+            # after each (re)start
+            for out in out_paths:
+                _assert_checkpoint_not_reset(spark, out, ("",), batch_id)
+            guard_done["v"] = True
+        flagged = batch_df.withColumn(p_col, p_expr).withColumn(
+            "passed", flag_expr,
         ).localCheckpoint(eager=True)  # consumed by both sinks
         flagged.filter(F.col("passed")).drop("passed").write.mode(
             "overwrite",

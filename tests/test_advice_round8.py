@@ -30,6 +30,16 @@ def test_truncate_normalize_raises_on_short_vectors(spark):
     with pytest.raises(Exception, match="shorter than dim"):
         truncate_normalize(short, dim=2).collect()
 
+    # ...but a NULL vector is a missing embedding, not a length
+    # violation: it must pass through as NULL, not kill the job
+    # (assert_true raises on NULL conditions — review finding).
+    with_null = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0]), (2, None)], "id long, embedding array<double>",
+    )
+    got = {r["id"]: r["embedding"]
+           for r in truncate_normalize(with_null, dim=2).collect()}
+    assert got[2] is None and got[1] == pytest.approx([0.6, 0.8])
+
 
 def test_compact_snapshot_honors_target_mb_per_partition(spark, tmp_path):
     from rdsa_utils_spark.sources.versioned import (

@@ -289,6 +289,46 @@ def test_rebuild_merges_epochs_to_one(spark, tmp_path):
                 spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
 
 
+def test_compaction_sweeps_crashed_rebuild_table(spark, tmp_path):
+    """A rebuild that crashed pre-manifest leaves an r-prefixed epoch
+    table; the next compaction's orphan sweep must drop the CATALOG
+    entry too, not just its backing folder (a dangling external table
+    — review finding)."""
+    from rdsa_utils_spark.streaming.dedup import _default_table_prefix
+    from rdsa_utils_spark.sources.writers import write_bucketed_table
+
+    state = str(tmp_path / "state")
+    _write_state(spark, state, "bands", {
+        0: [(1, 0, 1)], 1: [(2, 0, 2)], 2: [(3, 0, 3)],
+    })
+    prefix = _default_table_prefix(state)
+    orphan = f"{prefix}_bands_r9"
+    write_bucketed_table(
+        spark.createDataFrame(
+            [(9, 0, 9, 9)], "id long, band int, band_hash long, __batch__ int",
+        ),
+        orphan, ["band", "band_hash"], 2,
+        path=f"{state}/bands__epoch__r9",
+    )
+    man = None
+    try:
+        compact_near_dedup_state(
+            spark, state, kinds=("bands",), bucket=True, num_buckets=2,
+        )
+        man = json.loads(open(f"{state}/bands__manifest__").read())
+        assert not spark.catalog.tableExists(orphan)
+        assert not os.path.exists(f"{state}/bands__epoch__r9")
+        # the real store is intact
+        parts = _read_state_parts(spark, state, "bands", before_batch=99)
+        rows = sorted(tuple(r) for p in parts for r in p.collect())
+        assert rows == [(1, 0, 1), (2, 0, 2), (3, 0, 3)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {orphan}")
+        if man:
+            for e in man["epochs"]:
+                spark.sql(f"DROP TABLE IF EXISTS {e['table']}")
+
+
 def test_gate_refuses_on_checkpoint_reset(spark, tmp_path):
     """ADVICE round-7: state kept but checkpoint lost → batch ids
     restart at 0 below the store's newest batch; the gate must refuse
