@@ -49,6 +49,7 @@ __all__ = [
     "isotonic_apply",
     "isotonic_step_expr",
     "calibrated_gate",
+    "calibrated_flag_expr",
     "calibration_bins",
     "expected_calibration_error",
 ]
@@ -942,14 +943,14 @@ def isotonic_step_expr(
     """
     rows = calibration.select("score", "p_cal").orderBy("score").collect()
     if not rows:
-        raise ValueError("isotonic_apply: empty calibration table")
+        raise ValueError("isotonic_step_expr: empty calibration table")
     knots = [(float(r["score"]), float(r["p_cal"])) for r in rows]
     factor = 10 ** score_round
     lo = knots[0][0]
     size = int(round((knots[-1][0] - lo) * factor)) + 1
     if size > max_grid:
         raise ValueError(
-            f"isotonic_apply: dense grid of {size} cells exceeds "
+            f"isotonic_step_expr: dense grid of {size} cells exceeds "
             f"max_grid={max_grid}; lower score_round or rescale the score",
         )
     positions = [int(round((s - lo) * factor)) for s, _ in knots]
@@ -1044,13 +1045,23 @@ def calibrated_gate(
     safe inside a Structured Streaming micro-batch (see
     ``streaming/quality.write_stream_quality_gate``).
     """
-    if not (0.0 <= threshold <= 1.0):
-        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     out = isotonic_apply(
         df, calibration, score_col,
         score_round=score_round, output_col=p_col,
     )
     return out.withColumn(
-        flag_col,
-        F.coalesce(F.col(p_col) >= F.lit(float(threshold)), F.lit(False)),
+        flag_col, calibrated_flag_expr(F.col(p_col), threshold),
     )
+
+
+def calibrated_flag_expr(p: Column, threshold: float) -> Column:
+    """THE admit policy of the calibrated gate — shared by
+    :func:`calibrated_gate` and the streaming
+    ``write_stream_quality_gate`` so batch and live ingestion cannot
+    silently diverge on NULL handling or the >= boundary: admit iff
+    the calibrated probability exists AND clears ``threshold`` (NULL —
+    below calibration range, no training evidence — rejects).
+    """
+    if not (0.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    return F.coalesce(p >= F.lit(float(threshold)), F.lit(False))

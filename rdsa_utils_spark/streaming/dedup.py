@@ -828,7 +828,13 @@ def rebuild_near_dedup_epochs(
             raise RuntimeError(
                 f"{kind} epochs disagree on bucket_cols — manual inspection",
             )
-        buckets = int(num_buckets or man["epochs"][0]["num_buckets"])
+        buckets = (
+            int(num_buckets)
+            if num_buckets is not None
+            else int(man["epochs"][0]["num_buckets"])
+        )
+        if buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
         merged = None
         for e in man["epochs"]:
             part = spark.table(_ensure_epoch_table(spark, e))

@@ -38,8 +38,10 @@ def write_stream_quality_gate(
     query_name: str = "quality_gate",
     trigger_available_now: bool = True,
 ):
-    """Run :func:`~rdsa_utils_spark.operators.classify.calibrated_gate`
-    on every micro-batch: admitted rows (calibrated probability ≥
+    """Apply :func:`~rdsa_utils_spark.operators.classify.
+    calibrated_gate`'s admit policy (its shared ``calibrated_flag_expr``
+    over a construction-frozen ``isotonic_step_expr``) to every
+    micro-batch: admitted rows (calibrated probability ≥
     ``threshold``) land under ``path``, rejected rows under
     ``reject_path`` when given (the audit trail a curation pipeline
     wants; omitted = rejects are dropped). Sub-calibration-range
@@ -63,24 +65,25 @@ def write_stream_quality_gate(
 
     Returns the started ``StreamingQuery`` (caller awaits/stops).
     """
-    from rdsa_utils_spark.operators.classify import isotonic_step_expr
+    from rdsa_utils_spark.operators.classify import (
+        calibrated_flag_expr,
+        isotonic_step_expr,
+    )
     from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
     from rdsa_utils_spark.streaming.dedup import _assert_checkpoint_not_reset
 
-    if not (0.0 <= threshold <= 1.0):
-        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     spark = stream_df.sparkSession
     # Freeze the projection ONCE: the knot table is collected here and
     # never re-read — a bad calibration frame fails at construction,
     # and a live gate cannot silently drift if the calibration's
     # source is rewritten mid-stream (each batch reuses this literal,
-    # which also keeps crash replays byte-identical).
+    # which also keeps crash replays byte-identical). The admit policy
+    # is calibrated_gate's own calibrated_flag_expr, so batch and live
+    # ingestion share one definition.
     p_expr = isotonic_step_expr(
         calibration, score_col, score_round=score_round,
     )
-    flag_expr = F.coalesce(
-        p_expr >= F.lit(float(threshold)), F.lit(False),
-    )
+    flag_expr = calibrated_flag_expr(p_expr, threshold)
 
     out_paths = [p for p in (path, reject_path) if p is not None]
     guard_done = {"v": False}
