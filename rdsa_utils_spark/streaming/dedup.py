@@ -262,6 +262,43 @@ def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
     return parts
 
 
+def _band_hit_parts(band_parts, bands, id_col: str, bloom_fpp: float):
+    """The near gate's cross-batch probe, one equi-join PER state
+    part: a bucketed epoch scan keeps its HashPartitioning(band,
+    band_hash) through the project/Bloom-filter, so its join plans
+    with zero exchanges on the store side (unioning the parts first
+    would discard the partitioning and re-shuffle the whole corpus
+    every batch). Module-level so the plan test asserts on THE
+    production construction, not a reconstructed equivalent. Returns
+    one (__new_id__, __old_id__) frame per part.
+    """
+    from rdsa_utils_spark.functions.bloom import (
+        bloom_params,
+        bloom_probe_expr,
+        build_bloom_bitmap,
+    )
+
+    key = F.concat_ws(":", F.col("band"), F.col("band_hash"))
+    probe = bands.withColumn("__bk__", key)
+    n_keys = max(probe.count(), 1)
+    m_bits, k_hashes = bloom_params(n_keys, bloom_fpp)
+    bloom = build_bloom_bitmap(probe, "__bk__", m_bits, k_hashes)
+    probe_ids = probe.select(
+        F.col(id_col).alias("__new_id__"), "band", "band_hash",
+    )
+    return [
+        sb.withColumn("__bk__", key)
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe_expr("__bk__", m_bits, k_hashes))
+        .select(
+            F.col(id_col).alias("__old_id__"), "band", "band_hash",
+        )
+        .join(probe_ids, ["band", "band_hash"])
+        .select("__new_id__", "__old_id__")
+        for sb in band_parts
+    ]
+
+
 def _assert_checkpoint_not_reset(
     spark, state_path: str, kinds, batch_id: int,
 ) -> None:
@@ -371,11 +408,6 @@ def write_stream_near_dedup(
 
     Returns the started ``StreamingQuery`` (caller awaits/stops).
     """
-    from rdsa_utils_spark.functions.bloom import (
-        bloom_params,
-        bloom_probe_expr,
-        build_bloom_bitmap,
-    )
     from rdsa_utils_spark.operators.dedup import (
         band_hash_rows,
         lsh_candidate_pairs,
@@ -442,30 +474,9 @@ def write_stream_near_dedup(
         if band_parts and sig_parts:
             from functools import reduce
 
-            key = F.concat_ws(":", F.col("band"), F.col("band_hash"))
-            probe = bands.withColumn("__bk__", key)
-            n_keys = max(probe.count(), 1)
-            m_bits, k_hashes = bloom_params(n_keys, bloom_fpp)
-            bloom = build_bloom_bitmap(probe, "__bk__", m_bits, k_hashes)
-            probe_ids = probe.select(
-                F.col(id_col).alias("__new_id__"), "band", "band_hash",
+            hit_parts = _band_hit_parts(
+                band_parts, bands, id_col, bloom_fpp,
             )
-            # One equi-join PER state part: a bucketed epoch scan keeps
-            # its HashPartitioning(band, band_hash) through the project/
-            # bloom-filter, so its join plans with zero exchanges on the
-            # store side (unioning the parts first would discard the
-            # partitioning and re-shuffle the whole corpus every batch).
-            hit_parts = [
-                sb.withColumn("__bk__", key)
-                .crossJoin(F.broadcast(bloom))
-                .filter(bloom_probe_expr("__bk__", m_bits, k_hashes))
-                .select(
-                    F.col(id_col).alias("__old_id__"), "band", "band_hash",
-                )
-                .join(probe_ids, ["band", "band_hash"])
-                .select("__new_id__", "__old_id__")
-                for sb in band_parts
-            ]
             hits = reduce(DataFrame.unionByName, hit_parts).distinct()
             state_sigs = reduce(DataFrame.unionByName, sig_parts)
             new_sigs = survivors.select(

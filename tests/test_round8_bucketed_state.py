@@ -170,8 +170,11 @@ def _write_state(spark, state, kind, batches):
 def test_bucketed_probe_has_zero_store_side_exchanges(spark, tmp_path):
     """THE scale property this store exists for: the per-micro-batch
     probe equi-join against a compacted epoch plans with no Exchange
-    on the store side — only the (batch-sized) probe shuffles."""
+    on the store side — only the (batch-sized) probe shuffles. The
+    assertion runs on the GATE'S OWN probe construction
+    (streaming/dedup._band_hit_parts), not a reconstructed join."""
     from rdsa_utils_spark.plans.explain import count_exchanges, plan_string
+    from rdsa_utils_spark.streaming.dedup import _band_hit_parts
 
     state = str(tmp_path / "state")
     _write_state(spark, state, "bands", {
@@ -188,18 +191,18 @@ def test_bucketed_probe_has_zero_store_side_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         parts = _read_state_parts(spark, state, "bands", before_batch=99)
         assert len(parts) == 2  # epoch table + uncompacted dir tail
-        epoch = parts[0]
-        probe = spark.createDataFrame(
+        batch_bands = spark.createDataFrame(
             [(10, 0, 100), (11, 1, 201)], "id long, band int, band_hash long",
-        ).withColumnRenamed("id", "new_id")
-        hit = epoch.withColumnRenamed("id", "old_id").join(
-            probe, ["band", "band_hash"],
         )
-        plan = plan_string(hit)
+        hit_parts = _band_hit_parts(parts, batch_bands, "id", 0.01)
+        epoch_hits = hit_parts[0]
+        plan = plan_string(epoch_hits)
         assert "bands__epoch__" in plan          # scanning the epoch table
         assert "Bucketed: true" in plan, plan    # as a bucketed scan
-        assert count_exchanges(hit) == 1, plan   # probe side only
-        assert hit.count() == 2
+        # the only shuffle is the (batch-sized) probe side; the Bloom
+        # bitmap arrives as a BroadcastExchange, which moves one row
+        assert count_exchanges(epoch_hits) == 1, plan
+        assert epoch_hits.count() == 2
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for e in man["epochs"]:
