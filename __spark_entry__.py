@@ -11366,24 +11366,26 @@ WITH duels AS (
          wins_a / CAST(n AS DOUBLE) AS p,
          CAST(n AS DOUBLE) AS nd
   FROM agg
-), iv AS (
-  SELECT item_a, item_b, n, wins_a,
-         ROUND(p, 6) AS win_rate,
-         ROUND(GREATEST(0.0,
+), raw AS (
+  SELECT item_a, item_b, n, wins_a, p,
+         GREATEST(0.0,
            (p + {z!r} * {z!r} / (2.0 * nd)
               - {z!r} * SQRT(p * (1.0 - p) / nd
                              + {z!r} * {z!r} / (4.0 * nd * nd)))
-           / (1.0 + {z!r} * {z!r} / nd)), 6) AS ci_lo,
-         ROUND(LEAST(1.0,
+           / (1.0 + {z!r} * {z!r} / nd)) AS lo_raw,
+         LEAST(1.0,
            (p + {z!r} * {z!r} / (2.0 * nd)
               + {z!r} * SQRT(p * (1.0 - p) / nd
                              + {z!r} * {z!r} / (4.0 * nd * nd)))
-           / (1.0 + {z!r} * {z!r} / nd)), 6) AS ci_hi
+           / (1.0 + {z!r} * {z!r} / nd)) AS hi_raw
   FROM wilson
 )
-SELECT item_a, item_b, n, wins_a, win_rate, ci_lo, ci_hi,
-       (ci_lo > 0.5 OR ci_hi < 0.5) AS significant
-FROM iv
+SELECT item_a, item_b, n, wins_a,
+       ROUND(p, 6) AS win_rate,
+       ROUND(lo_raw, 6) AS ci_lo,
+       ROUND(hi_raw, 6) AS ci_hi,
+       (lo_raw > 0.5 OR hi_raw < 0.5) AS significant
+FROM raw
 ORDER BY item_a, item_b
 """
 

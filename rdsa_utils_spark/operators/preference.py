@@ -134,8 +134,10 @@ def win_rate_matrix(
         * F.sqrt(p * (F.lit(1.0) - p) / n + zc * zc / (F.lit(4.0) * n * n))
         / denom
     )
-    lo = F.round(F.greatest(F.lit(0.0), center - half), round_to) + F.lit(0.0)
-    hi = F.round(F.least(F.lit(1.0), center + half), round_to) + F.lit(0.0)
+    lo_raw = F.greatest(F.lit(0.0), center - half)
+    hi_raw = F.least(F.lit(1.0), center + half)
+    lo = F.round(lo_raw, round_to) + F.lit(0.0)
+    hi = F.round(hi_raw, round_to) + F.lit(0.0)
     return pairs.select(
         "item_a",
         "item_b",
@@ -144,7 +146,9 @@ def win_rate_matrix(
         (F.round(p, round_to) + F.lit(0.0)).alias("win_rate"),
         lo.alias("ci_lo"),
         hi.alias("ci_hi"),
-        ((lo > 0.5) | (hi < 0.5)).alias("significant"),
+        # significance from the UNROUNDED interval: a true bound within
+        # 5e-7 of 0.5 must not flip the flag via display rounding
+        ((lo_raw > 0.5) | (hi_raw < 0.5)).alias("significant"),
     ).orderBy("item_a", "item_b")
 
 

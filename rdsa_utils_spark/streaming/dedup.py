@@ -629,7 +629,17 @@ def compact_near_dedup_state(
         stage = f"{root}__stage__"
         aside = f"{root}__aside__"
         plan = f"{root}__plan__"
-        if client.folder_exists(aside) or client.file_exists(plan):
+        if (
+            client.folder_exists(aside)
+            or client.file_exists(plan)
+            # a bucketed compaction that crashed in the delete-old ->
+            # move-tmp window leaves tmp present and manifest absent:
+            # the plain dir-merge would re-merge batches the pending
+            # epoch already captured (duplicated state after recovery)
+            or client.file_exists(
+                f"{_manifest_path(state_path, kind)}__tmp__",
+            )
+        ):
             raise RuntimeError(
                 f"{kind} store is mid-compaction — run "
                 f"recover_near_dedup_state first",
