@@ -18,12 +18,21 @@ instead of the document body.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import with_fingerprint
+
+_LOG = logging.getLogger(__name__)
+
+#: Epoch count past which a gate's start-up census warns: the probe
+#: joins once PER epoch, so a store left to accrete hundreds of epochs
+#: pays a per-batch fan-out that a rebuild_near_dedup_epochs reset
+#: ("a few dozen" in its contract) keeps bounded.
+EPOCH_WARN_THRESHOLD = 32
 
 
 def dedup_within_watermark(
@@ -168,6 +177,14 @@ def _manifest_path(state_path: str, kind: str) -> str:
     return f"{state_path}/{kind}__manifest__"
 
 
+def _normalized_ddl(schema_ddl: str) -> str:
+    """Schema DDL normalized for equality comparison across manifest
+    generations: early manifests recorded ``name type``, current ones
+    backtick-quote the name — the contract compares structure, not
+    quoting."""
+    return " ".join(schema_ddl.replace("`", "").lower().split())
+
+
 def _load_manifest(spark, state_path: str, kind: str) -> Optional[dict]:
     import json
 
@@ -205,12 +222,37 @@ def _ensure_epoch_table(spark, entry: dict) -> str:
     restarts). The parquet data under ``state_path`` is the durable
     copy; the catalog entry is reconstructible metadata.
     """
+    import re
+
     name = entry["table"]
+    # The manifest is durable state read back into a CREATE TABLE
+    # statement — validate every interpolated field against a
+    # conservative grammar (BEFORE the catalog lookup, which parses the
+    # name itself) and backtick-quote the identifiers, so a column that
+    # needs quoting re-registers correctly and a corrupted/tampered
+    # manifest refuses instead of executing an arbitrary DDL fragment.
+    ident = re.compile(r"^[A-Za-z0-9_]+$")
+    if not all(ident.match(p) for p in name.split(".")) or not name:
+        raise ValueError(f"manifest table name {name!r} is not a valid identifier")
+    for c in entry["bucket_cols"]:
+        if not ident.match(c):
+            raise ValueError(f"manifest bucket column {c!r} is not a valid identifier")
+    # column names + Spark simpleString types: word chars, <>(),: for
+    # decimal(10,2)/array<string>/struct<a:int>, spaces, commas,
+    # optional backticks from quoting — never quotes or semicolons
+    if not re.match(r"^[A-Za-z0-9_<>(),: `]+$", entry["schema_ddl"]):
+        raise ValueError(
+            f"manifest schema_ddl {entry['schema_ddl']!r} contains "
+            "characters outside the expected DDL grammar",
+        )
+    if "'" in entry["path"]:
+        raise ValueError(f"manifest path {entry['path']!r} contains a quote")
     if spark.catalog.tableExists(name):
         return name
-    cols = ", ".join(entry["bucket_cols"])
+    qname = ".".join(f"`{p}`" for p in name.split("."))
+    cols = ", ".join(f"`{c}`" for c in entry["bucket_cols"])
     sql = (
-        f"CREATE TABLE {name} ({entry['schema_ddl']}) USING PARQUET "
+        f"CREATE TABLE {qname} ({entry['schema_ddl']}) USING PARQUET "
         f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
         f"INTO {int(entry['num_buckets'])} BUCKETS "
         f"LOCATION '{entry['path']}'"
@@ -260,6 +302,59 @@ def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
             .drop("__batch__"),
         )
     return parts
+
+
+def state_epoch_census(
+    spark, state_path: str, kinds: Sequence[str] = ("bands", "sigs"),
+) -> dict:
+    """Per-store census of the state parts the gate will probe:
+    compacted epoch tables (from the manifest) and uncompacted
+    ``__batch__=<id>`` tail directories. Driver-side listing only —
+    one manifest read + one directory listing per kind, the same cost
+    the gate already pays per (re)start — so operators can watch
+    epoch growth without reading query plans. Returns
+    ``{kind: {"epochs": n, "tail_dirs": m}}``.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    census: dict = {}
+    for kind in kinds:
+        man = _load_manifest(spark, state_path, kind)
+        epochs = len(man["epochs"]) if man is not None else 0
+        tail = 0
+        p = jvm.org.apache.hadoop.fs.Path(f"{state_path}/{kind}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            for status in fs.listStatus(p):
+                if status.getPath().getName().startswith("__batch__="):
+                    tail += 1
+        census[kind] = {"epochs": epochs, "tail_dirs": tail}
+    return census
+
+
+def _log_epoch_census(
+    spark, state_path: str, kinds: Sequence[str], query_name: str,
+) -> None:
+    """Start-up telemetry for the bucketed gates: surface how many
+    state parts every micro-batch probe will join (epoch-count growth
+    is otherwise invisible outside query plans) and WARN once the
+    per-batch join fan-out passes :data:`EPOCH_WARN_THRESHOLD` —
+    the operator nudge to run :func:`rebuild_near_dedup_epochs`
+    (epochs) / :func:`compact_near_dedup_state` (tail dirs).
+    """
+    census = state_epoch_census(spark, state_path, kinds)
+    _LOG.info("%s: state census at %s: %s", query_name, state_path, census)
+    worst = max(
+        (c["epochs"] + c["tail_dirs"] for c in census.values()), default=0,
+    )
+    if worst > EPOCH_WARN_THRESHOLD:
+        _LOG.warning(
+            "%s: state store at %s has %d probe parts per batch "
+            "(> %d): run rebuild_near_dedup_epochs (epoch reset) and/or "
+            "compact_near_dedup_state (tail merge) while the stream is "
+            "stopped — census %s",
+            query_name, state_path, worst, EPOCH_WARN_THRESHOLD, census,
+        )
 
 
 def _band_hit_parts(band_parts, bands, id_col: str, bloom_fpp: float):
@@ -430,6 +525,9 @@ def write_stream_near_dedup(
             # per micro-batch
             _assert_checkpoint_not_reset(
                 spark, state_path, ("bands", "sigs"), batch_id,
+            )
+            _log_epoch_census(
+                spark, state_path, ("bands", "sigs"), query_name,
             )
             guard_done["v"] = True
         nonblank = F.coalesce(
@@ -746,8 +844,19 @@ def _compact_bucketed(
         if not mergeable:
             continue  # nothing new below the (never-touched) newest dir
         newlabel = ids[-2]
-        df = spark.read.parquet(root).filter(
-            (F.col("__batch__") > label) & (F.col("__batch__") <= newlabel),
+        # mergeSchema: without it the inferred schema is whichever
+        # file's footer Spark samples, which HIDES a mid-tail schema
+        # drift from the guard below (the drifted column silently
+        # drops); with it a mixed tail surfaces as a merged schema
+        # that can never equal the recorded epoch schema. Tail dirs
+        # are micro-batch-sized, so the extra footer reads are noise.
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(root)
+            .filter(
+                (F.col("__batch__") > label)
+                & (F.col("__batch__") <= newlabel),
+            )
         )
         bucket_cols = list(
             _BUCKET_COLS.get(kind)
@@ -761,6 +870,29 @@ def _compact_bucketed(
             )
         from rdsa_utils_spark.sources.writers import write_bucketed_table
 
+        schema_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        # Epoch-schema contract: all epochs of a store must share one
+        # schema — the gate unions them per probe, and a silently
+        # drifted epoch (e.g. a gate restarted with different LSH
+        # parameters writing new band columns) would either fail the
+        # union mid-stream or, worse, probe against incomparable
+        # hashes. Refuse BEFORE the epoch table is written, mirroring
+        # the rebuild's bucket_cols guard.
+        if man["epochs"]:
+            first = _normalized_ddl(man["epochs"][0]["schema_ddl"])
+            if _normalized_ddl(schema_ddl) != first:
+                raise RuntimeError(
+                    f"{kind} store schema drift: new batches have "
+                    f"({schema_ddl}) but epoch "
+                    f"{man['epochs'][0]['table']} recorded ({first}) — "
+                    "a store's epochs must share one schema; rebuild "
+                    "the state (rebuild_near_dedup_epochs after a "
+                    "manual migration, or reset state+checkpoint "
+                    "together) instead of compacting across the drift",
+                )
         epoch_table = f"{prefix}{newlabel}"
         epoch_path = f"{state_path}/{kind}__epoch__{newlabel}"
         write_bucketed_table(
@@ -774,10 +906,7 @@ def _compact_bucketed(
             "max_batch": newlabel,
             "num_buckets": int(num_buckets),
             "bucket_cols": bucket_cols,
-            "schema_ddl": ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in df.schema.fields
-            ),
+            "schema_ddl": schema_ddl,
         }
         new_man = {"label": newlabel, "epochs": man["epochs"] + [entry]}
         # pointer swap: tmp is durable before the old pointer goes, so
@@ -848,6 +977,15 @@ def rebuild_near_dedup_epochs(
         if any(e["bucket_cols"] != cols for e in man["epochs"]):
             raise RuntimeError(
                 f"{kind} epochs disagree on bucket_cols — manual inspection",
+            )
+        ddl = _normalized_ddl(man["epochs"][0]["schema_ddl"])
+        if any(
+            _normalized_ddl(e["schema_ddl"]) != ddl for e in man["epochs"]
+        ):
+            raise RuntimeError(
+                f"{kind} epochs disagree on schema_ddl — the union "
+                "rewrite would mix incomparable store rows; migrate "
+                "the divergent epochs manually before rebuilding",
             )
         buckets = (
             int(num_buckets)
@@ -1042,6 +1180,7 @@ def write_stream_exact_dedup(
             _assert_checkpoint_not_reset(
                 spark, state_path, ("fps",), batch_id,
             )
+            _log_epoch_census(spark, state_path, ("fps",), query_name)
             guard_done["v"] = True
         fp = with_fingerprint(batch_df, text_col, out_col=fingerprint_col)
         w = Window.partitionBy(fingerprint_col).orderBy(F.col(id_col).asc())

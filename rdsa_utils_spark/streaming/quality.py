@@ -85,6 +85,18 @@ def write_stream_quality_gate(
     )
     flag_expr = calibrated_flag_expr(p_expr, threshold)
 
+    # The intermediate flag column is internal (dropped before both
+    # writes) — give it a reserved name so an input stream that already
+    # carries a user column called "passed" keeps it in the output.
+    # p_col IS emitted, so a collision there is a caller error: refuse
+    # at construction rather than silently overwrite.
+    if p_col in stream_df.columns:
+        raise ValueError(
+            f"p_col {p_col!r} collides with an existing input column; "
+            "pick a p_col not present in the stream",
+        )
+    _FLAG = "__passed__"
+
     out_paths = [p for p in (path, reject_path) if p is not None]
     guard_done = {"v": False}
 
@@ -97,13 +109,13 @@ def write_stream_quality_gate(
                 _assert_checkpoint_not_reset(spark, out, ("",), batch_id)
             guard_done["v"] = True
         flagged = batch_df.withColumn(p_col, p_expr).withColumn(
-            "passed", flag_expr,
+            _FLAG, flag_expr,
         ).localCheckpoint(eager=True)  # consumed by both sinks
-        flagged.filter(F.col("passed")).drop("passed").write.mode(
+        flagged.filter(F.col(_FLAG)).drop(_FLAG).write.mode(
             "overwrite",
         ).parquet(f"{path}/__batch__={batch_id}")
         if reject_path is not None:
-            flagged.filter(~F.col("passed")).drop("passed").write.mode(
+            flagged.filter(~F.col(_FLAG)).drop(_FLAG).write.mode(
                 "overwrite",
             ).parquet(f"{reject_path}/__batch__={batch_id}")
 
