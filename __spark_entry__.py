@@ -2023,6 +2023,76 @@ ORDER BY doc_id
 """
 
 
+def q_contamination_gate_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination GATE's admit policy as a batch query
+    (streaming/quality.py::write_stream_contamination_gate replays
+    this exact composition per micro-batch): every document joins its
+    contamination score against the held-out 'eval' slice and is kept
+    when contamination ≤ 0.4 or it has no shingles at all (blank docs
+    carry nothing that can leak; their audit counts are zero and the
+    score is NULL). Oracle-checked end to end, so the gate's admit
+    set is hash-verified, not just the scorer."""
+    from rdsa_utils_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    scores = ngram_contamination(docs, ref, n=8)
+    return (
+        docs.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0).cast("long")))
+        .withColumn(
+            "n_contaminated", F.coalesce("n_contaminated", F.lit(0).cast("long")),
+        )
+        .filter(
+            F.col("contamination").isNull() | (F.col("contamination") <= 0.4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_CONTAMINATION_GATE_ADMITTED = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 7, 1) + 1),
+           s -> array_to_string(toks[CAST(s AS INT):CAST(s + 7 AS INT)], ' '))) AS sh
+  FROM t
+  WHERE len(toks) > 0
+), hashed AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 16), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1)
+                    * CAST(power(16, 15 - i) AS BIGINT) AS BIGINT))),
+           (a, b) -> a + b) AS h
+  FROM sh
+), ref AS (
+  SELECT DISTINCT h FROM hashed WHERE doc_id % 20 = 0
+), agg AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         round(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS contamination
+  FROM hashed c LEFT JOIN ref r ON c.h = r.h
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       a.contamination
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE a.contamination IS NULL OR a.contamination <= 0.4
+ORDER BY d.doc_id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition diagnostics: type-token ratio, top-bigram
     share, duplicate-trigram fraction — the cheap repetition filter for
@@ -6530,6 +6600,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filtered_orders": q_bloom_filtered_orders,
         "waiting_suppliers": q_waiting_suppliers,
         "benford_prices": q_benford_prices,
+        # round-9 streaming-gate batch replay
+        "contamination_gate_admitted": q_contamination_gate_admitted,
         "sum_columns": q_sum_columns,
         "random_uniform_bounds": q_random_uniform_bounds,
         "rollup_revenue": q_rollup_revenue,
@@ -6800,6 +6872,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_filtered_orders": _ORACLE_BLOOM_FILTERED_ORDERS,
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "benford_prices": _ORACLE_BENFORD_PRICES,
+        "contamination_gate_admitted": _ORACLE_CONTAMINATION_GATE_ADMITTED,
         "sum_columns": _ORACLE_SUM_COLUMNS,
         "random_uniform_bounds": _ORACLE_RANDOM_UNIFORM_BOUNDS,
         "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
@@ -9040,27 +9113,43 @@ def q_logreg_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the DCLM/fasttext-style quality-classifier recipe as pure
     DataFrame aggregations): label = document contains token 'spark',
     features = 256-bucket hashed presence, 8 full-batch GD iterations
-    at lr=1.0 with prior-logit bias init and per-iteration 9 dp weight
-    quantization (the training contract that makes the whole
-    optimization engine-replayable). Emits per-doc probabilities; the
-    oracle re-runs all 8 iterations as unrolled SQL, so a single
-    weight divergence anywhere in training flips the hash."""
+    at lr=1.0 with prior-logit bias init, per-iteration 9 dp weight
+    quantization, and every cross-row reduction a quantize-then-
+    decimal-sum (exact DECIMAL(25,12) of 12-dp terms — the training
+    contract that makes the whole optimization engine-replayable AND
+    accumulation-order-independent, letting the model ride the driver
+    as a literal instead of a per-iteration checkpointed plan). Emits
+    per-doc probabilities; the oracle re-runs all 8 iterations as
+    unrolled SQL, so a single weight divergence anywhere in training
+    flips the hash."""
     from rdsa_utils_spark.operators.classify import (
-        logreg_score_hashed,
+        logreg_score_expr,
+        presence_buckets_expr,
         train_logreg_hashed,
     )
     from rdsa_utils_spark.operators.text import tokens as _tok
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "is_spark", F.array_contains(_tok("text"), "spark").cast("int"),
-    )
+    # tokenize + hash ONCE for train and score: the pinned frame
+    # carries the presence bucket sets, so the 8 GD iterations and
+    # the final scoring never re-scan the text
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_contains(_tok("text"), "spark").cast("int").alias("is_spark"),
+        presence_buckets_expr("text", 256).alias("__fb"),
+    ).localCheckpoint(eager=True)
     w = train_logreg_hashed(
         docs, "is_spark", "text", "doc_id",
-        n_features=256, iterations=8, lr=1.0,
+        n_features=256, iterations=8, lr=1.0, buckets_col="__fb",
+        cache_features=False,  # parent frame already pinned above
+    )
+    # stateless literal-map scoring (model-bounded collect): a pure
+    # projection over the pinned buckets — same decimal dot contract
+    # as logreg_score_hashed, minus its explode + join + groupBy(doc)
+    score = logreg_score_expr(
+        w.collect(), "text", n_features=256, buckets=F.col("__fb"),
     )
     return (
-        logreg_score_hashed(docs, w, "text", "doc_id", n_features=256)
-        .select("doc_id", "is_spark", "prob")
+        docs.select("doc_id", "is_spark", score.alias("prob"))
         .orderBy("doc_id")
     )
 
@@ -9068,9 +9157,15 @@ def q_logreg_token_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_logreg_token_classifier(
     n_features: int = 256, iterations: int = 8, lr: float = 1.0,
 ) -> str:
-    """Unrolls the exact GD iterations: presence features from the
-    8-hex md5 bucket fold, prior-logit bias init, per-iteration
-    round(w - lr·g, 9), sigmoid scoring rounded to 6 dp."""
+    """Unrolls the exact GD iterations under the quantize-then-
+    decimal-sum contract (classify.py::train_logreg_hashed): presence
+    features from the 8-hex md5 bucket fold, prior-logit bias init,
+    per-doc dot = exact DECIMAL(25,12) sum of 12-dp-rounded terms,
+    residual r rounded to 12 dp, per-feature gradients as exact
+    decimal sums of r, per-iteration round(w - lr·g, 9), sigmoid
+    scoring rounded to 6 dp. Every cross-row reduction is an exact
+    decimal sum of quantized terms, so both engines agree bit-for-bit
+    regardless of accumulation order."""
     lr_lit = repr(float(lr))
     steps = []
     for k in range(1, iterations + 1):
@@ -9081,18 +9176,24 @@ def _oracle_logreg_token_classifier(
          + COALESCE(s.dot, 0.0) AS z
   FROM base b
   LEFT JOIN (
-    SELECT f.doc, sum(w.weight) AS dot
+    SELECT f.doc,
+           CAST(sum(CAST(round(w.weight, 12) AS DECIMAL(25,12))) AS DOUBLE) AS dot
     FROM feats f JOIN w{k - 1} w ON w.feature = f.feature
     GROUP BY f.doc
   ) s ON s.doc = b.doc
 ), r{k} AS MATERIALIZED (
-  SELECT doc, 1.0 / (1.0 + exp(-z)) - y AS r FROM z{k}
+  SELECT doc, round(1.0 / (1.0 + exp(-z)) - y, 12) AS r FROM z{k}
 ), g{k} AS MATERIALIZED (
-  SELECT f.feature, sum(r.r) * (SELECT inv_n FROM consts) AS g
+  SELECT f.feature,
+         CAST(sum(CAST(round(r.r, 12) AS DECIMAL(25,12))) AS DOUBLE)
+           * (SELECT inv_n FROM consts) AS g
   FROM feats f JOIN r{k} r ON r.doc = f.doc
   GROUP BY f.feature
   UNION ALL
-  SELECT -1, sum(r) * (SELECT inv_n FROM consts) FROM r{k}
+  SELECT -1,
+         CAST(sum(CAST(r AS DECIMAL(25,12))) AS DOUBLE)
+           * (SELECT inv_n FROM consts)
+  FROM r{k}
 ), w{k} AS MATERIALIZED (
   SELECT w.feature,
          round(w.weight - {lr_lit} * COALESCE(g.g, 0.0), 9) AS weight
@@ -9137,7 +9238,8 @@ SELECT b.doc AS doc_id,
          + COALESCE(s.dot, 0.0)))), 6) AS prob
 FROM base b
 LEFT JOIN (
-  SELECT f.doc, sum(w.weight) AS dot
+  SELECT f.doc,
+         CAST(sum(CAST(round(w.weight, 12) AS DECIMAL(25,12))) AS DOUBLE) AS dot
   FROM feats f JOIN w{iterations} w ON w.feature = f.feature
   GROUP BY f.doc
 ) s ON s.doc = b.doc

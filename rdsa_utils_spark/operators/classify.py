@@ -14,6 +14,8 @@ engine replays the whole train→predict pipeline bit-for-bit (see the
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -353,6 +355,7 @@ def train_logreg_hashed(
     weight_round: int = 9,
     feature_mode: str = "presence",
     cache_features: bool = True,
+    buckets_col: Optional[str] = None,
 ) -> DataFrame:
     """Binary logistic regression over hashed token-count features,
     trained with full-batch gradient descent — the fasttext-style
@@ -362,29 +365,41 @@ def train_logreg_hashed(
     ``(feature, weight)`` with the bias at ``feature = -1``
     (``n_features + 1`` rows — broadcastable anywhere).
 
-    Per iteration (weights start at 0):
-    ``z_i = b + Σ_f x_if·w_f`` (broadcast model join + groupBy(doc)),
-    ``p_i = sigmoid(z_i)``, gradient ``g_f = Σ_i x_if·(p_i − y_i)/n +
-    l2·w_f`` (one groupBy(feature), at most ``n_features`` rows), then
-    ``w ← round(w − lr·g, weight_round)``. The EXPLICIT per-iteration
-    rounding is part of the training contract: both this engine and an
-    ANSI-SQL replay iterate from identical quantized weights, so the
-    fixed-iteration unroll is oracle-checkable bit-for-bit (same
-    device as the PageRank oracle) and the result is independent of
-    partitioning/accumulation order to the quantization step.
+    Per iteration (weights start at 0, the model rides the DRIVER as
+    an ``n_features + 1`` float vector — model-by-literal, the same
+    bounded-state device as :func:`logreg_score_expr`):
+    ``z_i = b + Σ_f round(x_if·w_f, 12)`` summed EXACTLY as
+    ``decimal(25,12)`` (a per-row array fold over the doc's sparse
+    features against the literal weight vector — no join),
+    ``p_i = sigmoid(z_i)``, ``r_i = round(p_i − y_i, 12)``, gradient
+    ``g_f = double(Σ_i decimal(round(x_if·r_i, 12)))/n + l2·w_f``
+    (one map-side-combined groupBy(feature), at most ``n_features``
+    rows collected — model-bounded, not data-bounded), then
+    ``w ← round_half_up(w − lr·g, weight_round)`` on the driver.
 
-    100 TB posture: each iteration is one broadcast join of the
-    (n_features+1)-row model, one groupBy(doc) and one
-    groupBy(feature) — both map-side combinable. ``cache_features``
-    (default True) pins the exploded (doc, feature, value) frame with
-    a localCheckpoint so the tokenize+hash explode runs ONCE, not once
-    per iteration — the right trade whenever the sparse feature frame
-    fits cluster storage (it is ≤ tokens-per-doc × 8B rows, far
+    The quantize-then-decimal-sum steps are the training contract
+    (the BT/DoReMi replay device): every cross-row reduction sums
+    EXACT decimals of explicitly-quantized terms, so the result is
+    independent of partitioning/accumulation order BY CONSTRUCTION —
+    not merely to the final rounding — and a fixed-iteration ANSI-SQL
+    unroll replays training bit-for-bit (same device as the PageRank
+    oracle).
+
+    100 TB posture: each iteration is ONE pass over the pinned
+    per-doc sparse-feature frame — a row-local fold for ``z``/``r``
+    plus one explode + groupBy(feature) reduction to the
+    model-sized gradient — with zero joins, zero broadcasts and no
+    per-iteration lineage growth (the model never lives in a plan,
+    so there is nothing to checkpoint between steps).
+    ``cache_features`` (default True) pins that frame with a
+    localCheckpoint so tokenize+hash runs ONCE, not once per
+    iteration — the right trade whenever the sparse feature frame
+    fits cluster storage (it is ≤ tokens-per-doc × 16B rows, far
     smaller than the corpus text). Set it False at corpus scale when
     even the sparse frame is too large to persist and the per-
     iteration re-scan is the cheaper side of the trade; results are
-    identical either way (the training arithmetic is quantized every
-    step). Labels must be 0/1.
+    identical either way (every reduction is exact). Labels must
+    be 0/1.
 
     ``feature_mode`` sets the feature encoding (scoring must match):
     ``"presence"`` (default) — 1.0 per active bucket, the robust
@@ -401,92 +416,170 @@ def train_logreg_hashed(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if lr <= 0:
         raise ValueError(f"lr must be > 0, got {lr}")
-    base = df.select(
-        F.col(id_col).alias("__doc"),
-        F.col(label_col).cast("double").alias("__y"),
-        F.col(text_col).alias("__text"),
-    ).localCheckpoint(eager=True)
-    n = base.count()
-    if n == 0:
-        raise ValueError("train_logreg_hashed: empty training frame")
-    feats = _encode_features(
-        hashed_token_features(
-            base, "__doc", "__text", n_features=n_features, signed=False,
-        ).select(F.col("__doc"), "feature", "value"),
-        feature_mode,
-    )
+    from rdsa_utils_spark.operators.text import hash_bucket_expr, tokens
+
+    entries_type = "array<struct<feature:int,value:double>>"
+    empty_entries = F.from_json(F.lit("[]"), entries_type)
+    if buckets_col is not None and feature_mode != "presence":
+        raise ValueError(
+            "buckets_col (precomputed presence buckets) requires "
+            f"feature_mode='presence', got {feature_mode!r}",
+        )
+    if feature_mode == "presence":
+        # Presence features are a PURE PROJECTION: the doc's distinct
+        # hashed buckets, each with value 1.0 — identical to
+        # hashed_token_features(signed=False) + presence encode, but
+        # with no explode/groupBy/join in the prep (one narrow scan
+        # instead of two shuffles). ``buckets_col`` skips even the
+        # tokenize: pass a pinned presence_buckets_expr column when
+        # the same corpus is tokenized for train AND score.
+        if buckets_col is not None:
+            fs = F.col(buckets_col)
+        else:
+            fs = F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        tokens(F.col(text_col)),
+                        lambda t: hash_bucket_expr(t, n_features),
+                    ),
+                ),
+            )
+        entries = F.transform(
+            fs,
+            lambda f: F.struct(
+                f.alias("feature"), F.lit(1.0).alias("value"),
+            ),
+        )
+        train = df.select(
+            F.col(label_col).cast("double").alias("__y"),
+            F.coalesce(entries, empty_entries).alias("__es"),
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("__doc"),
+            F.col(label_col).cast("double").alias("__y"),
+            F.col(text_col).alias("__text"),
+        )
+        feats = _encode_features(
+            hashed_token_features(
+                base, "__doc", "__text", n_features=n_features, signed=False,
+            ).select(F.col("__doc"), "feature", "value"),
+            feature_mode,
+        )
+        # One shuffle, once: fold the sparse long form into a per-doc
+        # entries array so every iteration is a row-local pass (the
+        # old per-iteration groupBy(__doc) re-shuffled the feature
+        # frame every step).
+        train = (
+            base.select("__doc", "__y")
+            .join(
+                feats.groupBy("__doc").agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("feature", "value")),
+                    ).alias("__es"),
+                ),
+                "__doc",
+                "left",
+            )
+            .select(
+                "__y",
+                F.coalesce(F.col("__es"), empty_entries).alias("__es"),
+            )
+        )
     if cache_features:
-        feats = feats.localCheckpoint(eager=True)
+        train = train.localCheckpoint(eager=True)
 
     spark = df.sparkSession
-    grid = spark.range(-1, n_features).select(
-        F.col("id").cast("int").alias("feature"),
-    )
+    stats = train.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("np"),
+    ).collect()[0]
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("train_logreg_hashed: empty training frame")
     # Prior-logit bias init: starting b at logit(positive rate) puts
     # the model at the all-bias optimum immediately, so every gradient
     # step is spent on DISCRIMINATIVE feature weights instead of
     # re-learning the base rate (full-batch GD wastes most of its
     # early steps there otherwise). The count is exact and the logit
     # is rounded like every other weight, so replay stays bit-exact.
-    n_pos = base.filter(F.col("__y") == 1.0).count()
+    n_pos = int(stats["np"] or 0)
     if 0 < n_pos < n:
         import math
 
         b0 = _round_half_up(math.log(n_pos / float(n - n_pos)), weight_round)
     else:
         b0 = 0.0  # degenerate single-class frame: sigmoid(0) start
-    weights = grid.select(
-        "feature",
-        F.when(F.col("feature") == -1, F.lit(b0)).otherwise(F.lit(0.0)).alias("weight"),
-    )
+
+    # decimal(25,12): terms are quantized to 12 dp, and 25-12 integer
+    # digits absorb any realistic fold/sum magnitude WITHOUT hitting
+    # Spark's 38-precision cap — a capped decimal add would HALF_UP-
+    # round the running sum every merge (see the price-index fix),
+    # which is exactly the accumulation-order dependence this
+    # contract exists to eliminate.
+    from decimal import Decimal
+
+    DEC = "decimal(25,12)"
+    zero_dec = F.lit(Decimal(0)).cast(DEC)
+    wvec = [0.0] * n_features  # driver-resident model: n_features+1 floats
+    b = b0
     inv_n = 1.0 / float(n)
     for _ in range(iterations):
-        wf = weights.filter(F.col("feature") >= 0)
-        bias = weights.filter(F.col("feature") == -1).select(
-            F.col("weight").alias("__b"),
+        # one SQL-text literal, not n_features py4j lit() calls — the
+        # Column-by-Column array constructor measurably dominated the
+        # per-iteration cost at bench scale
+        w_lit = F.expr(
+            "array(" + ",".join(repr(float(w)) for w in wvec) + ")",
         )
-        z = (
-            base.join(
-                feats.join(F.broadcast(wf), "feature")
-                .groupBy("__doc")
-                .agg(F.sum(F.col("value") * F.col("weight")).alias("__dot")),
-                "__doc",
-                "left",
-            )
-            .crossJoin(F.broadcast(bias))
+        dot = F.aggregate(
+            F.transform(
+                "__es",
+                lambda e: F.round(
+                    e["value"] * F.element_at(w_lit, e["feature"] + 1), 12,
+                ).cast(DEC),
+            ),
+            zero_dec,
+            lambda acc, c: (acc + c).cast(DEC),
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(b) + dot.cast("double")))
+        )
+        resid = train.select(
+            "__es", F.round(p - F.col("__y"), 12).cast(DEC).alias("__r"),
+        )
+        # model-sized reduction: ≤ n_features+1 rows come back to the
+        # driver (bounded by the MODEL, not the data — same contract
+        # as logreg_score_expr's literal inlining)
+        g_rows = (
+            resid.select(F.col("__r"), F.explode("__es").alias("__e"))
             .select(
-                "__doc", "__y",
-                (F.coalesce(F.col("__dot"), F.lit(0.0)) + F.col("__b")).alias("__z"),
-            )
-        )
-        resid = z.select(
-            "__doc",
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))) - F.col("__y")).alias("__r"),
-        )
-        grad_f = (
-            feats.join(resid, "__doc")
-            .groupBy("feature")
-            .agg((F.sum(F.col("value") * F.col("__r")) * F.lit(inv_n)).alias("__g"))
-        )
-        grad_b = resid.agg(
-            (F.sum("__r") * F.lit(inv_n)).alias("__g"),
-        ).select(F.lit(-1).alias("feature"), "__g")
-        grad = grad_f.unionByName(grad_b)
-        weights = (
-            grid.join(weights, "feature")
-            .join(grad, "feature", "left")
-            .select(
-                "feature",
+                F.col("__e.feature").alias("feature"),
                 F.round(
-                    F.col("weight")
-                    - F.lit(lr)
-                    * (F.coalesce(F.col("__g"), F.lit(0.0)) + F.lit(l2) * F.col("weight")),
-                    weight_round,
-                ).alias("weight"),
+                    F.col("__e.value") * F.col("__r").cast("double"), 12,
+                )
+                .cast(DEC)
+                .alias("__c"),
             )
-            .localCheckpoint(eager=True)
+            .groupBy("feature")
+            .agg(F.sum("__c").alias("__g"))
+            .unionByName(
+                resid.agg(F.sum("__r").alias("__g")).select(
+                    F.lit(-1).alias("feature"), "__g",
+                ),
+            )
+            .collect()
         )
-    return weights
+        gmap = {r["feature"]: r["__g"] for r in g_rows}
+        for f in range(n_features):
+            gf = float(gmap.get(f) or 0) * inv_n
+            wvec[f] = _round_half_up(
+                wvec[f] - lr * (gf + l2 * wvec[f]), weight_round,
+            )
+        gb = float(gmap.get(-1) or 0) * inv_n
+        b = _round_half_up(b - lr * (gb + l2 * b), weight_round)
+    return spark.createDataFrame(
+        [(-1, float(b))] + [(f, float(wvec[f])) for f in range(n_features)],
+        "feature int, weight double",
+    )
 
 
 def _encode_features(feats: DataFrame, feature_mode: str) -> DataFrame:
@@ -524,7 +617,10 @@ def logreg_score_hashed(
     """Score documents with a :func:`train_logreg_hashed` model:
     hashed features → broadcast model join → per-doc dot product +
     bias → sigmoid, rounded to ``prob_round`` dp at the edge. One
-    explode + one broadcast join + one groupBy(doc)."""
+    explode + one broadcast join + one groupBy(doc). The dot product
+    follows the training contract — 12-dp-quantized terms summed as
+    exact ``decimal(25,12)`` — so scores are accumulation-order-
+    independent and ANSI-SQL-replayable like training itself."""
     from rdsa_utils_spark.operators.text import hashed_token_features
 
     feats = hashed_token_features(
@@ -539,7 +635,14 @@ def logreg_score_hashed(
     dots = (
         feats.join(F.broadcast(wf), "feature")
         .groupBy("__doc")
-        .agg(F.sum(F.col("value") * F.col("weight")).alias("__dot"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * F.col("weight"), 12)
+                .cast("decimal(25,12)"),
+            )
+            .cast("double")
+            .alias("__dot"),
+        )
     )
     return (
         df.join(dots, df[id_col] == dots["__doc"], "left")
@@ -557,11 +660,30 @@ def logreg_score_hashed(
     )
 
 
+def presence_buckets_expr(text, n_features: int = 256) -> Column:
+    """The per-doc presence feature set as a pure projection: the
+    sorted distinct hashed buckets of the document's tokens
+    (``array<int>``) — the shared input of the logreg presence fast
+    path. Compute it ONCE into a pinned column and pass it to both
+    :func:`train_logreg_hashed` (``buckets_col``) and
+    :func:`logreg_score_expr` (``buckets``) so the corpus is
+    tokenized a single time across train + score."""
+    from rdsa_utils_spark.operators.text import hash_bucket_expr, tokens
+
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(tokens(c), lambda t: hash_bucket_expr(t, n_features)),
+        ),
+    )
+
+
 def logreg_score_expr(
     weights_rows,
     text_col: Column | str,
     n_features: int = 256,
     prob_round: int = 6,
+    buckets: Column | None = None,
 ) -> Column:
     """STATELESS logistic-regression scoring expression for a
     :func:`train_logreg_hashed` model (presence features): the
@@ -578,6 +700,10 @@ def logreg_score_expr(
     right call here BECAUSE the model is bounded at n_features+1
     entries — this is model broadcast by literal, not a driver-side
     data collect.
+
+    ``buckets``: optional precomputed :func:`presence_buckets_expr`
+    column — pass it (with ``text_col`` ignored) when the corpus was
+    already tokenized for training, so the scan happens once.
     """
     if hasattr(weights_rows, "items"):
         wmap = {int(k): float(v) for k, v in weights_rows.items()}
@@ -588,20 +714,25 @@ def logreg_score_expr(
     for f_, w_ in sorted(wmap.items()):
         if f_ >= 0 and w_ != 0.0:
             entries.extend([F.lit(f_), F.lit(w_)])
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = tokens(c)
-    bucket = lambda t: F.pmod(  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-        F.lit(n_features),
-    ).cast("int")
-    buckets = F.array_distinct(F.transform(toks, bucket))
+    if buckets is None:
+        buckets = presence_buckets_expr(text_col, n_features)
     if entries:
+        from decimal import Decimal
+
+        # same dot contract as training/batch scoring: 12-dp terms
+        # (9-dp presence weights are already exact at 12 dp) summed as
+        # exact decimal(25,12), so the stream flag can never disagree
+        # with a batch-scored backfill over accumulation order
         wlit = F.create_map(*entries)
         dot = F.aggregate(
             buckets,
-            F.lit(0.0),
-            lambda acc, b: acc + F.coalesce(wlit[b], F.lit(0.0)),
-        )
+            F.lit(Decimal(0)).cast("decimal(25,12)"),
+            lambda acc, b: (
+                acc
+                + F.round(F.coalesce(wlit[b], F.lit(0.0)), 12)
+                .cast("decimal(25,12)")
+            ).cast("decimal(25,12)"),
+        ).cast("double")
     else:
         dot = F.lit(0.0)
     return F.round(

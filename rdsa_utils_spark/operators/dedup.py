@@ -517,6 +517,55 @@ def simhash_signatures(
     return df.withColumn(out_col, _simhash(F.col(text_col)))
 
 
+def _doc_shingle_hashes(
+    df: DataFrame, id_col: str, text: str, n: int, hash_hex_digits: int,
+) -> DataFrame:
+    """Distinct-able (id, 60-bit shingle hash) rows for
+    :func:`ngram_contamination` and the streaming contamination gate —
+    ONE definition, since a drifted copy would silently stop matching
+    reference hashes. Shingles via posexplode + lead() windows rather
+    than the array higher-order functions in :func:`shingles` — HOF
+    expressions are interpreted (not codegen'd) and measured ~10×
+    slower for per-doc array work; every expression here stays inside
+    whole-stage codegen. Semantics: k ≥ n → k−n+1 shingles;
+    0 < k < n → one whole-text shingle (concat_ws skips the NULL leads
+    past the end); k = 0 → none."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__p__")
+    grams = [F.col("__t__")] + [F.lead("__t__", i).over(w) for i in range(1, n)]
+    k = F.count("*").over(Window.partitionBy(id_col))
+    hashed = F.conv(
+        F.substring(F.md5("__sh__"), 1, hash_hex_digits), 16, 10,
+    ).cast("long")
+    return (
+        df.select(F.col(id_col), F.posexplode(tokens(text)).alias("__p__", "__t__"))
+        .withColumn("__k__", k)
+        .withColumn("__sh__", F.concat_ws(" ", *grams))
+        .filter((F.col("__p__") + n <= F.col("__k__")) | (F.col("__p__") == 0))
+        .select(id_col, hashed.alias("__h__"))
+    )
+
+
+def reference_shingle_hashes(
+    reference: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_hex_digits: int = 15,
+) -> DataFrame:
+    """The benchmark/eval side of :func:`ngram_contamination` as a
+    standalone frame: the reference corpus reduced to its DISTINCT
+    60-bit shingle hashes (one ``__h__`` column). Compute it once and
+    pin it when many batches probe the same benchmark set — the
+    streaming contamination gate's construction step."""
+    return (
+        _doc_shingle_hashes(reference, id_col, text_col, n, hash_hex_digits)
+        .select("__h__")
+        .dropDuplicates(["__h__"])
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     reference: DataFrame,
@@ -546,31 +595,7 @@ def ngram_contamination(
     never shuffles twice — counts and the join reuse the same
     hash-partitioning on ``id_col``.
     """
-    from pyspark.sql import Window
-
     text_of = ref_text_col or text_col
-
-    def _hashed(col: Column) -> Column:
-        return F.conv(F.substring(F.md5(col), 1, hash_hex_digits), 16, 10).cast("long")
-
-    def _doc_shingle_hashes(df: DataFrame, text: str) -> DataFrame:
-        # Shingles via posexplode + lead() windows rather than the
-        # array higher-order functions in :func:`shingles` — HOF
-        # expressions are interpreted (not codegen'd) and measured
-        # ~10× slower for per-doc array work; every expression here
-        # stays inside whole-stage codegen. Semantics identical:
-        # k ≥ n → k−n+1 shingles; 0 < k < n → one whole-text shingle
-        # (concat_ws skips the NULL leads past the end); k = 0 → none.
-        w = Window.partitionBy(id_col).orderBy("__p__")
-        grams = [F.col("__t__")] + [F.lead("__t__", i).over(w) for i in range(1, n)]
-        k = F.count("*").over(Window.partitionBy(id_col))
-        return (
-            df.select(F.col(id_col), F.posexplode(tokens(text)).alias("__p__", "__t__"))
-            .withColumn("__k__", k)
-            .withColumn("__sh__", F.concat_ws(" ", *grams))
-            .filter((F.col("__p__") + n <= F.col("__k__")) | (F.col("__p__") == 0))
-            .select(id_col, _hashed(F.col("__sh__")).alias("__h__"))
-        )
 
     # One pass over the corpus: distinct (doc, hash) rows left-join the
     # distinct reference hash set with a hit marker, then a single
@@ -578,13 +603,35 @@ def ngram_contamination(
     # nothing in the plan evaluates the shingle pipeline twice. The
     # reference set stays un-hinted: AQE converts the join to broadcast
     # at runtime when the eval suite is small (the common case).
-    c = _doc_shingle_hashes(corpus, text_col).dropDuplicates([id_col, "__h__"])
-    r = (
-        _doc_shingle_hashes(reference, text_of)
-        .select("__h__")
-        .dropDuplicates(["__h__"])
-        .withColumn("__hit__", F.lit(1))
+    return contamination_scores(
+        corpus,
+        reference_shingle_hashes(
+            reference, n=n, id_col=id_col, text_col=text_of,
+            hash_hex_digits=hash_hex_digits,
+        ),
+        n=n, id_col=id_col, text_col=text_col,
+        hash_hex_digits=hash_hex_digits,
     )
+
+
+def contamination_scores(
+    corpus: DataFrame,
+    reference_hashes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_hex_digits: int = 15,
+) -> DataFrame:
+    """:func:`ngram_contamination` against a PRECOMPUTED
+    :func:`reference_shingle_hashes` frame — the reusable half the
+    streaming gate probes every micro-batch (pin the reference once;
+    re-shingling the benchmark set per batch would be pure waste).
+    ``n``/``hash_hex_digits`` must match the values the reference was
+    hashed with."""
+    c = _doc_shingle_hashes(
+        corpus, id_col, text_col, n, hash_hex_digits,
+    ).dropDuplicates([id_col, "__h__"])
+    r = reference_hashes.select("__h__").withColumn("__hit__", F.lit(1))
     return (
         c.join(r, "__h__", "left")
         .groupBy(id_col)

@@ -557,6 +557,18 @@ def token_entropy_by(
     return agg.select(F.col("__id").alias(id_col), "n_tokens", h.alias("entropy"))
 
 
+def hash_bucket_expr(token, n_features: int):
+    """The hashing-trick bucket for one token column/expression:
+    first 8 md5 hex digits mod ``n_features`` — THE single definition
+    shared by :func:`hashed_token_features`, the logreg presence fast
+    path and ``logreg_score_expr`` (a drifted copy would silently
+    de-align training and scoring feature spaces)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long"),
+        F.lit(n_features),
+    ).cast("int")
+
+
 def hashed_token_features(
     df: DataFrame,
     id_col: str,
@@ -586,8 +598,7 @@ def hashed_token_features(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("__t"),
     )
-    h8 = F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
-    bucket = F.pmod(h8, F.lit(n_features)).cast("int")
+    bucket = hash_bucket_expr(F.col("__t"), n_features)
     if signed:
         sign_digit = F.conv(F.substring(F.md5("__t"), 9, 1), 16, 10).cast("int")
         contrib = F.when(sign_digit < 8, F.lit(1.0)).otherwise(F.lit(-1.0))

@@ -21,7 +21,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_stream_quality_gate"]
+__all__ = ["write_stream_contamination_gate", "write_stream_quality_gate"]
 
 
 def write_stream_quality_gate(
@@ -116,6 +116,128 @@ def write_stream_quality_gate(
         ).parquet(f"{path}/__batch__={batch_id}")
         if reject_path is not None:
             flagged.filter(~F.col(_FLAG)).drop(_FLAG).write.mode(
+                "overwrite",
+            ).parquet(f"{reject_path}/__batch__={batch_id}")
+
+    return write_stream_foreach_batch(
+        stream_df,
+        process,
+        checkpoint_dir,
+        query_name=query_name,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def write_stream_contamination_gate(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    checkpoint_dir: str,
+    *,
+    max_contamination: float = 0.0,
+    n: int = 8,
+    reject_path: Optional[str] = None,
+    query_name: str = "contamination_gate",
+    trigger_available_now: bool = True,
+):
+    """Ingest-time benchmark DEcontamination — the streaming
+    composition of :func:`~rdsa_utils_spark.operators.dedup.
+    ngram_contamination`: every micro-batch document is scored for the
+    fraction of its distinct word ``n``-gram shingles that appear in
+    the ``reference`` corpus (the benchmark/eval suite), and admitted
+    only when ``contamination <= max_contamination`` (default 0.0 —
+    any eval overlap rejects, the strict decontamination policy of
+    public LLM training reports). Admitted rows land under ``path``
+    with their audit columns (``n_shingles``, ``n_contaminated``,
+    ``contamination``); rejects land under ``reject_path`` when given,
+    else drop. Documents with NO shingles (blank/NULL text) carry
+    nothing that can overlap the benchmark — they admit, with zero
+    counts and NULL ``contamination``.
+
+    The reference is reduced ONCE at gate construction to its
+    distinct 60-bit shingle hashes
+    (:func:`~rdsa_utils_spark.operators.dedup.reference_shingle_hashes`)
+    and pinned with a localCheckpoint — eval suites are small next to
+    the stream, so AQE broadcasts the probe join every batch and the
+    BATCH never shuffles (batch-keyed window + one broadcast join +
+    one batch-keyed aggregate). Like the calibration gate, a live gate
+    never re-reads the benchmark set: stop and restart to pick up a
+    new suite (silent mid-stream policy drift would make the admitted
+    corpus irreproducible).
+
+    Exactly-once like the other gates: per-batch ``__batch__=<id>``
+    partition overwrites, with the checkpoint-reset refusal guard on
+    every output root. The gate itself is STATELESS across batches
+    (the reference is frozen, not accreting) — admitted docs do not
+    join the defended set, which is what distinguishes
+    decontamination from dedup.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops).
+    """
+    from rdsa_utils_spark.operators.dedup import (
+        contamination_scores,
+        reference_shingle_hashes,
+    )
+    from rdsa_utils_spark.sources.writers import write_stream_foreach_batch
+    from rdsa_utils_spark.streaming.dedup import _assert_checkpoint_not_reset
+
+    if not (0.0 <= max_contamination < 1.0):
+        raise ValueError(
+            f"max_contamination must be in [0, 1), got {max_contamination}",
+        )
+    for col in ("n_shingles", "n_contaminated", "contamination"):
+        if col in stream_df.columns:
+            raise ValueError(
+                f"input stream already has a {col!r} column — the gate "
+                "emits it as an audit column; rename the input's",
+            )
+    spark = stream_df.sparkSession
+    # Freeze + pin the benchmark hash set at construction: an empty
+    # reference is almost certainly a mis-pointed path — refuse loudly
+    # rather than silently admit everything.
+    ref_hashes = reference_shingle_hashes(
+        reference, n=n, id_col=id_col, text_col=text_col,
+    ).localCheckpoint(eager=True)
+    if ref_hashes.isEmpty():
+        raise ValueError(
+            "empty reference: the benchmark corpus produced no shingles",
+        )
+
+    out_paths = [p for p in (path, reject_path) if p is not None]
+    guard_done = {"v": False}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not guard_done["v"]:
+            for out in out_paths:
+                _assert_checkpoint_not_reset(spark, out, ("",), batch_id)
+            guard_done["v"] = True
+        scores = contamination_scores(
+            batch_df.select(id_col, text_col), ref_hashes,
+            n=n, id_col=id_col, text_col=text_col,
+        )
+        flagged = (
+            batch_df.join(scores, id_col, "left")
+            .withColumn(
+                "n_shingles", F.coalesce("n_shingles", F.lit(0)),
+            )
+            .withColumn(
+                "n_contaminated", F.coalesce("n_contaminated", F.lit(0)),
+            )
+            .withColumn(
+                "__admit__",
+                # no shingles -> nothing to leak -> admit (NULL score)
+                F.col("contamination").isNull()
+                | (F.col("contamination") <= F.lit(max_contamination)),
+            )
+            .localCheckpoint(eager=True)  # consumed by both sinks
+        )
+        flagged.filter(F.col("__admit__")).drop("__admit__").write.mode(
+            "overwrite",
+        ).parquet(f"{path}/__batch__={batch_id}")
+        if reject_path is not None:
+            flagged.filter(~F.col("__admit__")).drop("__admit__").write.mode(
                 "overwrite",
             ).parquet(f"{reject_path}/__batch__={batch_id}")
 

@@ -38,3 +38,40 @@ def test_bench_detail_matches_registry():
         f"extra {sorted(benched - names)} — rerun bench.py after the "
         f"LAST registry change of the round"
     )
+
+
+def test_spread_map_covers_registry():
+    """The spread map is the regression-review instrument: a query
+    missing from it has no measurement-stability evidence, and a
+    spread entry for a retired query is stale noise."""
+    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    spread = set(detail["spread_max_over_min"])
+    names = _registry_names()
+    assert spread == names, (
+        f"spread map is stale: missing {sorted(names - spread)}, "
+        f"extra {sorted(spread - names)} — rerun bench.py"
+    )
+
+
+def test_scale_probe_covers_declared_window():
+    """Every DRIVER-DECLARED query must have a scale-probe entry (the
+    100 TB evidence the verdict reads), probe entries may only name
+    registry queries, and every entry carries the fitted exponents."""
+    probe = json.load(open(os.path.join(REPO, "SCALE_PROBE.json")))
+    probed = set(probe["queries"])
+    names = _registry_names()
+    declared = set(entrymod.queries())
+    assert probed <= names, (
+        f"SCALE_PROBE.json names retired queries: "
+        f"{sorted(probed - names)} — rerun tools/scale_probe.py"
+    )
+    assert declared <= probed, (
+        f"declared queries without a scale probe: "
+        f"{sorted(declared - probed)} — run tools/scale_probe.py "
+        f"0 <runs> <names...> to extend the table"
+    )
+    for name, entry in probe["queries"].items():
+        assert {"seconds_by_sf", "fit_exponent", "tail_exponent"} <= set(entry), name
+        assert len(entry["seconds_by_sf"]) >= 3, (
+            f"{name}: fewer than 3 probe points"
+        )

@@ -68,7 +68,6 @@ _BNLJ_OK = {
     "brand_rules",            # 1-row basket-count attach (support/lift)
     "dsir_weights",           # 1-row (Z, N) totals attach (DSIR ratios)
     "dsir_select",            # same DSIR 1-row totals attach
-    "logreg_token_classifier",  # 1-row bias-weight attach per GD iteration
     "ndcg_termscan",          # 3-row literal query-term table attach
     "mrr_termscan",           # same 3-row literal query-term attach
     "map_termscan",           # same 3-row literal query-term attach
