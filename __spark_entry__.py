@@ -6029,6 +6029,65 @@ ORDER BY vec_id
 """
 
 
+def q_sq8_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN, fully oracle-replayed
+    (operators/similarity.py::sq8_train/sq8_topk): per-dimension
+    affine 256-level quantization learned from exact corpus min/max
+    (one aggregation, dim-bounded collect), then brute-force cosine
+    top-5 over the RECONSTRUCTED vectors — DuckDB re-derives the
+    params, codes, reconstruction and ranking end to end, so the
+    whole codec is hash-checked, not just spot-sampled. The
+    recall-vs-exact gap is measured in tests/test_recall.py."""
+    from rdsa_utils_spark.operators.similarity import sq8_topk, sq8_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = sq8_train(emb)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = sq8_topk(queries_df, emb, params, k=5)
+    return out.select(
+        "query_id",
+        "candidate_id",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("query_id", F.col("cosine").desc(), "candidate_id")
+
+
+_ORACLE_SQ8_TOPK_REPLAY = """
+WITH lx AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) d
+), stats AS (
+  SELECT i, MIN(x) AS lo, (MAX(x) - MIN(x)) / 255.0 AS step
+  FROM lx GROUP BY i
+), deq AS (
+  SELECT l.vec_id, l.i,
+         s.lo + (CASE WHEN s.step = 0 THEN 0.0
+                      ELSE LEAST(255.0, GREATEST(0.0,
+                             round((l.x - s.lo) / s.step, 0))) END) * s.step AS v
+  FROM lx l JOIN stats s USING (i)
+), nrm AS (
+  SELECT vec_id, SQRT(SUM(v * v)) AS nn FROM deq GROUP BY vec_id
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         SUM(q.v * c.v) / (qa.nn * ca.nn) AS cos
+  FROM deq q
+  JOIN deq c ON q.i = c.i AND c.vec_id <> q.vec_id
+  JOIN nrm qa ON qa.vec_id = q.vec_id
+  JOIN nrm ca ON ca.vec_id = c.vec_id
+  WHERE q.vec_id < 5
+  GROUP BY q.vec_id, c.vec_id, qa.nn, ca.nn
+)
+SELECT query_id, candidate_id, ROUND(cos, 6) AS cosine
+FROM (
+  SELECT query_id, candidate_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, candidate_id ASC) AS rn
+  FROM pairs
+)
+WHERE rn <= 5
+ORDER BY query_id, cosine DESC, candidate_id
+"""
+
+
 def q_pq_topk_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, fully oracle-replayed
     (operators/similarity.py::pq_topk): codebooks pinned to the
@@ -6602,6 +6661,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": q_benford_prices,
         # round-9 streaming-gate batch replay
         "contamination_gate_admitted": q_contamination_gate_admitted,
+        "sq8_topk_replay": q_sq8_topk_replay,
         "sum_columns": q_sum_columns,
         "random_uniform_bounds": q_random_uniform_bounds,
         "rollup_revenue": q_rollup_revenue,
@@ -6873,6 +6933,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "waiting_suppliers": _WAITING_SUPPLIERS_SQL,
         "benford_prices": _ORACLE_BENFORD_PRICES,
         "contamination_gate_admitted": _ORACLE_CONTAMINATION_GATE_ADMITTED,
+        "sq8_topk_replay": _ORACLE_SQ8_TOPK_REPLAY,
         "sum_columns": _ORACLE_SUM_COLUMNS,
         "random_uniform_bounds": _ORACLE_RANDOM_UNIFORM_BOUNDS,
         "rollup_revenue": _ORACLE_ROLLUP_REVENUE,

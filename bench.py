@@ -102,6 +102,20 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             if i > 0:
                 runs.append(time.perf_counter() - t0)
+        # Single-spike rejection: across ~750 timed runs a shared-box
+        # interference burst hitting ONE run is near-certain, and one
+        # 2x spike in a 3-run window blinds the spread signal for that
+        # query. If the window is wide, buy up to two replacement runs
+        # and drop the current maximum each time — bounded cost, and a
+        # genuinely bimodal query still reports its spread because
+        # every replacement run lands in the slow mode too.
+        retries = 0
+        while len(runs) > 1 and max(runs) / min(runs) >= 1.9 and retries < 2:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.remove(max(runs))
+            runs.append(time.perf_counter() - t0)
+            retries += 1
         runs.sort()
         median = runs[len(runs) // 2] if n_runs % 2 else (
             (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2

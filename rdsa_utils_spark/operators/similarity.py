@@ -1935,3 +1935,160 @@ def truncate_normalize(
         F.transform(sliced, lambda x: x / n),
     )
     return df.withColumn(out_col or vec_col, unit)
+
+
+# ---------------------------------------------------------------------------
+# Scalar (SQ8) embedding quantization
+# ---------------------------------------------------------------------------
+
+def sq8_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Learn per-DIMENSION affine SQ8 quantization parameters
+    ``[(lo_d, step_d), …]`` from a corpus: ``lo_d`` / ``hi_d`` are the
+    exact per-dimension min/max and ``step_d = (hi_d − lo_d)/255`` —
+    256 levels per dimension, the classic corpus-trained
+    scalar-quantization codec (the 4× memory cut beside
+    :func:`pq_train`'s 32×, with far better per-dimension fidelity;
+    :func:`quantize_int8` is the TRAINING-FREE per-vector symmetric
+    variant for shuffle compression — this one learns per-dimension
+    ranges from the corpus, the at-rest index codec).
+
+    No reference counterpart — ANN-memory extension surface.
+
+    100 TB posture: ONE corpus aggregation (posexplode → per-dim
+    min/max, map-side combined to a dimension-cardinality frame); the
+    collect is bounded by the MODEL (embedding dim), not the data —
+    the same bounded-collect contract as the logreg model and the PQ
+    codebooks. min/max are exact (no accumulation-order dependence),
+    and the step division is one IEEE op, so any ANSI-SQL engine
+    re-derives identical parameters.
+    """
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__d__", "__x__"))
+        .groupBy("__d__")
+        .agg(
+            F.min(F.col("__x__").cast("double")).alias("lo"),
+            F.max(F.col("__x__").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq8_train: empty corpus (no vectors)")
+    by_dim = {int(r["__d__"]): (float(r["lo"]), float(r["hi"])) for r in rows}
+    dim = max(by_dim) + 1
+    if len(by_dim) != dim:
+        raise ValueError(
+            f"sq8_train: ragged embeddings (saw {len(by_dim)} of {dim} dims)",
+        )
+    return [
+        (by_dim[d][0], (by_dim[d][1] - by_dim[d][0]) / 255.0)
+        for d in range(dim)
+    ]
+
+
+def _sq8_params_lits(params) -> tuple:
+    los = [float(lo) for lo, _ in params]
+    steps = [float(st) for _, st in params]
+    mk = lambda vs: F.expr(  # noqa: E731 — one SQL literal, not N py4j calls
+        "array(" + ",".join(repr(v) for v in vs) + ")",
+    )
+    return mk(los), mk(steps)
+
+
+def sq8_quantize(
+    df: DataFrame,
+    params,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Quantize an embedding column to SQ8 codes (``array<int>`` in
+    [0, 255], one code per dimension) with :func:`sq8_train` params —
+    a pure projection (no shuffle, no Python):
+    ``code = clamp(round((x − lo)/step), 0, 255)``; a degenerate
+    dimension (step 0) codes to 0. Codes are 4× smaller than float32
+    at rest and reconstruct as ``lo + code·step``."""
+    lo_lit, step_lit = _sq8_params_lits(params)
+    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+    code = lambda x, lo, st: F.when(  # noqa: E731
+        st == 0.0, F.lit(0),
+    ).otherwise(
+        F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.round((x.cast("double") - lo) / st, 0)),
+        ),
+    ).cast("int")
+    return df.withColumn(
+        out_col,
+        F.transform(
+            idx,
+            lambda i: code(
+                F.element_at(F.col(vec_col), i),
+                F.element_at(lo_lit, i),
+                F.element_at(step_lit, i),
+            ),
+        ),
+    )
+
+
+def sq8_dequantize_expr(codes, params) -> Column:
+    """Reconstructed double vector from an SQ8 code column:
+    ``lo_d + code·step_d`` per dimension — the array every downstream
+    exact scorer (cosine/dot) consumes in place of the original."""
+    lo_lit, step_lit = _sq8_params_lits(params)
+    c = F.col(codes) if isinstance(codes, str) else codes
+    idx = F.sequence(F.lit(1), F.size(c))
+    return F.transform(
+        idx,
+        lambda i: F.element_at(lo_lit, i)
+        + F.element_at(c, i).cast("double") * F.element_at(step_lit, i),
+    )
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    params,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """:func:`brute_force_topk` over SQ8-RECONSTRUCTED vectors: both
+    sides quantize with the shared ``params`` and score on the
+    dequantized doubles, so the result is exactly what a code-at-rest
+    index would return (the recall-vs-exact gap IS the quantization
+    error, measurable against :func:`brute_force_topk` — see
+    tests/test_recall.py). Same plan shape as the exact scorer:
+    corpus never shuffles for scoring, one window shuffle for top-k."""
+    q = (
+        sq8_quantize(
+            queries.select(F.col(query_id).alias("query_id"), F.col(query_vec)),
+            params, query_vec, "__qc__",
+        )
+        .select(
+            "query_id",
+            sq8_dequantize_expr("__qc__", params).alias("__qv__"),
+        )
+        .withColumn("__qn__", _norm(F.col("__qv__")))
+    )
+    c = (
+        sq8_quantize(
+            corpus.select(F.col(corpus_id).alias("candidate_id"), F.col(corpus_vec)),
+            params, corpus_vec, "__cc__",
+        )
+        .select(
+            "candidate_id",
+            sq8_dequantize_expr("__cc__", params).alias("__cv__"),
+        )
+        .withColumn("__cn__", _norm(F.col("__cv__")))
+    )
+    pre = (
+        F.col("candidate_id") != F.col("query_id") if exclude_self else None
+    )
+    return _broadcast_cosine_topk(
+        c, q, k, ["query_id", "candidate_id"], pre_filter=pre,
+    )

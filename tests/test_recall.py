@@ -209,3 +209,55 @@ def test_auto_bits_near_dup_matches_pinned_at_oracle_n(spark, emb):
     auto = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, bits=None, **kw).collect()}
     pinned = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(emb, bits=5, **kw).collect()}
     assert auto == pinned and auto
+
+
+def test_sq8_topk_recall_at_10(spark, emb):
+    # SQ8 keeps every dimension at 256 levels, so on random 64-dim
+    # vectors the reconstruction error is tiny relative to inter-point
+    # distances — measured recall ~1.0 here; the 0.95 floor guards the
+    # codec (a broken clamp/step would crater it), while the 4x
+    # at-rest compression is the operator's reason to exist.
+    from rdsa_utils_spark.operators.similarity import sq8_topk, sq8_train
+
+    params = sq8_train(emb)
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = _topk_sets(brute_force_topk(queries, emb, k=K))
+    approx = _topk_sets(sq8_topk(queries, emb, params, k=K))
+    r = _recall(approx, exact)
+    assert r >= 0.95, f"sq8_topk recall@{K} = {r:.3f} < 0.95"
+
+
+def test_sq8_codec_roundtrip_properties(spark):
+    from rdsa_utils_spark.operators.similarity import (
+        sq8_dequantize_expr,
+        sq8_quantize,
+        sq8_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, -1.0, 5.0]), (2, [1.0, 1.0, 5.0]), (3, [0.5, 3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    params = sq8_train(df)
+    # exact per-dim ranges; degenerate dim 3 (constant 5.0) -> step 0
+    assert params[0] == (0.0, 1.0 / 255.0)
+    assert params[1] == (-1.0, 4.0 / 255.0)
+    assert params[2] == (5.0, 0.0)
+    out = {
+        r["vec_id"]: (r["codes"], r["deq"])
+        for r in sq8_quantize(df, params).withColumn(
+            "deq", sq8_dequantize_expr("codes", params),
+        ).collect()
+    }
+    # range endpoints code to 0/255 and reconstruct exactly
+    assert out[1][0] == [0, 0, 0]
+    # dim 1 midpoint 127.5 rounds HALF-UP to 128 (the cross-engine
+    # rounding contract; banker's rounding would give 127)
+    assert out[2][0] == [255, 128, 0]
+    assert out[2][1][0] == pytest.approx(1.0)
+    assert out[1][1][1] == pytest.approx(-1.0)
+    # degenerate dim reconstructs the constant regardless of input
+    assert all(v[1][2] == pytest.approx(5.0) for v in out.values())
+    # every reconstruction within half a step of the original
+    for vid, (codes, deq) in out.items():
+        assert all(0 <= c <= 255 for c in codes)
