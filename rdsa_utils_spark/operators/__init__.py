@@ -81,6 +81,9 @@ from rdsa_utils_spark.operators.search import (  # noqa: F401
 from rdsa_utils_spark.operators.similarity import (  # noqa: F401
     normalize_vectors,
     quantize_int8,
+    sq8_quantize,
+    sq8_topk,
+    sq8_train,
 )
 from rdsa_utils_spark.operators.quality import (  # noqa: F401
     Check,

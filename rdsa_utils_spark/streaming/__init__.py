@@ -1,5 +1,9 @@
 """Time-window / streaming operators (batch-first; see windows_time.py)."""
 
+from rdsa_utils_spark.streaming.quality import (  # noqa: F401
+    write_stream_contamination_gate,
+    write_stream_quality_gate,
+)
 from rdsa_utils_spark.streaming.drift import (  # noqa: F401
     psi_vs_reference,
     reference_bin_counts,

@@ -40,6 +40,7 @@ _BNLJ_OK = {
     "event_type_skew",        # key_skew_report 1-row total/mean attach
     "expectation_checks",     # run_checks 1-row suite summary attach
     "cosine_topk",            # brute force IS broadcast queries × corpus
+    "sq8_topk_replay",        # same exact scorer over SQ8-reconstructed vecs
     "matryoshka_recall",      # two brute-force passes (broadcast queries)
     "lm_quality",             # 1-row (N, V) corpus-totals attach to vocab
     "pagerank_parts",         # 1-row node-count scalar attach per iteration
