@@ -160,6 +160,7 @@ def bt_ratings(
     iterations: int = 8,
     rating_round: int = 9,
     term_round: int = 12,
+    max_driver_pairs: int = 65536,
 ) -> DataFrame:
     """Bradley–Terry strengths from pairwise outcomes via the MM
     update (Hunter 2004, eq. 1.6):
@@ -186,6 +187,18 @@ def bt_ratings(
     no parameter server; ratings are lineage-cut per round
     (``localCheckpoint``, the PageRank device). Ties/self-pairs and
     NULL items are excluded.
+
+    ``max_driver_pairs``: when the already-aggregated game matrix has
+    at most this many rows (item-PAIR cardinality — 25 models is 600
+    directed pairs, never the outcome stream), it is collected once
+    and the MM iterations run in pure Python on the same quantized
+    arithmetic — a capped, docstring-declared collect, bit-identical
+    output BECAUSE the contract is order-independent (every cross-row
+    sum is an exact decimal of explicitly-quantized terms; equality
+    pinned in tests/test_round7_preference_eval.py). Arena-sized
+    leaderboards otherwise pay ``iterations`` scheduler round-trips
+    over a sub-kilobyte frame. Pass ``0`` to force the distributed
+    path at any size.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -218,6 +231,23 @@ def bt_ratings(
         .localCheckpoint(eager=True)
     )
     n_items = items.count()
+    # term_round <= 12 keeps the distributed path's decimal(38,12)
+    # casts exact identities of the rounded terms, which is what makes
+    # the collected replay bit-equal; a wider term_round falls back to
+    # the distributed rounds.
+    if max_driver_pairs and term_round <= 12 and (
+        games.limit(max_driver_pairs + 1).count() <= max_driver_pairs
+    ):
+        return _bt_ratings_rows(
+            df.sparkSession,
+            items.schema["__i"].dataType,
+            games.collect(),
+            items.collect(),
+            iterations=iterations,
+            rating_round=rating_round,
+            term_round=term_round,
+            n_items=n_items,
+        )
     ratings = items.select("__i", F.lit(1.0).alias("__r"))
     for _ in range(iterations):
         denom = (
@@ -272,3 +302,63 @@ def bt_ratings(
         )
         .orderBy("item")
     )
+
+
+def _bt_ratings_rows(
+    spark,
+    item_dtype,
+    games_rows,
+    items_rows,
+    *,
+    iterations: int,
+    rating_round: int,
+    term_round: int,
+    n_items: int,
+) -> DataFrame:
+    """The MM loop on a collected game matrix — EXACTLY the
+    distributed arithmetic: every term quantized half-up at
+    ``term_round`` dp and summed as exact decimals, every normalized
+    rating quantized at ``rating_round`` dp, all scalar ops the same
+    IEEE doubles Spark executes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def dq(x: float, nd: int) -> Decimal:
+        return Decimal(x).quantize(
+            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP,
+        )
+
+    def rh(x: float, nd: int) -> float:
+        return float(dq(x, nd))
+
+    wins = {r["__i"]: int(r["wins"]) for r in items_rows}
+    games_tot = {r["__i"]: int(r["games"]) for r in items_rows}
+    adj = [(r["__i"], r["__j"], int(r["__n"])) for r in games_rows]
+    rating = {i: 1.0 for i in wins}
+    for _ in range(iterations):
+        denom = {i: Decimal(0) for i in wins}
+        for i, j, n in adj:
+            denom[i] += dq(n / (rating[i] + rating[j]), term_round)
+        raw = {i: rh(wins[i] / float(denom[i]), term_round) for i in wins}
+        total = float(
+            sum((dq(v, term_round) for v in raw.values()), Decimal(0)),
+        )
+        rating = {
+            i: rh(raw[i] * float(n_items) / total, rating_round)
+            for i in wins
+        }
+    schema = StructType([
+        StructField("item", item_dtype),
+        StructField("games", LongType()),
+        StructField("wins", LongType()),
+        StructField("rating", DoubleType()),
+    ])
+    return spark.createDataFrame(
+        [(i, games_tot[i], wins[i], rating[i]) for i in wins], schema,
+    ).orderBy("item")

@@ -99,6 +99,7 @@ def bpe_train(
     text_col: str,
     num_merges: int = 50,
     checkpoint_every: int = 2,
+    max_driver_vocab: int = 4096,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules from a corpus.
 
@@ -113,6 +114,18 @@ def bpe_train(
     sf0.1 (every round re-derives the un-checkpointed fold chain from
     the last cut, so wide gaps trade one cheap vocab materialization
     for quadratically growing fold recompute; 8→2 cut bpe_merges 20%).
+
+    ``max_driver_vocab``: when the DISTINCT-WORD vocabulary (already
+    reduced by the first aggregation — the dictionary, never the
+    corpus) is at most this many rows, it is collected once and the
+    merge rounds run in exact pure-Python integer arithmetic instead
+    of ``num_merges`` scheduler round-trips — a capped,
+    docstring-declared collect (≤ ``max_driver_vocab`` rows), and the
+    output is IDENTICAL by construction: the algorithm is integer
+    counting with total tie-breaks, no floats anywhere (equality is
+    pinned in tests/test_tokenize.py). Low-cardinality vocabularies
+    make the distributed rounds pure fixed overhead; pass ``0`` to
+    force the distributed path at any size.
     """
     if checkpoint_every < 1:
         raise ValueError(
@@ -121,6 +134,13 @@ def bpe_train(
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     vocab = _word_vocab(df, text_col).localCheckpoint(eager=False)
+    if max_driver_vocab:
+        # cheap: vocab is the post-aggregation dictionary frame
+        if vocab.limit(max_driver_vocab + 1).count() <= max_driver_vocab:
+            rows = vocab.select("cnt", "syms").collect()
+            return _bpe_train_rows(
+                [(int(r["cnt"]), list(r["syms"])) for r in rows], num_merges,
+            )
     merges: list[tuple[str, str, int]] = []
     for r in range(num_merges):
         best = (
@@ -136,6 +156,38 @@ def bpe_train(
         vocab = vocab.withColumn("syms", _merge_fold(left, right))
         if (r + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=False)
+    return merges
+
+
+def _bpe_train_rows(
+    rows: list[tuple[int, list[str]]], num_merges: int,
+) -> list[tuple[str, str, int]]:
+    """The merge loop on a collected vocabulary — EXACTLY the
+    distributed semantics (overlapping pair counts weighted by word
+    count; greedy left-to-right non-overlapping merge; ties count
+    desc, left asc, right asc), in pure integer arithmetic."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, syms in rows:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        merges.append((left, right, c))
+        merged = left + right
+        for j, (cnt, syms) in enumerate(rows):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            rows[j] = (cnt, out)
     return merges
 
 

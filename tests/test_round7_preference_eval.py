@@ -125,3 +125,21 @@ def test_bt_excludes_ties_nulls_and_handles_never_winner(spark):
     assert got["A"]["rating"] > 0
     with pytest.raises(ValueError, match="iterations"):
         bt_ratings(df, "w", "l", iterations=0)
+
+
+def test_bt_driver_path_equals_distributed_path(spark):
+    """The capped driver MM fast path must be bit-identical to the
+    distributed iterations (max_driver_pairs=0 forces distributed on
+    the same outcomes) — the contract's order-independence, observed."""
+    from rdsa_utils_spark.operators.preference import bt_ratings
+
+    rows = []
+    items = [f"m{i}" for i in range(6)]
+    for a in range(6):
+        for b in range(6):
+            if a != b:
+                rows += [(items[a], items[b])] * ((a * 3 + b) % 5 + 1)
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    fast = bt_ratings(df, "winner", "loser").collect()
+    slow = bt_ratings(df, "winner", "loser", max_driver_pairs=0).collect()
+    assert fast == slow

@@ -98,3 +98,13 @@ def test_bpe_train_validates(spark):
     df = spark.createDataFrame([("x",)], ["text"])
     with pytest.raises(ValueError):
         bpe_train(df, "text", num_merges=0)
+
+
+def test_bpe_driver_path_equals_distributed_path(spark):
+    """The capped driver fast path (vocab collected once, pure-int
+    merge loop) must be bit-identical to the distributed rounds —
+    max_driver_vocab=0 forces the distributed path on the same data."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    fast = bpe_train(df, "text", num_merges=12)
+    slow = bpe_train(df, "text", num_merges=12, max_driver_vocab=0)
+    assert fast == slow and len(fast) == 12
