@@ -81,8 +81,14 @@ def main() -> None:
     # either direction, making <5% per-query drift detectable between
     # same-code runs.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Spike-rejection policy knobs — recorded in BENCH_DETAIL metadata
+    # so cross-round timing comparisons can tell which measurement
+    # policy produced a number (the policy changed in round 9).
+    spike_retry_max = 2
+    spike_threshold = 1.9
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    spike_retries: dict[str, int] = {}
     total = 0.0
     for name, fn in qs.items():
         runs = []
@@ -110,12 +116,18 @@ def main() -> None:
         # genuinely bimodal query still reports its spread because
         # every replacement run lands in the slow mode too.
         retries = 0
-        while len(runs) > 1 and max(runs) / min(runs) >= 1.9 and retries < 2:
+        while (
+            len(runs) > 1
+            and max(runs) / min(runs) >= spike_threshold
+            and retries < spike_retry_max
+        ):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.remove(max(runs))
             runs.append(time.perf_counter() - t0)
             retries += 1
+        if retries:
+            spike_retries[name] = retries
         runs.sort()
         median = runs[len(runs) // 2] if n_runs % 2 else (
             (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
@@ -147,6 +159,9 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "warmup_runs_per_query": 1,
                 "estimator": "median",
+                "spike_retry_max": spike_retry_max,
+                "spike_threshold": spike_threshold,
+                "spike_retries": spike_retries,
             },
             fh,
             indent=1,

@@ -30,11 +30,21 @@ def _round_half_up(x: float, digits: int) -> float:
     one ulp of the quantum, which would diverge a trained parameter
     from its unrolled SQL-oracle replay and amplify through the
     remaining iterations. Every driver-side parameter quantization in
-    this module must use this, never ``round``."""
+    this module must use this, never ``round``.
+
+    Quantizes ``repr(x)`` (the shortest round-trip decimal), not the
+    exact binary expansion: Spark's ``F.round`` on doubles goes through
+    ``BigDecimal.valueOf`` == ``Double.toString`` — the shortest-repr
+    string — so a double whose shortest repr IS a midpoint (2.675 at
+    2 dp) rounds up under Spark while ``Decimal(x)``'s exact expansion
+    (2.67499999999999982...) would round down. ``Decimal(repr(x))``
+    matches Spark in the tie cases."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(
-        Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP),
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP,
+        ),
     )
 
 __all__ = [
@@ -667,14 +677,26 @@ def presence_buckets_expr(text, n_features: int = 256) -> Column:
     path. Compute it ONCE into a pinned column and pass it to both
     :func:`train_logreg_hashed` (``buckets_col``) and
     :func:`logreg_score_expr` (``buckets``) so the corpus is
-    tokenized a single time across train + score."""
+    tokenized a single time across train + score.
+
+    NULL text yields an EMPTY bucket array, not NULL: a NULL would
+    propagate through the ``aggregate`` fold in
+    :func:`logreg_score_expr` and score ``prob = NULL``, while the
+    batch path (:func:`logreg_score_hashed`, left join + COALESCE)
+    scores a token-free document ``sigmoid(bias)`` — the two paths
+    must agree on every input."""
     from rdsa_utils_spark.operators.text import hash_bucket_expr, tokens
 
     c = F.col(text) if isinstance(text, str) else text
-    return F.array_sort(
-        F.array_distinct(
-            F.transform(tokens(c), lambda t: hash_bucket_expr(t, n_features)),
+    return F.coalesce(
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    tokens(c), lambda t: hash_bucket_expr(t, n_features),
+                ),
+            ),
         ),
+        F.array().cast("array<int>"),
     )
 
 

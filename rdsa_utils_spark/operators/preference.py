@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 __all__ = ["bt_ratings", "win_rate_matrix"]
 
 
+def _dq(x: float, nd: int):
+    """Quantize a double to ``nd`` dp half-up on its SHORTEST decimal
+    repr — the same value Spark's ``F.round`` quantizes
+    (``BigDecimal.valueOf`` == ``Double.toString``). ``Decimal(x)``
+    (the exact binary expansion) would round midpoint-repr doubles the
+    other way: repr(2.675) sits ON the 2-dp midpoint and rounds up to
+    2.68 under both this and ``F.round``, while the binary value
+    2.67499999999999982... rounds down. Module-level so the tie-case
+    convention is pinned by tests/test_advice_round10.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP,
+    )
+
+
 def _norm_ppf(p: float) -> float:
     """Inverse standard-normal CDF (Acklam's rational approximation,
     |rel err| < 1.15e-9 — published public-domain algorithm), used to
@@ -320,7 +336,7 @@ def _bt_ratings_rows(
     ``term_round`` dp and summed as exact decimals, every normalized
     rating quantized at ``rating_round`` dp, all scalar ops the same
     IEEE doubles Spark executes."""
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal
 
     from pyspark.sql.types import (
         DoubleType,
@@ -329,10 +345,7 @@ def _bt_ratings_rows(
         StructType,
     )
 
-    def dq(x: float, nd: int) -> Decimal:
-        return Decimal(x).quantize(
-            Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP,
-        )
+    dq = _dq
 
     def rh(x: float, nd: int) -> float:
         return float(dq(x, nd))

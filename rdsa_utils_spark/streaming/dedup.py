@@ -305,7 +305,10 @@ def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
 
 
 def state_epoch_census(
-    spark, state_path: str, kinds: Sequence[str] = ("bands", "sigs"),
+    spark,
+    state_path: str,
+    kinds: Sequence[str] = ("bands", "sigs"),
+    client=None,
 ) -> dict:
     """Per-store census of the state parts the gate will probe:
     compacted epoch tables (from the manifest) and uncompacted
@@ -314,20 +317,45 @@ def state_epoch_census(
     the gate already pays per (re)start — so operators can watch
     epoch growth without reading query plans. Returns
     ``{kind: {"epochs": n, "tail_dirs": m}}``.
+
+    All filesystem access goes through the repo's FileSystemClient
+    protocol (``sources.objectstore``) — ``client`` defaults to
+    :class:`~rdsa_utils_spark.sources.objectstore.
+    HadoopFileSystemClient` over the session (scheme-agnostic:
+    s3a/gs/hdfs/file), but a
+    :class:`~rdsa_utils_spark.sources.objectstore.
+    LocalFileSystemClient` makes the census runnable with NO JVM at
+    all (``spark`` may then be ``None``).
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    import json
+    import posixpath
+
+    if client is None:
+        from rdsa_utils_spark.sources.objectstore import (
+            HadoopFileSystemClient,
+        )
+
+        client = HadoopFileSystemClient(spark)
     census: dict = {}
     for kind in kinds:
-        man = _load_manifest(spark, state_path, kind)
-        epochs = len(man["epochs"]) if man is not None else 0
+        mpath = _manifest_path(state_path, kind)
+        if client.file_exists(f"{mpath}__tmp__"):
+            raise RuntimeError(
+                f"{mpath}__tmp__ exists — a bucketing compaction crashed "
+                f"mid-manifest-swap; run recover_near_dedup_state"
+                f"('{state_path}') before starting the gate",
+            )
+        epochs = 0
+        if client.file_exists(mpath):
+            epochs = len(json.loads(client.read_text(mpath))["epochs"])
         tail = 0
-        p = jvm.org.apache.hadoop.fs.Path(f"{state_path}/{kind}")
-        fs = p.getFileSystem(conf)
-        if fs.exists(p):
-            for status in fs.listStatus(p):
-                if status.getPath().getName().startswith("__batch__="):
-                    tail += 1
+        root = f"{state_path}/{kind}"
+        if client.folder_exists(root):
+            tail = sum(
+                1
+                for d in client.list_folders(root)
+                if posixpath.basename(d.rstrip("/")).startswith("__batch__=")
+            )
         census[kind] = {"epochs": epochs, "tail_dirs": tail}
     return census
 

@@ -138,6 +138,8 @@ def write_stream_contamination_gate(
     *,
     max_contamination: float = 0.0,
     n: int = 8,
+    ref_id_col: Optional[str] = None,
+    ref_text_col: Optional[str] = None,
     reject_path: Optional[str] = None,
     query_name: str = "contamination_gate",
     trigger_available_now: bool = True,
@@ -174,6 +176,15 @@ def write_stream_contamination_gate(
     join the defended set, which is what distinguishes
     decontamination from dedup.
 
+    ``ref_id_col`` / ``ref_text_col`` name the reference corpus's own
+    columns when they differ from the stream's (default: the stream's
+    ``id_col`` / ``text_col``) — mirroring batch
+    ``ngram_contamination``'s ``ref_text_col``. A benchmark frame
+    missing the named column fails loudly at construction either way;
+    the parameters exist so a differently-shaped suite doesn't have to
+    be renamed first (or, worse, silently hash a same-named column
+    holding other content).
+
     Returns the started ``StreamingQuery`` (caller awaits/stops).
     """
     from rdsa_utils_spark.operators.dedup import (
@@ -198,7 +209,10 @@ def write_stream_contamination_gate(
     # reference is almost certainly a mis-pointed path — refuse loudly
     # rather than silently admit everything.
     ref_hashes = reference_shingle_hashes(
-        reference, n=n, id_col=id_col, text_col=text_col,
+        reference,
+        n=n,
+        id_col=ref_id_col if ref_id_col is not None else id_col,
+        text_col=ref_text_col if ref_text_col is not None else text_col,
     ).localCheckpoint(eager=True)
     if ref_hashes.isEmpty():
         raise ValueError(

@@ -61,6 +61,39 @@ def test_epoch_census_counts_epochs_and_tail(spark, tmp_path):
     assert got == {"bands": {"epochs": 2, "tail_dirs": 3}}
 
 
+def test_epoch_census_runs_without_a_jvm(spark, tmp_path):
+    """The census goes through the FileSystemClient protocol (round-10
+    change off the r9 verdict nit): with a LocalFileSystemClient it
+    needs NO SparkSession at all — pass spark=None to prove no JVM
+    call sneaks back in."""
+    from rdsa_utils_spark.sources.objectstore import LocalFileSystemClient
+
+    state = str(tmp_path / "state")
+    for b in range(2):
+        spark.createDataFrame([(b, "t")], SCHEMA).write.parquet(
+            f"{state}/sigs/__batch__={b}",
+        )
+    (tmp_path / "state" / "sigs__manifest__").write_text(
+        json.dumps({"label": 0, "epochs": [{"x": 1}]}),
+    )
+    got = state_epoch_census(
+        None, state, ("sigs",), client=LocalFileSystemClient(),
+    )
+    assert got == {"sigs": {"epochs": 1, "tail_dirs": 2}}
+
+
+def test_epoch_census_refuses_crashed_swap_marker(spark, tmp_path):
+    from rdsa_utils_spark.sources.objectstore import LocalFileSystemClient
+
+    state = str(tmp_path / "state")
+    (tmp_path / "state").mkdir()
+    (tmp_path / "state" / "bands__manifest____tmp__").write_text("{}")
+    with pytest.raises(RuntimeError, match="mid-manifest-swap"):
+        state_epoch_census(
+            None, state, ("bands",), client=LocalFileSystemClient(),
+        )
+
+
 def test_gate_logs_census_and_warns_past_threshold(
     spark, tmp_path, caplog, monkeypatch,
 ):
