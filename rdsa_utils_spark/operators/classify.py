@@ -533,49 +533,101 @@ def train_logreg_hashed(
     wvec = [0.0] * n_features  # driver-resident model: n_features+1 floats
     b = b0
     inv_n = 1.0 / float(n)
+    # Bias-gradient sentinel: appending (feature=-1, value=1.0) to each
+    # row's entries AFTER the dot is computed folds the bias gradient
+    # into the SAME explode+groupBy as the feature gradients — one scan
+    # and one residual fold per iteration instead of two (a union of
+    # two aggregates over `resid` re-executed the whole dot-product
+    # fold per branch; at bench scale that fold IS the iteration cost).
+    # Bit-identical: round(1.0 * double(r), 12) recovers a 12-dp
+    # residual exactly (|r| < 1, so ≤ 13 significant digits — well
+    # inside the double round-trip), i.e. the sentinel contribution
+    # sums to the same decimal as the old global sum(__r).
+    bias_sentinel = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("feature"),
+            F.lit(1.0).alias("value"),
+        ),
+    )
+    # Presence fast path for the per-row dot: x_if = 1.0 and the
+    # weights carry <= 12 dp, so every quantized term round(x·w, 12)
+    # IS the weight itself and the exact-decimal fold equals a sum of
+    # the weights scaled to integers at 1e12 — plain LONG arithmetic
+    # (codegen; higher-order decimal folds are CodegenFallback and
+    # dominated the iteration at bench scale). Same VALUE by
+    # construction: the scaled weights are exact integers (computed
+    # with Decimal on the driver), their long sum is the decimal sum
+    # scaled, |sum| <= n_features·10·1e12 ≈ 2.6e15 << 2^63, and
+    # long/1e12 in IEEE is the correctly-rounded exact ratio — the
+    # same double the decimal(25,12)→double cast produces. Pinned
+    # against the pure-Python replay in tests/test_round9_logreg_replay
+    # and the generic decimal fold in tests/test_classify.py.
+    presence_fast = feature_mode == "presence" and weight_round <= 12
+    from decimal import Decimal as _D
+
     for _ in range(iterations):
         # one SQL-text literal, not n_features py4j lit() calls — the
         # Column-by-Column array constructor measurably dominated the
         # per-iteration cost at bench scale
-        w_lit = F.expr(
-            "array(" + ",".join(repr(float(w)) for w in wvec) + ")",
-        )
-        dot = F.aggregate(
-            F.transform(
-                "__es",
-                lambda e: F.round(
-                    e["value"] * F.element_at(w_lit, e["feature"] + 1), 12,
-                ).cast(DEC),
-            ),
-            zero_dec,
-            lambda acc, c: (acc + c).cast(DEC),
-        )
+        if presence_fast:
+            w_scaled = [int(_D(repr(float(w))) * 10**12) for w in wvec]
+            w_lit = F.expr(
+                "array(" + ",".join(f"{s}L" for s in w_scaled) + ")",
+            )
+            dot_double = (
+                F.aggregate(
+                    "__es",
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + F.element_at(
+                        w_lit, e["feature"] + 1,
+                    ),
+                ).cast("double")
+                / F.lit(1.0e12)
+            )
+        else:
+            w_lit = F.expr(
+                "array(" + ",".join(repr(float(w)) for w in wvec) + ")",
+            )
+            dot_double = F.aggregate(
+                F.transform(
+                    "__es",
+                    lambda e: F.round(
+                        e["value"] * F.element_at(w_lit, e["feature"] + 1),
+                        12,
+                    ).cast(DEC),
+                ),
+                zero_dec,
+                lambda acc, c: (acc + c).cast(DEC),
+            ).cast("double")
         p = F.lit(1.0) / (
-            F.lit(1.0) + F.exp(-(F.lit(b) + dot.cast("double")))
+            F.lit(1.0) + F.exp(-(F.lit(b) + dot_double))
         )
         resid = train.select(
-            "__es", F.round(p - F.col("__y"), 12).cast(DEC).alias("__r"),
+            F.concat("__es", bias_sentinel).alias("__es"),
+            F.round(p - F.col("__y"), 12).cast(DEC).alias("__r"),
         )
         # model-sized reduction: ≤ n_features+1 rows come back to the
         # driver (bounded by the MODEL, not the data — same contract
-        # as logreg_score_expr's literal inlining)
+        # as logreg_score_expr's literal inlining); feature -1 is the
+        # bias gradient via the sentinel entry
+        # presence contribution round(1.0·double(r), 12) IS r (a 12-dp
+        # decimal round-trips double exactly at |r| < 1) — skip the
+        # per-row double/round/decimal conversions on the fast path
+        contrib = (
+            F.col("__r")
+            if presence_fast
+            else F.round(
+                F.col("__e.value") * F.col("__r").cast("double"), 12,
+            ).cast(DEC)
+        )
         g_rows = (
             resid.select(F.col("__r"), F.explode("__es").alias("__e"))
             .select(
                 F.col("__e.feature").alias("feature"),
-                F.round(
-                    F.col("__e.value") * F.col("__r").cast("double"), 12,
-                )
-                .cast(DEC)
-                .alias("__c"),
+                contrib.alias("__c"),
             )
             .groupBy("feature")
             .agg(F.sum("__c").alias("__g"))
-            .unionByName(
-                resid.agg(F.sum("__r").alias("__g")).select(
-                    F.lit(-1).alias("feature"), "__g",
-                ),
-            )
             .collect()
         )
         gmap = {r["feature"]: r["__g"] for r in g_rows}
