@@ -75,3 +75,41 @@ def test_scale_probe_covers_declared_window():
         assert len(entry["seconds_by_sf"]) >= 3, (
             f"{name}: fewer than 3 probe points"
         )
+
+
+def test_registry_snapshot_stamps_every_query():
+    """Every registry query must carry a first-seen round stamp in
+    REGISTRY_SNAPSHOT.json — adding a query without stamping it fails
+    here, which is what makes the recent-query probe gate below
+    structural rather than best-effort (the round-9 loophole: two new
+    EXTRAS queries shipped with no scale-probe entry because only
+    declared queries were gated)."""
+    snap = json.load(open(os.path.join(REPO, "REGISTRY_SNAPSHOT.json")))
+    stamped = set(snap["first_seen"])
+    names = _registry_names()
+    assert stamped == names, (
+        f"REGISTRY_SNAPSHOT.json is stale: missing {sorted(names - stamped)}, "
+        f"extra {sorted(stamped - names)} — stamp new queries with the "
+        f"current round and drop retired ones"
+    )
+    assert all(
+        isinstance(r, int) and r <= snap["round"]
+        for r in snap["first_seen"].values()
+    )
+
+
+def test_recent_queries_have_scale_probes():
+    """Any query added this round or last round — declared OR extras —
+    must have a SCALE_PROBE entry: new operators are exactly the ones
+    whose scaling behavior is unproven."""
+    snap = json.load(open(os.path.join(REPO, "REGISTRY_SNAPSHOT.json")))
+    probe = json.load(open(os.path.join(REPO, "SCALE_PROBE.json")))
+    probed = set(probe["queries"])
+    recent = {
+        n for n, r in snap["first_seen"].items() if r >= snap["round"] - 1
+    }
+    missing = recent - probed
+    assert not missing, (
+        f"recently added queries without a scale probe: {sorted(missing)} "
+        f"— run tools/scale_probe.py 0 <runs> <names...>"
+    )
