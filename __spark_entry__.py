@@ -4164,7 +4164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power_replay": q_pca_power_replay,
         "running_revenue": q_running_revenue,
         "range_join_events": q_range_join_events,
-        "quality_score": q_quality_score,
         "language_id": q_language_id,
         "multimodal_meta": q_multimodal_meta,
         "session_windows": q_session_windows,
@@ -4210,6 +4209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # intact.
         "sq8_topk_replay": q_sq8_topk_replay,
         "contamination_gate_admitted": q_contamination_gate_admitted,
+        # round-10 addition: the five-stage curation composition
+        # (gopher -> exact dedup -> decontaminate -> calibrated gate
+        # -> token-budget mix) hash-checked END TO END as one query;
+        # quality_score demoted (string-chain coverage duplicated by
+        # language_id; the quality operator itself stays CI-checked).
+        "curation_e2e": q_curation_e2e,
         # --- non-SQL-expressible, rows-only by design (3) ---
         # (the trained ivf_topk path moved to tests-only coverage when
         # the oracle-backed iters=0 replay took its driver slot; its
@@ -6668,6 +6673,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 rotation demotions (oracles intact below)
         "bpe_token_count": q_bpe_token_count,
         "ks_returned_price": q_ks_returned_price,
+        "quality_score": q_quality_score,
         "sum_columns": q_sum_columns,
         "random_uniform_bounds": q_random_uniform_bounds,
         "rollup_revenue": q_rollup_revenue,
@@ -6884,7 +6890,6 @@ def oracle_sql() -> dict[str, str]:
         "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
         "running_revenue": _ORACLE_RUNNING_REVENUE,
         "range_join_events": _ORACLE_RANGE_JOIN_EVENTS,
-        "quality_score": _ORACLE_QUALITY_SCORE,
         "language_id": _ORACLE_LANGUAGE_ID,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
         "session_windows": _ORACLE_SESSION_WINDOWS,
@@ -6916,6 +6921,7 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_bootstrap_ci": _ORACLE_ACCTBAL_BOOTSTRAP_CI,
         "sq8_topk_replay": _ORACLE_SQ8_TOPK_REPLAY,
         "contamination_gate_admitted": _ORACLE_CONTAMINATION_GATE_ADMITTED,
+        "curation_e2e": _ORACLE_CURATION_E2E,
         # approx_sketches: sketch estimates themselves are
         # engine-specific (Spark HLL++ vs DuckDB HLL), so the query
         # emits exact values + bounded-error flags and the oracle
@@ -6940,6 +6946,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "benford_prices": _ORACLE_BENFORD_PRICES,
         "bpe_token_count": _ORACLE_BPE_TOKEN_COUNT,
         "ks_returned_price": _ORACLE_KS_RETURNED_PRICE,
+        "quality_score": _ORACLE_QUALITY_SCORE,
         "sum_columns": _ORACLE_SUM_COLUMNS,
         "random_uniform_bounds": _ORACLE_RANDOM_UNIFORM_BOUNDS,
         "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
@@ -9355,6 +9362,242 @@ WITH d AS (
   FROM d
 )
 SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum
+WHERE cum_tokens <= budget
+ORDER BY doc_id
+"""
+
+
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data curation pipeline, composed from
+    the engine's gates the way a 100 TB corpus actually runs them and
+    hash-verified as ONE query (each stage is oracle-checked alone
+    elsewhere; this proves the COMPOSITION — the only integration
+    shape a per-stage gate can't certify):
+
+    1. Gopher quality rules (operators/curation.py::gopher_rules,
+       min_words=20) — keep ``gopher_pass``.
+    2. Exact dedup (operators/dedup.py::exact_dedup) — normalized-md5
+       fingerprint, min-doc_id winner.
+    3. Benchmark decontamination (operators/dedup.py::
+       ngram_contamination, n=8) against the frozen eval slice
+       (doc_id % 20 == 0 of the RAW corpus — the benchmark is fixed
+       BEFORE any filtering, like a real eval suite); survivors keep
+       contamination <= 0.4 or carry no shingles. Benchmark-member
+       docs themselves leave the training stream.
+    4. Calibrated admission gate (operators/classify.py::
+       isotonic_calibrate + calibrated_gate): isotonic fit of
+       P(domain token 'spark' | length score round(n_tokens/100, 2)),
+       a genuinely monotone relationship in this corpus; admit
+       p_cal >= 0.75. Self-calibrated on the decontaminated stream —
+       deterministic, and the PAVA fit + step-function apply replay
+       in SQL via the minimax characterization.
+    5. Token-budget mixture assembly (operators/sampling.py::
+       token_budget_mix): src0/src1/src2 capped at 1200/2000/600
+       TOKENS on the deterministic md5-uniform order.
+
+    Emits the final admitted mixture (doc_id, source, n_tokens,
+    cum_tokens, p_cal); the oracle replays all five stages in one SQL
+    statement, so a single divergence ANYWHERE in the chain flips the
+    hash."""
+    from rdsa_utils_spark.operators.classify import calibrated_gate, isotonic_calibrate
+    from rdsa_utils_spark.operators.curation import gopher_rules
+    from rdsa_utils_spark.operators.dedup import exact_dedup, ngram_contamination
+    from rdsa_utils_spark.operators.sampling import token_budget_mix
+    from rdsa_utils_spark.operators.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    # 1. gopher
+    survivors = (
+        gopher_rules(docs, min_words=20)
+        .filter(F.col("gopher_pass"))
+        .select("doc_id", "text", "source")
+    )
+    # 2. exact dedup
+    survivors = exact_dedup(survivors, "text", "doc_id")
+    # 3. decontaminate vs the frozen RAW eval slice
+    ref = docs.filter(F.col("doc_id") % 20 == 0)
+    stream = survivors.filter(F.col("doc_id") % 20 != 0)
+    conta = ngram_contamination(stream, ref, n=8)
+    decon = (
+        stream.join(conta.select("doc_id", "contamination"), "doc_id", "left")
+        .filter(
+            F.col("contamination").isNull() | (F.col("contamination") <= 0.4),
+        )
+    )
+    # 4. calibrated gate on the length score — pin the frame: it feeds
+    # BOTH the calibration fit and the gated application (one scan,
+    # not a full pipeline re-execution per branch)
+    toks = _tok(F.col("text"))
+    scored = decon.select(
+        "doc_id",
+        "source",
+        "text",
+        F.round(F.size(toks) / F.lit(100.0), 2).alias("s"),
+        F.array_contains(
+            F.transform(toks, lambda t: F.lower(t)), "spark",
+        ).cast("double").alias("y"),
+    ).localCheckpoint(eager=False)
+    cal = isotonic_calibrate(
+        scored.select(F.col("s").alias("score"), "y"), "score", "y",
+        score_round=2,
+    )
+    gated = (
+        calibrated_gate(scored, cal, "s", 0.75, score_round=2)
+        .filter(F.col("passed"))
+    )
+    # 5. token-budget mixture assembly
+    from rdsa_utils_spark.operators.text import with_token_count
+
+    mixed = token_budget_mix(
+        with_token_count(gated, "text"),
+        "source", "doc_id", "n_tokens",
+        budgets={"src0": 1200, "src1": 2000, "src2": 600},
+    )
+    return mixed.select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "p_cal",
+    ).orderBy("doc_id")
+
+
+_ORACLE_CURATION_E2E = r"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), gm AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                (a, c) -> a + c) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(string_split(text, '#')) - 1 AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS hash_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(string_split(text, '...')) - 1 AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS ell_sym_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•])'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS alpha_frac,
+         len(list_filter(toks, t -> list_contains(
+           ['the','be','to','of','and','that','have','with'], lower(t)))) AS n_stop
+  FROM base
+), gpass AS (
+  SELECT b.doc_id, b.text, b.source, b.toks
+  FROM base b JOIN gm ON b.doc_id = gm.doc_id
+  WHERE gm.n_words >= 20 AND gm.n_words <= 100000
+    AND gm.mean_len >= 3.0 AND gm.mean_len <= 10.0
+    AND gm.hash_ratio <= 0.1 AND gm.ell_sym_ratio <= 0.1
+    AND gm.bullet_ratio <= 0.9 AND gm.ellipsis_ratio <= 0.3
+    AND gm.alpha_frac >= 0.8 AND gm.n_stop >= 2
+), dedup AS (
+  SELECT doc_id, source, toks FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id ASC) AS rn
+    FROM gpass)
+  WHERE rn = 1
+), ref_sh AS (
+  SELECT DISTINCT
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 16), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1)
+                    * CAST(power(16, 15 - i) AS BIGINT) AS BIGINT))),
+           (a, b) -> a + b) AS h
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, greatest(len(toks) - 7, 1) + 1),
+             s -> array_to_string(toks[CAST(s AS INT):CAST(s + 7 AS INT)], ' '))) AS sh
+    FROM base WHERE doc_id % 20 = 0 AND len(toks) > 0)
+), strm AS (
+  SELECT * FROM dedup WHERE doc_id % 20 <> 0
+), strm_sh AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 16), i ->
+               CAST((strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1)
+                    * CAST(power(16, 15 - i) AS BIGINT) AS BIGINT))),
+           (a, b) -> a + b) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - 7, 1) + 1),
+             s -> array_to_string(toks[CAST(s AS INT):CAST(s + 7 AS INT)], ' '))) AS sh
+    FROM strm WHERE len(toks) > 0)
+), conta AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_sh,
+         CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM strm_sh s LEFT JOIN ref_sh r ON s.h = r.h
+  GROUP BY s.doc_id
+), decon AS (
+  SELECT d.doc_id, d.source, d.toks
+  FROM strm d LEFT JOIN conta c ON d.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR round(c.n_hit / c.n_sh, 6) <= 0.4
+), scored AS (
+  SELECT doc_id, source, toks,
+         round(len(toks) / 100.0, 2) AS s,
+         CASE WHEN list_contains(list_transform(toks, t -> lower(t)), 'spark')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM decon
+), g AS (
+  SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY s
+), p AS (
+  SELECT s, n, n_pos,
+         SUM(n) OVER (ORDER BY s) AS cn,
+         SUM(n_pos) OVER (ORDER BY s) AS cp
+  FROM g
+), pairs AS (
+  SELECT i.s AS si, j.s AS sj,
+         CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE)
+           / CAST(j.cn - (i.cn - i.n) AS DOUBLE) AS a
+  FROM p i JOIN p j ON i.s <= j.s
+), m AS (
+  SELECT si, sj, MIN(a) OVER (PARTITION BY si ORDER BY sj DESC) AS mn
+  FROM pairs
+), x AS (
+  SELECT si, sj, MAX(mn) OVER (PARTITION BY sj ORDER BY si ASC) AS iso
+  FROM m
+), cal AS MATERIALIZED (
+  SELECT sj AS score, ROUND(iso, 6) + 0.0 AS p_cal
+  FROM x WHERE si = sj
+), gated AS (
+  SELECT sc.doc_id, sc.source, sc.toks, c.p_cal
+  FROM scored sc JOIN cal c ON sc.s = c.score
+  WHERE c.p_cal >= 0.75
+), mixd AS (
+  SELECT doc_id, source, p_cal,
+         len(toks) AS n_tokens,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 13), i ->
+               CAST((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), i, 1)) - 1)
+                    * CAST(power(16, 12 - i) AS BIGINT) AS BIGINT))),
+           (a, c) -> a + c)) / power(16.0, 12) AS u,
+         CASE source WHEN 'src0' THEN 1200 WHEN 'src1' THEN 2000 WHEN 'src2' THEN 600 END AS budget
+  FROM gated
+  WHERE source IN ('src0', 'src1', 'src2')
+), cum AS (
+  SELECT doc_id, source, n_tokens, p_cal, budget,
+         sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY u ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM mixd
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, p_cal
 FROM cum
 WHERE cum_tokens <= budget
 ORDER BY doc_id
