@@ -6674,6 +6674,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "ks_returned_price": q_ks_returned_price,
         "quality_score": q_quality_score,
+        # round-10 addition: JVM-native BPE encoding with the trained
+        # merge list (train + encode replayed end-to-end in SQL)
+        "bpe_encode_counts": q_bpe_encode_counts,
         "sum_columns": q_sum_columns,
         "random_uniform_bounds": q_random_uniform_bounds,
         "rollup_revenue": q_rollup_revenue,
@@ -6947,6 +6950,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_token_count": _ORACLE_BPE_TOKEN_COUNT,
         "ks_returned_price": _ORACLE_KS_RETURNED_PRICE,
         "quality_score": _ORACLE_QUALITY_SCORE,
+        "bpe_encode_counts": _oracle_bpe_encode_counts(20),
         "sum_columns": _ORACLE_SUM_COLUMNS,
         "random_uniform_bounds": _ORACLE_RANDOM_UNIFORM_BOUNDS,
         "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
@@ -7265,6 +7269,22 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = bpe_train(docs, "text", num_merges=20)
     return bpe_merge_table(spark, merges)
+
+
+def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode: 20 BPE merges learned on the corpus
+    (operators/tokenize.py::bpe_train), then EVERY document encoded
+    JVM-natively (operators/tokenize.py::bpe_encode_counts — the
+    chained-replace device on the distinct-word dictionary, zero
+    Python) to per-doc BPE token counts. The oracle unrolls training
+    AND encoding in one SQL statement: the merge chain's final vocab
+    table is the encoded dictionary, so one word join replays the
+    whole tokenizer. Output = (doc_id, n_words, n_bpe_tokens)."""
+    from rdsa_utils_spark.operators.tokenize import bpe_encode_counts, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=20)
+    return bpe_encode_counts(docs, "text", "doc_id", merges).orderBy("doc_id")
 
 
 def q_acctbal_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9720,18 +9740,11 @@ ORDER BY doc_id
 """
 
 
-def _oracle_bpe_merges(num_merges: int = 20) -> str:
-    """Unrolls BPE merge learning round by round: the vocab is a
-    separator-delimited symbol string (chr(31) around every symbol),
-    so the greedy left-to-right non-overlapping merge IS SQL
-    ``replace(s, sep||L||sep||R||sep, sep||L||R||sep)`` — replace
-    scans left-to-right and resumes AFTER each substitution, exactly
-    the Spark-side array-fold semantics. Each round: adjacent-pair
-    counts weighted by word count, argmax with the total (count desc,
-    left asc, right asc) tie-break — binary string order in both
-    engines. Assumes corpus tokens never contain chr(31) (true of
-    whitespace tokenization by construction: chr(31) is ASCII
-    whitespace-adjacent control, stripped upstream)."""
+def _bpe_merge_chain(num_merges: int) -> str:
+    """The shared SQL CTE chain unrolling BPE merge learning round by
+    round (see :func:`_oracle_bpe_merges`) — also the front half of
+    :func:`_oracle_bpe_encode_counts`, whose final ``v{N}`` table IS
+    the encoded dictionary."""
     steps = []
     for k in range(1, num_merges + 1):
         steps.append(
@@ -9759,7 +9772,21 @@ def _oracle_bpe_merges(num_merges: int = 20) -> str:
   FROM v{k - 1}
 )""",
         )
-    chain = ",\n".join(steps)
+    return ",\n".join(steps)
+
+
+def _oracle_bpe_merges(num_merges: int = 20) -> str:
+    """Unrolls BPE merge learning round by round: the vocab is a
+    separator-delimited symbol string (chr(31) around every symbol),
+    so the greedy left-to-right non-overlapping merge IS SQL
+    ``replace(s, sep||L||sep||R||sep, sep||L||R||sep)`` — replace
+    scans left-to-right and resumes AFTER each substitution, exactly
+    the Spark-side array-fold semantics. Each round: adjacent-pair
+    counts weighted by word count, argmax with the total (count desc,
+    left asc, right asc) tie-break — binary string order in both
+    engines. Assumes corpus tokens never contain chr(31) (true of
+    whitespace tokenization by construction: chr(31) is ASCII
+    whitespace-adjacent control, stripped upstream)."""
     final = "\nUNION ALL\n".join(
         f"SELECT {k - 1} AS rank, l AS left, r AS right, CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, num_merges + 1)
@@ -9776,9 +9803,48 @@ WITH tok AS MATERIALIZED (
   FROM (SELECT unnest(toks) AS word FROM tok)
   GROUP BY word
 ),
-{chain}
+{_bpe_merge_chain(num_merges)}
 SELECT * FROM ({final})
 ORDER BY rank
+"""
+
+
+def _oracle_bpe_encode_counts(num_merges: int = 20) -> str:
+    """Train-then-ENCODE replay: the merge chain's final ``v{N}``
+    table is the encoded dictionary (each word's post-merge symbol
+    string), so per-doc BPE token counts are one dictionary join away
+    — the oracle for ``operators/tokenize.bpe_encode_counts``."""
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), v0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt,
+         chr(31) || array_to_string(
+           list_concat(string_split(word, ''), ['</w>']), chr(31)) || chr(31) AS s
+  FROM (SELECT unnest(toks) AS word FROM tok)
+  GROUP BY word
+),
+{_bpe_merge_chain(num_merges)},
+enc AS (
+  SELECT word,
+         CAST(length(s) - length(replace(s, chr(31), '')) - 1 AS BIGINT) AS n_sym
+  FROM v{num_merges}
+), docw AS (
+  SELECT doc_id, unnest(toks) AS word FROM tok
+), agg AS (
+  SELECT d.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens
+  FROM docw d JOIN enc e ON d.word = e.word
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
 """
 
 

@@ -778,25 +778,51 @@ def logreg_score_expr(
     ``buckets``: optional precomputed :func:`presence_buckets_expr`
     column — pass it (with ``text_col`` ignored) when the corpus was
     already tokenized for training, so the scan happens once.
+
+    The dot contract is 12-dp-quantized terms summed exactly (the
+    training contract), computed on the fast path as a SCALED-LONG
+    fold: each weight's ``round(w, 12)`` is pre-scaled to an exact
+    integer at 10^12 on the driver (``_dq`` — the same shortest-repr
+    HALF_UP as ``F.round``), the per-row fold is plain long addition
+    over a dense array literal (whole-stage codegen; the decimal
+    higher-order fold is CodegenFallback), and ``long/1e12`` is the
+    correctly-rounded exact ratio — the same double the
+    decimal(25,12)→double cast yields. Weights past ±10^4 (never a
+    trained presence model; |w| <= iterations·lr in training) fall
+    back to the decimal fold so the long sum can't overflow.
     """
+    from rdsa_utils_spark.operators.preference import _dq
+
     if hasattr(weights_rows, "items"):
         wmap = {int(k): float(v) for k, v in weights_rows.items()}
     else:
         wmap = {int(r[0]): float(r[1]) for r in weights_rows}
     bias = wmap.get(-1, 0.0)
-    entries = []
-    for f_, w_ in sorted(wmap.items()):
-        if f_ >= 0 and w_ != 0.0:
-            entries.extend([F.lit(f_), F.lit(w_)])
+    active = {
+        f_: w_ for f_, w_ in wmap.items() if f_ >= 0 and w_ != 0.0
+    }
     if buckets is None:
         buckets = presence_buckets_expr(text_col, n_features)
-    if entries:
+    if active and max(abs(w) for w in active.values()) <= 1.0e4:
+        # dense scaled-long weight vector: bucket b -> round(w_b,12)·1e12
+        w_scaled = [0] * n_features
+        for f_, w_ in active.items():
+            w_scaled[f_] = int(_dq(w_, 12).scaleb(12))
+        w_lit = F.expr("array(" + ",".join(f"{s}L" for s in w_scaled) + ")")
+        dot = (
+            F.aggregate(
+                buckets,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.element_at(w_lit, b + 1),
+            ).cast("double")
+            / F.lit(1.0e12)
+        )
+    elif active:
         from decimal import Decimal
 
-        # same dot contract as training/batch scoring: 12-dp terms
-        # (9-dp presence weights are already exact at 12 dp) summed as
-        # exact decimal(25,12), so the stream flag can never disagree
-        # with a batch-scored backfill over accumulation order
+        entries = []
+        for f_, w_ in sorted(active.items()):
+            entries.extend([F.lit(f_), F.lit(w_)])
         wlit = F.create_map(*entries)
         dot = F.aggregate(
             buckets,

@@ -252,3 +252,93 @@ def bpe_apply(
         return pd.Series(out)
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+#: Symbol separator for the string-rendered encode path — ASCII unit
+#: separator, impossible in whitespace tokens by construction.
+_SEP = "\x1f"
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: Sequence[tuple[str, str, int]],
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Per-document BPE token counts for a trained merge list, with
+    ZERO Python in the data path — the JVM-native, ANSI-SQL-replayable
+    sibling of :func:`bpe_apply` (which returns the token arrays via
+    an Arrow batch encoder).
+
+    The device is the one the training oracle proved: a word rendered
+    as a ``\\x1f``-delimited symbol string makes the greedy
+    left-to-right non-overlapping merge EXACTLY string
+    ``replace(sep+l+sep+r+sep, sep+lr+sep)`` — replace scans
+    left-to-right and resumes after each substitution, the same
+    semantics as the training fold, in Spark, DuckDB, and every ANSI
+    engine. Applying a trained rule list is then one projection with
+    ``len(merges)`` chained literal replaces.
+
+    100 TB posture: the replace chain runs on the DISTINCT-WORD
+    dictionary (the same vocabulary frame training reduces to —
+    millions of rows, never the corpus), and per-doc counts come from
+    one explode + one word-keyed join (AQE broadcasts the dictionary
+    when it is small) + one groupBy(doc). Documents with no tokens
+    count 0. Encoding a training word reproduces the trained
+    vocabulary's symbol sequence bit-for-bit (pinned against
+    :func:`bpe_apply` in tests).
+
+    Returns (``id_col``, ``n_words``, ``out_col``) — one row per
+    input document.
+    """
+    word_sep = F.lit(_SEP)
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .withColumn(
+            "__s__",
+            F.concat(
+                word_sep,
+                F.array_join(
+                    F.concat(
+                        F.split(F.col("word"), ""), F.array(F.lit(EOW)),
+                    ),
+                    _SEP,
+                ),
+                word_sep,
+            ),
+        )
+    )
+    s = F.col("__s__")
+    for left, right, _cnt in merges:
+        s = F.replace(
+            s,
+            F.lit(_SEP + left + _SEP + right + _SEP),
+            F.lit(_SEP + left + right + _SEP),
+        )
+    # symbols = separators - 1 on the SEP-wrapped rendering
+    n_sym = (
+        F.length(s) - F.length(F.replace(s, word_sep, F.lit("")))
+    ) - F.lit(1)
+    encoded = vocab.select("word", n_sym.cast("long").alias("__n__"))
+    doc_words = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    counts = (
+        doc_words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n__").alias(out_col),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce(out_col, F.lit(0).cast("long")).alias(out_col),
+        )
+    )

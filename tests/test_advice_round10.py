@@ -125,6 +125,49 @@ def test_presence_buckets_expr_null_is_empty_array(spark):
     assert len(by_id[2]) == 2
 
 
+def test_logreg_score_expr_long_fold_matches_decimal_contract(spark):
+    """The scaled-long scoring fold (round-10 fast path) must equal
+    the pure decimal contract — round(w,12) terms summed exactly,
+    then sigmoid — replayed in Python over the same buckets."""
+    import math
+    from decimal import Decimal
+
+    from rdsa_utils_spark.operators.classify import (
+        logreg_score_expr,
+        presence_buckets_expr,
+    )
+    from rdsa_utils_spark.operators.preference import _dq
+
+    # adversarial weights: repr-midpoints at 12 dp and sub-quantum dust
+    wmap = {
+        -1: -0.123456789,
+        0: 0.5,
+        1: 0.0000000000025,   # repr midpoint AT the 12-dp quantum
+        2: -2.675e-12,
+        3: 1.000000001,
+        7: -0.999999999,
+    }
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a"), (3, "")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in docs.select(
+            "id",
+            logreg_score_expr(wmap, "text", n_features=8).alias("p"),
+            presence_buckets_expr("text", 8).alias("b"),
+        ).collect()
+    }
+    rows = docs.select(
+        "id", presence_buckets_expr("text", 8).alias("b"),
+    ).collect()
+    for r in rows:
+        dot = float(sum((_dq(wmap.get(b, 0.0), 12) for b in r["b"]), Decimal(0)))
+        want = round(1.0 / (1.0 + math.exp(-(dot + wmap[-1]))), 6)
+        assert got[r["id"]] == pytest.approx(want, abs=0), (r["id"], dot)
+
+
 # ------------------------------------------------- bench policy metadata
 
 def test_bench_detail_records_spike_policy():

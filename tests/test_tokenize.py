@@ -108,3 +108,45 @@ def test_bpe_driver_path_equals_distributed_path(spark):
     fast = bpe_train(df, "text", num_merges=12)
     slow = bpe_train(df, "text", num_merges=12, max_driver_vocab=0)
     assert fast == slow and len(fast) == 12
+
+
+def test_bpe_encode_counts_matches_bpe_apply(spark):
+    """The JVM chained-replace encoder (round-10) must count exactly
+    the tokens the Arrow per-word encoder emits — same rules, same
+    greedy left-to-right non-overlapping semantics — including the
+    zero-token blank document."""
+    from rdsa_utils_spark.operators.tokenize import (
+        bpe_apply,
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest new newer"),
+         (2, "wide wider widest new"),
+         (3, ""),
+         (4, "low")],
+        "id long, text string",
+    )
+    merges = bpe_train(docs, "text", num_merges=10)
+    got = {
+        r["id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_counts(docs, "text", "id", merges).collect()
+    }
+    ref = {
+        r["id"]: len(r["bpe_tokens"])
+        for r in bpe_apply(docs, "text", merges).collect()
+    }
+    assert {i: c for i, (_, c) in got.items()} == ref
+    assert got[3] == (0, 0)
+    # a fully-merged training word encodes to ONE symbol (low</w>)
+    assert got[4] == (1, 1)
+
+
+def test_bpe_encode_counts_no_merges_counts_chars_plus_eow(spark):
+    from rdsa_utils_spark.operators.tokenize import bpe_encode_counts
+
+    docs = spark.createDataFrame([(1, "ab cde")], "id long, text string")
+    got = bpe_encode_counts(docs, "text", "id", []).collect()[0]
+    # "ab" -> a,b,</w> (3) + "cde" -> c,d,e,</w> (4)
+    assert (got["n_words"], got["n_bpe_tokens"]) == (2, 7)
