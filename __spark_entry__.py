@@ -9755,7 +9755,7 @@ def _bpe_merge_chain(num_merges: int) -> str:
            unnest(list_transform(range(1, len(li)),
                   i -> struct_pack(l := li[i], r := li[i + 1]))) AS pr
     FROM (
-      SELECT cnt, string_split(trim(s, chr(31)), chr(31)) AS li
+      SELECT cnt, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS li
       FROM v{k - 1}
     )
   )
@@ -9767,7 +9767,7 @@ def _bpe_merge_chain(num_merges: int) -> str:
 ), v{k} AS MATERIALIZED (
   SELECT word, cnt,
          replace(s,
-           chr(31) || (SELECT l FROM m{k}) || chr(31) || (SELECT r FROM m{k}) || chr(31),
+           chr(31) || (SELECT l FROM m{k}) || chr(31) || chr(31) || (SELECT r FROM m{k}) || chr(31),
            chr(31) || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || chr(31)) AS s
   FROM v{k - 1}
 )""",
@@ -9777,16 +9777,20 @@ def _bpe_merge_chain(num_merges: int) -> str:
 
 def _oracle_bpe_merges(num_merges: int = 20) -> str:
     """Unrolls BPE merge learning round by round: the vocab is a
-    separator-delimited symbol string (chr(31) around every symbol),
-    so the greedy left-to-right non-overlapping merge IS SQL
-    ``replace(s, sep||L||sep||R||sep, sep||L||R||sep)`` — replace
-    scans left-to-right and resumes AFTER each substitution, exactly
-    the Spark-side array-fold semantics. Each round: adjacent-pair
-    counts weighted by word count, argmax with the total (count desc,
-    left asc, right asc) tie-break — binary string order in both
-    engines. Assumes corpus tokens never contain chr(31) (true of
-    whitespace tokenization by construction: chr(31) is ASCII
-    whitespace-adjacent control, stripped upstream)."""
+    symbol string with DOUBLE chr(31) boundaries, so the greedy
+    left-to-right non-overlapping merge IS SQL
+    ``replace(s, sep||L||sep||sep||R||sep, sep||L||R||sep)`` — the
+    single-sep flanks of one match and the next adjacent match are
+    DIFFERENT characters of the shared double boundary, so adjacent
+    sites both fire (banana + (a,n) → b·an·an·a) while overlapping
+    sites don't (aaa + (a,a) → aa·a), exactly the Spark-side
+    array-fold semantics. (A single-sep rendering consumes the shared
+    boundary and silently skips the second adjacent site — the
+    round-10 review catch, pinned in tests/test_tokenize.py.) Each
+    round: adjacent-pair counts weighted by word count, argmax with
+    the total (count desc, left asc, right asc) tie-break — binary
+    string order in both engines. Assumes corpus tokens never contain
+    chr(31) (NOT \\s-whitespace — normalize control chars upstream)."""
     final = "\nUNION ALL\n".join(
         f"SELECT {k - 1} AS rank, l AS left, r AS right, CAST(pair_count AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, num_merges + 1)
@@ -9798,8 +9802,9 @@ WITH tok AS MATERIALIZED (
   FROM documents
 ), v0 AS MATERIALIZED (
   SELECT word, count(*) AS cnt,
-         chr(31) || array_to_string(
-           list_concat(string_split(word, ''), ['</w>']), chr(31)) || chr(31) AS s
+         chr(31) || chr(31) || array_to_string(
+           list_concat(string_split(word, ''), ['</w>']),
+           chr(31) || chr(31)) || chr(31) || chr(31) AS s
   FROM (SELECT unnest(toks) AS word FROM tok)
   GROUP BY word
 ),
@@ -9822,15 +9827,16 @@ WITH tok AS MATERIALIZED (
   FROM documents
 ), v0 AS MATERIALIZED (
   SELECT word, count(*) AS cnt,
-         chr(31) || array_to_string(
-           list_concat(string_split(word, ''), ['</w>']), chr(31)) || chr(31) AS s
+         chr(31) || chr(31) || array_to_string(
+           list_concat(string_split(word, ''), ['</w>']),
+           chr(31) || chr(31)) || chr(31) || chr(31) AS s
   FROM (SELECT unnest(toks) AS word FROM tok)
   GROUP BY word
 ),
 {_bpe_merge_chain(num_merges)},
 enc AS (
   SELECT word,
-         CAST(length(s) - length(replace(s, chr(31), '')) - 1 AS BIGINT) AS n_sym
+         CAST((length(s) - length(replace(s, chr(31), ''))) / 2 - 1 AS BIGINT) AS n_sym
   FROM v{num_merges}
 ), docw AS (
   SELECT doc_id, unnest(toks) AS word FROM tok

@@ -32,20 +32,14 @@ def _round_half_up(x: float, digits: int) -> float:
     remaining iterations. Every driver-side parameter quantization in
     this module must use this, never ``round``.
 
-    Quantizes ``repr(x)`` (the shortest round-trip decimal), not the
-    exact binary expansion: Spark's ``F.round`` on doubles goes through
-    ``BigDecimal.valueOf`` == ``Double.toString`` — the shortest-repr
-    string — so a double whose shortest repr IS a midpoint (2.675 at
-    2 dp) rounds up under Spark while ``Decimal(x)``'s exact expansion
-    (2.67499999999999982...) would round down. ``Decimal(repr(x))``
-    matches Spark in the tie cases."""
-    from decimal import ROUND_HALF_UP, Decimal
+    Delegates to the single shared definition in
+    :mod:`rdsa_utils_spark.functions.quantize` (shortest-repr HALF_UP,
+    matching Spark's ``F.round``/``BigDecimal.valueOf`` tie cases —
+    see that module for why neither ``round()`` nor ``Decimal(x)``
+    works)."""
+    from rdsa_utils_spark.functions.quantize import round_half_up
 
-    return float(
-        Decimal(repr(x)).quantize(
-            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP,
-        ),
-    )
+    return round_half_up(x, digits)
 
 __all__ = [
     "train_naive_bayes",
@@ -557,20 +551,37 @@ def train_logreg_hashed(
     # dominated the iteration at bench scale). Same VALUE by
     # construction: the scaled weights are exact integers (computed
     # with Decimal on the driver), their long sum is the decimal sum
-    # scaled, |sum| <= n_features·10·1e12 ≈ 2.6e15 << 2^63, and
-    # long/1e12 in IEEE is the correctly-rounded exact ratio — the
+    # scaled, the per-iteration guard below keeps the worst-case sum
+    # <= 2^53 so the long->double cast is exact, and long/1e12 in IEEE
+    # is the correctly-rounded exact ratio — the
     # same double the decimal(25,12)→double cast produces. Pinned
     # against the pure-Python replay in tests/test_round9_logreg_replay
     # and the generic decimal fold in tests/test_classify.py.
-    presence_fast = feature_mode == "presence" and weight_round <= 12
+    presence_mode = feature_mode == "presence"
     from decimal import Decimal as _D
 
     for _ in range(iterations):
         # one SQL-text literal, not n_features py4j lit() calls — the
         # Column-by-Column array constructor measurably dominated the
-        # per-iteration cost at bench scale
-        if presence_fast:
-            w_scaled = [int(_D(repr(float(w))) * 10**12) for w in wvec]
+        # per-iteration cost at bench scale.
+        # The long fold is exact ONLY while the worst-case scaled sum
+        # stays <= 2^53 (the long->double cast must be exact; a doc can
+        # hit every feature once, so the bound is sum(|scaled_w|)) —
+        # re-checked EVERY iteration since weights grow with lr; an
+        # iteration past the bound runs the decimal fold instead,
+        # same value by contract. Never triggers for a sane presence
+        # model (|w| <= iterations·lr), but lr=5, 10 iterations, 200
+        # active buckets genuinely can cross it.
+        w_scaled = (
+            [int(_D(repr(float(w))) * 10**12) for w in wvec]
+            if presence_mode and weight_round <= 12
+            else None
+        )
+        iter_fast = (
+            w_scaled is not None
+            and sum(abs(s) for s in w_scaled) <= 2**53
+        )
+        if iter_fast:
             w_lit = F.expr(
                 "array(" + ",".join(f"{s}L" for s in w_scaled) + ")",
             )
@@ -611,11 +622,11 @@ def train_logreg_hashed(
         # as logreg_score_expr's literal inlining); feature -1 is the
         # bias gradient via the sentinel entry
         # presence contribution round(1.0·double(r), 12) IS r (a 12-dp
-        # decimal round-trips double exactly at |r| < 1) — skip the
-        # per-row double/round/decimal conversions on the fast path
+        # decimal round-trips double exactly at |r| < 1) — value-based,
+        # so it holds regardless of which dot fold ran this iteration
         contrib = (
             F.col("__r")
-            if presence_fast
+            if presence_mode
             else F.round(
                 F.col("__e.value") * F.col("__r").cast("double"), 12,
             ).cast(DEC)
@@ -787,9 +798,21 @@ def logreg_score_expr(
     over a dense array literal (whole-stage codegen; the decimal
     higher-order fold is CodegenFallback), and ``long/1e12`` is the
     correctly-rounded exact ratio — the same double the
-    decimal(25,12)→double cast yields. Weights past ±10^4 (never a
-    trained presence model; |w| <= iterations·lr in training) fall
-    back to the decimal fold so the long sum can't overflow.
+    decimal(25,12)→double cast yields. The fast path runs only while
+    the WORST-CASE scaled sum (a doc hitting every feature once —
+    ``sum(|round(w,12)|·10^12)``) stays <= 2^53, the exactness bound
+    of the long→double cast; a heavier weight set (never a trained
+    presence model; |w| <= iterations·lr in training) falls back to
+    the decimal fold, same value by contract.
+
+    ``buckets`` values must lie in ``[0, n_features)`` — the
+    :func:`presence_buckets_expr` contract. An out-of-range bucket now
+    fails loudly (ANSI array index) instead of silently scoring 0.0
+    the way the old map lookup did; likewise a model FEATURE index
+    >= ``n_features`` raises ValueError at construction on BOTH paths
+    — a mismatched ``n_features`` between bucketing and scoring was
+    always a silent feature-space desync, and loud is the better
+    failure.
     """
     from rdsa_utils_spark.operators.preference import _dq
 
@@ -801,13 +824,21 @@ def logreg_score_expr(
     active = {
         f_: w_ for f_, w_ in wmap.items() if f_ >= 0 and w_ != 0.0
     }
+    if active and max(active) >= n_features:
+        raise ValueError(
+            f"logreg_score_expr: model has feature {max(active)} but "
+            f"n_features={n_features} — the model was trained with a "
+            "different feature-space size; scoring it here would "
+            "silently desync the hash buckets",
+        )
     if buckets is None:
         buckets = presence_buckets_expr(text_col, n_features)
-    if active and max(abs(w) for w in active.values()) <= 1.0e4:
+    w_scaled_map = {f_: int(_dq(w_, 12).scaleb(12)) for f_, w_ in active.items()}
+    if active and sum(abs(s) for s in w_scaled_map.values()) <= 2**53:
         # dense scaled-long weight vector: bucket b -> round(w_b,12)·1e12
         w_scaled = [0] * n_features
-        for f_, w_ in active.items():
-            w_scaled[f_] = int(_dq(w_, 12).scaleb(12))
+        for f_, s_ in w_scaled_map.items():
+            w_scaled[f_] = s_
         w_lit = F.expr("array(" + ",".join(f"{s}L" for s in w_scaled) + ")")
         dot = (
             F.aggregate(

@@ -20,19 +20,15 @@ __all__ = ["bt_ratings", "win_rate_matrix"]
 
 
 def _dq(x: float, nd: int):
-    """Quantize a double to ``nd`` dp half-up on its SHORTEST decimal
-    repr — the same value Spark's ``F.round`` quantizes
-    (``BigDecimal.valueOf`` == ``Double.toString``). ``Decimal(x)``
-    (the exact binary expansion) would round midpoint-repr doubles the
-    other way: repr(2.675) sits ON the 2-dp midpoint and rounds up to
-    2.68 under both this and ``F.round``, while the binary value
-    2.67499999999999982... rounds down. Module-level so the tie-case
-    convention is pinned by tests/test_advice_round10.py."""
-    from decimal import ROUND_HALF_UP, Decimal
+    """Half-up quantization on the shortest decimal repr — THE single
+    shared definition lives in
+    :mod:`rdsa_utils_spark.functions.quantize` (round-10 review:
+    per-module copies needed a lockstep fix when the tie-case
+    convention changed); re-exported here for the BT replay callers
+    and the tie-case pin tests."""
+    from rdsa_utils_spark.functions.quantize import dq
 
-    return Decimal(repr(x)).quantize(
-        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP,
-    )
+    return dq(x, nd)
 
 
 def _norm_ppf(p: float) -> float:

@@ -255,7 +255,9 @@ def bpe_apply(
 
 
 #: Symbol separator for the string-rendered encode path — ASCII unit
-#: separator, impossible in whitespace tokens by construction.
+#: separator. Same assumption as the training oracle: corpus tokens
+#: never contain chr(31) (it is NOT \s-whitespace, so normalize
+#: control characters upstream — ``text.normalize_text`` strips it).
 _SEP = "\x1f"
 
 
@@ -271,14 +273,20 @@ def bpe_encode_counts(
     sibling of :func:`bpe_apply` (which returns the token arrays via
     an Arrow batch encoder).
 
-    The device is the one the training oracle proved: a word rendered
-    as a ``\\x1f``-delimited symbol string makes the greedy
-    left-to-right non-overlapping merge EXACTLY string
-    ``replace(sep+l+sep+r+sep, sep+lr+sep)`` — replace scans
-    left-to-right and resumes after each substitution, the same
-    semantics as the training fold, in Spark, DuckDB, and every ANSI
-    engine. Applying a trained rule list is then one projection with
-    ``len(merges)`` chained literal replaces.
+    The device: symbols joined by DOUBLE separators (``sep·sep``) with
+    the merge pattern flanked by a SINGLE sep on each side —
+    ``replace(sep+l+sep+sep+r+sep, sep+lr+sep)``. The outer seps of
+    one match and the next match's outer seps are DIFFERENT characters
+    of the shared double boundary, so adjacent merge sites both fire
+    ("banana" + (a,n) → b·an·an·a·</w>), while overlapping sites
+    correctly don't ("aaa" + (a,a) → aa·a·</w>) — exactly the greedy
+    left-to-right non-overlapping fold semantics of training and
+    :func:`bpe_apply`, in Spark, DuckDB, and every ANSI engine. (A
+    single-sep rendering is WRONG: the first replacement consumes the
+    boundary the next adjacent match needs — caught by the
+    adjacent-repeat pins in tests/test_tokenize.py.) Applying a
+    trained rule list is then one projection with ``len(merges)``
+    chained literal replaces.
 
     100 TB posture: the replace chain runs on the DISTINCT-WORD
     dictionary (the same vocabulary frame training reduces to —
@@ -292,21 +300,21 @@ def bpe_encode_counts(
     Returns (``id_col``, ``n_words``, ``out_col``) — one row per
     input document.
     """
-    word_sep = F.lit(_SEP)
+    boundary = _SEP + _SEP
     vocab = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .distinct()
         .withColumn(
             "__s__",
             F.concat(
-                word_sep,
+                F.lit(boundary),
                 F.array_join(
                     F.concat(
                         F.split(F.col("word"), ""), F.array(F.lit(EOW)),
                     ),
-                    _SEP,
+                    boundary,
                 ),
-                word_sep,
+                F.lit(boundary),
             ),
         )
     )
@@ -314,12 +322,14 @@ def bpe_encode_counts(
     for left, right, _cnt in merges:
         s = F.replace(
             s,
-            F.lit(_SEP + left + _SEP + right + _SEP),
+            F.lit(_SEP + left + _SEP + _SEP + right + _SEP),
             F.lit(_SEP + left + right + _SEP),
         )
-    # symbols = separators - 1 on the SEP-wrapped rendering
+    # k symbols carry 2(k+1) separator chars on the double-sep
+    # rendering (merges only ever delete whole boundaries)
     n_sym = (
-        F.length(s) - F.length(F.replace(s, word_sep, F.lit("")))
+        (F.length(s) - F.length(F.replace(s, F.lit(_SEP), F.lit(""))))
+        / F.lit(2)
     ) - F.lit(1)
     encoded = vocab.select("word", n_sym.cast("long").alias("__n__"))
     doc_words = df.select(

@@ -185,34 +185,33 @@ def _normalized_ddl(schema_ddl: str) -> str:
     return " ".join(schema_ddl.replace("`", "").lower().split())
 
 
-def _load_manifest(spark, state_path: str, kind: str) -> Optional[dict]:
+def _load_manifest(spark, state_path: str, kind: str, client=None) -> Optional[dict]:
+    """Load a kind's compaction manifest, refusing on the crashed-swap
+    ``__tmp__`` marker — THE single definition of the manifest-read
+    protocol (the census and the gates must never drift on the marker
+    convention). Filesystem access goes through the FileSystemClient
+    protocol; ``client=None`` builds a HadoopFileSystemClient over the
+    session (driver-side JVM FS read, no Spark job — the probe loads
+    the manifest every micro-batch, and a tiny JSON file should not
+    cost a collect each time)."""
     import json
 
+    if client is None:
+        from rdsa_utils_spark.sources.objectstore import (
+            HadoopFileSystemClient,
+        )
+
+        client = HadoopFileSystemClient(spark)
     mpath = _manifest_path(state_path, kind)
-    if _hadoop_exists(spark, f"{mpath}__tmp__"):
+    if client.file_exists(f"{mpath}__tmp__"):
         raise RuntimeError(
             f"{mpath}__tmp__ exists — a bucketing compaction crashed "
             f"mid-manifest-swap; run recover_near_dedup_state"
             f"('{state_path}') before starting the gate",
         )
-    if not _hadoop_exists(spark, mpath):
+    if not client.file_exists(mpath):
         return None
-    # driver-side Hadoop FS read (no Spark job): the probe loads the
-    # manifest every micro-batch, and a tiny JSON file should not cost
-    # a collect each time. IOUtils copies JVM-side — a py4j bytearray
-    # readFully would NOT mutate back into Python (found the hard way).
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(mpath)
-    fs = p.getFileSystem(conf)
-    stream = fs.open(p)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8",
-        )
-    finally:
-        stream.close()
-    return json.loads(text)
+    return json.loads(client.read_text(mpath))
 
 
 def _ensure_epoch_table(spark, entry: dict) -> str:
@@ -327,7 +326,6 @@ def state_epoch_census(
     LocalFileSystemClient` makes the census runnable with NO JVM at
     all (``spark`` may then be ``None``).
     """
-    import json
     import posixpath
 
     if client is None:
@@ -338,16 +336,8 @@ def state_epoch_census(
         client = HadoopFileSystemClient(spark)
     census: dict = {}
     for kind in kinds:
-        mpath = _manifest_path(state_path, kind)
-        if client.file_exists(f"{mpath}__tmp__"):
-            raise RuntimeError(
-                f"{mpath}__tmp__ exists — a bucketing compaction crashed "
-                f"mid-manifest-swap; run recover_near_dedup_state"
-                f"('{state_path}') before starting the gate",
-            )
-        epochs = 0
-        if client.file_exists(mpath):
-            epochs = len(json.loads(client.read_text(mpath))["epochs"])
+        man = _load_manifest(spark, state_path, kind, client=client)
+        epochs = len(man["epochs"]) if man is not None else 0
         tail = 0
         root = f"{state_path}/{kind}"
         if client.folder_exists(root):

@@ -150,3 +150,36 @@ def test_bpe_encode_counts_no_merges_counts_chars_plus_eow(spark):
     got = bpe_encode_counts(docs, "text", "id", []).collect()[0]
     # "ab" -> a,b,</w> (3) + "cde" -> c,d,e,</w> (4)
     assert (got["n_words"], got["n_bpe_tokens"]) == (2, 7)
+
+
+def test_bpe_encode_counts_adjacent_merge_sites(spark):
+    """The round-10 review catch: a single-separator replace rendering
+    consumes the boundary shared by two ADJACENT merge sites and
+    silently skips the second ('banana' + (a,n) encoded 6 tokens
+    instead of 5). The double-separator device must agree with the
+    greedy fold on adjacent repeats, overlapping repeats, and chained
+    merges built on merged symbols."""
+    from rdsa_utils_spark.operators.tokenize import (
+        bpe_apply,
+        bpe_encode_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "banana"), (2, "aaaa"), (3, "aaa"), (4, "abab abab"),
+         (5, "lowlow"), (6, "nn")],
+        "id long, text string",
+    )
+    merges = [("a", "n", 0), ("an", "an", 0), ("a", "a", 0),
+              ("aa", "aa", 0), ("a", "b", 0), ("ab", "ab", 0),
+              ("l", "o", 0), ("lo", "w", 0), ("n", "</w>", 0)]
+    got = {
+        r["id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_counts(docs, "text", "id", merges).collect()
+    }
+    ref = {
+        r["id"]: len(r["bpe_tokens"])
+        for r in bpe_apply(docs, "text", merges).collect()
+    }
+    assert got == ref
+    # the canonical case pinned by value: b·anan·a·</w>
+    assert got[1] == 4
