@@ -4180,12 +4180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dedup": q_minhash_near_dedup,
         "ivf_topk_replay": q_ivf_topk_replay,
         "kmeans_cluster_profile": q_kmeans_cluster_profile,
-        "rbo_termscan": q_rbo_termscan,
         "matryoshka_recall": q_matryoshka_recall,
         # round-8 window rotation: the round-7 second half + the two
         # new round-8 operators (win-rate significance, DoReMi mixture)
         "ece_discount_returns": q_ece_discount_returns,
-        "pass_at_k_orders": q_pass_at_k_orders,
         "brand_bt_ratings": q_brand_bt_ratings,
         "neyman_customer_sample": q_neyman_customer_sample,
         "tornqvist_prices": q_tornqvist_prices,
@@ -4215,6 +4213,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_score demoted (string-chain coverage duplicated by
         # language_id; the quality operator itself stays CI-checked).
         "curation_e2e": q_curation_e2e,
+        # round-11 window rotation: the JVM-native BPE encoders take
+        # driver slots — bpe_encode_counts (round-10 flagship, CI-only
+        # until now) and the new bpe_encode_ids (tokenizer→shards id
+        # sequences). Demoted with oracles intact: rbo_termscan (rank-
+        # metric coverage duplicated by ndcg_termscan; mrr/map siblings
+        # already extras) and pass_at_k_orders (eval coverage
+        # duplicated by auc/ece/win_rate).
+        "bpe_encode_counts": q_bpe_encode_counts,
+        "bpe_encode_ids": q_bpe_encode_ids,
         # --- non-SQL-expressible, rows-only by design (3) ---
         # (the trained ivf_topk path moved to tests-only coverage when
         # the oracle-backed iters=0 replay took its driver slot; its
@@ -6674,9 +6681,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "ks_returned_price": q_ks_returned_price,
         "quality_score": q_quality_score,
-        # round-10 addition: JVM-native BPE encoding with the trained
-        # merge list (train + encode replayed end-to-end in SQL)
-        "bpe_encode_counts": q_bpe_encode_counts,
+        # round-11 rotation demotions (oracles intact below)
+        "rbo_termscan": q_rbo_termscan,
+        "pass_at_k_orders": q_pass_at_k_orders,
         "sum_columns": q_sum_columns,
         "random_uniform_bounds": q_random_uniform_bounds,
         "rollup_revenue": q_rollup_revenue,
@@ -6909,10 +6916,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dedup": _oracle_minhash_near_dedup(),
         "ivf_topk_replay": _ORACLE_IVF_TOPK_REPLAY,
         "kmeans_cluster_profile": _ORACLE_KMEANS_CLUSTER_PROFILE,
-        "rbo_termscan": _oracle_rbo_termscan(),
         "matryoshka_recall": _ORACLE_MATRYOSHKA_RECALL,
         "ece_discount_returns": _ORACLE_ECE_DISCOUNT_RETURNS,
-        "pass_at_k_orders": _ORACLE_PASS_AT_K_ORDERS,
         "brand_bt_ratings": _oracle_brand_bt_ratings(6),
         "neyman_customer_sample": _ORACLE_NEYMAN_CUSTOMER_SAMPLE,
         "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
@@ -6925,6 +6930,8 @@ def oracle_sql() -> dict[str, str]:
         "sq8_topk_replay": _ORACLE_SQ8_TOPK_REPLAY,
         "contamination_gate_admitted": _ORACLE_CONTAMINATION_GATE_ADMITTED,
         "curation_e2e": _ORACLE_CURATION_E2E,
+        "bpe_encode_counts": _oracle_bpe_encode_counts(20),
+        "bpe_encode_ids": _oracle_bpe_encode_ids(20),
         # approx_sketches: sketch estimates themselves are
         # engine-specific (Spark HLL++ vs DuckDB HLL), so the query
         # emits exact values + bounded-error flags and the oracle
@@ -6950,7 +6957,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_token_count": _ORACLE_BPE_TOKEN_COUNT,
         "ks_returned_price": _ORACLE_KS_RETURNED_PRICE,
         "quality_score": _ORACLE_QUALITY_SCORE,
-        "bpe_encode_counts": _oracle_bpe_encode_counts(20),
+        "rbo_termscan": _oracle_rbo_termscan(),
+        "pass_at_k_orders": _ORACLE_PASS_AT_K_ORDERS,
         "sum_columns": _ORACLE_SUM_COLUMNS,
         "random_uniform_bounds": _ORACLE_RANDOM_UNIFORM_BOUNDS,
         "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
@@ -7285,6 +7293,33 @@ def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", num_merges=20)
     return bpe_encode_counts(docs, "text", "doc_id", merges).orderBy("doc_id")
+
+
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode to TOKEN-ID SEQUENCES — the tokenizer→
+    training-shards link (operators/tokenize.py::bpe_encode_ids,
+    round-11): 20 BPE merges learned on the corpus, every document
+    encoded JVM-natively to its id sequence under the GPT-2-style
+    vocab convention (base chars in binary order, EOW, then merge
+    outputs by rank; see bpe_vocab_ids). Pinned bit-equal to the Arrow
+    ``bpe_apply`` symbol arrays in tests/test_tokenize.py and feeding
+    ``pack_sequences``/``write_training_shards`` in
+    tests/test_round11_bpe_pipeline.py. The oracle unrolls training,
+    the vocab id table, AND the per-doc flatten in one SQL statement —
+    output = (doc_id, n_ids, ids_csv), csv so the value hash pins the
+    exact SEQUENCE, not a set."""
+    from rdsa_utils_spark.operators.tokenize import bpe_encode_ids, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=20)
+    out = bpe_encode_ids(docs, "text", "doc_id", merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_ids").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform("bpe_ids", lambda x: x.cast("string")), ",",
+        ).alias("ids_csv"),
+    ).orderBy("doc_id")
 
 
 def q_acctbal_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9850,6 +9885,81 @@ SELECT t.doc_id,
        COALESCE(a.n_words, 0) AS n_words,
        COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def _oracle_bpe_encode_ids(num_merges: int = 20) -> str:
+    """Train-then-encode replay to ID SEQUENCES: the merge chain's
+    final ``v{N}`` strings split back into symbol lists, the vocab id
+    table replays ``tokenize.bpe_vocab_ids``'s block layout (base
+    chars binary-ordered, EOW, merges by rank; min-id on collision),
+    and per-doc sequences flatten word id-arrays in token order with
+    ``list(... ORDER BY pos)`` aggregates — the oracle for
+    ``operators/tokenize.bpe_encode_ids``."""
+    mergev = "\n  UNION ALL ".join(
+        f"SELECT l || r AS sym, 1 AS blk, 0 AS eow, '' AS ord_s, "
+        f"{k - 1} AS ord_i FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return rf"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') END AS toks
+  FROM documents
+), v0 AS MATERIALIZED (
+  SELECT word, count(*) AS cnt,
+         chr(31) || chr(31) || array_to_string(
+           list_concat(string_split(word, ''), ['</w>']),
+           chr(31) || chr(31)) || chr(31) || chr(31) AS s
+  FROM (SELECT unnest(toks) AS word FROM tok)
+  GROUP BY word
+),
+{_bpe_merge_chain(num_merges)},
+symsx AS MATERIALIZED (
+  SELECT word, list_filter(string_split(s, chr(31) || chr(31)), x -> x <> '') AS syms
+  FROM v{num_merges}
+), chars AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(word, '')) AS sym FROM v0
+), allsyms AS (
+  SELECT sym, 0 AS blk, 0 AS eow, sym AS ord_s, 0 AS ord_i FROM chars
+  UNION ALL SELECT '</w>', 0, 1, '</w>', 0
+  UNION ALL {mergev}
+), vocab AS MATERIALIZED (
+  SELECT sym, min(id) AS id FROM (
+    SELECT sym, row_number() OVER (ORDER BY blk, eow, ord_s, ord_i) - 1 AS id
+    FROM allsyms
+  ) GROUP BY sym
+), wsy AS (
+  SELECT word, (x).p AS p, (x).sym AS sym
+  FROM (
+    SELECT word,
+           unnest(list_transform(range(1, len(syms) + 1),
+                  i -> struct_pack(p := i, sym := syms[i]))) AS x
+    FROM symsx
+  )
+), wids AS MATERIALIZED (
+  SELECT w.word, list(CAST(COALESCE(v.id, -1) AS INT) ORDER BY w.p) AS ids
+  FROM wsy w LEFT JOIN vocab v ON v.sym = w.sym
+  GROUP BY w.word
+), docw AS (
+  SELECT doc_id, (x).wp AS wp, (x).word AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(wp := i, word := toks[i]))) AS x
+    FROM tok
+  )
+), docids AS (
+  SELECT d.doc_id, flatten(list(w.ids ORDER BY d.wp)) AS ids
+  FROM docw d JOIN wids w ON w.word = d.word
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(len(i.ids), 0) AS BIGINT) AS n_ids,
+       COALESCE(array_to_string(i.ids, ','), '') AS ids_csv
+FROM tok t LEFT JOIN docids i ON i.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
 

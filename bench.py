@@ -21,10 +21,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_WINDOW_WARNING = b"No Partition Defined for Window operation"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    # Route fd 2 to a file BEFORE the JVM launches: in local mode the
+    # JVM inherits Python's stderr, so log4j's console appender lands
+    # here and runtime WindowExec warnings become countable PER QUERY
+    # (the runtime complement of PLAN_AUDIT's structural
+    # ``global_windows`` — VERDICT r10 task 1). stdout (the one-line
+    # JSON contract) is untouched.
+    import tempfile
+
+    jvm_log = tempfile.NamedTemporaryFile(
+        prefix="bench_jvm_stderr_", suffix=".log", delete=False,
+    )
+    os.dup2(jvm_log.fileno(), 2)
+
+    def _warnings_since(pos: int) -> tuple[int, int]:
+        end = os.path.getsize(jvm_log.name)
+        if end <= pos:
+            return 0, end
+        with open(jvm_log.name, "rb") as fh:
+            fh.seek(pos)
+            return fh.read(end - pos).count(_WINDOW_WARNING), end
 
     import __spark_entry__ as entrymod
     from rdsa_utils_spark.session import create_spark_session
@@ -89,6 +113,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     spike_retries: dict[str, int] = {}
+    window_warnings: dict[str, int] = {}
+    log_pos = os.path.getsize(jvm_log.name)
     total = 0.0
     for name, fn in qs.items():
         runs = []
@@ -135,6 +161,12 @@ def main() -> None:
         timings[name] = round(median, 3)
         spreads[name] = round(runs[-1] / runs[0], 2) if runs[0] > 0 else 1.0
         total += timings[name]
+        # Raw warning count across this query's n_runs+1 executions
+        # (construction + compile + AQE replans can each log once per
+        # run — a diagnostic, normalize by runs_per_query to compare).
+        n_warn, log_pos = _warnings_since(log_pos)
+        if n_warn:
+            window_warnings[name] = n_warn
 
     # Derive sf from the directory name (e.g. sf0.1 -> 0.1).
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -162,6 +194,10 @@ def main() -> None:
                 "spike_retry_max": spike_retry_max,
                 "spike_threshold": spike_threshold,
                 "spike_retries": spike_retries,
+                # runtime single-partition-window warnings per query
+                # (raw count over runs_per_query+1 executions; pairs
+                # with PLAN_AUDIT.json's structural global_windows)
+                "global_window_warnings": window_warnings,
             },
             fh,
             indent=1,

@@ -261,6 +261,36 @@ def bpe_apply(
 _SEP = "\x1f"
 
 
+def _encoded_word_strings(
+    df: DataFrame, text_col: str, merges: Sequence[tuple[str, str, int]],
+) -> DataFrame:
+    """(word, __s__) — the DISTINCT-WORD dictionary with each word's
+    double-separator symbol string after the FULL merge chain (the
+    chained-replace device; see :func:`bpe_encode_counts` for the
+    greedy-fold semantics proof). Shared by the count and id-sequence
+    encoders so the two can never drift on the rendering."""
+    boundary = _SEP + _SEP
+    s = F.concat(
+        F.lit(boundary),
+        F.array_join(
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
+            boundary,
+        ),
+        F.lit(boundary),
+    )
+    for left, right, _cnt in merges:
+        s = F.replace(
+            s,
+            F.lit(_SEP + left + _SEP + _SEP + right + _SEP),
+            F.lit(_SEP + left + right + _SEP),
+        )
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .withColumn("__s__", s)
+    )
+
+
 def bpe_encode_counts(
     df: DataFrame,
     text_col: str,
@@ -300,31 +330,8 @@ def bpe_encode_counts(
     Returns (``id_col``, ``n_words``, ``out_col``) — one row per
     input document.
     """
-    boundary = _SEP + _SEP
-    vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .distinct()
-        .withColumn(
-            "__s__",
-            F.concat(
-                F.lit(boundary),
-                F.array_join(
-                    F.concat(
-                        F.split(F.col("word"), ""), F.array(F.lit(EOW)),
-                    ),
-                    boundary,
-                ),
-                F.lit(boundary),
-            ),
-        )
-    )
+    vocab = _encoded_word_strings(df, text_col, merges)
     s = F.col("__s__")
-    for left, right, _cnt in merges:
-        s = F.replace(
-            s,
-            F.lit(_SEP + left + _SEP + _SEP + right + _SEP),
-            F.lit(_SEP + left + right + _SEP),
-        )
     # k symbols carry 2(k+1) separator chars on the double-sep
     # rendering (merges only ever delete whole boundaries)
     n_sym = (
@@ -350,5 +357,144 @@ def bpe_encode_counts(
             id_col,
             F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
             F.coalesce(out_col, F.lit(0).cast("long")).alias(out_col),
+        )
+    )
+
+
+def bpe_vocab_ids(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str, int]],
+) -> DataFrame:
+    """The symbol→id table for a trained tokenizer over this corpus —
+    GPT-2-style block layout, engine- and ANSI-SQL-replayable:
+
+      block 0 — BASE symbols: the corpus's distinct single characters
+                in binary (codepoint) order, then :data:`EOW` last;
+      block 1 — merge outputs (``left+right``) in rank order.
+
+    Ids are ``row_number`` over that total order minus 1. If a merge
+    output collides with an existing symbol string (two merge paths
+    can yield the same text, e.g. (a,bc) and (ab,c) → "abc"), the
+    FIRST id wins (min), leaving a deterministic hole.
+
+    The single global window runs over the tokenizer-sized frame
+    (|alphabet| + 1 + num_merges rows), never data. Returns
+    ``(sym, id)``.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    chars = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .select(F.explode(F.split("word", "")).alias("sym"))
+        .distinct()
+    )
+    base = chars.unionByName(
+        spark.range(1).select(F.lit(EOW).alias("sym")),
+    ).select(
+        "sym",
+        F.lit(0).alias("__blk__"),
+        (F.col("sym") == EOW).cast("int").alias("__eow__"),
+        F.col("sym").alias("__ord_s__"),
+        F.lit(0).alias("__ord_i__"),
+    )
+    merge_syms = spark.createDataFrame(
+        [(left + right, i) for i, (left, right, _c) in enumerate(merges)],
+        "sym string, __ord_i__ int",
+    ).select(
+        "sym",
+        F.lit(1).alias("__blk__"),
+        F.lit(0).alias("__eow__"),
+        F.lit("").alias("__ord_s__"),
+        "__ord_i__",
+    )
+    w = Window.orderBy("__blk__", "__eow__", "__ord_s__", "__ord_i__")
+    return (
+        base.unionByName(merge_syms)
+        .withColumn("id", F.row_number().over(w) - 1)
+        .groupBy("sym")
+        .agg(F.min("id").alias("id"))
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: Sequence[tuple[str, str, int]],
+    out_col: str = "bpe_ids",
+) -> DataFrame:
+    """Per-document BPE token-ID SEQUENCES with ZERO Python in the
+    data path — the id-sequence sibling of :func:`bpe_encode_counts`
+    (counts) and :func:`bpe_apply` (Arrow symbol arrays; the three are
+    pinned equal in tests/test_tokenize.py). This is the tokenizer→
+    training-shards link: the output feeds ``sampling.pack_sequences``
+    and ``writers.write_training_shards`` directly.
+
+    Pipeline (all JVM expressions):
+      1. the DISTINCT-WORD dictionary is encoded by the shared
+         chained-replace device (:func:`_encoded_word_strings`) and
+         split back into symbol arrays,
+      2. symbols map to ids through :func:`bpe_vocab_ids` (tokenizer-
+         sized table; unknown symbols — impossible when encoding the
+         training corpus — map to -1 rather than null),
+      3. per-word id arrays assemble by ``posexplode`` position, and
+         per-doc sequences flatten the word arrays in token order.
+
+    100 TB posture: the replace chain and the split run on the
+    dictionary (vocabulary-sized, never the corpus); per-doc work is
+    two word-keyed equi-joins (AQE broadcasts the dictionary when
+    small) + two order-preserving regroup aggregations; the only
+    global window is over the tokenizer-sized vocab table.
+
+    Returns (``id_col``, ``out_col: array<int>``) — one row per input
+    document; empty/blank docs get an empty array.
+    """
+    boundary = _SEP + _SEP
+    dict_df = _encoded_word_strings(df, text_col, merges).select(
+        "word",
+        F.filter(
+            F.split(F.col("__s__"), boundary),
+            lambda x: x != F.lit(""),
+        ).alias("__syms__"),
+    )
+    vocab = bpe_vocab_ids(df, text_col, merges)
+
+    wsym = dict_df.select(
+        "word", F.posexplode("__syms__").alias("__p__", "sym"),
+    )
+    wids = (
+        wsym.join(vocab, "sym", "left")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p__", "id"))),
+                lambda s: F.coalesce(s["id"], F.lit(-1)),
+            ).alias("__wids__"),
+        )
+    )
+    docw = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("__wp__", "word"),
+    )
+    per_doc = (
+        docw.join(wids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__wp__", "__wids__"))),
+                    lambda s: s["__wids__"],
+                ),
+            ).alias(out_col),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.array().cast("array<int>")).alias(out_col),
         )
     )

@@ -506,14 +506,14 @@ def write_stream_upsert(
     commits_dir = f"{path}__commits__"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{batch_id}")
-        fs = marker.getFileSystem(conf)
-        if fs.exists(marker):
+        from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+        fs = HadoopFileSystemClient(spark)
+        marker = f"{commits_dir}/{batch_id}"
+        if fs.folder_exists(marker) or fs.file_exists(marker):
             return
         merge_upsert(spark, batch_df, path, keys, order_col=order_col)
-        fs.mkdirs(marker)
+        fs.create_folder(marker)
 
     return write_stream_foreach_batch(
         stream_df,
@@ -605,20 +605,16 @@ def write_stream_additive_rollup(
     sum_cols = list(sum_cols)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{batch_id}")
-        mfs = marker.getFileSystem(conf)
-        if mfs.exists(marker):
+        from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+        fs = HadoopFileSystemClient(spark)
+        marker = f"{commits_dir}/{batch_id}"
+        if fs.folder_exists(marker) or fs.file_exists(marker):
             return
         aggs = [F.sum(c).alias(c) for c in sum_cols]
         if count_col:
             aggs.append(F.count(F.lit(1)).alias(count_col))
         partial = batch_df.groupBy(*keys).agg(*aggs)
-
-        from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
-
-        fs = HadoopFileSystemClient(spark)
         if fs.folder_exists(path):
             existing = read_parquet(spark, path)
             merged = merge_partial_aggregates(
@@ -638,7 +634,7 @@ def write_stream_additive_rollup(
             fs.delete_folder(old)
         else:
             partial.write.parquet(path)
-        mfs.mkdirs(marker)
+        fs.create_folder(marker)
 
     return write_stream_foreach_batch(
         stream_df,

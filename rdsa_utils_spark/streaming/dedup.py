@@ -161,20 +161,95 @@ def new_keys_per_window(
 #     needs NO exchange on the store side — the scan streams straight
 #     into the join.  Epochs are append-only: compacting N new batches
 #     costs O(N batches), never O(corpus).
+#
+# Writer-identity protocol: a ``__owner__`` JSON file at the
+# ``state_path`` root records the claiming query's checkpoint dir.
+# Every gate (re)start must present the same checkpoint dir
+# (``_claim_state_ownership``) — two different logical queries sharing
+# one store would interleave ``__batch__=<id>`` overwrites and corrupt
+# the corpus in a way the single-writer batch-id guard cannot see.
 # --------------------------------------------------------------------------
 
 _BUCKET_COLS = {"bands": ("band", "band_hash")}
 
 
-def _hadoop_exists(spark, path: str) -> bool:
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+def _fs_client(spark, client=None):
+    """Resolve the FileSystemClient used for all driver-side state-FS
+    access in this module (manifest reads, crash-marker probes, batch
+    census). ``None`` builds a :class:`HadoopFileSystemClient` over the
+    session; tests may inject a :class:`LocalFileSystemClient` — no raw
+    ``_jvm`` filesystem access happens outside ``sources/objectstore``."""
+    if client is not None:
+        return client
+    from rdsa_utils_spark.sources.objectstore import HadoopFileSystemClient
+
+    return HadoopFileSystemClient(spark)
+
+
+def _state_exists(client, path: str) -> bool:
+    """Generic existence (file OR directory) through the protocol —
+    the state tree mixes both (``__manifest__`` files, ``__batch__=``
+    and ``__aside__`` directories)."""
+    return client.folder_exists(path) or client.file_exists(path)
 
 
 def _manifest_path(state_path: str, kind: str) -> str:
     return f"{state_path}/{kind}__manifest__"
+
+
+def _owner_path(state_path: str) -> str:
+    return f"{state_path}/__owner__"
+
+
+def _claim_state_ownership(
+    spark, state_path: str, checkpoint_dir: str, client=None,
+) -> None:
+    """Refuse to run a gate whose ``state_path`` is already claimed by
+    a DIFFERENT logical query (identified by its streaming checkpoint
+    directory). Two writers interleaving ``__batch__=<id>`` overwrites
+    would silently clobber each other's partitions and corrupt the
+    admitted-corpus memory — and the batch-id monotonicity guard
+    (:func:`_assert_checkpoint_not_reset`) reasons only about ONE
+    writer's history, so the second writer's batch 0/1/2… looks like a
+    plausible restart to it. Protocol: the first gate to touch a store
+    records its checkpoint dir in ``{state_path}/__owner__``; every
+    later (re)start must present the SAME checkpoint dir. This is a
+    deterministic configuration check against the two-gates-one-store
+    misuse, not a distributed lease — crash-restarts of the same query
+    (same checkpoint) always pass, and a torn/unreadable owner file
+    refuses rather than guesses."""
+    import json
+
+    client = _fs_client(spark, client)
+    opath = _owner_path(state_path)
+    ck = str(checkpoint_dir).rstrip("/")
+    if client.file_exists(opath):
+        try:
+            owner = json.loads(client.read_text(opath))
+            recorded = str(owner["checkpoint_dir"])
+        except Exception as e:
+            raise RuntimeError(
+                f"{opath} exists but is unreadable ({e!r}) — a torn "
+                f"owner write or external corruption. Verify no other "
+                f"gate writes to {state_path}, then delete the owner "
+                f"file to re-claim. Refusing to guess.",
+            ) from e
+        if recorded.rstrip("/") != ck:
+            raise RuntimeError(
+                f"state under {state_path} is owned by the gate "
+                f"checkpointed at {recorded!r}, but this query's "
+                f"checkpoint is {ck!r} — two different queries must "
+                f"not share one state store (interleaved __batch__ "
+                f"overwrites corrupt the admitted corpus). Point this "
+                f"gate at its own state_path, or — if the old query is "
+                f"retired and its checkpoint intentionally replaced — "
+                f"delete {opath} to transfer ownership.",
+            )
+        return
+    client.write_text(
+        opath,
+        json.dumps({"checkpoint_dir": ck, "owner_protocol": 1}),
+    )
 
 
 def _normalized_ddl(schema_ddl: str) -> str:
@@ -211,7 +286,25 @@ def _load_manifest(spark, state_path: str, kind: str, client=None) -> Optional[d
         )
     if not client.file_exists(mpath):
         return None
-    return json.loads(client.read_text(mpath))
+    raw = client.read_text(mpath)
+    try:
+        man = json.loads(raw)
+        man["label"], man["epochs"]  # noqa: B018 — key presence check
+    except Exception as e:
+        # The swap protocol only ever materializes a manifest via the
+        # __tmp__ rename, so a torn/truncated FINAL manifest means an
+        # external partial write or filesystem corruption — refuse
+        # (probing with a guessed manifest would silently drop whole
+        # epochs from the admitted corpus and re-admit duplicates).
+        raise RuntimeError(
+            f"{mpath} is unreadable or missing required keys ({e!r}) "
+            f"— a torn/partial manifest write. Restore the manifest "
+            f"from backup, or re-author it from the surviving "
+            f"{kind}__epoch__r* directories under {state_path} (the "
+            f"bucketed parquet data is the durable copy; the manifest "
+            f"is reconstructible metadata). Refusing to guess.",
+        ) from e
+    return man
 
 
 def _ensure_epoch_table(spark, entry: dict) -> str:
@@ -271,7 +364,8 @@ def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
     manifest ``__tmp__`` — is present.
     """
     root = f"{state_path}/{kind}"
-    if _hadoop_exists(spark, f"{root}__aside__"):
+    client = _fs_client(spark)
+    if _state_exists(client, f"{root}__aside__"):
         # a compact_near_dedup_state crashed mid-swap: probing a
         # half-moved store would silently treat the corpus as
         # (partially) empty and admit duplicates
@@ -281,7 +375,7 @@ def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
         )
     parts = []
     label = -1
-    man = _load_manifest(spark, state_path, kind)
+    man = _load_manifest(spark, state_path, kind, client=client)
     if man is not None:
         label = int(man["label"])
         for entry in man["epochs"]:
@@ -291,7 +385,7 @@ def _read_state_parts(spark, state_path: str, kind: str, before_batch: int):
                 .filter(F.col("__batch__") < before_batch)
                 .drop("__batch__"),
             )
-    if _hadoop_exists(spark, root):
+    if _state_exists(client, root):
         parts.append(
             spark.read.parquet(root)
             .filter(
@@ -426,20 +520,17 @@ def _assert_checkpoint_not_reset(
     (silent partial data loss). Refuse-don't-guess, like the
     ``__aside__`` guard.
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    client = _fs_client(spark)
     newest = -1
     for kind in kinds:
         root = f"{state_path}/{kind}"
-        man = _load_manifest(spark, state_path, kind)
+        man = _load_manifest(spark, state_path, kind, client=client)
         if man is not None:
             newest = max(newest, int(man["label"]))
-        p = jvm.org.apache.hadoop.fs.Path(root)
-        fs = p.getFileSystem(conf)
-        if not fs.exists(p):
+        if not client.folder_exists(root):
             continue
-        for status in fs.listStatus(p):
-            name = status.getPath().getName()
+        for sub in client.list_folders(root):
+            name = sub.rstrip("/").rsplit("/", 1)[-1]
             if name.startswith("__batch__="):
                 newest = max(newest, int(name.split("=", 1)[1]))
     if newest > batch_id:
@@ -539,8 +630,11 @@ def write_stream_near_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not guard_done["v"]:
             # a checkpoint can only be reset between query runs, so the
-            # (state-listing-cost) guard runs once per (re)start, not
-            # per micro-batch
+            # (state-listing-cost) guards run once per (re)start, not
+            # per micro-batch. Ownership first: a second writer with
+            # its own checkpoint must refuse on identity, not depend on
+            # whichever batch ids happen to collide.
+            _claim_state_ownership(spark, state_path, checkpoint_dir)
             _assert_checkpoint_not_reset(
                 spark, state_path, ("bands", "sigs"), batch_id,
             )
@@ -1195,6 +1289,7 @@ def write_stream_exact_dedup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not guard_done["v"]:
             # once per (re)start — see the near gate's note
+            _claim_state_ownership(spark, state_path, checkpoint_dir)
             _assert_checkpoint_not_reset(
                 spark, state_path, ("fps",), batch_id,
             )

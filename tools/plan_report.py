@@ -4,10 +4,29 @@ features that matter at 100 TB — exchanges (shuffles), parquet scans,
 broadcast vs shuffle joins, whole-stage-codegen spans, Arrow vs
 row-wise Python, windows, sorts.
 
+Round 11: the audit sees THROUGH lineage cuts. Every query is built
+under ``rdsa_utils_spark.plans.audit.capture_lineage_cuts``, which
+records the physical plan of every frame materialized during
+construction (``localCheckpoint`` / ``collect`` / ``toPandas`` /
+``count`` / ``isEmpty``) BEFORE the cut replaces it with a ``Scan
+ExistingRDD`` leaf. A query's counts are the SUM over its final plan
+plus all captured segments, so a checkpointed composition like
+curation_e2e reports its real parquet scans and its real window
+operators instead of a bare RDD scan. Extra keys:
+
+* ``global_windows`` — STRUCTURAL count of window operators with an
+  empty partitionSpec (single-partition at runtime), final + segments;
+* ``plan_segments`` / ``literal_frames`` — captured cut plans and
+  driver-literal createDataFrame markers;
+* ``unbacked_rdd_sources`` — RDD-backed createDataFrame calls, which
+  WOULD hide lineage (must stay 0; tests/test_plan_hygiene.py refuses);
+* ``rdd_scans`` — Scan ExistingRDD leaves across final + segments,
+  each backed by a captured segment or literal marker.
+
 Output: PLAN_AUDIT.json next to this repo's bench artifacts —
-{"queries": {name: {...counts}}, "totals": {...}}. Plans are compiled
-only; nothing executes except queries whose CONSTRUCTION runs driver
-steps by design (iterative trainers).
+{"queries": {name: {...counts}}, "totals": {...}}. Construction-time
+driver steps (iterative trainers) execute as they always did; the
+final frames are compiled only.
 
 Caveat: under AQE the compiled (pre-execution) plan is the INITIAL
 plan — whole-stage-codegen region markers mostly materialize in the
@@ -51,6 +70,7 @@ def summarize(plan: str) -> dict:
         "rowwise_python": plan.count("BatchEvalPython"),
         "windows": plan.count("Window "),
         "sorts": plan.count("Sort "),
+        "rdd_scans": plan.count("Scan ExistingRDD"),
     }
 
 
@@ -58,6 +78,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
     import __spark_entry__ as entrymod
+    from rdsa_utils_spark.plans.audit import audit_query
     from rdsa_utils_spark.session import create_spark_session
 
     spark = create_spark_session(
@@ -68,12 +89,25 @@ def main() -> int:
     out, totals = {}, {}
     for name, fn in sorted(qs.items()):
         try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            rec = audit_query(fn, spark, sf_dir)
         except Exception as e:  # pragma: no cover - audit robustness
             out[name] = {"error": str(e)[:200]}
             continue
-        s = summarize(plan)
+        s = summarize(rec["final"]["plan"])
+        seg_plans = [g["plan"] for g in rec["segments"] if g.get("plan")]
+        for p in seg_plans:
+            for k, v in summarize(p).items():
+                s[k] += v
+        s["global_windows"] = rec["final"]["global_windows"] + sum(
+            g.get("global_windows", 0) for g in rec["segments"]
+        )
+        s["plan_segments"] = len(seg_plans)
+        s["literal_frames"] = sum(
+            1 for g in rec["segments"] if g["kind"] == "literal_createDataFrame"
+        )
+        s["unbacked_rdd_sources"] = sum(
+            1 for g in rec["segments"] if g.get("unbacked")
+        )
         out[name] = s
         for k, v in s.items():
             totals[k] = totals.get(k, 0) + v
@@ -91,13 +125,19 @@ def main() -> int:
     errs = [n for n, s in out.items() if "error" in s]
     rowwise = [n for n, s in out.items() if s.get("rowwise_python")]
     cart = [n for n, s in out.items() if s.get("cartesian_products")]
+    unbacked = [n for n, s in out.items() if s.get("unbacked_rdd_sources")]
+    gw = {n: s["global_windows"] for n, s in out.items() if s.get("global_windows")}
     if errs:
         print("ERRORS:", errs)
     if rowwise:
         print("ROW-WISE PYTHON:", rowwise)
     if cart:
         print("CARTESIAN:", cart)
-    return 1 if errs or rowwise or cart else 0
+    if unbacked:
+        print("UNBACKED RDD SOURCES:", unbacked)
+    if gw:
+        print("GLOBAL WINDOWS:", json.dumps(gw))
+    return 1 if errs or rowwise or cart or unbacked else 0
 
 
 if __name__ == "__main__":
