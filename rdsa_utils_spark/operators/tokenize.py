@@ -387,6 +387,7 @@ def bpe_vocab_ids(
     spark = df.sparkSession
     chars = (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()  # char explode over the dictionary, not the corpus
         .select(F.explode(F.split("word", "")).alias("sym"))
         .distinct()
     )
@@ -432,21 +433,27 @@ def bpe_encode_ids(
     training-shards link: the output feeds ``sampling.pack_sequences``
     and ``writers.write_training_shards`` directly.
 
-    Pipeline (all JVM expressions):
+    Pipeline:
       1. the DISTINCT-WORD dictionary is encoded by the shared
          chained-replace device (:func:`_encoded_word_strings`) and
          split back into symbol arrays,
-      2. symbols map to ids through :func:`bpe_vocab_ids` (tokenizer-
-         sized table; unknown symbols — impossible when encoding the
-         training corpus — map to -1 rather than null),
-      3. per-word id arrays assemble by ``posexplode`` position, and
-         per-doc sequences flatten the word arrays in token order.
+      2. symbols map to ids through a LITERAL map expression built
+         from a driver-side alphabet collect — the vocabulary id table
+         is tokenizer-sized by construction (|alphabet| + 1 +
+         num_merges), the same bounded-collect class as the merge list
+         itself, and the layout is byte-identical to
+         :func:`bpe_vocab_ids` (pinned in tests). Unknown symbols —
+         impossible when encoding the training corpus — map to -1.
+         A symbol join + regroup + vocab window would spend two extra
+         shuffles to avoid a ≤ tokenizer-sized collect; the map
+         literal folds into the dictionary projection instead,
+      3. per-doc sequences flatten the word id-arrays in token order
+         (one dictionary equi-join — AQE broadcasts it when small —
+         plus one order-preserving regroup).
 
-    100 TB posture: the replace chain and the split run on the
-    dictionary (vocabulary-sized, never the corpus); per-doc work is
-    two word-keyed equi-joins (AQE broadcasts the dictionary when
-    small) + two order-preserving regroup aggregations; the only
-    global window is over the tokenizer-sized vocab table.
+    100 TB posture: the replace chain, the split, and the id mapping
+    all run on the dictionary (vocabulary-sized, never the corpus);
+    the corpus-sized work is one word-keyed join + one groupBy(doc).
 
     Returns (``id_col``, ``out_col: array<int>``) — one row per input
     document; empty/blank docs get an empty array.
@@ -459,20 +466,30 @@ def bpe_encode_ids(
             lambda x: x != F.lit(""),
         ).alias("__syms__"),
     )
-    vocab = bpe_vocab_ids(df, text_col, merges)
-
-    wsym = dict_df.select(
-        "word", F.posexplode("__syms__").alias("__p__", "sym"),
+    # Alphabet collect (bounded: distinct single characters of the
+    # corpus) → the same id layout bpe_vocab_ids computes distributed;
+    # Python's codepoint sort == Spark/DuckDB binary UTF-8 order. The
+    # char explode runs over the DISTINCT-WORD dictionary, not the
+    # corpus — same character set, vocabulary-sized input.
+    chars = sorted(
+        r["sym"]
+        for r in dict_df.select(F.explode(F.split("word", "")).alias("sym"))
+        .distinct()
+        .collect()
     )
-    wids = (
-        wsym.join(vocab, "sym", "left")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__p__", "id"))),
-                lambda s: F.coalesce(s["id"], F.lit(-1)),
-            ).alias("__wids__"),
-        )
+    vocab_map: dict[str, int] = {c: i for i, c in enumerate(chars)}
+    vocab_map[EOW] = len(chars)  # EOW is never a single char
+    for i, (left, right, _c) in enumerate(merges):
+        vocab_map.setdefault(left + right, len(chars) + 1 + i)
+    id_lit = F.create_map(
+        *[x for kv in vocab_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))],
+    )
+    wids = dict_df.select(
+        "word",
+        F.transform(
+            "__syms__",
+            lambda s: F.coalesce(F.element_at(id_lit, s), F.lit(-1)).cast("int"),
+        ).alias("__wids__"),
     )
     docw = df.select(
         F.col(id_col),
@@ -498,3 +515,55 @@ def bpe_encode_ids(
             F.coalesce(F.col(out_col), F.array().cast("array<int>")).alias(out_col),
         )
     )
+
+
+def bpe_decode(
+    df: DataFrame,
+    ids_col: str,
+    vocab,
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """Decode BPE token-ID sequences back to text — the inverse of
+    :func:`bpe_encode_ids`, completing the tokenizer API (encode for
+    training shards, decode for inspection/debugging of packed data).
+
+    ``vocab`` is the symbol→id table the ids were encoded with: either
+    the :func:`bpe_vocab_ids` DataFrame or a plain mapping. It is
+    tokenizer-sized by contract, so the reverse lookup rides a LITERAL
+    map expression — decode is ONE projection, no joins, no Python.
+    Unknown ids (a vocab/ids mismatch) decode to U+FFFD so corruption
+    is visible rather than silently dropped.
+
+    Decoding: symbols concatenate, every :data:`EOW` marker becomes a
+    space, and the trailing space is trimmed — so
+    ``decode(encode(text))`` returns the whitespace-normalized text
+    (tokens joined by single spaces), the round-trip law pinned in
+    tests/test_round11_bpe_pipeline.py.
+    """
+    if isinstance(vocab, DataFrame):
+        mapping = {r["sym"]: int(r["id"]) for r in vocab.collect()}
+    else:
+        mapping = dict(vocab)
+    rev = F.create_map(
+        *[
+            x
+            for sym, i in mapping.items()
+            for x in (F.lit(i), F.lit(sym))
+        ],
+    )
+    text = F.rtrim(
+        F.replace(
+            F.array_join(
+                F.transform(
+                    ids_col,
+                    lambda i: F.coalesce(
+                        F.element_at(rev, i.cast("int")), F.lit("�"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit(EOW),
+            F.lit(" "),
+        ),
+    )
+    return df.withColumn(out_col, text)

@@ -123,10 +123,6 @@ _GLOBAL_WINDOW_OK = {
         "values — hundreds of rows at any corpus size)"
     ),
     "zipf_tokens": "row_number over the top-k term frame (top_k=200 LIMIT)",
-    "bpe_encode_ids": (
-        "row_number over the symbol vocabulary "
-        "(|alphabet| + 1 + num_merges rows — tokenizer-sized)"
-    ),
 }
 
 

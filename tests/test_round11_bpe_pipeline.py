@@ -140,3 +140,75 @@ def test_ids_feed_pack_sequences_and_training_shards(spark, tmp_path):
     orig = {r["doc_id"]: r["bpe_ids"] for r in packed.select("doc_id", "bpe_ids").collect()}
     got = {r["doc_id"]: r["bpe_ids"] for r in back.select("doc_id", "bpe_ids").collect()}
     assert got == orig
+
+
+def test_bpe_decode_roundtrip_corpus(spark):
+    """decode(encode(text)) == whitespace-normalized text — the
+    tokenizer API's round-trip law, on real corpus text."""
+    from rdsa_utils_spark.operators.tokenize import bpe_decode
+
+    docs = _docs(spark).limit(100)
+    merges = bpe_train(docs, "text", num_merges=10)
+    vocab = bpe_vocab_ids(docs, "text", merges)
+    ids = bpe_encode_ids(docs, "text", "doc_id", merges)
+    decoded = {
+        r["doc_id"]: r["decoded_text"]
+        for r in bpe_decode(ids, "bpe_ids", vocab).collect()
+    }
+    want = {
+        r["doc_id"]: " ".join((r["text"] or "").split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert decoded == want
+
+
+def test_bpe_decode_unknown_id_is_visible(spark):
+    from rdsa_utils_spark.operators.tokenize import bpe_decode
+
+    df = spark.createDataFrame([(0, [0, 99])], "doc_id long, ids array<int>")
+    out = bpe_decode(df, "ids", {"a": 0, EOW: 1}).collect()[0]["decoded_text"]
+    assert "�" in out and out.startswith("a")
+
+
+def test_encoders_agree_property(spark):
+    """Hypothesis sweep: on random small corpora (including adjacent
+    repeats, single chars, unicode letters), the three encoders agree
+    — bpe_apply symbol arrays, bpe_encode_counts lengths, and
+    bpe_encode_ids decoded through the vocab table."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdsa_utils_spark.operators.tokenize import bpe_encode_counts
+
+    word = st.text(
+        alphabet=st.sampled_from(list("abcdeé¢")), min_size=1, max_size=6,
+    )
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string",
+        )
+        merges = bpe_train(df, "text", num_merges=4)
+        applied = {
+            r["doc_id"]: list(r["bpe_tokens"])
+            for r in bpe_apply(df, "text", merges).collect()
+        }
+        counts = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode_counts(df, "text", "doc_id", merges).collect()
+        }
+        vocab = {
+            r["id"]: r["sym"]
+            for r in bpe_vocab_ids(df, "text", merges).collect()
+        }
+        ids = {
+            r["doc_id"]: [vocab[i] for i in r["bpe_ids"]]
+            for r in bpe_encode_ids(df, "text", "doc_id", merges).collect()
+        }
+        assert ids == applied
+        assert counts == {k: len(v) for k, v in applied.items()}
+
+    run()
