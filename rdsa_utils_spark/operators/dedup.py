@@ -456,19 +456,72 @@ def minhash_near_dedup(
     could never be dropped anyway, they survive near-dedup unchanged
     (route them through :func:`exact_dedup`, which removes identical
     blanks by content hash).
+
+    EXACT-duplicate collapse (round-11, output-identical): LSH runs
+    over one min-id REPRESENTATIVE per byte-identical text. Identical
+    texts have identical shingle sets and identical signatures, so
+    (a) every non-minimal member of an exact-dup group always
+    co-buckets with its representative in every band and verifies at
+    Jaccard 1 ≥ threshold — the all-pairs semantics drops it
+    unconditionally — and (b) any member's candidate/verify relation
+    to an outside doc equals its representative's, with the
+    representative carrying the smaller id; so collapsing changes no
+    survivor. What it changes is cost: within-bucket pair counts fall
+    quadratically in exact-dup group size — the mega-cluster pathology
+    of real crawled corpora, where one boilerplate page repeated 10⁶×
+    would otherwise put 10¹²/2 pairs through verification (measured on
+    the 50 %-duplicated adversarial corpus, SCALE_PROBE_ADVERSARIAL).
     """
     from rdsa_utils_spark.plans.tuning import ensure_parallelism
 
+    if not (0.0 < jaccard_threshold <= 1.0):
+        # the exact-collapse equivalence needs J=1 ≥ threshold; values
+        # outside (0,1] are meaningless for a Jaccard gate anyway
+        raise ValueError(
+            f"jaccard_threshold must be in (0, 1], got {jaccard_threshold}",
+        )
+    from pyspark.sql import Window
+
     df = ensure_parallelism(df)
     eligible = df.filter(F.length(F.trim(F.col(text_col))) > 0)
-    with_sig = minhash_signatures(eligible, text_col, num_perm, shingle_n)
+    # The collapse's only wide operation is a NARROW window: the
+    # shuffle carries (id, 16-byte digest) rows, never text or
+    # signatures. Non-minimal members of each identical-text group
+    # come out as exact_losers; the representatives then prune via an
+    # anti-join that AQE plans as a broadcast in the common low-dup
+    # case (the loser frame is small exactly when collapsing saves
+    # little, and large exactly when it saves quadratically).
+    exact_losers = (
+        eligible.select(
+            F.col(id_col),
+            F.md5(F.col(text_col).cast("binary")).alias("__fp__"),
+        )
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy("__fp__").orderBy(F.col(id_col).asc()),
+            ),
+        )
+        .filter(F.col("__rn__") > 1)
+        .select(id_col)
+    )
+    rep_docs = eligible.join(exact_losers, id_col, "left_anti")
+    with_sig = minhash_signatures(rep_docs, text_col, num_perm, shingle_n)
     candidates = lsh_candidate_pairs(
         with_sig, id_col, "minhash", num_bands, signature_length=num_perm,
     )
-    verified = ngram_jaccard_pairs(df, candidates, id_col, text_col, shingle_n).filter(
-        F.col("jaccard") >= jaccard_threshold,
+    # sets for verification come from the PLAIN filtered scan (full
+    # statistics → the two candidate-attach joins keep their shared
+    # broadcast exchange; see ngram_jaccard_pairs); candidates only
+    # reference representative ids, extra rows just go unprobed.
+    verified = ngram_jaccard_pairs(
+        eligible, candidates, id_col, text_col, shingle_n,
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    losers = (
+        verified.select(F.col("id_b").alias(id_col))
+        .unionByName(exact_losers)
+        .distinct()
     )
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
