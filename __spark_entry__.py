@@ -1012,6 +1012,43 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over the built-in pure-stdlib codecs
+    (operators/multimodal.py::decode_image — BMP/PPM/PNG): each doc
+    becomes a deterministic solid-color image (format = doc_id % 3,
+    dims/color arithmetic from (doc_id, n_chars)), decoded back to
+    pixel-verified dimensions and exact per-channel means. The oracle
+    replays the arithmetic without decoding — a solid image's channel
+    mean IS its color (IEEE n·c/n == c), so any codec defect (padding,
+    BGR swap, filter reconstruction, header parse) breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    from rdsa_utils_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_image_payloads,
+    )
+
+    payloads = synthesize_image_payloads(docs)
+    return decode_image_stats(payloads).select(
+        "doc_id", "format", "width", "height", "n_channels",
+        "mean_r", "mean_g", "mean_b",
+    ).orderBy("doc_id")
+
+
+_ORACLE_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+            WHEN 1 THEN 'ppm' ELSE 'png' END AS format,
+       CAST(1 + n_chars % 31 AS INT) AS width,
+       CAST(1 + (n_chars // 31) % 17 AS INT) AS height,
+       3 AS n_channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Batch 3: session windows, forward as-of, TPC-H-style classics, quantiles
 # --------------------------------------------------------------------------
@@ -4130,10 +4167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-declared registry — capped at 50 entries so EVERY
     declared query receives a driver CORRECTNESS verdict (round 1
     declared 74 and the driver checked only the first 50, leaving 24
-    with no verdict at all). Ordering contract: all 47 oracle-backed
-    queries first, the 3 genuinely non-SQL-expressible ones
-    (approximate sketches / random-hyperplane ANN) last, so a
-    count-capped checker always verifies the strongest evidence.
+    with no verdict at all). Ordering contract: deterministic
+    exact-replay oracles first, the sketch/LSH queries whose oracles
+    replay md5-derived randomness last (all 50 are oracle-backed since
+    the md5-plane/sketch replays landed), so a count-capped checker
+    always verifies the strongest evidence first.
 
     Everything retired from this window lives on in
     :func:`extra_queries` — still benched by bench.py and still
@@ -4157,12 +4195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "gopher_rules": q_gopher_rules,
         "logreg_token_classifier": q_logreg_token_classifier,
-        "kmv_overlap_types": q_kmv_overlap_types,
         "substring_dedup": q_substring_dedup,
         "cluster_best_dedup": q_cluster_best_dedup,
-        "cosine_topk": q_cosine_topk,
         "pca_power_replay": q_pca_power_replay,
-        "running_revenue": q_running_revenue,
         "range_join_events": q_range_join_events,
         "language_id": q_language_id,
         "multimodal_meta": q_multimodal_meta,
@@ -4186,7 +4221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece_discount_returns": q_ece_discount_returns,
         "brand_bt_ratings": q_brand_bt_ratings,
         "neyman_customer_sample": q_neyman_customer_sample,
-        "tornqvist_prices": q_tornqvist_prices,
         "zipf_tokens": q_zipf_tokens,
         "win_rate_brands": q_win_rate_brands,
         "doremi_mix": q_doremi_mix,
@@ -4222,6 +4256,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicated by auc/ece/win_rate).
         "bpe_encode_counts": q_bpe_encode_counts,
         "bpe_encode_ids": q_bpe_encode_ids,
+        # round-12 window rotation: the set-similarity join, the PQ
+        # replay, the SemDeDup composition, and the REAL image-codec
+        # decode take driver slots. Demoted with oracles intact:
+        # cosine_topk (exact-cosine coverage duplicated by
+        # embedding_near_dups_exact + the lsh/ivf/sq8/pq replays),
+        # kmv_overlap_types (sketch coverage duplicated by
+        # approx_sketches), running_revenue (running-window coverage
+        # duplicated by trailing_revenue/cumulative_new_users), and
+        # tornqvist_prices (price-index coverage duplicated by
+        # chained_price_index/pricing_summary).
+        "jaccard_join": q_jaccard_join,
+        "pq_topk_replay": q_pq_topk_replay,
+        "semantic_dedup": q_semantic_dedup,
+        "multimodal_decode": q_multimodal_decode,
         # --- non-SQL-expressible, rows-only by design (3) ---
         # (the trained ivf_topk path moved to tests-only coverage when
         # the oracle-backed iters=0 replay took its driver slot; its
@@ -6772,9 +6820,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "acf_daily": q_acf_daily,
-        "jaccard_join": q_jaccard_join,
-        "semantic_dedup": q_semantic_dedup,
-        "pq_topk_replay": q_pq_topk_replay,
+        "bpe_decode_roundtrip": q_bpe_decode_roundtrip,
+        # round-12 demotions from the declared window (oracles intact)
+        "cosine_topk": q_cosine_topk,
+        "kmv_overlap_types": q_kmv_overlap_types,
+        "running_revenue": q_running_revenue,
+        "tornqvist_prices": q_tornqvist_prices,
         "split_leakage": q_split_leakage,
         "nb_confusion": q_nb_confusion,
         "source_entropy": q_source_entropy,
@@ -6893,12 +6944,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _ORACLE_DSIR_WEIGHTS,
         "gopher_rules": _ORACLE_GOPHER_RULES,
         "logreg_token_classifier": _oracle_logreg_token_classifier(256, 8, 1.0),
-        "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "cluster_best_dedup": _ORACLE_CLUSTER_BEST_DEDUP,
-        "cosine_topk": _ORACLE_COSINE_TOPK,
         "pca_power_replay": _oracle_pca_power_replay(64, 2, 12, 6),
-        "running_revenue": _ORACLE_RUNNING_REVENUE,
         "range_join_events": _ORACLE_RANGE_JOIN_EVENTS,
         "language_id": _ORACLE_LANGUAGE_ID,
         "multimodal_meta": _ORACLE_MULTIMODAL_META,
@@ -6920,7 +6968,6 @@ def oracle_sql() -> dict[str, str]:
         "ece_discount_returns": _ORACLE_ECE_DISCOUNT_RETURNS,
         "brand_bt_ratings": _oracle_brand_bt_ratings(6),
         "neyman_customer_sample": _ORACLE_NEYMAN_CUSTOMER_SAMPLE,
-        "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
         "zipf_tokens": _ORACLE_ZIPF_TOKENS,
         "win_rate_brands": _oracle_win_rate_brands(0.05, 300),
         "doremi_mix": _oracle_doremi_mix(6, 0.5),
@@ -6941,6 +6988,10 @@ def oracle_sql() -> dict[str, str]:
         # planes (plane_method="md5") make the full LSH pipeline —
         # planes, buckets, candidates, rescoring, top-k — replayable in
         # ANSI SQL; DuckDB regenerates the exact plane matrix.
+        "jaccard_join": _ORACLE_JACCARD_JOIN,
+        "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
+        "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
+        "multimodal_decode": _ORACLE_MULTIMODAL_DECODE,
         "lsh_cosine_topk": _ORACLE_LSH_COSINE_TOPK,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
     }
@@ -7047,9 +7098,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "curation_pipeline": _ORACLE_CURATION_PIPELINE,
         "dedup_incremental_bloom": _ORACLE_DEDUP_INCREMENTAL,
         "acf_daily": _ORACLE_ACF_DAILY,
-        "jaccard_join": _ORACLE_JACCARD_JOIN,
-        "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
-        "pq_topk_replay": _ORACLE_PQ_TOPK_REPLAY,
+        "bpe_decode_roundtrip": _ORACLE_BPE_DECODE_ROUNDTRIP,
+        "cosine_topk": _ORACLE_COSINE_TOPK,
+        "kmv_overlap_types": _ORACLE_KMV_OVERLAP_TYPES,
+        "running_revenue": _ORACLE_RUNNING_REVENUE,
+        "tornqvist_prices": _ORACLE_TORNQVIST_PRICES,
         "split_leakage": _ORACLE_SPLIT_LEAKAGE,
         "nb_confusion": _ORACLE_NB_CONFUSION,
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
@@ -7320,6 +7373,49 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("bpe_ids", lambda x: x.cast("string")), ",",
         ).alias("ids_csv"),
     ).orderBy("doc_id")
+
+
+def q_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip law as a hash-checked query
+    (operators/tokenize.py::bpe_decode, round-12 query surface for the
+    round-11 decoder): train 12 merges, encode every document to id
+    sequences, decode the ids back through the bpe_vocab_ids table.
+    decode(encode(text)) == whitespace-normalized text BY THE LAW the
+    tokenizer guarantees, so the oracle needs no BPE replay at all —
+    any defect in training, vocab layout, encoding, or the reverse map
+    breaks equality with plain text normalization."""
+    from rdsa_utils_spark.operators.tokenize import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=12)
+    ids = bpe_encode_ids(docs, "text", "doc_id", merges)
+    vocab = bpe_vocab_ids(docs, "text", merges)
+    out = bpe_decode(ids, "bpe_ids", vocab, out_col="decoded_text")
+    return out.select(
+        "doc_id",
+        F.length("decoded_text").cast("long").alias("n_chars_decoded"),
+        "decoded_text",
+    ).orderBy("doc_id")
+
+
+_ORACLE_BPE_DECODE_ROUNDTRIP = r"""
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN ''
+              ELSE regexp_replace(trim(text), '\s+', ' ', 'g') END AS decoded_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(decoded_text) AS BIGINT) AS n_chars_decoded,
+       decoded_text
+FROM norm
+ORDER BY doc_id
+"""
 
 
 def q_acctbal_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,6 +9,14 @@ Each query is executed SPARK_GRAFT_BENCH_RUNS+1 times (default 3+1; the
 first run is a discarded per-plan codegen warm-up, the median of the
 rest is kept) with results fully materialized via a noop sink; nothing
 is collected to the driver.
+
+Isolation lane (round 12): ``python bench.py --isolate q1,q2`` runs
+ONLY the named queries, each in a FRESH SparkSession (stop + recreate
+between queries — fresh executor pool, caches, and shuffle state),
+with N ≥ 5 kept runs per query. Results merge into BENCH_DETAIL.json
+under ``"isolated"`` without touching the main lane's numbers — the
+adjudication tool for per-query regressions that the ±25-50 % shared-
+box swing makes undecidable from the main lane alone (BENCH_AB.json).
 """
 
 from __future__ import annotations
@@ -22,6 +30,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 _WINDOW_WARNING = b"No Partition Defined for Window operation"
+_ORIG_STDERR_FD = None  # saved before the dup2 so failures can restore it
+_JVM_LOG = None
+
+
+def _redirect_stderr_to_log():
+    """Route fd 2 to a file BEFORE the JVM launches: in local mode the
+    JVM inherits Python's stderr, so log4j's console appender lands
+    here and runtime WindowExec warnings become countable PER QUERY
+    (the runtime complement of PLAN_AUDIT's structural
+    ``global_windows``). stdout (the one-line JSON contract) is
+    untouched. The original fd is SAVED (ADVICE r11): on any crash,
+    __main__ restores it and re-emits the log tail so diagnostics are
+    never silently buried in an unnamed tempfile."""
+    global _ORIG_STDERR_FD, _JVM_LOG
+    import tempfile
+
+    _JVM_LOG = tempfile.NamedTemporaryFile(
+        prefix="bench_jvm_stderr_", suffix=".log", delete=False,
+    )
+    _ORIG_STDERR_FD = os.dup(2)
+    os.write(
+        _ORIG_STDERR_FD,
+        f"[bench] JVM/stderr log: {_JVM_LOG.name}\n".encode(),
+    )
+    os.dup2(_JVM_LOG.fileno(), 2)
+    return _JVM_LOG
+
+
+def _restore_stderr_and_dump_tail():
+    """Undo the fd-2 redirect and replay the last chunk of the JVM log
+    onto the real stderr — called from the crash path only."""
+    if _ORIG_STDERR_FD is None:
+        return
+    os.dup2(_ORIG_STDERR_FD, 2)
+    try:
+        size = os.path.getsize(_JVM_LOG.name)
+        with open(_JVM_LOG.name, "rb") as fh:
+            fh.seek(max(0, size - 8192))
+            tail = fh.read()
+        os.write(2, b"\n[bench] tail of " + _JVM_LOG.name.encode() + b":\n")
+        os.write(2, tail)
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -29,18 +80,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ["SPARK_GRAFT_CPUS"] = cpus
 
-    # Route fd 2 to a file BEFORE the JVM launches: in local mode the
-    # JVM inherits Python's stderr, so log4j's console appender lands
-    # here and runtime WindowExec warnings become countable PER QUERY
-    # (the runtime complement of PLAN_AUDIT's structural
-    # ``global_windows`` — VERDICT r10 task 1). stdout (the one-line
-    # JSON contract) is untouched.
-    import tempfile
-
-    jvm_log = tempfile.NamedTemporaryFile(
-        prefix="bench_jvm_stderr_", suffix=".log", delete=False,
-    )
-    os.dup2(jvm_log.fileno(), 2)
+    jvm_log = _redirect_stderr_to_log()
 
     def _warnings_since(pos: int) -> tuple[int, int]:
         end = os.path.getsize(jvm_log.name)
@@ -220,5 +260,90 @@ def main() -> None:
     )
 
 
+def _isolate(names: list[str]) -> None:
+    """Fresh-session-per-query lane: stop/recreate the SparkSession
+    around every named query so its timings carry no cross-query
+    cache/JIT/shuffle state, and keep N ≥ 5 runs for a trustworthy
+    median. Merges into BENCH_DETAIL.json under ``"isolated"``."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    _redirect_stderr_to_log()
+
+    import __spark_entry__ as entrymod
+    from rdsa_utils_spark.session import create_spark_session
+
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"--isolate: unknown queries {unknown}")
+    n_runs = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+    results: dict[str, dict] = {}
+    for name in names:
+        spark = create_spark_session(
+            "rdsa-utils-spark-bench-isolated",
+            size="local",
+            extra_configs={"spark.ui.showConsoleProgress": "false"},
+        )
+        # per-session warmup: JVM/codegen/Arrow pool, as in the main lane
+        from pyspark.sql import functions as F
+
+        spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
+            "overwrite",
+        ).save()
+        _warm_udf = F.pandas_udf(lambda x: x, "long")
+        spark.range(0, 64, 1, int(cpus)).select(_warm_udf(F.col("id"))).write.format(
+            "noop",
+        ).mode("overwrite").save()
+        runs = []
+        for i in range(n_runs + 1):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if i > 0:  # first run = per-plan codegen warmup, discarded
+                runs.append(time.perf_counter() - t0)
+        spark.stop()
+        runs.sort()
+        median = runs[len(runs) // 2] if n_runs % 2 else (
+            (runs[n_runs // 2 - 1] + runs[n_runs // 2]) / 2
+        )
+        results[name] = {
+            "median": round(median, 3),
+            "min": round(runs[0], 3),
+            "max": round(runs[-1], 3),
+            "runs": n_runs,
+            "fresh_session": True,
+        }
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json",
+    )
+    detail = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                detail = json.load(fh)
+        except (ValueError, OSError):
+            detail = {}
+    merged = detail.get("isolated", {})
+    merged.update(results)
+    detail["isolated"] = merged
+    detail["isolated_policy"] = (
+        f"fresh SparkSession per query, median of {n_runs} runs "
+        "(1 discarded warmup), session-level warmup before timing"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({"isolated": results}))
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        if len(sys.argv) > 2 and sys.argv[1] == "--isolate":
+            _isolate([n for n in sys.argv[2].split(",") if n])
+        else:
+            main()
+    except BaseException:
+        _restore_stderr_and_dump_tail()
+        raise

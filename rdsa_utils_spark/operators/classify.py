@@ -1093,8 +1093,14 @@ def isotonic_calibrate(
             f"({k * (k + 1) // 2} rows here); lower score_round or "
             f"rescale the score into a bounded range",
         )
-    # Inclusive prefix sums over the (bounded) distinct-score table.
-    w_pre = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    # Inclusive prefix sums over the (bounded) distinct-score table —
+    # constant non-foldable partition key keeps the single-partition
+    # plan but silences the per-execution WindowExec warning (r12).
+    from rdsa_utils_spark.operators.windows import constant_partition_key
+
+    w_pre = Window.partitionBy(constant_partition_key("__s")).orderBy(
+        "__s",
+    ).rowsBetween(Window.unboundedPreceding, 0)
     p = g.select(
         "__s",
         "n",

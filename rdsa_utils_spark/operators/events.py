@@ -423,8 +423,15 @@ def cumulative_distinct(
     )
     from pyspark.sql import Window
 
+    # Calendar-sized frame: constant non-foldable partition key — same
+    # single-partition execution, but no per-execution WindowExec
+    # "No Partition Defined" log noise (round-12 hygiene; F.lit(0)
+    # would be constant-folded out of the spec).
+    from rdsa_utils_spark.operators.windows import constant_partition_key
+
     w = (
-        Window.orderBy("bucket_start")
+        Window.partitionBy(constant_partition_key("bucket_start"))
+        .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return per_bucket.select(

@@ -196,9 +196,20 @@ def rrf_fuse(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     gcols = list(group_cols)
+    # Ungrouped fusion ranks whole (top-k-sized) frames: partition on
+    # a constant non-foldable key rather than an empty spec — same
+    # single-partition execution, but WindowExec stops logging a "No
+    # Partition Defined" warning per executed window (180/run under
+    # bench for hybrid_search, loud enough to bury a REAL
+    # unpartitioned-window warning in operator logs). The inputs are
+    # already k-sized, so single-partition is the honest plan either
+    # way. (F.lit(0) would be constant-folded out of the spec.)
+    from rdsa_utils_spark.operators.windows import constant_partition_key
+
+    pcols = gcols if gcols else [constant_partition_key(id_col)]
     parts = []
     for df in rankings:
-        w = Window.partitionBy(*gcols).orderBy(
+        w = Window.partitionBy(*pcols).orderBy(
             F.col(score_col).desc(), F.col(id_col).asc(),
         )
         parts.append(
@@ -215,7 +226,7 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_lists"),
     )
     if top_n is not None:
-        w = Window.partitionBy(*gcols).orderBy(
+        w = Window.partitionBy(*pcols).orderBy(
             F.col("rrf_score").desc(), F.col(id_col).asc(),
         )
         fused = (

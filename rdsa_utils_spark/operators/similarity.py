@@ -540,9 +540,44 @@ def cosine_near_dup_pairs(
     (any LSH index needs corpus stats to parameterize; IVF pays the
     same for k-means). Pin ``bits`` explicitly for low-threshold
     mining or to avoid the count on an expensive upstream frame.
+
+    EXACT-duplicate collapse (round 12, output-identical — the vector
+    sibling of the round-11 fix in
+    :func:`~rdsa_utils_spark.operators.dedup.minhash_near_dedup`):
+    bucketing runs over one min-id REPRESENTATIVE per byte-identical
+    vector. Identical vectors share every bucket in every table, so
+    (a) within-group pairs are always candidates and score exactly
+    ``cos(v, v)`` — reproduced by scoring one (rep, rep) self-pair
+    through the SAME rescoring path and expanding it to all member
+    pairs, so threshold-edge behavior (a float ``cos(v,v)`` a hair
+    under 1.0) is bit-preserved; and (b) any member's candidacy and
+    cosine against an outside vector equal its representative's, so
+    cross-group pairs expand by membership. What changes is cost:
+    within-bucket candidate volume was quadratic in duplicate-group
+    size × ``num_tables`` (the adversarial 50 %-dup probe measured
+    tail exponent 2.04 pre-collapse, SCALE_PROBE_ADVERSARIAL);
+    post-collapse only the genuine output volume is quadratic in
+    group size — which the pair contract itself requires. The
+    collapse's wide ops are one narrow window keyed on the raw vector
+    (id + vector rows — no payload amplification) and output-sized
+    expansion joins. ``bits`` still derives from the FULL corpus
+    count, so the plane/bucket geometry — and therefore the LSH
+    recall surface — is unchanged from pre-collapse behavior.
     """
     if bits is None:
         bits = auto_lsh_bits(df.count())
+    memb = (
+        df.select(
+            F.col(id_col).alias("__mid__"), F.col(vec_col).alias("__mvec__"),
+        )
+        .withColumn(
+            "__rep__", F.min("__mid__").over(Window.partitionBy("__mvec__")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep_rows = memb.filter(F.col("__mid__") == F.col("__rep__")).select(
+        F.col("__mid__").alias(id_col), F.col("__mvec__").alias(vec_col),
+    )
     # Bucket-join and dedup on BARE ids — (table, bucket, id) is three
     # longs per row, so the candidate-pair explosion and the
     # dropDuplicates shuffle stay narrow. Vector payloads are attached
@@ -552,16 +587,26 @@ def cosine_near_dup_pairs(
     # ContextCleaner when the frame goes out of scope — no storage
     # leak across repeated pipeline runs.
     b = _with_buckets(
-        df, id_col, vec_col, "nid", dim, bits, num_tables, seed,
+        rep_rows, id_col, vec_col, "nid", dim, bits, num_tables, seed,
         keep_vec=False, plane_method=plane_method,
     ).localCheckpoint(eager=True)
-    pairs = (
+    cand = (
         b.select("table", "bucket", F.col("nid").alias("id_a"))
         .join(b.select("table", "bucket", F.col("nid").alias("id_b")), ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # One (rep, rep) self-candidate per duplicate group of size ≥ 2 —
+    # scored through the same path as real pairs, then expanded to the
+    # group's member pairs below.
+    self_cand = (
+        memb.filter(F.col("__mid__") != F.col("__rep__"))
+        .select(F.col("__rep__").alias("id_a"))
+        .distinct()
+        .withColumn("id_b", F.col("id_a"))
+    )
+    pairs = cand.unionByName(self_cand)
     # Rescoring strategy mirrors Spark's own broadcast-vs-shuffle join
     # choice: a corpus within the ``max_broadcast_bytes`` budget
     # (checked against Catalyst plan statistics — no eager scan, and
@@ -569,20 +614,49 @@ def cosine_near_dup_pairs(
     # than a 64-dim one) is gathered once and broadcast, and the narrow
     # pair list is scored in a single mapInPandas pass — no join ever
     # widens a pair row with vector payloads. Past the guard, fall back
-    # to the shuffle-safe join-attach plan that works at any corpus size.
+    # to the shuffle-safe join-attach plan that works at any corpus
+    # size. The broadcast-or-not decision is made on the FULL frame
+    # (pre-collapse behavior), while the scored vectors come from the
+    # representative rows — pairs only ever reference rep ids.
     if _fits_broadcast(
         df.select(id_col, vec_col), max_broadcast_bytes, max_broadcast_rows,
     ):
-        return _score_pairs_broadcast(df, pairs, id_col, vec_col, threshold)
-    vecs = df.select(F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__"))
-    attached = (
-        pairs.join(vecs.select(F.col("__vid__").alias("id_a"), F.col("__v__").alias("__va__")), "id_a")
-        .join(vecs.select(F.col("__vid__").alias("id_b"), F.col("__v__").alias("__vb__")), "id_b")
-    )
+        scored = _score_pairs_broadcast(
+            rep_rows, pairs, id_col, vec_col, threshold,
+        )
+    else:
+        vecs = rep_rows.select(
+            F.col(id_col).alias("__vid__"), F.col(vec_col).alias("__v__"),
+        )
+        attached = (
+            pairs.join(vecs.select(F.col("__vid__").alias("id_a"), F.col("__v__").alias("__va__")), "id_a")
+            .join(vecs.select(F.col("__vid__").alias("id_b"), F.col("__v__").alias("__vb__")), "id_b")
+        )
+        scored = (
+            attached.withColumn("cosine", _cosine_vec(F.col("__va__"), F.col("__vb__")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    # Expand rep-level survivors to member-level pairs in ONE branch
+    # (a cross/self union would duplicate the whole scored subtree in
+    # the plan): joining both sides on group membership gives each
+    # cross-group (ma, mb) combination exactly once — oriented with
+    # least/greatest since member ids can interleave across groups —
+    # and each self-pair (rep, rep) both ways round, cut to ma < mb by
+    # the filter. Every emitted row is unique; no dedup shuffle.
+    ma = memb.select(F.col("__rep__").alias("id_a"), F.col("__mid__").alias("__ma__"))
+    mb = memb.select(F.col("__rep__").alias("id_b"), F.col("__mid__").alias("__mb__"))
     return (
-        attached.withColumn("cosine", _cosine_vec(F.col("__va__"), F.col("__vb__")))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        scored.join(ma, "id_a")
+        .join(mb, "id_b")
+        .filter(
+            (F.col("id_a") != F.col("id_b")) | (F.col("__ma__") < F.col("__mb__")),
+        )
+        .select(
+            F.least("__ma__", "__mb__").alias("id_a"),
+            F.greatest("__ma__", "__mb__").alias("id_b"),
+            "cosine",
+        )
     )
 
 

@@ -1040,7 +1040,13 @@ def chained_index(
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
     periods = per.select("period").distinct()
-    wp = Window.orderBy("period")
+    # period-table-sized frame: constant non-foldable partition key
+    # silences the WindowExec global-window warning without changing
+    # the single-partition execution (round-12 hygiene; a foldable
+    # F.lit(0) would be optimized out of the spec)
+    from rdsa_utils_spark.operators.windows import constant_partition_key
+
+    wp = Window.partitionBy(constant_partition_key("period")).orderBy("period")
     prev_map = periods.withColumn("__prev", F.lag("period").over(wp))
     cur = per.join(prev_map, "period")
     prev = per.select(

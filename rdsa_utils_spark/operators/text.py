@@ -1072,8 +1072,14 @@ def zipf_fit(
 
     from rdsa_utils_spark.operators.sampling import vocabulary
 
+    from rdsa_utils_spark.operators.windows import constant_partition_key
+
     head = vocabulary(df, text_col, k=top_k)
-    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    # top-k-sized frame; constant non-foldable partition key avoids
+    # the WindowExec global-window warning (r12)
+    w = Window.partitionBy(constant_partition_key("term")).orderBy(
+        F.col("term_count").desc(), F.col("term").asc(),
+    )
     x = F.round(F.log(F.col("__rank").cast("double")), 12)
     y = F.round(F.log(F.col("term_count").cast("double")), 12)
     d = lambda c: c.cast("decimal(38,12)")  # noqa: E731

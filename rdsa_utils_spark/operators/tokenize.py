@@ -425,6 +425,7 @@ def bpe_encode_ids(
     id_col: str,
     merges: Sequence[tuple[str, str, int]],
     out_col: str = "bpe_ids",
+    max_literal_vocab: int = 4096,
 ) -> DataFrame:
     """Per-document BPE token-ID SEQUENCES with ZERO Python in the
     data path — the id-sequence sibling of :func:`bpe_encode_counts`
@@ -446,7 +447,15 @@ def bpe_encode_ids(
          impossible when encoding the training corpus — map to -1.
          A symbol join + regroup + vocab window would spend two extra
          shuffles to avoid a ≤ tokenizer-sized collect; the map
-         literal folds into the dictionary projection instead,
+         literal folds into the dictionary projection instead.
+         ABOVE ``max_literal_vocab`` symbols (default 4096) the
+         literal is abandoned for a broadcast join against the
+         :func:`bpe_vocab_ids` frame (ADVICE r11): a production
+         32k-100k-merge tokenizer would otherwise inline a ~100k-node
+         map literal, blowing past whole-stage-codegen method-size
+         limits and stalling driver-side plan serialization — the two
+         extra vocabulary-sized shuffles are the right trade there
+         (both paths are pinned equal in tests),
       3. per-doc sequences flatten the word id-arrays in token order
          (one dictionary equi-join — AQE broadcasts it when small —
          plus one order-preserving regroup).
@@ -481,16 +490,37 @@ def bpe_encode_ids(
     vocab_map[EOW] = len(chars)  # EOW is never a single char
     for i, (left, right, _c) in enumerate(merges):
         vocab_map.setdefault(left + right, len(chars) + 1 + i)
-    id_lit = F.create_map(
-        *[x for kv in vocab_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))],
-    )
-    wids = dict_df.select(
-        "word",
-        F.transform(
-            "__syms__",
-            lambda s: F.coalesce(F.element_at(id_lit, s), F.lit(-1)).cast("int"),
-        ).alias("__wids__"),
-    )
+    if len(vocab_map) <= max_literal_vocab:
+        id_lit = F.create_map(
+            *[x for kv in vocab_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))],
+        )
+        wids = dict_df.select(
+            "word",
+            F.transform(
+                "__syms__",
+                lambda s: F.coalesce(F.element_at(id_lit, s), F.lit(-1)).cast("int"),
+            ).alias("__wids__"),
+        )
+    else:
+        # Large-tokenizer path: symbol posexplode → broadcast join on
+        # the distributed bpe_vocab_ids table (byte-identical layout
+        # to vocab_map — pinned in tests) → order-preserving regroup.
+        # Work stays vocabulary-sized; no 2·|vocab|-node expression
+        # ever reaches codegen or the plan serializer.
+        vocab_ids = bpe_vocab_ids(df, text_col, merges)
+        wids = (
+            dict_df.select(
+                "word", F.posexplode("__syms__").alias("__sp__", "sym"),
+            )
+            .join(F.broadcast(vocab_ids), "sym", "left")
+            .groupBy("word")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__sp__", "id"))),
+                    lambda s: F.coalesce(s["id"].cast("int"), F.lit(-1)),
+                ).alias("__wids__"),
+            )
+        )
     docw = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("__wp__", "word"),

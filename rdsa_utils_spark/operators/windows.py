@@ -35,6 +35,26 @@ def _to_list(cols: Optional[_Cols]) -> list:
     return list(cols)
 
 
+def constant_partition_key(anchor: Union[str, Column]) -> Column:
+    """A constant-valued but NON-FOLDABLE window partition key:
+    ``hash(anchor) % 1`` — always 0, so the window still sees every
+    row in one partition, but Catalyst cannot constant-fold it away
+    the way it eliminates ``F.lit(0)`` from a partitionSpec (verified
+    on Spark 4.1: a foldable key reverts the plan to an empty-spec
+    ``Exchange SinglePartition`` and WindowExec logs a "No Partition
+    Defined" warning PER EXECUTION). Use for windows over frames
+    already reduced to calendar/top-k/knot-table size, where
+    single-partition execution is the honest plan and the log noise
+    would bury a real unpartitioned-window warning (round 12; the
+    structural plan audit — plans/audit.py global_windows — remains
+    the gate against true global windows over raw data).
+
+    ``anchor`` should be any always-present column of the frame.
+    """
+    c = F.col(anchor) if isinstance(anchor, str) else anchor
+    return F.hash(c) % F.lit(1)
+
+
 def get_window_spec(
     partition_cols: Optional[_Cols] = None,
     order_cols: Optional[_Cols] = None,

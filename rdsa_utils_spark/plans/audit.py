@@ -131,9 +131,6 @@ def capture_lineage_cuts(segments: Optional[list] = None):
     busy = {"v": False}
 
     def _record(df, kind: str) -> None:
-        if busy["v"]:
-            return
-        busy["v"] = True
         try:
             entry = analyze_frame(df)
             entry["kind"] = kind
@@ -142,16 +139,26 @@ def capture_lineage_cuts(segments: Optional[list] = None):
                 "kind": kind, "plan": "", "global_windows": 0,
                 "error": str(e)[:200],
             }
-        finally:
-            busy["v"] = False
         segments.append(entry)
 
     def _wrap(kind):
         orig = real[kind if kind != "checkpoint" else "localCheckpoint"]
 
         def inner(self, *a, **k):
-            _record(self, kind)
-            return orig(self, *a, **k)
+            # busy spans the WHOLE wrapped call, not just the plan
+            # analysis (ADVICE r11): pyspark 4.1's non-Arrow toPandas
+            # calls self.collect() internally, which re-enters this
+            # class-level patch — without the outer hold, one toPandas
+            # recorded a duplicate 'collect' segment and double-counted
+            # its scans/exchanges in PLAN_AUDIT.json.
+            if busy["v"]:
+                return orig(self, *a, **k)
+            busy["v"] = True
+            try:
+                _record(self, kind)
+                return orig(self, *a, **k)
+            finally:
+                busy["v"] = False
 
         return inner
 

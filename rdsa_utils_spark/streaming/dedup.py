@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import with_fingerprint
@@ -600,6 +600,15 @@ def write_stream_near_dedup(
     never stored. Within-batch survivor choice and the store itself
     are deterministic, so backfill replays are reproducible.
 
+    Like the batch operator, each micro-batch first collapses
+    byte-identical texts to a min-id representative before LSH
+    (output-identical — see
+    :func:`~rdsa_utils_spark.operators.dedup.minhash_near_dedup` for
+    the proof), so a boilerplate-heavy ingest batch with exact-dup
+    mega-groups costs linear, not quadratic, within-batch work
+    (measured flat per-batch time under growing exact-dup group size,
+    ``tools/dup_stress_probe.py --streaming``).
+
     Divergence contract vs a one-shot batch ``minhash_near_dedup`` on
     the concatenated feed (honest, not papered over): (1) cross-batch
     drops use the minhash ESTIMATE (σ ≈ 1/√num_perm per pair), so a
@@ -648,12 +657,42 @@ def write_stream_near_dedup(
         eligible = batch_df.filter(nonblank)
         blanks = batch_df.filter(~nonblank)
 
+        # EXACT-duplicate collapse before LSH (round-12; the batch
+        # operator got it in round 11 — see minhash_near_dedup's
+        # docstring for the output-identity proof, which transfers
+        # verbatim to the within-batch stage: byte-identical texts
+        # share every band bucket and verify at Jaccard 1 ≥ threshold,
+        # so each non-min-id member of an identical-text group is
+        # dropped by stage (1) unconditionally and never reaches the
+        # cross-batch probe. Collapsing them FIRST keeps within-bucket
+        # pair counts linear when a boilerplate-heavy ingest batch
+        # carries exact-dup mega-groups — the shuffle carries only
+        # (id, 16-byte digest) rows, never text or signatures.
+        exact_losers = (
+            eligible.select(
+                F.col(id_col),
+                F.md5(F.col(text_col).cast("binary")).alias("__fp__"),
+            )
+            .withColumn(
+                "__rn__",
+                F.row_number().over(
+                    Window.partitionBy("__fp__").orderBy(F.col(id_col).asc()),
+                ),
+            )
+            .filter(F.col("__rn__") > 1)
+            .select(id_col)
+        )
+        rep_docs = eligible.join(exact_losers, id_col, "left_anti")
+
         sig = minhash_signatures(
-            eligible, text_col, num_perm, shingle_n,
+            rep_docs, text_col, num_perm, shingle_n,
         ).localCheckpoint(eager=True)  # batch-sized; consumed 4×
 
         # (1) within-batch: LSH candidates + exact-Jaccard verify,
         # greater id of each confirmed pair drops (batch semantics).
+        # Shingle sets for the verify come from the PLAIN eligible
+        # frame (candidates only reference representative ids; extra
+        # rows go unprobed), exactly as in the batch operator.
         cand = lsh_candidate_pairs(
             sig, id_col, "minhash", num_bands, signature_length=num_perm,
         )

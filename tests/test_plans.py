@@ -226,15 +226,22 @@ def test_lsh_near_dup_rescoring_broadcasts_under_guard(spark, sf_dir):
             for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
         )
 
+    # Since the round-12 exact-dup collapse, the plan also carries the
+    # two output-sized membership-expansion joins (bare-id frames) —
+    # but still exactly ONE MapInPandas scoring pass (the expansion
+    # must not duplicate the scored subtree) and still no join that
+    # attaches vector payloads on the broadcast path.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     scored = cosine_near_dup_pairs(emb, dim=64, threshold=0.3, bits=4, num_tables=2)
-    assert "MapInPandas" in plan_string(scored, "simple")
-    assert _n_joins(scored) == 1, "expected only the bucket self-join"
+    assert plan_string(scored, "simple").count("MapInPandas") == 1
+    assert _n_joins(scored) == 3, "expected bucket self-join + 2 expansion joins"
 
     fallback = cosine_near_dup_pairs(
         emb, dim=64, threshold=0.3, bits=4, num_tables=2, max_broadcast_rows=1,
     )
-    assert _n_joins(fallback) == 3, "expected bucket join + 2 payload joins"
+    assert _n_joins(fallback) == 5, (
+        "expected bucket join + 2 payload joins + 2 expansion joins"
+    )
 
     # The default guard is BYTES (Catalyst plan stats), not rows — a
     # 1-byte budget must also force the shuffle-safe plan, without
@@ -242,7 +249,7 @@ def test_lsh_near_dup_rescoring_broadcasts_under_guard(spark, sf_dir):
     byte_fallback = cosine_near_dup_pairs(
         emb, dim=64, threshold=0.3, bits=4, num_tables=2, max_broadcast_bytes=1,
     )
-    assert _n_joins(byte_fallback) == 3, "byte budget should force payload joins"
+    assert _n_joins(byte_fallback) == 5, "byte budget should force payload joins"
 
 
 def test_bm25_plan_broadcasts_and_filters_early(spark, sf_dir):

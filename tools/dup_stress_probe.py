@@ -24,9 +24,33 @@ as a separate artifact because tools/scale_probe.py rewrites
 SCALE_PROBE.json from scratch and tests/test_artifact_freshness.py
 pins that file's queries to the registry.
 
+Round-12 extension — the VECTOR family (``--vectors``): same 50 %
+adversary expressed in embedding space
+(``.scale/vecdup{X}/embeddings.parquet``):
+- the CLEAN half is k re-keyed replicas of sf0.1 embeddings, replica
+  i > 0 sign-flipped on a per-(replica, component) murmur3 pattern —
+  cross-replica cosine ≈ 0, so replicas never co-bucket;
+- the DUP half is k re-keyed VERBATIM copies of replica 0, so every
+  base vector forms an exact-duplicate group of size k+1 — group size
+  GROWS with sf, the mega-cluster regime that exposed the minhash
+  quadratic in round 11 (identical vectors share every LSH bucket in
+  every table, exactly like identical texts share every band).
+Probed queries: embedding_near_dups, lsh_cosine_topk, plus a
+probe-local ``semantic_dedup_lsh`` (the 100 TB LSH path of
+``semantic_dedup`` — the registry's declared ``semantic_dedup`` uses
+the exact-GEMM baseline, which is documented O(N²) by contract and
+therefore not a scaling claim to probe).
+
 Run alone (host noise). Usage:
   python tools/dup_stress_probe.py [runs_per_point] [query ...]
-Defaults: 2 runs; substring_dedup span_dedup.
+  python tools/dup_stress_probe.py --vectors [runs_per_point] [query ...]
+  python tools/dup_stress_probe.py --streaming [runs_per_point]
+Defaults: 2 runs; substring_dedup span_dedup (text) /
+embedding_near_dups lsh_cosine_topk semantic_dedup_lsh (vectors).
+``--streaming`` probes write_stream_near_dedup: fixed-volume
+micro-batches with within-batch exact-dup group size growing 1→100 —
+per-batch time must stay flat (max/min ≤ 2) now that the round-11
+collapse is applied inside the gate.
 """
 
 from __future__ import annotations
@@ -81,9 +105,182 @@ def _build(spark, k: int, out: str) -> None:
     )
 
 
+def _build_vectors(spark, k: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    base = read_parquet(spark, f"{SRC}/embeddings.parquet")
+    pieces = []
+    for i in range(k):
+        rep = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000))
+        if i > 0:
+            # deterministic per-(replica, component) sign flip: murmur3
+            # of (i, j) — flips ~half the components, driving
+            # cross-replica cosine to ~0 while keeping each replica's
+            # norm and per-component magnitudes identical
+            rep = rep.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j: F.when(
+                        F.pmod(F.hash(F.lit(i), j), F.lit(2)) == 0, -x,
+                    ).otherwise(x),
+                ),
+            )
+        pieces.append(rep)
+    clean = pieces[0]
+    for p in pieces[1:]:
+        clean = clean.unionByName(p)
+    # dup half: k VERBATIM copies of replica 0 — exact-dup groups of
+    # size k+1 (half the corpus is duplicated volume, group size grows
+    # with the scale factor: the mega-cluster adversary)
+    dups = []
+    for c in range(k):
+        dups.append(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit((k + c) * 100_000)),
+        )
+    corpus = clean
+    for d in dups:
+        corpus = corpus.unionByName(d)
+    corpus.repartition(max(4, 2 * k)).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet",
+    )
+
+
+def _semantic_dedup_lsh(spark, sf_dir: str):
+    """Probe-local: semantic_dedup on its 100 TB LSH path (the
+    declared registry query pins method='exact', the oracle-checkable
+    O(N²) baseline — wrong thing to scale-probe)."""
+    from rdsa_utils_spark.operators.similarity import semantic_dedup
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(
+        emb, dim=64, threshold=0.35, method="lsh",
+        num_tables=32, plane_method="md5",
+    )
+
+
+#: streaming probe: fixed batch volume, growing within-batch
+#: exact-dup group size — the gate's per-batch time must stay FLAT
+#: (the round-12 collapse makes within-batch work linear in volume,
+#: not quadratic in group size).
+STREAM_BATCH_DOCS = 2000
+STREAM_GROUP_SIZES = [1, 5, 20, 100]
+
+
+def _stream_probe(n_runs: int) -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rdsa_utils_spark.session import create_spark_session
+    from rdsa_utils_spark.sources.readers import read_parquet
+    from rdsa_utils_spark.streaming.dedup import write_stream_near_dedup
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark = create_spark_session(
+        "dup-stress-probe-stream", size="local",
+        extra_configs={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite",
+    ).save()
+
+    base_texts = (
+        read_parquet(spark, f"{SRC}/documents.parquet")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("text").distinct().limit(STREAM_BATCH_DOCS)
+        .localCheckpoint(eager=True)
+    )
+
+    series: dict[str, float] = {}
+    for g in STREAM_GROUP_SIZES:
+        n_distinct = max(1, STREAM_BATCH_DOCS // g)
+        batch = (
+            base_texts.limit(n_distinct)
+            .select(F.col("text"))
+            .crossJoin(spark.range(g).select(F.col("id").alias("__c__")))
+            .select(
+                (F.monotonically_increasing_id()).alias("id"),
+                "text",
+            )
+            .localCheckpoint(eager=True)
+        )
+        best = None
+        for _ in range(n_runs):
+            work = tempfile.mkdtemp(prefix=f"stream_probe_g{g}_")
+            feed = os.path.join(work, "feed")
+            batch.coalesce(4).write.parquet(feed)
+            stream = spark.readStream.schema("id long, text string").parquet(feed)
+            t0 = time.perf_counter()
+            q = write_stream_near_dedup(
+                stream, "text", "id",
+                os.path.join(work, "out"),
+                os.path.join(work, "state"),
+                os.path.join(work, "ckpt"),
+                jaccard_threshold=0.8,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            shutil.rmtree(work, ignore_errors=True)
+        series[str(g)] = round(best, 3)
+        print(
+            f"stream gate @ group={g} ({n_distinct}x{g} docs/batch): "
+            f"{best:.2f}s", flush=True,
+        )
+
+    vals = list(series.values())
+    entry = {
+        "seconds_by_group_size": series,
+        "batch_docs": STREAM_BATCH_DOCS,
+        "max_over_min": round(max(vals) / max(min(vals), 1e-3), 2),
+        "corpus": (
+            "fixed-volume micro-batch, growing within-batch exact-dup "
+            "group size (mega-cluster adversary)"
+        ),
+    }
+    out_path = os.path.join(repo, "SCALE_PROBE_ADVERSARIAL.json")
+    merged: dict = {}
+    doc: dict = {}
+    if os.path.exists(out_path):
+        try:
+            doc = json.load(open(out_path))
+            merged = doc.get("queries", {})
+        except (ValueError, OSError):
+            doc, merged = {}, {}
+    merged["stream_near_dedup_gate"] = entry
+    doc["queries"] = merged
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {out_path}")
+    if entry["max_over_min"] > 2.0:
+        print(f"STREAM GATE NOT FLAT: max/min {entry['max_over_min']}")
+        raise SystemExit(1)
+
+
 def main() -> None:
-    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    names = sys.argv[2:] or ["substring_dedup", "span_dedup"]
+    argv = sys.argv[1:]
+    vectors = "--vectors" in argv
+    streaming = "--streaming" in argv
+    argv = [a for a in argv if a not in ("--vectors", "--streaming")]
+    n_runs = int(argv[0]) if argv else 2
+    if streaming:
+        _stream_probe(n_runs)
+        return
+    if vectors:
+        names = argv[1:] or [
+            "embedding_near_dups", "lsh_cosine_topk", "semantic_dedup_lsh",
+        ]
+    else:
+        names = argv[1:] or ["substring_dedup", "span_dedup"]
 
     os.environ.setdefault("SPARK_LOCAL_DRIVER_MEM", "48g")
 
@@ -92,6 +289,7 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
+    qs["semantic_dedup_lsh"] = _semantic_dedup_lsh
 
     spark = create_spark_session(
         "dup-stress-probe", size="local",
@@ -103,10 +301,19 @@ def main() -> None:
 
     points = []
     for k in FACTORS:
-        out = os.path.join(repo, ".scale", f"dup{k}")
-        if not os.path.exists(os.path.join(out, "documents.parquet")):
-            print(f"building {out} (k={k}, 50% duplicated volume)", flush=True)
-            _build(spark, k, out)
+        if vectors:
+            out = os.path.join(repo, ".scale", f"vecdup{k}")
+            if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+                print(
+                    f"building {out} (k={k}, 50% duplicated vectors, "
+                    f"group size {k + 1})", flush=True,
+                )
+                _build_vectors(spark, k, out)
+        else:
+            out = os.path.join(repo, ".scale", f"dup{k}")
+            if not os.path.exists(os.path.join(out, "documents.parquet")):
+                print(f"building {out} (k={k}, 50% duplicated volume)", flush=True)
+                _build(spark, k, out)
         points.append((out, 0.1 * k))
 
     results: dict[str, dict] = {}
@@ -138,6 +345,11 @@ def main() -> None:
             "seconds_by_sf": series,
             "fit_exponent": round(slope, 2),
             "tail_exponent": round(tail, 2),
+            "corpus": (
+                "50% duplicated embeddings, exact-dup group size k+1"
+                if vectors
+                else "50% duplicated text volume (clean replicas + verbatim copy)"
+            ),
         }
 
     out_path = os.path.join(repo, "SCALE_PROBE_ADVERSARIAL.json")

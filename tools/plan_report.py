@@ -10,9 +10,13 @@ records the physical plan of every frame materialized during
 construction (``localCheckpoint`` / ``collect`` / ``toPandas`` /
 ``count`` / ``isEmpty``) BEFORE the cut replaces it with a ``Scan
 ExistingRDD`` leaf. A query's counts are the SUM over its final plan
-plus all captured segments, so a checkpointed composition like
-curation_e2e reports its real parquet scans and its real window
-operators instead of a bare RDD scan. Extra keys:
+plus the CUT-producing (checkpoint) segments, so a checkpointed
+composition like curation_e2e reports its real parquet scans and its
+real window operators instead of a bare RDD scan; probe-kind segments
+(collect/count/toPandas/isEmpty), whose lineage may also feed the
+final lazy plan, are reported separately under ``probe_counts`` as an
+upper bound (summing them into the main counts would double-count
+overlapping lineages — ADVICE r11). Extra keys:
 
 * ``global_windows`` — STRUCTURAL count of window operators with an
   empty partitionSpec (single-partition at runtime), final + segments;
@@ -94,23 +98,48 @@ def main() -> int:
             out[name] = {"error": str(e)[:200]}
             continue
         s = summarize(rec["final"]["plan"])
-        seg_plans = [g["plan"] for g in rec["segments"] if g.get("plan")]
-        for p in seg_plans:
+        # Only CUT-producing segments (checkpoint) sum into the main
+        # counts — their operators are genuinely replaced by an RDD
+        # leaf in the final plan. Probe kinds (collect/count/toPandas/
+        # isEmpty) often materialize a frame that ALSO feeds the final
+        # lazy plan, so summing them would double-count scans and
+        # exchanges for overlapping lineages (ADVICE r11); they are
+        # reported separately under ``probe_counts`` as an UPPER bound
+        # over possibly-overlapping lineage.
+        cut_plans = [
+            g["plan"] for g in rec["segments"]
+            if g.get("plan") and g["kind"] == "checkpoint"
+        ]
+        probe_plans = [
+            g["plan"] for g in rec["segments"]
+            if g.get("plan") and g["kind"] != "checkpoint"
+        ]
+        for p in cut_plans:
             for k, v in summarize(p).items():
                 s[k] += v
+        probe: dict = {}
+        for p in probe_plans:
+            for k, v in summarize(p).items():
+                probe[k] = probe.get(k, 0) + v
+        # global_windows stays the FULL final+segments sum — identical
+        # to the tests/test_plan_hygiene.py gate (over-counting is the
+        # conservative direction for a window-hygiene gate).
         s["global_windows"] = rec["final"]["global_windows"] + sum(
             g.get("global_windows", 0) for g in rec["segments"]
         )
-        s["plan_segments"] = len(seg_plans)
+        s["plan_segments"] = len(cut_plans) + len(probe_plans)
+        s["probe_segments"] = len(probe_plans)
         s["literal_frames"] = sum(
             1 for g in rec["segments"] if g["kind"] == "literal_createDataFrame"
         )
         s["unbacked_rdd_sources"] = sum(
             1 for g in rec["segments"] if g.get("unbacked")
         )
-        out[name] = s
         for k, v in s.items():
             totals[k] = totals.get(k, 0) + v
+        if probe:
+            s["probe_counts"] = probe
+        out[name] = s
     report = {
         "sf_dir": sf_dir,
         "n_queries": len(out),
