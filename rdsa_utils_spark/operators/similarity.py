@@ -529,10 +529,20 @@ def cosine_near_dup_pairs(
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     max_broadcast_rows: int | None = None,
     plane_method: str = "gaussian",
+    expand: str = "members",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), found via
     multi-table hyperplane bucketing + exact rescoring. Returns
     (id_a, id_b, cosine) with id_a < id_b.
+
+    ``expand="representatives"`` returns the scored pairs at the
+    exact-duplicate-group REPRESENTATIVE level instead: ids reference
+    the min-id member of each byte-identical vector group, and a
+    surviving (rep, rep) SELF-pair row marks a group whose internal
+    cosine ``cos(v, v)`` passed the threshold. For consumers that only
+    need connectivity (:func:`semantic_dedup` feeds connected
+    components), this skips the member-level expansion whose output is
+    quadratic in duplicate-group size by the pair contract itself.
 
     ``bits=None`` (default) derives the LSH depth from the corpus size
     via :func:`auto_lsh_bits` — one ``df.count()`` action, the price of
@@ -564,6 +574,10 @@ def cosine_near_dup_pairs(
     count, so the plane/bucket geometry — and therefore the LSH
     recall surface — is unchanged from pre-collapse behavior.
     """
+    if expand not in ("members", "representatives"):
+        raise ValueError(
+            f"expand must be 'members' or 'representatives', got {expand!r}",
+        )
     if bits is None:
         bits = auto_lsh_bits(df.count())
     memb = (
@@ -637,6 +651,8 @@ def cosine_near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
+    if expand == "representatives":
+        return scored
     # Expand rep-level survivors to member-level pairs in ONE branch
     # (a cross/self union would duplicate the whole scored subtree in
     # the plan): joining both sides on group membership gives each
@@ -1358,14 +1374,83 @@ def semantic_dedup(
     :func:`~rdsa_utils_spark.operators.dedup.dedup_clusters`
     min-label propagation. The anti-join back to ``df`` touches ids
     only; vectors never shuffle after pair generation.
+
+    The LSH path consumes ``expand="representatives"`` pairs and
+    builds a LINEAR edge set instead of the pair operator's full
+    member-level expansion, which is quadratic in exact-dup group
+    size by contract (the round-12 adversarial vector probe measured
+    semantic_dedup_lsh's sf2 point dominated by exactly that
+    expansion). Connected components are unchanged — proof by cases
+    on a byte-identical group G with representative r:
+
+    - G's (r, r) self-pair survived ``threshold`` (the always case:
+      ``cos(v, v)`` is 1 up to rounding): star edges (r, m) for every
+      member connect G exactly as the full member clique did.
+    - Cross edge (r_a, r_b) between groups A and B: one-way
+      membership expansions (m_a, r_b) for all m_a and (r_a, m_b)
+      for all m_b — both include (r_a, r_b) itself — connect
+      A ∪ B into one component exactly as the full bipartite
+      member expansion did, EVEN when a group's self-pair failed
+      the threshold (members then hang off the other group's rep,
+      which is how the full expansion connected them too: via
+      cross pairs, every member of A paired with every member of B).
+
+    Same node set, same components ⇒ same min-id survivor per
+    cluster ⇒ output-identical to the pre-reduction composition;
+    edge volume is member-count linear instead of group-size
+    quadratic. ``tests/test_round12_vector_collapse.py`` pins the
+    LSH output against the full-expansion composition on a
+    mega-cluster corpus.
     """
     from rdsa_utils_spark.operators.dedup import dedup_clusters
 
     if method == "lsh":
-        pairs = cosine_near_dup_pairs(
+        # Narrow (id, id, cosine) rows, consumed by three edge
+        # branches below (each doubled again by dedup_clusters'
+        # symmetrize union) — checkpoint so the LSH candidate
+        # generation + rescoring subtree runs once, not six times.
+        scored = cosine_near_dup_pairs(
             df, dim, id_col=id_col, vec_col=vec_col, threshold=threshold,
-            **pair_kwargs,
+            expand="representatives", **pair_kwargs,
+        ).localCheckpoint(eager=True)
+        memb = (
+            df.select(
+                F.col(id_col).alias("__mid__"),
+                F.col(vec_col).alias("__mvec__"),
+            )
+            .withColumn(
+                "__rep__",
+                F.min("__mid__").over(Window.partitionBy("__mvec__")),
+            )
+            .select("__mid__", "__rep__")
+            .localCheckpoint(eager=True)
         )
+        self_ok = scored.filter(F.col("id_a") == F.col("id_b")).select(
+            F.col("id_a").alias("__rep__"),
+        )
+        stars = (
+            memb.join(self_ok, "__rep__")
+            .filter(F.col("__mid__") != F.col("__rep__"))
+            .select(
+                F.col("__rep__").alias("id_a"), F.col("__mid__").alias("id_b"),
+            )
+        )
+        cross = scored.filter(F.col("id_a") != F.col("id_b")).select(
+            "id_a", "id_b",
+        )
+        cross_a = cross.join(
+            memb.select(
+                F.col("__rep__").alias("id_a"), F.col("__mid__").alias("__m__"),
+            ),
+            "id_a",
+        ).select(F.col("__m__").alias("id_a"), "id_b")
+        cross_b = cross.join(
+            memb.select(
+                F.col("__rep__").alias("id_b"), F.col("__mid__").alias("__m__"),
+            ),
+            "id_b",
+        ).select("id_a", F.col("__m__").alias("id_b"))
+        pairs = cross_a.unionByName(cross_b).unionByName(stars)
     elif method == "exact":
         pairs = cosine_near_dup_pairs_exact(
             df, dim, id_col=id_col, vec_col=vec_col, threshold=threshold,

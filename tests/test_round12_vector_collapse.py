@@ -133,3 +133,80 @@ def test_string_ids_still_work_through_collapse(spark):
     assert {("doc0", "doc6"), ("doc0", "doc7"), ("doc6", "doc7")} <= got
     for a, b in got:
         assert a < b
+
+
+def _near_dup_chain_corpus(spark):
+    """Dup groups PLUS a genuine near-dup neighbour of a group member:
+    id 100 is a small perturbation of base vector 3 (cosine ≈ 0.999),
+    so the cluster {3, copies of 3, 100} exercises the cross-group
+    membership expansion, not just the star edges."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    nxt = 60
+    for g, size in ((3, 5), (7, 10)):
+        for _ in range(size):
+            rows.append((nxt, [float(x) for x in vecs[g]]))
+            nxt += 1
+    perturbed = vecs[3] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    rows.append((100, [float(x) for x in perturbed]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_star_edges_match_full_expansion(spark):
+    """The LSH path's linear star/membership edge set must produce the
+    SAME survivors as clustering the full member-level pair expansion
+    (the pre-round-12 composition)."""
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+    from rdsa_utils_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    df = _near_dup_chain_corpus(spark).localCheckpoint(eager=True)
+    kwargs = dict(dim=16, threshold=0.9, bits=1, num_tables=16)
+
+    kept = semantic_dedup(df, method="lsh", **kwargs)
+    got = {r["vec_id"] for r in kept.select("vec_id").collect()}
+
+    full_pairs = cosine_near_dup_pairs(df, **kwargs)
+    clusters = dedup_clusters(full_pairs.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    expected = {
+        r["vec_id"]
+        for r in df.join(
+            losers, df["vec_id"] == losers["id"], "left_anti",
+        ).select("vec_id").collect()
+    }
+    assert got == expected
+    # the perturbed neighbour joins cluster(3): min id 3 survives,
+    # id 100 and every copy are dropped
+    assert 3 in got and 100 not in got
+    assert got.isdisjoint(set(range(60, 75)))
+
+
+def test_expand_representatives_contract(spark, dup_corpus):
+    """Rep-level mode: every id is a group representative (min id of
+    its byte-identical group), and each dup group of size >= 2 whose
+    cos(v, v) clears the threshold appears as ONE (rep, rep) self-pair."""
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(
+        dup_corpus, dim=16, threshold=0.9, bits=1, num_tables=16,
+        expand="representatives",
+    ).collect()
+    self_pairs = {(r["id_a"], r["id_b"]) for r in out if r["id_a"] == r["id_b"]}
+    assert self_pairs == {(3, 3), (7, 7)}
+    member_ids = set(range(60, 75))  # non-representative copies
+    for r in out:
+        assert r["id_a"] not in member_ids
+        assert r["id_b"] not in member_ids
+
+
+def test_expand_rejects_unknown_mode(spark, dup_corpus):
+    from rdsa_utils_spark.operators.similarity import cosine_near_dup_pairs
+
+    with pytest.raises(ValueError, match="expand"):
+        cosine_near_dup_pairs(
+            dup_corpus, dim=16, threshold=0.9, bits=1, expand="clique",
+        )
