@@ -49,7 +49,8 @@ Defaults: 2 runs; substring_dedup span_dedup (text) /
 embedding_near_dups lsh_cosine_topk semantic_dedup_lsh (vectors).
 ``--streaming`` probes write_stream_near_dedup: fixed-volume
 micro-batches with within-batch exact-dup group size growing 1→100 —
-per-batch time must stay flat (max/min ≤ 2) now that the round-11
+per-batch time must not GROW with group size (≤1.5x the
+all-distinct g=1 baseline) now that the round-11
 collapse is applied inside the gate.
 """
 
@@ -163,9 +164,10 @@ def _semantic_dedup_lsh(spark, sf_dir: str):
 
 
 #: streaming probe: fixed batch volume, growing within-batch
-#: exact-dup group size — the gate's per-batch time must stay FLAT
+#: exact-dup group size — the gate's per-batch time must not GROW
 #: (the round-12 collapse makes within-batch work linear in volume,
-#: not quadratic in group size).
+#: not quadratic in group size; it typically SHRINKS as distinct
+#: texts per batch fall).
 STREAM_BATCH_DOCS = 2000
 STREAM_GROUP_SIZES = [1, 5, 20, 100]
 
@@ -237,10 +239,17 @@ def _stream_probe(n_runs: int) -> None:
         )
 
     vals = list(series.values())
+    # Directional check: the adversary makes per-batch time GROW with
+    # group size (quadratic within-bucket pairs); the collapse makes it
+    # SHRINK (fewer distinct texts per fixed-volume batch). Flag only
+    # growth over the all-distinct g=1 baseline — a symmetric max/min
+    # bound would fail on the healthy shrink direction.
+    baseline = vals[0]
+    growth = round(max(vals[1:]) / max(baseline, 1e-3), 2)
     entry = {
         "seconds_by_group_size": series,
         "batch_docs": STREAM_BATCH_DOCS,
-        "max_over_min": round(max(vals) / max(min(vals), 1e-3), 2),
+        "growth_over_distinct_baseline": growth,
         "corpus": (
             "fixed-volume micro-batch, growing within-batch exact-dup "
             "group size (mega-cluster adversary)"
@@ -261,8 +270,8 @@ def _stream_probe(n_runs: int) -> None:
         json.dump(doc, fh, indent=1)
         fh.write("\n")
     print(f"wrote {out_path}")
-    if entry["max_over_min"] > 2.0:
-        print(f"STREAM GATE NOT FLAT: max/min {entry['max_over_min']}")
+    if growth > 1.5:
+        print(f"STREAM GATE GROWS WITH GROUP SIZE: x{growth} over g=1")
         raise SystemExit(1)
 
 
