@@ -49,3 +49,26 @@ def assert_df_equal(actual, expected, sort_cols=None, approx=None):
                 assert abs(av - ev) <= approx, f"row {i} col {acols[j]}: {av} != {ev}"
             else:
                 assert av == ev, f"row {i} col {acols[j]}: {av!r} != {ev!r}"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply @pytest.mark.slow from the checked-in duration-measured
+    list (tests/slow_tests.txt) — the fast dev lane is
+    ``pytest -m "not slow"`` (~14 min vs ~34 min full; see pytest.ini).
+    The list names tests measured >= 2.5 s (call+setup) in a full-suite
+    run; every module keeps at least its fastest test in the fast lane
+    so the whole operator surface still executes there once.
+    Parametrized cases inherit their base test id's marking."""
+    listing = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(listing) as fh:
+            slow_ids = {
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        if item.nodeid in slow_ids or base in slow_ids:
+            item.add_marker(pytest.mark.slow)
