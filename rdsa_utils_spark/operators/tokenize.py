@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rdsa_utils_spark.operators.text import tokens
+from rdsa_utils_spark.operators.windows import constant_partition_key
 
 #: End-of-word marker appended to every word's symbol sequence
 #: (Sennrich-style): merges learned at word ends don't leak into
@@ -410,7 +411,12 @@ def bpe_vocab_ids(
         F.lit("").alias("__ord_s__"),
         "__ord_i__",
     )
-    w = Window.orderBy("__blk__", "__eow__", "__ord_s__", "__ord_i__")
+    # vocab-sized frame (alphabet + merges); the constant non-foldable
+    # key keeps the honest single-partition plan without the per-run
+    # "No Partition Defined" log noise (see windows.constant_partition_key)
+    w = Window.partitionBy(constant_partition_key("sym")).orderBy(
+        "__blk__", "__eow__", "__ord_s__", "__ord_i__",
+    )
     return (
         base.unionByName(merge_syms)
         .withColumn("id", F.row_number().over(w) - 1)
