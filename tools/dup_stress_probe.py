@@ -163,6 +163,24 @@ def _semantic_dedup_lsh(spark, sf_dir: str):
     )
 
 
+def _payload_near_dups_raw(spark, sf_dir: str):
+    """Probe-local: payload_near_dups WITHOUT the documented
+    exact-dedup-first composition — the standalone operator's exposure
+    to byte-identical mega-clusters (the declared query runs
+    payload_exact_dedup first and is protected by construction)."""
+    from rdsa_utils_spark.operators.multimodal import (
+        attach_binary_payload,
+        payload_near_dups,
+    )
+    from rdsa_utils_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    return payload_near_dups(
+        attach_binary_payload(docs, "text"), "payload", "doc_id",
+        max_hamming=3,
+    )
+
+
 #: streaming probe: fixed batch volume, growing within-batch
 #: exact-dup group size — the gate's per-batch time must not GROW
 #: (the round-12 collapse makes within-batch work linear in volume,
@@ -299,6 +317,7 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = {**entrymod.queries(), **entrymod.extra_queries()}
     qs["semantic_dedup_lsh"] = _semantic_dedup_lsh
+    qs["payload_near_dups_raw"] = _payload_near_dups_raw
 
     spark = create_spark_session(
         "dup-stress-probe", size="local",
