@@ -50,6 +50,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
+    """Parallelism floor for compute-heavy work downstream of a
+    low-parallelism scan (guide §2.5's unsplittable-input remedy:
+    "repartition immediately after the read"). The test fixtures are
+    single-row-group parquet files, so every scan stage is ONE task and
+    per-row-expensive pipelines (shingle hashing, md5 n-gram buckets,
+    vector math, percentile partials) serialize on one core while the
+    rest idle. Hash-repartitioning on a high-cardinality key spreads
+    that work across the session's cores.
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    target is the session's default parallelism (i.e. the driver's
+    $SPARK_GRAFT_CPUS locally, the executor-core total on a cluster),
+    and when the scan already yields at least that many partitions —
+    the 100 TB case, where inputs split into thousands of tasks — this
+    is a NO-OP with zero added shuffle. Hash (not round-robin)
+    repartitioning keeps the exchange deterministic and skips the
+    sort-before-repartition pass.
+    """
+    from rdsa_utils_spark.plans.tuning import ensure_parallelism
+
+    return ensure_parallelism(df, min_partitions=parts, keys=keys)
+
+
 def _dsum(col, alias: str):
     """Order-independent sum: decimal(38,6) accumulate → double."""
     return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
@@ -1270,7 +1294,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; KLL-style percentile_approx (accuracy=1000 → rank error ≤
     1/1000) between the exact 0.45/0.55 quantiles.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    # spread keyed on the DISTINCT branch's grouping columns so the
+    # repartition doubles as that branch's exchange
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey")
     # Two single-purpose aggregations instead of one mixed
     # distinct+plain aggregate: count_distinct alongside plain aggs
     # plans an Expand (N× the shuffle rows). The distinct-pair
@@ -1542,7 +1568,9 @@ ORDER BY c_mktsegment
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (returnflag, linestatus) — all four
     grouping combinations in one shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
+    # spread BEFORE the cube: Expand ×4 + partial aggregation
+    # otherwise run inside the single-task scan stage
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
@@ -1696,7 +1724,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same equality up to 2^-61 collision odds)."""
     from rdsa_utils_spark.operators.dedup import substring_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return substring_dedup(docs, "doc_id", "text", ngram_tokens=10).orderBy("doc_id")
 
 
@@ -2015,7 +2043,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 8-gram shingles that appear in the held-out 'eval' slice
     (doc_id % 20 == 0). Hashed-shingle semi-join — the scale-safe
     n-gram-overlap decontamination shape."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     from rdsa_utils_spark.operators.dedup import ngram_contamination
 
     ref = docs.filter(F.col("doc_id") % 20 == 0)
@@ -2137,7 +2165,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen."""
     from rdsa_utils_spark.operators.text import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return repetition_stats(docs, "text").orderBy("doc_id")
 
 
@@ -2254,7 +2282,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, scalar stats broadcast, df table broadcast."""
     from rdsa_utils_spark.operators.search import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return bm25_topk(docs, ["spark", "window", "join"], k=10)
 
 
@@ -7212,7 +7240,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled. Scalable stand-in for suffix-array substring dedup
     (Lee et al. 2022) — exact group-by on block text, no window over
     the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     from rdsa_utils_spark.operators.dedup import span_dedup
 
     return span_dedup(docs, "doc_id", "text", 10).orderBy("doc_id")
@@ -8256,7 +8284,7 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdsa_utils_spark.operators.similarity import label_noise_scores
 
     return label_noise_scores(
-        emb.filter(F.col("vec_id") < 100), emb, k=10,
+        emb.filter(F.col("vec_id") < 100), _spread(emb, "vec_id"), k=10,
     ).orderBy("vec_id")
 
 
@@ -8663,7 +8691,7 @@ def q_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres/Paasche/Fisher indices of lineitem prices by order
     year against the earliest year (matched parts only) — the
     index-number core of an official-statistics engine."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
     from rdsa_utils_spark.operators.stats import price_index
 
@@ -8807,7 +8835,7 @@ def q_chained_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chain-linked Fisher price index over order years: period-over-
     period matched links, running product via exp(Σ ln link) — the
     index-churn-resistant official practice."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
     from rdsa_utils_spark.operators.stats import chained_index
 
@@ -9158,7 +9186,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum in integer µ-nats — exact and engine-order-independent."""
     from rdsa_utils_spark.operators.curation import dsir_log_weights
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     target = docs.filter(F.col("lang") == "en")
     return (
         dsir_log_weights(docs, target, "doc_id")
@@ -9230,7 +9258,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-50 (never a full sort)."""
     from rdsa_utils_spark.operators.curation import dsir_select
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     target = docs.filter(F.col("lang") == "en")
     return (
         dsir_select(docs, target, 50, "doc_id")
@@ -11657,7 +11685,7 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_train_centroids(emb, dim=64, n_cells=8, iters=0)
-    return kmeans_profile(emb, cents)
+    return kmeans_profile(_spread(emb, "vec_id"), cents)
 
 
 _ORACLE_KMEANS_CLUSTER_PROFILE = r"""
@@ -12164,7 +12192,10 @@ def q_tornqvist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.py::tornqvist_index) — average-expenditure-share
     weighted log relatives over the matched part set; 12 dp
     quantize-then-decimal-summed terms, one exp, SQL-replayed."""
-    li = _t(spark, sf_dir, "lineitem")
+    # spread on the JOIN KEY: the repartition doubles as the join's
+    # lineitem-side exchange (hashpartitioning(l_orderkey, cores)), so
+    # the scan-side projection parallelizes at no extra shuffle
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
     from rdsa_utils_spark.operators.stats import tornqvist_index
 

@@ -491,7 +491,7 @@ def train_logreg_hashed(
             )
         )
     if cache_features:
-        train = train.localCheckpoint(eager=True)
+        train = train.localCheckpoint(eager=False)
 
     spark = df.sparkSession
     stats = train.agg(
@@ -915,7 +915,7 @@ def platt_scale_train(
             F.col(label_col).cast("double").alias("__y"),
         )
         .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     first = base.agg(
         F.count(F.lit(1)).alias("n"), F.sum("__y").alias("np"),

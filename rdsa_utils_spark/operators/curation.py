@@ -516,7 +516,7 @@ def doremi_reweight(
             "n",
             F.round(F.col("__ml_raw"), loss_round).alias("mean_loss"),
         )
-        .localCheckpoint(eager=True)  # domain-cardinality; every step
+        .localCheckpoint(eager=False)  # domain-cardinality; every step
     )
     k = base.count()
     if k == 0:
@@ -574,7 +574,7 @@ def doremi_reweight(
                 w_new.alias("__w"),
                 (F.col("__ws") + w_new).alias("__ws"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         base.join(state, "domain")

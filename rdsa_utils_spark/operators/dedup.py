@@ -279,7 +279,7 @@ def lsh_candidate_pairs(
         df, id_col, signature_col, num_bands, rows_per_band,
     )
     if cache:
-        banded = banded.localCheckpoint(eager=True)
+        banded = banded.localCheckpoint(eager=False)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -739,17 +739,26 @@ def dedup_clusters(
     long template chains) converge in ~8 rounds where pure
     propagation needed hundreds.
     """
+    # Lazy checkpoints throughout (round-12 optimization): the
+    # per-round convergence sum is the ONLY action, and it
+    # materializes the whole round's chain — edge join, min-agg,
+    # pointer jump — as ONE Spark job. The former eager=True pattern
+    # paid two jobs per round (checkpoint + sum) and, because the
+    # pointer-jump self-join references ``propagated`` twice without a
+    # cut, executed the edge join + aggregation TWICE per round.
+    # Checkpointing ``propagated`` lazily makes it a single shared RDD
+    # node in the round's DAG: computed once, read by both join sides.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates(["id"])
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
@@ -761,6 +770,7 @@ def dedup_clusters(
             .union(neighbour)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
         )
         # Pointer jumping: label(v) ← label(label(v)). Every label IS
         # a node id present in the frame (it is a min over member
@@ -775,7 +785,7 @@ def dedup_clusters(
                 "label",
             )
             .select("id", F.col("__jump__").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
@@ -1123,17 +1133,25 @@ def span_dedup(
     if block_tokens < 1:
         raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
     k = block_tokens
-    # Bind tokens to a column before the slicing lambda: slice(expr, …)
-    # inside transform() re-evaluates the split per block (O(tokens ×
-    # blocks) per row on the expression; O(tokens) on a bound column).
-    with_toks = df.select(
+    # Token-less (blank/NULL) documents are excluded by a CHEAP raw-text
+    # predicate, not by filtering on the derived block array: a filter
+    # on size(__blocks) gets predicate-pushed below every projection
+    # with the whole tokenize+slice HOF expression INLINED into the
+    # filter condition — the block assembly then runs once in the
+    # pushed filter and again in the projection, on the scan side of
+    # any exchange (single-threaded on unsplittable inputs), in every
+    # branch that scans the corpus. length(trim(text)) > 0 is exactly
+    # size(tokens) > 0 by the tokens() contract (empty/blank/NULL →
+    # empty array) and costs one trim per row.
+    with_toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"),
     )
     tk = F.col("__tk")
     n_blocks = F.ceil(F.size(tk) / F.lit(k)).cast("int")
     # Guard the token-less case explicitly: Spark's sequence(0, -1)
     # DESCENDS (yielding [0, -1]), which would fabricate empty blocks
-    # and feed slice() an illegal start of 0.
+    # and feed slice() an illegal start of 0. (Unreachable after the
+    # raw-text filter above, but kept so the expression is total.)
     blocks = F.when(
         n_blocks <= 0, F.array().cast("array<string>"),
     ).otherwise(
@@ -1142,10 +1160,24 @@ def span_dedup(
             lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
         ),
     )
-    exploded = (
-        with_toks.select("__id", blocks.alias("__blocks"))
-        .filter(F.size("__blocks") > 0)
-        .select("__id", F.posexplode("__blocks").alias("__idx", "__block"))
+    # Pin the block frame before exploding (round-12, measured at
+    # bench scale): a posexplode whose generator input is the
+    # transform(...) projection fuses the HOF into the Generate node,
+    # kicking the whole tokenize+slice pipeline out of codegen (≈5×
+    # slower than evaluating the projection once), and the two
+    # consumers below (first-occurrence aggregate and the kept join
+    # probe) would each re-run it. The lazy localCheckpoint
+    # materializes (id, blocks) exactly once — the same
+    # pin-the-reduced-frame trade as train_logreg_hashed's
+    # cache_features: the pinned frame is the tokenized corpus, the
+    # same magnitude this operator shuffles anyway.
+    pinned = with_toks.select(
+        "__id", blocks.alias("__blocks"),
+    ).localCheckpoint(eager=False)
+    # posexplode of an empty array emits no rows, so no explicit
+    # size(__blocks) > 0 filter is needed here.
+    exploded = pinned.select(
+        "__id", F.posexplode("__blocks").alias("__idx", "__block"),
     )
     # First occurrence of each distinct block: an aggregation, not a
     # window — struct min orders by (__id, __idx) lexicographically.
@@ -1161,7 +1193,13 @@ def span_dedup(
     kept = exploded.join(first, "__block").filter(
         (F.col("__id") == F.col("__fid")) & (F.col("__idx") == F.col("__fidx")),
     )
-    totals = exploded.groupBy("__id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    # n_blocks is the pinned block-array size — a projection on the
+    # pinned frame, not a third explode+aggregate branch over the
+    # corpus (count(1) over exploded blocks equals size(__blocks)
+    # exactly for every surviving doc, which has >= 1 block).
+    totals = pinned.select(
+        "__id", F.size("__blocks").cast("long").alias("n_blocks"),
+    )
     rebuilt = kept.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -1275,9 +1313,16 @@ def substring_dedup(
     if ngram_tokens < 1:
         raise ValueError(f"ngram_tokens must be >= 1, got {ngram_tokens}")
     n = ngram_tokens
-    with_toks = df.select(
+    # Cheap raw-text predicate instead of size(__tk) > 0: a filter on
+    # the derived token array predicate-pushes below the projection
+    # with the split() expression inlined into the condition —
+    # re-tokenizing every row a second time on the scan side of any
+    # exchange, in every branch that scans the corpus (same fix as
+    # span_dedup; length(trim(text)) > 0 ⟺ size(tokens) > 0 by the
+    # tokens() contract).
+    with_toks = df.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"),
-    ).filter(F.size("__tk") > 0)
+    )
     tk = F.col("__tk")
     sh_hash = lambda s: F.conv(  # noqa: E731
         F.substring(F.md5(s), 1, hash_hex_digits), 16, 10,

@@ -131,7 +131,7 @@ def win_rate_matrix(
         )
     )
     if m_tests is None:
-        pairs = pairs.localCheckpoint(eager=True)  # pair-cardinality
+        pairs = pairs.localCheckpoint(eager=False)  # pair-cardinality
         m_tests = pairs.count()
         if m_tests == 0:
             m_tests = 1
@@ -227,7 +227,7 @@ def bt_ratings(
         )
         .groupBy("__i", "__j")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=True)  # reused every iteration
+        .localCheckpoint(eager=False)  # reused every iteration
     )
     wins = outcomes.groupBy(F.col("__w").alias("__i")).agg(
         F.count(F.lit(1)).alias("wins"),
@@ -240,7 +240,7 @@ def bt_ratings(
             "games",
             F.coalesce("wins", F.lit(0)).alias("wins"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_items = items.count()
     # term_round <= 12 keeps the distributed path's decimal(38,12)
@@ -302,7 +302,7 @@ def bt_ratings(
                     rating_round,
                 ).alias("__r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         items.join(ratings, "__i")

@@ -78,7 +78,7 @@ def bm25_topk(
             F.count("*").alias("__tf__"),
             F.first("__dl__").alias("__dl__"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Corpus scalars as a broadcast single row; term document
     # frequencies bounded by |query_terms| -> broadcast join.
@@ -131,7 +131,7 @@ def tf_idf_top_terms(
     tf = (
         terms.groupBy(id_col, "__term__")
         .agg(F.count("*").alias("__tf__"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("__term__").agg(F.count("*").alias("__df__"))
     n_docs = df.select(F.count("*").alias("__n_docs__"))

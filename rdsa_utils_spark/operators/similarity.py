@@ -587,7 +587,7 @@ def cosine_near_dup_pairs(
         .withColumn(
             "__rep__", F.min("__mid__").over(Window.partitionBy("__mvec__")),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rep_rows = memb.filter(F.col("__mid__") == F.col("__rep__")).select(
         F.col("__mid__").alias(id_col), F.col("__mvec__").alias(vec_col),
@@ -603,7 +603,7 @@ def cosine_near_dup_pairs(
     b = _with_buckets(
         rep_rows, id_col, vec_col, "nid", dim, bits, num_tables, seed,
         keep_vec=False, plane_method=plane_method,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cand = (
         b.select("table", "bucket", F.col("nid").alias("id_a"))
         .join(b.select("table", "bucket", F.col("nid").alias("id_b")), ["table", "bucket"])
@@ -1412,7 +1412,7 @@ def semantic_dedup(
         scored = cosine_near_dup_pairs(
             df, dim, id_col=id_col, vec_col=vec_col, threshold=threshold,
             expand="representatives", **pair_kwargs,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         memb = (
             df.select(
                 F.col(id_col).alias("__mid__"),
@@ -1423,7 +1423,7 @@ def semantic_dedup(
                 F.min("__mid__").over(Window.partitionBy("__mvec__")),
             )
             .select("__mid__", "__rep__")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         self_ok = scored.filter(F.col("id_a") == F.col("id_b")).select(
             F.col("id_a").alias("__rep__"),

@@ -19,6 +19,7 @@ import time
 from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_TARGET_FILE_SIZE = 512 * 1024 * 1024  # 512 MB, matching reference
@@ -91,14 +92,27 @@ def set_df_columns_nullable(
     return df.to(new_schema)
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: Optional[int] = None,
+    keys: Optional[Sequence[str]] = None,
+) -> DataFrame:
     """Repartition up ONLY when the plan has fewer partitions than the
     cluster has cores — the small-file/local-file case where a
     downstream Arrow UDF or wide expression would otherwise run on one
     task. A no-op (no shuffle inserted) when the input is already
     parallel enough, so it is safe to leave in 100 TB paths where scans
-    arrive with thousands of partitions."""
+    arrive with thousands of partitions.
+
+    ``keys`` (round-12): hash-repartition on the named high-cardinality
+    columns instead of round-robin. Hash partitioning is deterministic
+    under task retry and skips round-robin's sort-before-repartition
+    pass; picking a downstream join/window/group key lets the exchange
+    double as that operator's required partitioning (no second
+    shuffle)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
