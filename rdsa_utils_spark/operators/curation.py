@@ -460,6 +460,7 @@ def doremi_reweight(
     term_round: int = 12,
     weight_round: int = 9,
     round_to: int = 6,
+    max_driver_domains: int = 100_000,
 ) -> DataFrame:
     """DoReMi-style domain mixture reweighting (Xie et al. 2023,
     arXiv:2305.10429, "DoReMi: Optimizing Data Mixtures Speeds Up
@@ -522,6 +523,73 @@ def doremi_reweight(
     if k == 0:
         raise ValueError("doremi_reweight: no non-null (domain, loss) rows")
     from rdsa_utils_spark.operators.classify import _round_half_up
+
+    if max_driver_domains and k <= max_driver_domains:
+        # Driver fast path (round-12; the bpe max_driver_vocab / BT
+        # max_driver_pairs device): the step loop runs on the
+        # DOMAIN-cardinality frame only — k rows — so once the corpus
+        # has been reduced by the one groupBy above, `steps`
+        # distributed rounds are pure scheduler overhead (measured:
+        # 38 jobs, 0.14 s of actual task time at bench scale). Collect
+        # the k-row aggregate (a capped, docstring-declared collect)
+        # and replay the EXACT engine arithmetic in Python: every
+        # quantization is `_round_half_up` (same BigDecimal.valueOf +
+        # HALF_UP semantics as F.round on double), every cross-row
+        # reduction an exact Decimal sum of 12-dp-quantized terms
+        # (`Decimal(repr(x)).quantize(1e-12)` IS the engine's
+        # double→decimal cast), and the trajectory sum is the same
+        # sequential double addition. Bit-identical by the operator's
+        # own replay contract — pinned against the distributed path in
+        # tests/test_round8_ops.py. Pass 0 to force distributed steps.
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q12 = Decimal(1).scaleb(-term_round)
+
+        def _dec(x: float) -> Decimal:
+            return Decimal(repr(float(x))).quantize(q12, ROUND_HALF_UP)
+
+        rows = base.select("domain", "n", "mean_loss").collect()
+        doms = [(r["domain"], int(r["n"]), float(r["mean_loss"])) for r in rows]
+        w0d = _round_half_up(1.0 / k, weight_round)
+        w = {d: w0d for d, _, _ in doms}
+        ws = {d: 0.0 for d, _, _ in doms}
+        for _ in range(steps):
+            mix = float(sum(
+                _dec(_round_half_up(w[d] * ml, term_round))
+                for d, _, ml in doms
+            ))
+            raw = {
+                d: _round_half_up(
+                    w[d] * math.exp(float(eta) * max(0.0, ml - mix)),
+                    term_round,
+                )
+                for d, _, ml in doms
+            }
+            tot = float(sum(_dec(raw[d]) for d, _, _ in doms))
+            for d, _, _ in doms:
+                w[d] = _round_half_up(raw[d] / tot, weight_round)
+                ws[d] += w[d]
+        # Sort on the driver instead of a plan-side orderBy: domains
+        # are unique groupBy keys (no ties) and Python's code-point
+        # string order equals Spark's UTF8String binary order, so the
+        # literal frame's row order IS the orderBy("domain") order —
+        # and skips the range-partitioner sampling job (~0.35 s).
+        out = sorted(
+            (d, n, ml, _round_half_up(ws[d] / steps, round_to) + 0.0)
+            for d, n, ml in doms
+        )
+        dom_field = base.schema["domain"]
+        spark = df.sparkSession
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            dom_field,
+            T.StructField("n", T.LongType(), False),
+            T.StructField("mean_loss", T.DoubleType(), True),
+            T.StructField("weight", T.DoubleType(), True),
+        ])
+        return spark.createDataFrame(out, schema)
 
     w0 = _round_half_up(1.0 / k, weight_round)  # SQL-ROUND semantics
     # state carries BOTH the live weight and the trajectory sum, so

@@ -708,6 +708,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: returns
     (``id``, ``cluster_id``) for every node appearing in ``pairs``,
@@ -754,6 +755,62 @@ def dedup_clusters(
         .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=False)
     )
+    if max_driver_edges:
+        # Driver fast path (round-12; the bpe/BT/doremi capped-collect
+        # device): min-label connected components is pure integer
+        # union-find, and below ``max_driver_edges`` symmetrized edges
+        # the distributed rounds are almost entirely exchange-stage
+        # latency (~4 shuffles per round for a label frame that fits
+        # in kilobytes at bench scale). One Arrow toPandas of the
+        # (src, dst) edge list — narrow, capped, docstring-declared —
+        # plus a Python union-find produces the IDENTICAL (id,
+        # min-component-id) table: same node set, same components,
+        # same min-id label. Engaged only when every edge endpoint is
+        # non-NULL: a NULL endpoint creates a distributed-path
+        # "supernode" row (all NULLs group together, labelled the min
+        # of their neighbours' converged labels) whose semantics the
+        # fixpoint alone defines — such inputs, and anything over the
+        # cap, take the distributed rounds unchanged. The single agg
+        # below both sizes/screens the edge list and materializes the
+        # lazy checkpoint. Pass 0 to force the distributed rounds.
+        st = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("src").alias("ns"),
+            F.count("dst").alias("nd"),
+        ).first()
+        if st["n"] <= max_driver_edges and st["ns"] == st["n"] == st["nd"]:
+            pdf = edges.toPandas()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                s = s.item() if hasattr(s, "item") else s
+                d = d.item() if hasattr(d, "item") else d
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+            out = sorted((node, find(node)) for node in parent)
+            spark = pairs.sparkSession
+            from pyspark.sql import types as T
+
+            id_type = edges.schema["src"].dataType
+            schema = T.StructType([
+                T.StructField("id", id_type, True),
+                T.StructField("cluster_id", id_type, True),
+            ])
+            return spark.createDataFrame(out, schema)
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates(["id"])

@@ -410,8 +410,46 @@ def test_dedup_clusters_deep_chain_converges(spark):
     )
     out = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert set(out.values()) == {0}
+    # the convergence cap guards the DISTRIBUTED rounds; the round-12
+    # driver union-find path (below max_driver_edges) always converges,
+    # so force the distributed path to exercise the guard
     with pytest.raises(RuntimeError, match="converge"):
-        dedup_clusters(pairs, max_iterations=1)
+        dedup_clusters(pairs, max_iterations=1, max_driver_edges=0)
+
+
+def test_dedup_clusters_driver_path_equals_distributed(spark):
+    # round-12: below max_driver_edges the label fixpoint collapses to
+    # a driver union-find; both paths must return the identical
+    # (id, min-component-id) table — including NULL-endpoint drop and
+    # duplicate/symmetric edge handling
+    import random
+
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(1212)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    edges += [(200, 201), (201, 200), (200, 201)]   # dup + symmetric
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(7)
+    fast = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    slow = sorted(map(tuple, dedup_clusters(pairs, max_driver_edges=0).collect()))
+    assert fast == slow
+
+
+def test_dedup_clusters_null_endpoints_fall_back_to_distributed(spark):
+    # NULL endpoints define a distributed-only "supernode" semantics
+    # (and NaN ids would hang a naive pandas union-find) — the fast
+    # path must detect them and yield the distributed result unchanged
+    from rdsa_utils_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 7), (8, None), (None, None)], "id_a long, id_b long",
+    )
+    fast = sorted(map(tuple, dedup_clusters(pairs).collect()), key=str)
+    slow = sorted(
+        map(tuple, dedup_clusters(pairs, max_driver_edges=0).collect()), key=str,
+    )
+    assert fast == slow
+    assert (1, 1) in fast and (2, 1) in fast and (7, 7) in fast and (8, 8) in fast
 
 
 def test_normalize_vectors_unit_norm_and_zero_passthrough(spark):

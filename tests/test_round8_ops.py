@@ -105,6 +105,27 @@ def test_doremi_uniform_losses_stay_uniform(spark):
     assert [r["weight"] for r in out] == pytest.approx([1 / 3] * 3)
 
 
+def test_doremi_driver_path_equals_distributed(spark):
+    # round-12: the domain-cardinality step loop collapses to a
+    # driver replay below max_driver_domains; the two paths must be
+    # BIT-identical (every quantization half-up, every reduction an
+    # exact decimal sum — the operator's replay contract)
+    import random
+
+    rng = random.Random(4242)
+    rows = [
+        (d, round(rng.uniform(0.2, 6.0), 3))
+        for d in ["news", "web", "code", "forums", "papers"]
+        for _ in range(rng.randint(5, 60))
+    ]
+    df = spark.createDataFrame(rows, DOM_SCHEMA).repartition(5)
+    fast = doremi_reweight(df, "domain", "loss", steps=7, eta=0.4).collect()
+    slow = doremi_reweight(
+        df, "domain", "loss", steps=7, eta=0.4, max_driver_domains=0,
+    ).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
 def test_doremi_upweights_high_loss_domains(spark):
     # mid must START above the uniform mixture mean ((1+3+4)/3 = 2.67)
     # or the max(0, excess) clamp freezes it alongside easy
