@@ -136,7 +136,9 @@ ORDER BY revenue DESC, n_name ASC
 # --------------------------------------------------------------------------
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(
+    # _spread: decimal-sum partials otherwise run on the
+    # single-task scan (round-12 profile: 7 tasks total)
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"),
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -176,7 +178,10 @@ ORDER BY l_returnflag, l_linestatus
 # --------------------------------------------------------------------------
 
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread keyed on the groupBy key: the exchange doubles as the
+    # aggregation exchange (one-phase agg on 32 tasks vs a 150k-group
+    # partial agg inside the single-task scan)
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.groupBy("l_orderkey")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -657,7 +662,8 @@ FROM orders
 
 
 def q_cumulative_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread keyed on the groupBy key (same device as top_orders)
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     from rdsa_utils_spark.functions.columns import cumulative_array
 
     per_order = li.groupBy("l_orderkey").agg(
@@ -773,7 +779,9 @@ ORDER BY nationkey
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # spread BEFORE the rollup — same Expand-in-scan-stage fix as
+    # q_cube_revenue (profiled 7 tasks total before)
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -1964,7 +1972,9 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial rolling hash over token hashes (h = (31·h + tok) mod
     2³¹). One scan, two pure-JVM expression columns — hex digests and
     the integer fold both hash-match DuckDB byte for byte."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: per-row JVM work (regex/md5/HOF chains) otherwise
+    # runs inside the single-task scan stage (round-12 profile)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
     tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
     rolling = F.aggregate(
@@ -2099,6 +2109,8 @@ def q_contamination_gate_admitted(spark: SparkSession, sf_dir: str) -> DataFrame
     set is hash-verified, not just the scorer."""
     from rdsa_utils_spark.operators.dedup import ngram_contamination
 
+    # no _spread: isolated A/B (runs=9) measured 1.50 s with vs 1.22 s
+    # without — the n-gram path's per-task overhead outweighs the floor
     docs = _t(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 20 == 0)
     scores = ngram_contamination(docs, ref, n=8)
@@ -2526,7 +2538,9 @@ ORDER BY supp_nation, cust_nation, l_year
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one supplier-nation's share of a region's
     revenue by year (conditional-sum ratio over a 6-way join)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread keyed on the orders join key: the floor exchange
+    # doubles as the join-side exchange (round-12 profile: 18 tasks)
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
@@ -2589,6 +2603,9 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (no partsupp in testdata: supply cost proxied as
     half the part's retail price): profit per supplier nation per
     year."""
+    # no _spread: isolated A/B (runs=9) measured flat wall-clock
+    # (1.16 vs 1.11 s) for 45-vs-13 tasks — the broadcast probes are
+    # cheap enough that the floor exchange buys nothing here
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supplier = _t(spark, sf_dir, "supplier")
@@ -2680,7 +2697,9 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is ANSI-SQL-reproducible (the DuckDB oracle inlines the same
     seeded coefficients), so the driver hash-checks the exact pair set
     the banding emits — not just a row count."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the MinHash pandas UDF otherwise runs inside the
+    # single-task scan stage (profiled 6 tasks total)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     from rdsa_utils_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -2785,7 +2804,9 @@ ORDER BY d.doc_id
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the SimHash pandas UDF otherwise runs inside the
+    # single-task scan stage (profiled 4 tasks total, write 2.3 s)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     from rdsa_utils_spark.operators.dedup import simhash_signatures
 
     return simhash_signatures(docs, "text").select("doc_id", "simhash").orderBy("doc_id")
@@ -3085,6 +3106,9 @@ def q_payload_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_near_dups,
     )
 
+    # no _spread: isolated A/B (runs=9) measured 1.54 s with vs 1.03 s
+    # without — shuffling the attached binary payloads costs more than
+    # the parallelism buys (the embedding-family reject repeats)
     docs = _t(spark, sf_dir, "documents")
     surv = payload_exact_dedup(attach_binary_payload(docs, "text"), "payload", "doc_id")
     return (
@@ -4555,7 +4579,9 @@ def q_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     are an equi-join on the blocking key."""
     from rdsa_utils_spark.operators.linkage import fuzzy_join_blocked
 
-    cust = _t(spark, sf_dir, "customer")
+    # _spread: both the master and the derived dirty side read the
+    # same floor exchange (ReusedExchange)
+    cust = _spread(_t(spark, sf_dir, "customer"), "c_custkey")
     dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
         F.col("c_custkey").alias("dirty_id"),
         F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("dirty_name"),
@@ -5177,7 +5203,10 @@ def q_merged_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal(38,6) accumulation keeps sums order-independent."""
     from rdsa_utils_spark.operators.aggregations import merge_partial_aggregates
 
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread: both shipdate-segment partials read the SAME exchange
+    # (filters sit above it, so ReusedExchange fires) instead of two
+    # single-task scans
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     cut = F.lit("1995-06-30").cast("timestamp")
 
     def partial(d: DataFrame) -> DataFrame:
@@ -5316,7 +5345,9 @@ def q_dominant_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a pure function of the data."""
     from rdsa_utils_spark.operators.disclosure import dominance_flags
 
-    li = _t(spark, sf_dir, "lineitem")
+    # _spread: broadcast probe + decimal partial agg off the
+    # single-task scan (round-12 profile)
+    li = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     part = _t(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     return dominance_flags(
@@ -5556,7 +5587,12 @@ def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy walk as a rank-stepping recursive CTE."""
     from rdsa_utils_spark.operators.events import debounce_events
 
-    events = _t(spark, sf_dir, "events")
+    # _spread keyed on user_id: applyInPandas groups by user_id, so
+    # the floor exchange IS the grouping exchange — without it AQE
+    # coalesces the tiny shuffle to ~2 partitions and the Python
+    # debounce walk serializes (round-12 profile: 8 tasks, 3.6 s
+    # summed task time)
+    events = _spread(_t(spark, sf_dir, "events"), "user_id")
     kept = debounce_events(
         events.select("user_id", "ts", "event_id", "event_type"),
         "user_id", "ts", 1800, tiebreak_cols=["event_id"],
@@ -6354,6 +6390,9 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_naive_bayes,
     )
 
+    # no _spread: isolated A/B (runs=9) measured 2.14 s with vs 1.51 s
+    # without — the NB train+score replays the docs subtree several
+    # times and each replay repays the floor exchange
     docs = _t(spark, sf_dir, "documents")
     model, priors = train_naive_bayes(docs, "lang", "text")
     pred = naive_bayes_score(docs, model, priors, "doc_id", "text")
@@ -6634,7 +6673,9 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdsa_utils_spark.operators.text import tokens as _tokens
 
     terms = ["spark", "window", "join"]
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: tokenize/explode work otherwise runs on the
+    # single-task scan stage (round-12 profile)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     bm25 = bm25_topk(docs, terms, k=10).withColumnRenamed("bm25", "score")
 
     m = docs.select(
@@ -7513,7 +7554,9 @@ def q_lm2_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-count aggregation + vocab-bounded logprob table + one stream
     join; the left-context counts derive from the pair counts, not a
     second corpus pass."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: tokenize/explode work otherwise runs on the
+    # single-task scan stage (round-12 profile)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     from rdsa_utils_spark.operators.text import bigram_lm_score
 
     return (
@@ -7988,7 +8031,9 @@ def q_acctbal_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for mean customer balance per nation
     (Chamandy et al. 2012): deterministic hash weights, 50 resamples,
     three linear aggregations — no per-resample shuffle, no collect."""
-    cust = _t(spark, sf_dir, "customer")
+    # _spread: the 50-resample hash-weight projection is per-row
+    # heavy and otherwise runs inside the single-task scan
+    cust = _spread(_t(spark, sf_dir, "customer"), "c_custkey")
     from rdsa_utils_spark.operators.stats import grouped_bootstrap_ci
 
     return grouped_bootstrap_ci(
@@ -8115,7 +8160,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric n-gram containment for banded candidate pairs —
     the quote/superset detector symmetric Jaccard misses; same
     attach-by-id join shape as ngram_jaccard."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: tokenize + shingle-set build otherwise run on the
+    # single-task scan (profiled 6 tasks total)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     from rdsa_utils_spark.operators.dedup import containment_pairs
 
     pairs = _banded_doc_pairs(docs)
@@ -9294,7 +9341,9 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunction, all pure per-row projections."""
     from rdsa_utils_spark.operators.curation import gopher_rules
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: per-row JVM work (regex/md5/HOF chains) otherwise
+    # runs inside the single-task scan stage (round-12 profile)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     g = gopher_rules(docs, min_words=20)
     flags = [
         "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
@@ -9861,7 +9910,9 @@ def q_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces byte-for-byte."""
     from rdsa_utils_spark.operators.text import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: per-row JVM work (regex/md5/HOF chains) otherwise
+    # runs inside the single-task scan stage (round-12 profile)
+    docs = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     messy = F.concat(
         F.lit("“"), F.col("text"),
         F.lit("”​ — <i>Tag</i> &amp; co… END"),

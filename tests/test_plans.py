@@ -44,7 +44,10 @@ def test_pricing_summary_plan(spark, sf_dir):
     # Map-side partial aggregation before the single shuffle.
     plan = plan_string(df, "formatted")
     assert "partial_sum" in plan
-    assert count_exchanges(df) <= 2  # agg + sort
+    # agg + sort, plus the round-12 parallelism-floor exchange that
+    # only fires on low-partition scans (the single-row-group test
+    # fixtures); at scale the floor is a no-op and this is back to 2.
+    assert count_exchanges(df) <= 3
     # Codegen spans appear once AQE finalizes the plan (post-action).
     df.collect()
     assert len(whole_stage_codegen_ids(df)) >= 1
