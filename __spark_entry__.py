@@ -7397,6 +7397,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from rdsa_utils_spark.operators.tokenize import bpe_merge_table, bpe_train
 
+    # single consumer of the dictionary — no shared words frame needed
     merges = bpe_train(docs, "text", num_merges=20)
     return bpe_merge_table(spark, merges)
 
@@ -7410,11 +7411,20 @@ def q_bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND encoding in one SQL statement: the merge chain's final vocab
     table is the encoded dictionary, so one word join replays the
     whole tokenizer. Output = (doc_id, n_words, n_bpe_tokens)."""
-    from rdsa_utils_spark.operators.tokenize import bpe_encode_counts, bpe_train
+    from rdsa_utils_spark.operators.tokenize import (
+        bpe_encode_counts,
+        bpe_train,
+        word_counts,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", num_merges=20)
-    return bpe_encode_counts(docs, "text", "doc_id", merges).orderBy("doc_id")
+    # Dictionary computed ONCE and shared: train and encode otherwise
+    # each re-run the corpus explode+aggregate (r12)
+    words = word_counts(docs, "text").localCheckpoint(eager=False)
+    merges = bpe_train(docs, "text", num_merges=20, words=words)
+    return bpe_encode_counts(
+        docs, "text", "doc_id", merges, words=words,
+    ).orderBy("doc_id")
 
 
 def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7430,11 +7440,17 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab id table, AND the per-doc flatten in one SQL statement —
     output = (doc_id, n_ids, ids_csv), csv so the value hash pins the
     exact SEQUENCE, not a set."""
-    from rdsa_utils_spark.operators.tokenize import bpe_encode_ids, bpe_train
+    from rdsa_utils_spark.operators.tokenize import (
+        bpe_encode_ids,
+        bpe_train,
+        word_counts,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", num_merges=20)
-    out = bpe_encode_ids(docs, "text", "doc_id", merges)
+    # shared pinned dictionary as in q_bpe_encode_counts (r12)
+    words = word_counts(docs, "text").localCheckpoint(eager=False)
+    merges = bpe_train(docs, "text", num_merges=20, words=words)
+    out = bpe_encode_ids(docs, "text", "doc_id", merges, words=words)
     return out.select(
         "doc_id",
         F.size("bpe_ids").cast("long").alias("n_ids"),
@@ -7458,12 +7474,17 @@ def q_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode_ids,
         bpe_train,
         bpe_vocab_ids,
+        word_counts,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", num_merges=12)
-    ids = bpe_encode_ids(docs, "text", "doc_id", merges)
-    vocab = bpe_vocab_ids(docs, "text", merges)
+    # shared pinned dictionary: train, encode AND the vocab-id table
+    # otherwise each re-run the corpus explode+aggregate (r12 profile:
+    # 3 independent derivations in this one query)
+    words = word_counts(docs, "text").localCheckpoint(eager=False)
+    merges = bpe_train(docs, "text", num_merges=12, words=words)
+    ids = bpe_encode_ids(docs, "text", "doc_id", merges, words=words)
+    vocab = bpe_vocab_ids(docs, "text", merges, words=words)
     out = bpe_decode(ids, "bpe_ids", vocab, out_col="decoded_text")
     return out.select(
         "doc_id",

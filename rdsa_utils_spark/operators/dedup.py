@@ -997,8 +997,12 @@ def jaccard_similarity_join(
         .withColumn(
             "__k", F.md5(F.concat_ws("\x1f", F.array_sort("__tk"))),
         )
+        # Pin the tokenize+md5 projection ONCE: it feeds the member
+        # map AND the representative groupBy — pinning each consumer
+        # separately (pre-r12) materialized this scan twice.
+        .localCheckpoint(eager=False)
     )
-    members = keyed.select("__k", "__id").localCheckpoint(eager=False)
+    members = keyed.select("__k", "__id")
     # one representative (smallest id) per distinct token SET
     base = (
         keyed.groupBy("__k")

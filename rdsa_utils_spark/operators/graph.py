@@ -337,8 +337,6 @@ def label_propagation(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    from pyspark.sql import Window
-
     fwd = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     und = (
         fwd.union(fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst")))
@@ -353,17 +351,27 @@ def label_propagation(
         return F.broadcast(df) if small else df
 
     labels = nodes.select("node", F.col("node").alias("community"))
-    w = Window.partitionBy("__n").orderBy(F.desc("__cnt"), F.asc("community"))
     for _ in range(iterations):
         counts = (
             und.join(_bcast(labels), und["__src"] == labels["node"])
             .groupBy(F.col("__dst").alias("__n"), "community")
             .agg(F.count(F.lit(1)).alias("__cnt"))
         )
+        # argmax by (count desc, label asc) as ONE struct-min
+        # aggregation — bit-identical to the previous row_number
+        # window pick but partial-aggregatable and sort-free (r12;
+        # counts are >= 1 so -__cnt never overflows)
         best = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("__n").alias("node"), F.col("community").alias("__new"))
+            counts.groupBy(F.col("__n").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__cnt")).alias("__neg"),
+                        F.col("community"),
+                    ),
+                ).alias("__s"),
+            )
+            .select("node", F.col("__s.community").alias("__new"))
         )
         # Lazy: materialized by the next round's broadcast build / the
         # caller's action — cuts lineage without a per-round job.

@@ -836,6 +836,13 @@ def price_index(
         ).alias("__p"),
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
+    # Pin the (period, item) aggregate: it feeds BOTH the base-period
+    # frame and the matched join's left side, and Spark shares no
+    # subtrees across a self-join — without the pin the full
+    # corpus-sized join+agg upstream executes once per consumer
+    # (r12 plan audit: 2 parquet scans of the fact table). The pinned
+    # frame is (n_items × n_periods) rows — dimension-table sized.
+    per = per.localCheckpoint(eager=False)
     base = per.filter(F.col("period") == base_period).select(
         "__item",
         F.col("__p").alias("__p0"),
@@ -1039,6 +1046,10 @@ def chained_index(
         ).alias("__p"),
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
+    # Pin as in price_index: per feeds the period table, the current
+    # side AND the previous side of every link join — 3 full upstream
+    # replays without the pin (r12).
+    per = per.localCheckpoint(eager=False)
     periods = per.select("period").distinct()
     # period-table-sized frame: constant non-foldable partition key
     # silences the WindowExec global-window warning without changing
@@ -1463,12 +1474,17 @@ def tornqvist_index(
         ).alias("__p"),
         F.sum(F.col(qty_col).cast("decimal(38,6)")).alias("__q"),
     )
+    # Pin as in price_index (r12): per feeds base AND the matched
+    # join; matched additionally feeds the expenditure rollup AND the
+    # term frame — without both pins the corpus-sized upstream
+    # executes 4+ times (the r12 before-plan shows 4 fact scans).
+    per = per.localCheckpoint(eager=False)
     base = per.filter(F.col("period") == base_period).select(
         "__item",
         F.col("__p").alias("__p0"),
         F.col("__q").alias("__q0"),
     )
-    matched = per.join(base, "__item")
+    matched = per.join(base, "__item").localCheckpoint(eager=False)
     d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
     exp_tot = matched.groupBy("period").agg(
         F.sum(d(F.col("__p") * F.col("__q"))).alias("__et"),

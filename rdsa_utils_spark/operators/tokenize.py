@@ -40,16 +40,31 @@ from rdsa_utils_spark.operators.windows import constant_partition_key
 EOW = "</w>"
 
 
-def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, cnt, syms) — one row per distinct word; syms = chars + EOW."""
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) — the distinct-word dictionary with corpus counts.
+
+    The shared upstream of :func:`bpe_train`, :func:`bpe_encode_counts`,
+    :func:`bpe_encode_ids` and :func:`bpe_vocab_ids`: each derives this
+    frame from the corpus when called alone. A pipeline that chains
+    several of them should compute it ONCE, pin it
+    (``localCheckpoint(eager=False)``) and pass it via their ``words=``
+    parameter — r12 measured the train+encode+vocab chain re-running
+    the corpus explode+aggregate 3× without it."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "syms",
-            F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
-        )
+    )
+
+
+def _word_vocab(
+    df: DataFrame, text_col: str, words: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(word, cnt, syms) — one row per distinct word; syms = chars + EOW."""
+    base = words if words is not None else word_counts(df, text_col)
+    return base.withColumn(
+        "syms",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))),
     )
 
 
@@ -101,6 +116,7 @@ def bpe_train(
     num_merges: int = 50,
     checkpoint_every: int = 2,
     max_driver_vocab: int = 4096,
+    words: Optional[DataFrame] = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules from a corpus.
 
@@ -134,7 +150,7 @@ def bpe_train(
         )
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
-    vocab = _word_vocab(df, text_col).localCheckpoint(eager=False)
+    vocab = _word_vocab(df, text_col, words).localCheckpoint(eager=False)
     if max_driver_vocab:
         # cheap: vocab is the post-aggregation dictionary frame
         if vocab.limit(max_driver_vocab + 1).count() <= max_driver_vocab:
@@ -263,7 +279,10 @@ _SEP = "\x1f"
 
 
 def _encoded_word_strings(
-    df: DataFrame, text_col: str, merges: Sequence[tuple[str, str, int]],
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str, int]],
+    words: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(word, __s__) — the DISTINCT-WORD dictionary with each word's
     double-separator symbol string after the FULL merge chain (the
@@ -285,11 +304,12 @@ def _encoded_word_strings(
             F.lit(_SEP + left + _SEP + _SEP + right + _SEP),
             F.lit(_SEP + left + right + _SEP),
         )
-    return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .distinct()
-        .withColumn("__s__", s)
+    dictionary = (
+        words.select("word")
+        if words is not None
+        else df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
     )
+    return dictionary.withColumn("__s__", s)
 
 
 def bpe_encode_counts(
@@ -298,6 +318,7 @@ def bpe_encode_counts(
     id_col: str,
     merges: Sequence[tuple[str, str, int]],
     out_col: str = "n_bpe_tokens",
+    words: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document BPE token counts for a trained merge list, with
     ZERO Python in the data path — the JVM-native, ANSI-SQL-replayable
@@ -331,7 +352,7 @@ def bpe_encode_counts(
     Returns (``id_col``, ``n_words``, ``out_col``) — one row per
     input document.
     """
-    vocab = _encoded_word_strings(df, text_col, merges)
+    vocab = _encoded_word_strings(df, text_col, merges, words)
     s = F.col("__s__")
     # k symbols carry 2(k+1) separator chars on the double-sep
     # rendering (merges only ever delete whole boundaries)
@@ -366,6 +387,7 @@ def bpe_vocab_ids(
     df: DataFrame,
     text_col: str,
     merges: Sequence[tuple[str, str, int]],
+    words: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The symbol→id table for a trained tokenizer over this corpus —
     GPT-2-style block layout, engine- and ANSI-SQL-replayable:
@@ -386,10 +408,14 @@ def bpe_vocab_ids(
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    dictionary = (
+        words.select("word")
+        if words is not None
+        else df.select(F.explode(tokens(F.col(text_col))).alias("word")).distinct()
+    )
     chars = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .distinct()  # char explode over the dictionary, not the corpus
-        .select(F.explode(F.split("word", "")).alias("sym"))
+        # char explode over the dictionary, not the corpus
+        dictionary.select(F.explode(F.split("word", "")).alias("sym"))
         .distinct()
     )
     base = chars.unionByName(
@@ -432,6 +458,7 @@ def bpe_encode_ids(
     merges: Sequence[tuple[str, str, int]],
     out_col: str = "bpe_ids",
     max_literal_vocab: int = 4096,
+    words: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-document BPE token-ID SEQUENCES with ZERO Python in the
     data path — the id-sequence sibling of :func:`bpe_encode_counts`
@@ -474,7 +501,7 @@ def bpe_encode_ids(
     document; empty/blank docs get an empty array.
     """
     boundary = _SEP + _SEP
-    dict_df = _encoded_word_strings(df, text_col, merges).select(
+    dict_df = _encoded_word_strings(df, text_col, merges, words).select(
         "word",
         F.filter(
             F.split(F.col("__s__"), boundary),
@@ -513,7 +540,7 @@ def bpe_encode_ids(
         # to vocab_map — pinned in tests) → order-preserving regroup.
         # Work stays vocabulary-sized; no 2·|vocab|-node expression
         # ever reaches codegen or the plan serializer.
-        vocab_ids = bpe_vocab_ids(df, text_col, merges)
+        vocab_ids = bpe_vocab_ids(df, text_col, merges, words)
         wids = (
             dict_df.select(
                 "word", F.posexplode("__syms__").alias("__sp__", "sym"),

@@ -183,3 +183,48 @@ def test_bpe_encode_counts_adjacent_merge_sites(spark):
     assert got == ref
     # the canonical case pinned by value: b·anan·a·</w>
     assert got[1] == 4
+
+
+def test_shared_words_frame_paths_identical(spark):
+    """r12: every BPE entry point accepts a precomputed (word, cnt)
+    dictionary via ``words=`` so pipelines chaining train/encode/vocab
+    derive the corpus dictionary ONCE. The parameter must be a pure
+    plumbing change: identical merges, counts, id sequences and vocab
+    table with and without it."""
+    from rdsa_utils_spark.operators.tokenize import (
+        bpe_encode_counts,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab_ids,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest"),
+         (3, "low new low"), (4, "  "), (5, "wider widest")],
+        "id long, text string",
+    )
+    words = word_counts(docs, "text").localCheckpoint(eager=False)
+
+    m_plain = bpe_train(docs, "text", num_merges=6)
+    m_words = bpe_train(docs, "text", num_merges=6, words=words)
+    assert m_plain == m_words
+
+    counts = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert counts(
+        bpe_encode_counts(docs, "text", "id", m_plain),
+    ) == counts(bpe_encode_counts(docs, "text", "id", m_plain, words=words))
+    assert counts(
+        bpe_encode_ids(docs, "text", "id", m_plain),
+    ) == counts(bpe_encode_ids(docs, "text", "id", m_plain, words=words))
+    assert counts(
+        bpe_vocab_ids(docs, "text", m_plain),
+    ) == counts(bpe_vocab_ids(docs, "text", m_plain, words=words))
+    # the large-tokenizer broadcast-join path accepts it too
+    assert counts(
+        bpe_encode_ids(docs, "text", "id", m_plain, max_literal_vocab=1),
+    ) == counts(
+        bpe_encode_ids(
+            docs, "text", "id", m_plain, max_literal_vocab=1, words=words,
+        ),
+    )
