@@ -5089,10 +5089,14 @@ def q_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
     )
+    # Pinned: triangle_count references its edge frame three times
+    # (one leg per triangle side), so an unpinned 40-row frame would
+    # replay the corpus-sized co-occurrence upstream once per leg.
     edges = (
         cooccurrence_pairs(j, "l_orderkey", "p_brand")
         .orderBy(F.desc("n_baskets"), "item_a", "item_b")
         .limit(40)
+        .localCheckpoint(eager=False)
     )
     return triangle_count(
         edges.select(F.col("item_a").alias("src"), F.col("item_b").alias("dst")),
@@ -10438,6 +10442,10 @@ def q_ndcg_termscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("tf"),
         )
         .filter(F.col("tf") > 0)
+        # Pinned: tf feeds BOTH the ranked runs and the qrels grades,
+        # and its upstream (full-text replace-count per query term) is
+        # the expensive part of the plan.
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("tf").desc(), F.col("doc_id"))
     runs = tf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
@@ -10758,6 +10766,9 @@ def _termscan_runs_qrels(spark: SparkSession, sf_dir: str):
             ).cast("long").alias("tf"),
         )
         .filter(F.col("tf") > 0)
+        # Pinned: tf feeds both the ranked runs and the qrels side —
+        # same double-use as q_ndcg_termscan above.
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("tf").desc(), F.col("doc_id"))
     runs = tf.withColumn("rank", F.row_number().over(w))

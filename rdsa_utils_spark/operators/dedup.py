@@ -922,8 +922,16 @@ def dedup_against_corpus_bloom(
     # membership is k getbit lookups inside whole-stage codegen.
     bitmap = build_bloom_bitmap(corpus_fp, "__fp__", m_bits, k_hashes)
     maybe = bloom_probe_expr("__fp__", m_bits, k_hashes)
-    flagged = new_fp.join(F.broadcast(bitmap)).withColumn("__maybe__", maybe).drop(
-        "__bloom__",
+    # Pinned: flagged feeds BOTH the definite-fresh branch and the
+    # maybe-side anti-join, so an unpinned frame runs the whole
+    # normalize+md5 fingerprint pass over the batch twice. The pin
+    # stores one incremental batch (never the corpus) — cheaper than a
+    # second full fingerprint scan at any batch size.
+    flagged = (
+        new_fp.join(F.broadcast(bitmap))
+        .withColumn("__maybe__", maybe)
+        .drop("__bloom__")
+        .localCheckpoint(eager=False)
     )
     definite_fresh = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
     candidates = (

@@ -215,8 +215,13 @@ def bt_ratings(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     w, l = F.col(winner_col), F.col(loser_col)
-    outcomes = df.select(w.alias("__w"), l.alias("__l")).filter(
-        w.isNotNull() & l.isNotNull() & (w != l),
+    # Pinned: the outcome stream feeds the games union TWICE plus the
+    # wins aggregate, so an unpinned frame would re-execute the
+    # caller's (potentially join-heavy) upstream three times.
+    outcomes = (
+        df.select(w.alias("__w"), l.alias("__l"))
+        .filter(w.isNotNull() & l.isNotNull() & (w != l))
+        .localCheckpoint(eager=False)
     )
     games = (
         outcomes.select(F.col("__w").alias("__i"), F.col("__l").alias("__j"))
