@@ -1,9 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE compact JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "sf": ...}. Per-query timings go to BENCH_DETAIL.json next to
-this file (the full 70+-entry map overflowed the driver's stdout
-capture buffer in round 1, leaving the headline line unparseable).
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. The full per-query map rides
+on that line (driver contract — the driver re-runs the bench at lower
+core counts and reads per-query seconds from it); BENCH_DETAIL.json
+next to this file keeps the richer spread/warning/isolation metadata.
 
 Each query is executed SPARK_GRAFT_BENCH_RUNS+1 times (default 3+1; the
 first run is a discarded per-plan codegen warm-up, the median of the
@@ -218,9 +219,24 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json",
     )
+    # Carry the isolation lane's results across main-lane refreshes —
+    # they are point-in-time adjudication records, not main-lane state.
+    carried = {}
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prev = json.load(fh)
+            carried = {
+                k: prev[k]
+                for k in ("isolated", "isolated_policy")
+                if k in prev
+            }
+        except (ValueError, OSError):
+            carried = {}
     with open(detail_path, "w") as fh:
         json.dump(
             {
+                **carried,
                 "metric": "total_query_time",
                 "value": round(total, 3),
                 "unit": "sec",
@@ -244,14 +260,17 @@ def main() -> None:
         )
         fh.write("\n")
 
-    # Keep the stdout contract line small enough for any capture buffer:
-    # summary stats only, full per-query map in BENCH_DETAIL.json.
+    # The stdout contract line carries the FULL per-query map (the
+    # driver re-runs the bench at lower core counts and reads per-query
+    # seconds from this line); BENCH_DETAIL.json keeps the richer
+    # spread/warning metadata.
     print(
         json.dumps(
             {
                 "metric": "total_query_time",
                 "value": round(total, 3),
                 "unit": "sec",
+                "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries_detail": "BENCH_DETAIL.json",
