@@ -504,6 +504,14 @@ def minhash_near_dedup(
         )
         .filter(F.col("__rn__") > 1)
         .select(id_col)
+        # Pinned: this loser-id frame feeds BOTH the representative
+        # anti-join (executed while materializing the banded-signature
+        # checkpoint) and the final loser union — without the pin the
+        # scan+md5+window subtree executes once per consumer. The frame
+        # stores only the ids of non-minimal exact-dup members: empty
+        # when there are no exact dups, and exactly the rows the
+        # collapse removes when there are — never corpus-sized.
+        .localCheckpoint(eager=False)
     )
     rep_docs = eligible.join(exact_losers, id_col, "left_anti")
     with_sig = minhash_signatures(rep_docs, text_col, num_perm, shingle_n)

@@ -744,9 +744,15 @@ def bigram_lm_score(
         .groupBy(id_col, "__w1", "__w2")
         .agg(F.count(F.lit(1)).alias("__dc"))
     )
+    # Pinned: pair_counts feeds FOUR consumers (left_counts, both
+    # vocab-union sides, and the logprob join) — without the pin each
+    # re-derives the corpus tokenize+explode+two-level aggregation.
+    # The frame is vocabulary²-bounded (distinct observed bigrams),
+    # never corpus-sized, so the pin stays model-sized at 100 TB while
+    # the avoided replays are corpus-sized.
     pair_counts = doc_pairs.groupBy("__w1", "__w2").agg(
         F.sum("__dc").alias("__c12"),
-    )
+    ).localCheckpoint(eager=False)
     left_counts = pair_counts.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     # V = the bigram model's vocabulary: distinct tokens participating
     # in any bigram — derived from the (vocab²-bounded) pair-count

@@ -340,3 +340,28 @@ def test_standardize_dims_no_stream_join(spark, sf_dir):
     # join is the 1-row attach, never a join on the exploded stream.
     df = entrymod.q_standardized_embeddings(spark, sf_dir)
     assert "SortMergeJoin" not in plan_string(df)
+
+
+def test_minhash_near_dedup_collapse_window_pinned(spark, sf_dir):
+    # The exact-dup collapse window (row_number over the text digest)
+    # feeds two consumers — the representative anti-join and the final
+    # loser union. It must be pinned so the scan+md5+window subtree
+    # executes once: the FINAL plan reads the pinned frame and carries
+    # no Window operator at all.
+    df = entrymod.q_minhash_near_dedup(spark, sf_dir)
+    p = plan_string(df)
+    assert "Window" not in p
+    assert "ExistingRDD" in p  # loser ids + banded signatures, pinned
+
+
+def test_lm2_quality_single_tokenize_explode(spark, sf_dir):
+    # The bigram-LM pair-count frame feeds four consumers
+    # (left-context counts, both vocab-union sides, logprob join);
+    # pinned, the final plan tokenizes/explodes the corpus exactly
+    # once — for the per-doc bigram stream — and reads the pinned
+    # vocabulary-squared-bounded frame everywhere else.
+    df = entrymod.q_lm2_quality(spark, sf_dir)
+    p = plan_string(df)
+    import re
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
+    assert "ExistingRDD" in p
