@@ -764,12 +764,13 @@ def token_budget_mix(
     Instead the hash order is refined in two tiers: documents land in
     ``floor(u·n_buckets)`` buckets (bucket order IS a prefix of the
     hash order), per-(source, bucket) token sums make a tiny frame
-    whose running total locates the BOUNDARY bucket per source; whole
-    buckets strictly before it are kept without any window, the empty
-    tail after it is dropped by a pushdown-able filter, and the exact
-    per-document window runs only INSIDE each boundary bucket
-    (≈ corpus_tokens/n_buckets rows per source). Identical output to
-    the naive window, engine-replayable bit-for-bit.
+    whose running total locates the BOUNDARY bucket per source; the
+    empty tail after it is dropped by a pushdown-able filter, and the
+    exact per-document running total runs per (source, bucket) —
+    sources × n_buckets well-spread partitions, never one partition
+    per source. A row is kept iff its whole bucket fits the budget or
+    its own in-bucket prefix does. Identical output to the naive
+    window, engine-replayable bit-for-bit.
 
     ``cum_col`` adds the per-source running token total over the KEPT
     rows — that window is bounded by the budget (≤ budget documents
@@ -812,30 +813,38 @@ def token_budget_mix(
         .withColumn("__offset", F.col("__cum_end") - F.col("__bt"))
         .select(source_col, "__bkt", "__offset", "__cum_end")
     )
-    staged = d.join(F.broadcast(buckets), [source_col, "__bkt"])
-    whole = staged.filter(F.col("__cum_end") <= F.col("__budget")).withColumn(
-        "__partial", F.lit(False),
-    )
-    # Tier 2: the exact per-document window ONLY inside boundary
-    # buckets (offset below budget, bucket total crossing it).
-    boundary = staged.filter(
-        (F.col("__offset") < F.col("__budget")) & (F.col("__cum_end") > F.col("__budget")),
+    # Tier 2 in ONE pass (no whole/boundary branching): the tail
+    # buckets (offset already >= budget) drop via a pushdown-able
+    # filter, then a single per-(source, bucket) running total decides
+    # every survivor. A row is kept iff its whole bucket fits
+    # (cum_end <= budget) or its own in-bucket prefix fits
+    # (offset + cum_in <= budget) — exactly the old whole ∪ partial
+    # set. Branching instead re-executed the scan-side subtree per
+    # branch (4 corpus scans in the physical plan: 2 staged branches
+    # plus the buckets aggregate rebuilt under each union arm); the
+    # fused form plans 2 corpus scans — the two-pass information floor
+    # — at the cost of running the bucket-partitioned window over
+    # whole buckets too (well-spread: sources × n_buckets partitions,
+    # narrow rows; the rows were already shuffled for the old
+    # boundary window's exchange anyway).
+    staged = d.join(F.broadcast(buckets), [source_col, "__bkt"]).filter(
+        (F.col("__cum_end") <= F.col("__budget")) | (F.col("__offset") < F.col("__budget")),
     )
     dw = (
         Window.partitionBy(source_col, "__bkt")
         .orderBy(F.col("__u").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    partial = (
-        boundary.withColumn("__cum_in", F.sum("__tok").over(dw))
-        .filter(F.col("__offset") + F.col("__cum_in") <= F.col("__budget"))
-        .withColumn("__partial", F.lit(True))
+    out = (
+        staged.withColumn("__cum_in", F.sum("__tok").over(dw))
+        .filter(
+            (F.col("__cum_end") <= F.col("__budget"))
+            | (F.col("__offset") + F.col("__cum_in") <= F.col("__budget")),
+        )
         .drop("__cum_in")
     )
-    # cum_col: whole buckets need their in-bucket running total too —
-    # compute it per kept row (the kept set is final, so the window
-    # here is over kept rows of whole buckets only; cheap and exact).
-    out = whole.unionByName(partial, allowMissingColumns=True)
+    # cum_col: the per-source running total over the KEPT rows only
+    # (budget-bounded, never a whole raw source).
     if cum_col is not None:
         ow = (
             Window.partitionBy(source_col)
@@ -844,7 +853,7 @@ def token_budget_mix(
         )
         out = out.withColumn(cum_col, F.sum("__tok").over(ow))
     return out.drop(
-        "__u", "__tok", "__budget", "__bkt", "__offset", "__cum_end", "__partial",
+        "__u", "__tok", "__budget", "__bkt", "__offset", "__cum_end",
     )
 
 

@@ -365,3 +365,16 @@ def test_lm2_quality_single_tokenize_explode(spark, sf_dir):
     import re
     assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
     assert "ExistingRDD" in p
+
+
+def test_token_budget_mix_single_pass(spark, sf_dir):
+    # Tier 2 is ONE keep-filter over one bucket-partitioned running
+    # total — not a whole/boundary branch pair unioned back together
+    # (the branched form re-executed the scan+tokenize+md5 subtree
+    # per branch: 4 corpus scans; the fused form plans exactly 2, the
+    # two-pass information floor for a budget prefix).
+    df = entrymod.q_token_budget_mix(spark, sf_dir)
+    p = plan_string(df)
+    import re
+    assert "Union" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", p)) == 2
