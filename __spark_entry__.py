@@ -7718,6 +7718,10 @@ def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("day", F.col("ts")).alias("day"),
         )
         .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6).cast("double").alias("daily_value"))
+        # Pin: feeds the per-type mean AND the scored join — unpinned,
+        # the raw events scan+aggregate replays per consumer. The pin
+        # is |types| x |days| rows, calendar-bounded at any scale.
+        .localCheckpoint(eager=False)
     )
     means = daily.groupBy("event_type").agg(
         F.round(F.avg("daily_value"), 6).alias("target"),
@@ -8575,6 +8579,10 @@ def q_value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.date_trunc("day", F.col("ts")).alias("day"),
         )
         .agg(F.round(F.sum(F.col("value").cast("decimal(38,6)")), 6).cast("double").alias("daily_value"))
+        # Pin: feeds the per-type mean AND the CUSUM-walk join —
+        # unpinned, the raw events scan+aggregate executed 4x in this
+        # plan. |types| x |days| rows, calendar-bounded at any scale.
+        .localCheckpoint(eager=False)
     )
     means = daily.groupBy("event_type").agg(
         F.round(F.avg("daily_value"), 6).alias("target"),
@@ -11054,7 +11062,13 @@ def q_kmv_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__kb__",
         k=64,
     ).drop("__ka__", "__kb__")
-    eu = ev.distinct()
+    # Pin the distinct (type, user) projection: it feeds the size
+    # aggregate (read twice downstream) plus both exact-intersection
+    # self-join sides — unpinned, the events scan+distinct executed 4x
+    # in this plan. The sketch table's 2 references stay unpinned: its
+    # own aggregation is cheap and a second pin conversion measured
+    # more construct latency than the replay costs.
+    eu = ev.distinct().localCheckpoint(eager=False)
     sizes = eu.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n__"))
     inter = (
         eu.alias("x")

@@ -95,9 +95,16 @@ def train_naive_bayes(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
+    # Pin `counts`: it feeds the model, the label totals AND the
+    # vocabulary scalar — unpinned, every downstream reference (and
+    # every broadcast of model/priors at score time) re-executed the
+    # corpus explode+aggregate: 13 parquet scans in nb_confusion's
+    # plan. The frame is model-sized (labels × V rows), never
+    # corpus-sized, so the pin cost is bounded by the vocabulary at
+    # any scale.
     counts = tok.groupBy("label", "token").agg(
         F.count(F.lit(1)).alias("__c__"),
-    )
+    ).localCheckpoint(eager=False)
     n_docs = df.count()
     doc_counts = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("__d__"),

@@ -75,7 +75,17 @@ def dedup_against_corpus(
     directly as ``corpus_df`` with ``text_col`` pointing at its text
     (or pre-computed digests re-derived the same way).
     """
-    new_fp = with_fingerprint(new_df, text_col, "__fp__")
+    # Pin the fingerprinted batch: when new_df is a union (the normal
+    # multi-source ingest shape), Catalyst pushes the anti-join
+    # through the union and the corpus digest+distinct build side is
+    # rebuilt under EVERY branch — 3 corpus md5 passes for a 3-part
+    # batch. Pinned, the union materializes once and the anti-join
+    # runs once against one corpus build. The pin stores one
+    # incremental batch, never the corpus (the bloom sibling makes
+    # the same trade).
+    new_fp = with_fingerprint(new_df, text_col, "__fp__").localCheckpoint(
+        eager=False,
+    )
     corpus_fp = (
         with_fingerprint(corpus_df, text_col, "__fp__")
         .select("__fp__")

@@ -55,6 +55,14 @@ def funnel_counts(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t__"))
             )
+        if i < len(steps) - 1:
+            # Every non-final reached frame has TWO consumers (its own
+            # step count and the next step's join); unpinned, each
+            # consumer replays the whole upstream chain of event
+            # scans — 6 parquet scans for a 3-step funnel. The pin is
+            # the per-user (user, min-ts) reduction: user-sized and
+            # shrinking every step, never the raw event stream.
+            reached = reached.localCheckpoint(eager=False)
         counts.append(
             reached.agg(
                 F.lit(i + 1).alias("step"),
@@ -865,7 +873,7 @@ def funnel_latency(
     events = df.select(user_col, ts_col, type_col)
     reached: list[DataFrame] = []
     prev = None
-    for step in steps:
+    for i, step in enumerate(steps):
         matching = events.filter(F.col(type_col) == step)
         if prev is None:
             cur = matching.groupBy(user_col).agg(F.min(ts_col).alias("__t__"))
@@ -876,6 +884,14 @@ def funnel_latency(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t__"))
             )
+        if i < len(steps) - 1:
+            # Non-final reached frames feed 2-3 consumers (the next
+            # step's join and one or two latency transitions);
+            # unpinned, each consumer replays the whole upstream
+            # chain of event scans — 8 parquet scans for a 3-step
+            # funnel. The pin is the per-user conditional-min frame:
+            # user-sized, shrinking each step.
+            cur = cur.localCheckpoint(eager=False)
         reached.append(cur)
         prev = cur
     out = None

@@ -257,9 +257,15 @@ def association_rules(
     ``support``, ``confidence``, ``lift``) for pairs with
     ``n_both >= min_count``, both rule directions.
     """
+    # Pin the deduped basket-item stream: it feeds the item supports
+    # (read on both the antecedent and consequent side), the
+    # basket-count scalar and BOTH self-join sides — unpinned, the
+    # source scan + distinct aggregate executed 5x in this plan. The
+    # pin is the (basket, item) pair set the algorithm is defined on:
+    # linear in the input, no payload columns.
     base = df.select(
         F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item"),
-    ).dropDuplicates(["__basket", "__item"])
+    ).dropDuplicates(["__basket", "__item"]).localCheckpoint(eager=False)
     item_counts = base.groupBy(F.col("__item")).agg(
         F.count(F.lit(1)).alias("__n_item"),
     )

@@ -1952,7 +1952,12 @@ def embedding_drift(
             ).alias("__c"),
         )
     )
-    sides = scalars.join(coords, [*by, "__s__"])
+    # Pin the per-(group, sample) moment table: both sample-side
+    # filters read it — unpinned, the corpus scan + posexplode mean
+    # executed twice over (4 parquet scans in the drift plan). The
+    # pin is groups x 2 rows of dim-length centroid arrays, never the
+    # vector corpus.
+    sides = scalars.join(coords, [*by, "__s__"]).localCheckpoint(eager=False)
     a = sides.filter(F.col("__s__")).select(
         *by,
         F.col("__n__").alias("n_a"),

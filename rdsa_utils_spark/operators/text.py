@@ -148,7 +148,13 @@ def unigram_lm_score(
     """
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
     stream = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
-    counts = stream.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # Pin the vocabulary counts: they feed the totals scalar AND the
+    # per-token logprob table — unpinned, the corpus explode+aggregate
+    # executed twice (4 parquet scans in the lm_quality plan). The pin
+    # is vocabulary-sized, the bigram-LM (bigram_lm_score) precedent.
+    counts = stream.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__c"),
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v"),
     )

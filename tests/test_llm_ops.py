@@ -589,9 +589,15 @@ def test_dedup_against_corpus_bloom_matches_exact(spark):
 
     # The probe must be pure JVM bit arithmetic against the broadcast
     # bitmap — getbit lookups, no Python, no shuffle of fresh rows.
-    plan = dedup_against_corpus_bloom(
-        batch, corpus, "text", "doc_id",
-    )._jdf.queryExecution().executedPlan().toString()
+    # The flagged frame is pinned (localCheckpoint), which hides the
+    # probe from the FINAL plan — capture the pin's segment plan too.
+    from rdsa_utils_spark.plans.audit import capture_lineage_cuts
+
+    with capture_lineage_cuts() as segs:
+        probed = dedup_against_corpus_bloom(batch, corpus, "text", "doc_id")
+    plan = probed._jdf.queryExecution().executedPlan().toString() + "".join(
+        s.get("plan", "") for s in segs
+    )
     assert "getbit" in plan
     assert "InPandas" not in plan and "BatchEvalPython" not in plan
 

@@ -367,6 +367,20 @@ def test_lm2_quality_single_tokenize_explode(spark, sf_dir):
     assert "ExistingRDD" in p
 
 
+def test_nb_train_counts_pinned_single_tokenize(spark, sf_dir):
+    # train_naive_bayes' (label, token) count frame feeds the model,
+    # the label totals AND the vocabulary scalar; pinned, the final
+    # nb_confusion plan tokenizes/explodes the corpus exactly once —
+    # the score-side stream — instead of replaying the training
+    # explode+aggregate under every model/priors broadcast (13 corpus
+    # scans before the pin).
+    df = entrymod.q_nb_confusion(spark, sf_dir)
+    p = plan_string(df)
+    import re
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1
+    assert "ExistingRDD" in p
+
+
 def test_token_budget_mix_single_pass(spark, sf_dir):
     # Tier 2 is ONE keep-filter over one bucket-partitioned running
     # total — not a whole/boundary branch pair unioned back together
