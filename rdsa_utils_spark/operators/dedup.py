@@ -60,11 +60,21 @@ def dedup_against_corpus(
     text_col: str,
     id_col: str,
     keep: str = "min",
+    pin: bool = True,
 ) -> DataFrame:
     """Incremental ingest dedup: drop rows of ``new_df`` whose exact
     fingerprint (md5 of normalized text — same digest as
     :func:`exact_dedup`) already exists in ``corpus_df``, then
     exact-dedup the survivors within the batch.
+
+    ``pin`` (default True) localCheckpoints the fingerprinted batch
+    INCLUDING its payload columns, duplicating one incremental batch
+    into executor storage (and truncating lineage: a lost block fails
+    the job instead of recomputing). That is the right trade for
+    routine batch sizes; for very large batches with wide document
+    bodies, pass ``pin=False`` to keep the lazy plan (the corpus
+    build side is then rebuilt under every union branch of
+    ``new_df`` — the cost the pin exists to remove).
 
     The standard shape for a training corpus that grows by batches:
     the historical side reduces to DISTINCT 32-char digests before the
@@ -83,9 +93,9 @@ def dedup_against_corpus(
     # runs once against one corpus build. The pin stores one
     # incremental batch, never the corpus (the bloom sibling makes
     # the same trade).
-    new_fp = with_fingerprint(new_df, text_col, "__fp__").localCheckpoint(
-        eager=False,
-    )
+    new_fp = with_fingerprint(new_df, text_col, "__fp__")
+    if pin:
+        new_fp = new_fp.localCheckpoint(eager=False)
     corpus_fp = (
         with_fingerprint(corpus_df, text_col, "__fp__")
         .select("__fp__")
@@ -881,6 +891,7 @@ def dedup_against_corpus_bloom(
     expected_items: int = 1_000_000,
     fpp: float = 0.01,
     max_bloom_bytes: int = 64 << 20,
+    pin: bool = True,
 ) -> DataFrame:
     """:func:`dedup_against_corpus` with a Bloom prefilter — identical
     results, different shuffle profile.
@@ -943,14 +954,18 @@ def dedup_against_corpus_bloom(
     # Pinned: flagged feeds BOTH the definite-fresh branch and the
     # maybe-side anti-join, so an unpinned frame runs the whole
     # normalize+md5 fingerprint pass over the batch twice. The pin
-    # stores one incremental batch (never the corpus) — cheaper than a
-    # second full fingerprint scan at any batch size.
+    # stores one incremental batch INCLUDING payload columns (never
+    # the corpus) — cheaper than a second full fingerprint scan at
+    # routine batch sizes; ``pin=False`` opts out for very large
+    # batches with wide bodies (same trade as
+    # :func:`dedup_against_corpus`).
     flagged = (
         new_fp.join(F.broadcast(bitmap))
         .withColumn("__maybe__", maybe)
         .drop("__bloom__")
-        .localCheckpoint(eager=False)
     )
+    if pin:
+        flagged = flagged.localCheckpoint(eager=False)
     definite_fresh = flagged.filter(~F.col("__maybe__")).drop("__maybe__")
     candidates = (
         flagged.filter(F.col("__maybe__"))

@@ -243,6 +243,7 @@ def association_rules(
     item_col: str,
     min_count: int = 2,
     round_to: int = 6,
+    pin: bool = True,
 ) -> DataFrame:
     """Pairwise association rules from market baskets: for each
     DIRECTED pair (a → b), ``support`` = P(a,b), ``confidence`` =
@@ -256,6 +257,15 @@ def association_rules(
     (``antecedent``, ``consequent``, ``n_both``, ``n_antecedent``,
     ``support``, ``confidence``, ``lift``) for pairs with
     ``n_both >= min_count``, both rule directions.
+
+    ``pin`` (default True) localCheckpoints the deduped
+    (basket, item) stream. Unlike the vocabulary-/calendar-bounded
+    pins elsewhere in the package, this one is LINEAR IN THE INPUT:
+    it duplicates the distinct pair set into executor storage, and a
+    checkpoint truncates lineage — a lost executor block fails the
+    job instead of recomputing. At ingest scale, or on clusters where
+    that storage/fault-tolerance trade is wrong, pass ``pin=False``
+    to keep the lazy 5x-replayed plan instead.
     """
     # Pin the deduped basket-item stream: it feeds the item supports
     # (read on both the antecedent and consequent side), the
@@ -265,7 +275,9 @@ def association_rules(
     # linear in the input, no payload columns.
     base = df.select(
         F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item"),
-    ).dropDuplicates(["__basket", "__item"]).localCheckpoint(eager=False)
+    ).dropDuplicates(["__basket", "__item"])
+    if pin:
+        base = base.localCheckpoint(eager=False)
     item_counts = base.groupBy(F.col("__item")).agg(
         F.count(F.lit(1)).alias("__n_item"),
     )

@@ -390,5 +390,7 @@ def test_token_budget_mix_single_pass(spark, sf_dir):
     df = entrymod.q_token_budget_mix(spark, sf_dir)
     p = plan_string(df)
     import re
-    assert "Union" not in p
+    # Anchor on the plan NODE, not the bare substring (ADVICE r12): a
+    # column or codegen label containing "Union" must not fail this.
+    assert not re.findall(r"\(\d+\) Union\b", p)
     assert len(re.findall(r"\(\d+\) Scan parquet\b", p)) == 2
