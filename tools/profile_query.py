@@ -120,8 +120,11 @@ def main() -> None:
             tasks.append(t1n - t0n)
             task_ms.append(m1 - m0)
         if plans_tag:
-            pdir = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "plans", "r12")
+            pdir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "plans",
+                os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
+            )
             os.makedirs(pdir, exist_ok=True)
             df = fn(spark, sf_dir)
             with open(os.path.join(pdir, f"{name}_{plans_tag}.txt"), "w") as fh:
